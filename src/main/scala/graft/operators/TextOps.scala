@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.sources.Tables
+
+/** Text-analysis / dedup operators for a training-data pipeline, over the
+  * driver's `documents` table. All distributed (explode + shuffle on content
+  * keys — no driver-side loops), designed so the same plan holds at 100 TB:
+  * exact dedup shuffles on a content hash; n-gram dedup joins on shingles
+  * (candidate generation is bounded by shared-shingle blocking); scoring ops
+  * are pure per-row expressions inside whole-stage codegen.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens of a document (whitespace split, no empties). */
+  private def toks: Column = F.wsTokens(col("text"))
+
+  /** Token counting + quality scoring: whitespace tokens, BPE-ish regex
+    * tokens, average token length, stopword ratio, a deterministic composite
+    * quality score. Pure expressions — one codegen stage, no shuffle. */
+  private def t1TokenStats(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn(
+        "n_alnum_tokens",
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+          .cast("long")
+      )
+      .withColumn(
+        "token_chars",
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long")
+      )
+      .withColumn(
+        "n_stopwords",
+        size(filter(toks, t => t === "the" || t === "a" || t === "of"))
+          .cast("long")
+      )
+      .withColumn("avg_token_len", col("token_chars") / col("n_tokens"))
+      .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
+      .withColumn(
+        "quality",
+        round(
+          (lit(1.0) - col("stopword_ratio")) * 0.5 +
+            least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
+          6
+        )
+      )
+      .select(
+        "doc_id", "n_tokens", "n_alnum_tokens", "token_chars",
+        "n_stopwords", "avg_token_len", "stopword_ratio", "quality"
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by marker-token counts (n-gram heuristic): count substring
+    * occurrences of per-language function words, argmax with a fixed
+    * priority, 'und' when nothing matches. Deterministic and
+    * oracle-reproducible; per-row expression only. */
+  private def t2LangId(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def hits(marker: String): Column =
+      ((length(padded) - length(replace(padded, lit(marker), lit("")))) /
+        marker.length).cast("long")
+    val en = (hits(" the ") + hits(" and ")).as("s_en")
+    val es = (hits(" el ") + hits(" de ")).as("s_es")
+    val de = (hits(" der ") + hits(" und ")).as("s_de")
+    val fr = (hits(" le ") + hits(" et ")).as("s_fr")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), en, es, de, fr)
+      .withColumn("best", greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr")))
+      .withColumn(
+        "pred_lang",
+        when(col("best") === 0, lit("und"))
+          .when(col("s_en") === col("best"), lit("en"))
+          .when(col("s_es") === col("best"), lit("es"))
+          .when(col("s_de") === col("best"), lit("de"))
+          .otherwise(lit("fr"))
+      )
+      .select("doc_id", "lang", "s_en", "s_es", "s_de", "s_fr", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup: group on a content hash (md5), mark the min-id row of each
+    * group canonical. At 100 TB this is one shuffle on the 128-bit hash —
+    * the standard exact-dedup plan. */
+  private def t3DedupExact(s: SparkSession, d: String): DataFrame = {
+    val byHash = Window.partitionBy("fingerprint")
+    Tables.documents(s, d)
+      .withColumn("fingerprint", md5(col("text")))
+      .withColumn("group_size", count(lit(1)).over(byHash))
+      .withColumn("canonical_id", min("doc_id").over(byHash))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      .select("doc_id", "fingerprint", "group_size", "canonical_id", "is_duplicate")
+      .orderBy("doc_id")
+  }
+
+  /** N-gram Jaccard near-dedup, exact: distinct 3-word shingles per doc,
+    * self-join on shingle (candidate pairs share >= 1 shingle), count
+    * intersection, Jaccard = |A∩B| / (|A|+|B|-|A∩B|), threshold 0.8.
+    * All-integer arithmetic → exact cross-engine parity. The shingle join IS
+    * the blocking step: non-overlapping docs never form a pair. */
+  private def t4DedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(F.wordShingles(toks, 3))).as("shingle")
+      )
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh
+      .as("a")
+      .join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("union_sz"))
+      .filter(col("jaccard") > 0.8)
+      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Content-defined fingerprinting: md5 full-document fingerprint plus a
+    * 16-hex-char prefix bucket (the shape used for sharded dedup indexes). */
+  private def t5FingerprintBuckets(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("fingerprint", md5(col("text")))
+      .withColumn("bucket", substring(col("fingerprint"), 1, 2))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fingerprint")).as("n_distinct")
+      )
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t1_token_stats" -> (t1TokenStats _),
+    "t2_lang_id" -> (t2LangId _),
+    "t3_dedup_exact" -> (t3DedupExact _),
+    "t4_dedup_ngram_jaccard" -> (t4DedupNgramJaccard _),
+    "t5_fingerprint_buckets" -> (t5FingerprintBuckets _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS toks,
+             text
+           FROM documents
+         ), m AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_alnum_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS token_chars,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of')))
+               AS BIGINT) AS n_stopwords
+           FROM base
+         )
+         SELECT doc_id, n_tokens, n_alnum_tokens, token_chars, n_stopwords,
+           CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           round((1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
+                 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5, 6)
+             AS quality
+         FROM m ORDER BY doc_id""",
+    "t2_lang_id" ->
+      """WITH padded AS (
+           SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
+         ), scored AS (
+           SELECT doc_id, lang,
+             CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+               + (length(p) - length(replace(p, ' and ', ''))) / 5 AS BIGINT)
+               AS s_en,
+             CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+               + (length(p) - length(replace(p, ' de ', ''))) / 4 AS BIGINT)
+               AS s_es,
+             CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+               + (length(p) - length(replace(p, ' und ', ''))) / 5 AS BIGINT)
+               AS s_de,
+             CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+               + (length(p) - length(replace(p, ' et ', ''))) / 4 AS BIGINT)
+               AS s_fr
+           FROM padded
+         )
+         SELECT doc_id, lang, s_en, s_es, s_de, s_fr,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS pred_lang
+         FROM scored ORDER BY doc_id""",
+    "t3_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fingerprint,
+         count(*) OVER (PARTITION BY md5(text)) AS group_size,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+         FROM documents ORDER BY doc_id""",
+    "t4_dedup_ngram_jaccard" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT doc_a, doc_b, inter,
+           sa.sz + sb.sz - inter AS union_sz,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
+         ORDER BY doc_a, doc_b""",
+    "t5_fingerprint_buckets" ->
+      """SELECT substr(md5(text), 1, 2) AS bucket, count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_distinct
+         FROM documents GROUP BY bucket ORDER BY bucket"""
+  )
+}

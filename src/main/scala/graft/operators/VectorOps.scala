@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.sources.Tables
+
+/** Similarity search + hash-based near-dup operators over the `embeddings`
+  * and `documents` tables.
+  *
+  * Scale design: brute-force ANN broadcasts the (small) query set and scans
+  * candidates once — the right baseline plan at any candidate scale. The LSH
+  * variants (random-hyperplane for vectors, MinHash banding for shingles,
+  * SimHash banding for tokens) bound candidate generation by bucket joins so
+  * the pair space never goes quadratic; they use Spark's xxhash64 and are
+  * therefore declared WITHOUT a DuckDB oracle (engine-specific hash) — their
+  * recall against the exact operators is asserted in ScalaTest instead.
+  */
+object VectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Brute-force cosine top-k: queries (vec_id < 10) × all candidates,
+    * double-precision cosine, k=5, deterministic tie-break on neighbor id.
+    * Output is (query_id, rnk, neighbor_id) — rank only, so cross-engine
+    * float noise in the score cannot flip the hash. */
+  private def v1AnnBruteforce(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", F.cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (the
+    * embedding-space analogue of Jaccard dedup). Pair pruning by id order;
+    * all pairs scored in double precision. */
+  private def v2EmbedCosineDedup(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", F.cosine(col("ea"), col("eb")))
+      .filter(col("cos") > 0.45)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Random-hyperplane LSH ANN (scale path): 16 sign-hash bits from
+    * deterministic ±1 hyperplanes (xxhash64-seeded), bucket join on the
+    * signature prefix bands, exact cosine re-rank inside candidate buckets.
+    * No oracle (engine-specific hash); recall vs v1 asserted in tests. */
+  private def v3AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val nBits = 16
+    // Deterministic pseudo-random ±1 hyperplane component for (bit j, dim k):
+    // parity of xxhash64 over the pair.
+    def signedComp(j: Int) =
+      transform(
+        col("embedding"),
+        (x, k) =>
+          when(pmod(xxhash64(lit(j), k), lit(2)) === 0, x.cast("double"))
+            .otherwise(-x.cast("double"))
+      )
+    def bit(j: Int) =
+      when(aggregate(signedComp(j), lit(0.0), (a, x) => a + x) >= 0, lit(1L))
+        .otherwise(lit(0L))
+    val sig = (0 until nBits)
+      .map(j => bit(j) * (1L << j))
+      .reduce(_ + _)
+    val signed = emb.withColumn("sig", sig)
+    // two 8-bit bands: candidates share at least one band
+    val banded = signed
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        explode(
+          array(
+            struct(lit(0).as("band"), col("sig").bitwiseAND(lit(255L)).as("bh")),
+            struct(
+              lit(1).as("band"),
+              shiftrightunsigned(col("sig"), 8).bitwiseAND(lit(255L)).as("bh")
+            )
+          )
+        ).as("b")
+      )
+      .select(col("vec_id"), col("embedding"), col("b.band"), col("b.bh"))
+    val queries = banded
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        col("band"),
+        col("bh")
+      )
+    val cands = banded
+      .join(queries, Seq("band", "bh"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"))
+      .distinct()
+      .withColumn("cos", F.cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    cands
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** MinHash + LSH banded dedup (scale path for t4): 32-perm MinHash
+    * signature over 3-word shingles, 8 bands × 4 rows, candidate pairs from
+    * band-bucket join, exact Jaccard verification on candidates only.
+    * No oracle (xxhash64 signatures); recall vs t4 asserted in tests. */
+  private def v4MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val nPerm = 32
+    val bands = 8
+    val rows = nPerm / bands
+    val sh = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(F.wordShingles(F.wsTokens(col("text")), 3)))
+          .as("shingle")
+      )
+    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
+    // signature: for each permutation i, min over shingles of xxhash64(i, h)
+    val sig = hashed
+      .groupBy("doc_id")
+      .agg(
+        min(xxhash64(lit(0), col("h"))).as("m0"),
+        (1 until nPerm)
+          .map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*
+      )
+    val banded = sig.select(
+      col("doc_id"),
+      explode(
+        array(
+          (0 until bands).map { b =>
+            struct(
+              lit(b).as("band"),
+              xxhash64(
+                (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*
+              ).as("bh")
+            )
+          }: _*
+        )
+      ).as("bb")
+    ).select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val candPairs = banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact Jaccard verification on the candidate set only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh
+      .as("a")
+      .join(sh.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    candPairs
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") > 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit simhash over tokens (sum of ±1 per bit from
+    * xxhash64(token), sign → bit), 4×16-bit band blocking, Hamming
+    * distance <= 3 on candidates. No oracle; asserted in tests. */
+  private def v5Simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(F.wsTokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val sig = tok
+      .groupBy("doc_id")
+      .agg(
+        sum(
+          when(col("h").bitwiseAND(lit(1L)) =!= 0L, 1L).otherwise(-1L)
+        ).as("b0"),
+        (1 until 64).map { j =>
+          sum(
+            when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)
+          ).as(s"b$j")
+        }: _*
+      )
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(0L))
+          .reduce((a, b) => a.bitwiseOR(b))
+          .as("simhash")
+      )
+    val banded = sig.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(
+        array((0 until 4).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bh")
+          )
+        }: _*)
+      ).as("bb")
+    ).select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
+    banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "v1_ann_bruteforce" -> (v1AnnBruteforce _),
+    "v2_embed_cosine_dedup" -> (v2EmbedCosineDedup _),
+    "v3_ann_lsh" -> (v3AnnLsh _),
+    "v4_minhash_lsh" -> (v4MinhashLsh _),
+    "v5_simhash" -> (v5Simhash _)
+  )
+
+  /** v3/v4/v5 intentionally omitted: engine-specific hashing (xxhash64) has
+    * no DuckDB equivalent — the driver records a rows-only check; their
+    * fidelity is asserted against the exact operators in ScalaTest. */
+  val oracles: Map[String, String] = Map(
+    "v1_ann_bruteforce" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10
+         ), scored AS (
+           SELECT query_id, vec_id,
+             list_cosine_similarity(qe, embedding) AS cos
+           FROM embeddings, q WHERE vec_id <> query_id
+         ), ranked AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM scored
+         )
+         SELECT query_id, rnk, vec_id AS neighbor_id FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "v2_embed_cosine_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+         ORDER BY id_a, id_b"""
+  )
+}
