@@ -106,11 +106,21 @@ object TextOps {
     * All-integer arithmetic → exact cross-engine parity. The shingle join IS
     * the blocking step: non-overlapping docs never form a pair. */
   private def t4DedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // Shingles carry a 64-bit fingerprint for the join/agg key — shuffling
+    // longs, not strings. The string stays only as long as needed to prove
+    // distinctness per doc; collision odds are ~n^2/2^65 (negligible even at
+    // 100 TB shingle counts).
+    // `w` is materialized as a real column BEFORE entering the shingle
+    // lambda: higher-order functions defeat common-subexpression
+    // elimination, so passing the tokenizer expression directly would
+    // re-run split() for every element_at inside the transform (~180x/row).
     val sh = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
       .select(
         col("doc_id"),
-        explode(array_distinct(F.wordShingles(toks, 3))).as("shingle")
+        explode(array_distinct(F.wordShingles(col("w"), 3))).as("shingle_s")
       )
+      .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh
       .as("a")

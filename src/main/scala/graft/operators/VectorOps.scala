@@ -26,14 +26,22 @@ object VectorOps {
     * Output is (query_id, rnk, neighbor_id) — rank only, so cross-engine
     * float noise in the score cannot flip the hash. */
   private def v1AnnBruteforce(s: SparkSession, d: String): DataFrame = {
+    // Norms are computed ONCE per row before the pair join (not per pair) —
+    // the pair-side work is a single dot product. Bit-identical to
+    // dot/(sqrt(dot aa)*sqrt(dot bb)) computed pairwise.
     val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", F.l2Norm(col("embedding")))
     val queries = emb
       .filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        col("nrm").as("qn")
+      )
     val scored = emb
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", F.cosine(col("qe"), col("embedding")))
+      .withColumn("cos", F.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -46,13 +54,16 @@ object VectorOps {
     * embedding-space analogue of Jaccard dedup). Pair pruning by id order;
     * all pairs scored in double precision. */
   private def v2EmbedCosineDedup(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.embeddings(s, d)
-      .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = Tables.embeddings(s, d)
-      .select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // Per-row norm precomputation: pair cost is one dot product, and the
+    // cos value stays bit-identical to the naive pairwise formula (same
+    // IEEE op sequence: dot / (sqrt(aa) * sqrt(bb))).
+    val base = Tables.embeddings(s, d)
+      .withColumn("nrm", F.l2Norm(col("embedding")))
+    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", F.cosine(col("ea"), col("eb")))
+      .withColumn("cos", F.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") > 0.45)
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
@@ -65,18 +76,28 @@ object VectorOps {
   private def v3AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val nBits = 16
-    // Deterministic pseudo-random ±1 hyperplane component for (bit j, dim k):
-    // parity of xxhash64 over the pair.
-    def signedComp(j: Int) =
-      transform(
-        col("embedding"),
-        (x, k) =>
-          when(pmod(xxhash64(lit(j), k), lit(2)) === 0, x.cast("double"))
-            .otherwise(-x.cast("double"))
-      )
-    def bit(j: Int) =
-      when(aggregate(signedComp(j), lit(0.0), (a, x) => a + x) >= 0, lit(1L))
-        .otherwise(lit(0L))
+    val dims = 64
+    // Deterministic ±1 hyperplanes materialized as LITERAL arrays (plain
+    // Scala splitmix-style PRNG) — the per-row cost is nBits dot products
+    // with constants, no hash calls inside the expression tree.
+    def planeSign(j: Int, k: Int): Double = {
+      var z = (j.toLong << 32 | k.toLong) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+    def bit(j: Int) = {
+      val plane = typedlit((0 until dims).map(k => planeSign(j, k)))
+      when(
+        aggregate(
+          zip_with(col("embedding"), plane, (x, p) => x.cast("double") * p),
+          lit(0.0),
+          (a, x) => a + x
+        ) >= 0,
+        lit(1L)
+      ).otherwise(lit(0L))
+    }
     val sig = (0 until nBits)
       .map(j => bit(j) * (1L << j))
       .reduce(_ + _)
@@ -128,12 +149,16 @@ object VectorOps {
     val bands = 8
     val rows = nPerm / bands
     val sh = Tables.documents(s, d)
+      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
       .select(
         col("doc_id"),
-        explode(array_distinct(F.wordShingles(F.wsTokens(col("text")), 3)))
-          .as("shingle")
+        explode(array_distinct(F.wordShingles(col("w"), 3))).as("shingle")
       )
-    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
+      // 64-bit shingle fingerprints: joins/aggregations key on a long, not a
+      // ~20-byte string (collision odds at 100 TB-scale shingle counts are
+      // ~n^2/2^65 — negligible; the exact-string path is t4).
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val hashed = sh.withColumn("h", col("shingle"))
     // signature: for each permutation i, min over shingles of xxhash64(i, h)
     val sig = hashed
       .groupBy("doc_id")
@@ -163,13 +188,18 @@ object VectorOps {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact Jaccard verification on the candidate set only
+    // Exact Jaccard verification restricted to the candidate set — the
+    // shingle lists are joined against candPairs first, so the pairwise
+    // intersection is computed for O(|candidates|) pairs, never all pairs.
+    // This is what makes MinHash+LSH the 100 TB path vs exact t4.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh
-      .as("a")
-      .join(sh.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = candPairs
+      .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(
+        sh.as("b"),
+        col("b.doc_id") === col("doc_b") && col("a.shingle") === col("b.shingle")
+      )
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     candPairs
       .join(inter, Seq("doc_a", "doc_b"))
