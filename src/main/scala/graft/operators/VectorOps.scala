@@ -75,7 +75,7 @@ object VectorOps {
     * No oracle (engine-specific hash); recall vs v1 asserted in tests. */
   private def v3AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val nBits = 16
+    val nBits = 32
     val dims = 64
     // Deterministic ±1 hyperplanes materialized as LITERAL arrays (plain
     // Scala splitmix-style PRNG) — the per-row cost is nBits dot products
@@ -102,19 +102,20 @@ object VectorOps {
       .map(j => bit(j) * (1L << j))
       .reduce(_ + _)
     val signed = emb.withColumn("sig", sig)
-    // two 8-bit bands: candidates share at least one band
+    // 8 bands x 4 bits: moderate-cosine neighbors (the top-k regime) agree
+    // per bit with p ~ 0.6, so narrow bands + many of them is what makes
+    // recall usable; candidates are re-ranked with the exact cosine anyway.
     val banded = signed
       .select(
         col("vec_id"),
         col("embedding"),
         explode(
-          array(
-            struct(lit(0).as("band"), col("sig").bitwiseAND(lit(255L)).as("bh")),
+          array((0 until 8).map { b =>
             struct(
-              lit(1).as("band"),
-              shiftrightunsigned(col("sig"), 8).bitwiseAND(lit(255L)).as("bh")
+              lit(b).as("band"),
+              shiftrightunsigned(col("sig"), b * 4).bitwiseAND(lit(15L)).as("bh")
             )
-          )
+          }: _*)
         ).as("b")
       )
       .select(col("vec_id"), col("embedding"), col("b.band"), col("b.bh"))
@@ -215,8 +216,13 @@ object VectorOps {
     * xxhash64(token), sign → bit), 4×16-bit band blocking, Hamming
     * distance <= 3 on candidates. No oracle; asserted in tests. */
   private def v5Simhash(s: SparkSession, d: String): DataFrame = {
+    // SimHash over 3-word shingles, not bare tokens: with a small vocabulary
+    // every document shares most TOKENS, so token-level simhashes collapse
+    // together; shingle frequency vectors keep the discrimination that makes
+    // hamming<=3 mean "near-duplicate".
     val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(F.wsTokens(col("text"))).as("t"))
+      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(F.wordShingles(col("w"), 3)).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val sig = tok
       .groupBy("doc_id")

@@ -1,0 +1,288 @@
+package graft.useractivity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** The user-activity aggregate pipeline — the Spark re-expression of the
+  * reference's 361-line analytical query
+  * (`scripts/public_data_report_user_activity.sql`, 15 CTEs). One method per
+  * CTE, in dependency order; [[build]] assembles the 8-way join.
+  *
+  * Scale shape: `sample` doubles every row into (country, 'Worldwide') —
+  * the Worldwide key concentrates half the data (SURVEY §7.4); every
+  * aggregation below is partial-aggregated map-side and AQE handles the
+  * skewed final merge. The post-aggregation joins are on (week, country) —
+  * a tiny keyspace — and broadcast.
+  */
+object UserActivity {
+
+  /** Config mirroring the query's literals (user_activity.sql:30-45,359). */
+  final case class Config(
+      countries: Seq[String] = Seq(
+        "Worldwide", "Brazil", "China", "France", "Germany", "India",
+        "Indonesia", "Italy", "Poland", "Russia", "United States"
+      ),
+      dateFrom: String = "2018-12-31",
+      dateTo: String = "2020-06-29",
+      excludedWeeks: Seq[String] = Seq("2019-04-29", "2019-05-06"),
+      sampleId: Int = 1
+  )
+
+  /** Addon blocklist (user_activity.sql:206-219; the duplicated
+    * testpilot-addon pattern is kept verbatim — SURVEY §7.5). */
+  val addonBlocklist: Seq[String] = Seq(
+    "%@mozilla%",
+    "%@shield.mozilla%",
+    "%@unified-urlbar-shield-study-%",
+    "%@testpilot-addon%",
+    "%@testpilot-addon%",
+    "%@activity-streams%",
+    "%support@laserlike.com%",
+    "%testpilot@cliqz.com%",
+    "%@testpilot-containers%",
+    "%@sloth%",
+    "%@min-vid%",
+    "%jid1-NeEaf3sAHdKHPA@jetpack%"
+  )
+
+  /** The "countable addon" predicate used by addon_counts/has_addon
+    * (user_activity.sql:204-223). */
+  def countableAddon: Column =
+    col("is_system") === false &&
+      col("foreign_install") === false &&
+      addonBlocklist.map(p => !col("addon_id").like(p)).reduce(_ && _)
+
+  /** `sample` CTE (user_activity.sql:8-46): country doubling via
+    * explode (J6), country-name decode via broadcast left join + coalesce,
+    * week derivation, allowlist + date + outlier + sample-bucket filters.
+    */
+  def sample(clientsLastSeen: DataFrame, countryNames: DataFrame, cfg: Config): DataFrame =
+    clientsLastSeen
+      .select(
+        col("*"),
+        explode(array(col("country"), lit("Worldwide"))).as("country_group")
+      )
+      .join(broadcast(countryNames), col("code") === col("country_group"), "left")
+      .withColumn("country_name", coalesce(col("name"), col("country_group")))
+      .withColumn("week_start", F.weekStart(col("submission_date")))
+      .withColumn("is_last_day_of_week", F.isLastDayOfWeek(col("submission_date")))
+      .filter(col("country_name").isin(cfg.countries: _*))
+      .filter(col("submission_date") >= lit(cfg.dateFrom))
+      .filter(col("submission_date") < lit(cfg.dateTo))
+      .filter(col("subsession_hours_sum") < 24)
+      .filter(col("sample_id") === cfg.sampleId)
+      .select(
+        col("submission_date"), col("week_start"), col("is_last_day_of_week"),
+        col("days_since_seen"), col("country_name"),
+        col("subsession_hours_sum"), col("days_seen_bits"),
+        col("days_created_profile_bits"), col("client_id"),
+        col("app_version"), col("locale"), col("active_addons")
+      )
+
+  /** `sample_addons` (user_activity.sql:47-71): null-preserving outer
+    * unnest — BQ's [a[SAFE_OFFSET(0)]] trick is native `explode_outer`. */
+  def sampleAddons(sample: DataFrame): DataFrame =
+    sample
+      .filter(col("days_since_seen") < 7 && col("is_last_day_of_week"))
+      .select(
+        col("week_start"), col("country_name"), col("client_id"), col("locale"),
+        explode_outer(col("active_addons")).as("addons")
+      )
+      .select(
+        col("week_start"), col("country_name"), col("client_id"), col("locale"),
+        col("addons.is_system"), col("addons.foreign_install"),
+        col("addons.addon_id"), col("addons.name").as("addon_name")
+      )
+
+  /** `mau_wau` (user_activity.sql:72-84): conditional exact distinct. */
+  def mauWau(sample: DataFrame): DataFrame =
+    sample
+      .filter(col("is_last_day_of_week"))
+      .groupBy("week_start", "country_name")
+      .agg(
+        countDistinct(when(col("days_since_seen") < 28, col("client_id"))).as("mau"),
+        countDistinct(when(col("days_since_seen") < 7, col("client_id"))).as("wau")
+      )
+
+  /** `avg_daily_usage_by_user` + `daily_usage` (user_activity.sql:85-112):
+    * average of per-client averages, with the HAVING outlier clip. */
+  def dailyUsage(sample: DataFrame): DataFrame =
+    sample
+      .filter(col("days_since_seen") === 0)
+      .groupBy("client_id", "country_name", "week_start")
+      .agg(avg("subsession_hours_sum").as("avg_hours_usage_daily_per_user"))
+      .filter(col("avg_hours_usage_daily_per_user") < 24)
+      .groupBy("country_name", "week_start")
+      .agg(avg("avg_hours_usage_daily_per_user").as("avg_hours_usage_daily"))
+
+  /** `intensity` (user_activity.sql:113-126): popcount of the trailing-week
+    * bits over active rows. */
+  def intensity(sample: DataFrame): DataFrame =
+    sample
+      .filter(col("is_last_day_of_week") && col("days_since_seen") < 7)
+      .groupBy("week_start", "country_name")
+      .agg(
+        F.safeDiv(sum(F.bitcountLowest7(col("days_seen_bits"))), count(lit(1)))
+          .as("intensity")
+      )
+
+  /** `new_profile_rate` (user_activity.sql:127-140): trailing-set-bit
+    * position < 7 on creation bits vs seen bits. */
+  def newProfileRate(sample: DataFrame): DataFrame =
+    sample
+      .filter(col("is_last_day_of_week"))
+      .groupBy("week_start", "country_name")
+      .agg(
+        F.safeDiv(
+          count(when(F.posOfTrailingSetBit(col("days_created_profile_bits")) < 7, 1)),
+          count(when(F.posOfTrailingSetBit(col("days_seen_bits")) < 7, 1))
+        ).as("new_profile_rate")
+      )
+
+  /** `latest_releases` (user_activity.sql:154-165): max major version per
+    * build day on the release channel. */
+  def latestReleases(buildhub: DataFrame): DataFrame =
+    buildhub
+      .filter(col("build.target.channel") === "release")
+      .withColumn("day", to_date(col("build.build.date")))
+      .filter(col("day") >= "2018-12-01")
+      .groupBy("day")
+      .agg(
+        max(F.truncateVersionMajor(col("build.target.version")))
+          .as("latest_major_version")
+      )
+
+  /** `active_clients_weekly` .. `latest_version_ratio`
+    * (user_activity.sql:141-197): as-of range join (J4) against the tiny
+    * releases dim (broadcast nested-loop — correct at any fact scale), max
+    * per client-week, then countif ratio. */
+  def latestVersionRatio(sample: DataFrame, buildhub: DataFrame): DataFrame = {
+    val active = sample
+      .filter(col("is_last_day_of_week") && col("days_since_seen") < 7)
+      .select(
+        col("country_name"),
+        col("client_id"),
+        F.truncateVersionMajor(col("app_version")).as("major_version"),
+        expr("date_sub(submission_date, days_since_seen)").as("last_day_seen"),
+        col("week_start")
+      )
+    val releases = latestReleases(buildhub)
+    active
+      .join(broadcast(releases), col("day") <= col("last_day_seen"))
+      .filter(col("client_id").isNotNull)
+      .groupBy("client_id", "country_name", "major_version", "week_start")
+      .agg(max("latest_major_version").as("latest_major_version"))
+      .groupBy("country_name", "week_start")
+      .agg(
+        F.safeDiv(
+          count(when(col("major_version") === col("latest_major_version"), 1)),
+          count(lit(1))
+        ).as("latest_version_ratio")
+      )
+  }
+
+  /** Top-K per group as sorted array-of-struct (A9,
+    * user_activity.sql:245-255): window row_number for the K cutoff, then
+    * collect into the BQ ARRAY_AGG(STRUCT(...) ORDER BY ... LIMIT K) shape.
+    * Ties break deterministically by name (BQ leaves them unspecified).
+    */
+  private def topK(
+      ratios: DataFrame,
+      nameCol: String,
+      k: Int,
+      outCol: String
+  ): DataFrame = {
+    val w = Window
+      .partitionBy("week_start", "country_name")
+      .orderBy(col("ratio").desc, col(nameCol).asc)
+    ratios
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("week_start", "country_name")
+      .agg(
+        sort_array(
+          collect_list(struct(col("rnk"), struct(col(nameCol), col("ratio")).as("s")))
+        ).as("sorted")
+      )
+      .select(
+        col("week_start"),
+        col("country_name"),
+        transform(col("sorted"), e => e.getField("s")).as(outCol)
+      )
+  }
+
+  /** `addon_counts` .. `top_addons` (user_activity.sql:198-255). */
+  def topAddons(sampleAddons: DataFrame, mauWau: DataFrame): DataFrame = {
+    val counts = sampleAddons
+      .groupBy("week_start", "country_name", "addon_id", "addon_name")
+      .agg(countDistinct(when(countableAddon, col("client_id"))).as("user_count"))
+    val ratios = counts
+      .join(mauWau, Seq("week_start", "country_name"))
+      .select(
+        col("week_start"), col("country_name"), col("addon_name"),
+        (col("user_count") / col("wau")).as("ratio")
+      )
+    topK(ratios, "addon_name", 10, "top_addons")
+  }
+
+  /** `has_addon` (user_activity.sql:256-285): countable-addon users over
+    * all users — the denominator includes zero-addon clients because the
+    * outer unnest preserved them (intended semantics, SURVEY §7.5). */
+  def hasAddon(sampleAddons: DataFrame): DataFrame =
+    sampleAddons
+      .groupBy("week_start", "country_name")
+      .agg(
+        (countDistinct(when(countableAddon, col("client_id"))) /
+          countDistinct(col("client_id"))).as("has_addon_ratio")
+      )
+
+  /** `locale_counts` .. `top_locales` (user_activity.sql:286-325). */
+  def topLocales(sample: DataFrame, mauWau: DataFrame): DataFrame = {
+    val counts = sample
+      .filter(col("days_since_seen") < 7 && col("is_last_day_of_week"))
+      .groupBy("week_start", "country_name", "locale")
+      .agg(countDistinct(col("client_id")).as("user_count"))
+    val ratios = counts
+      .join(mauWau, Seq("week_start", "country_name"))
+      .select(
+        col("week_start"), col("country_name"), col("locale"),
+        (col("user_count") / col("wau")).as("ratio")
+      )
+    topK(ratios, "locale", 5, "top_locales")
+  }
+
+  /** Final 8-way assembly + armagaddon-week exclusion
+    * (user_activity.sql:326-360). */
+  def build(
+      clientsLastSeen: DataFrame,
+      countryNames: DataFrame,
+      buildhub: DataFrame,
+      cfg: Config = Config()
+  ): DataFrame = {
+    val smp = sample(clientsLastSeen, countryNames, cfg)
+    val addons = sampleAddons(smp)
+    val mw = mauWau(smp)
+    mw.join(dailyUsage(smp), Seq("week_start", "country_name"))
+      .join(intensity(smp), Seq("week_start", "country_name"))
+      .join(newProfileRate(smp), Seq("week_start", "country_name"))
+      .join(latestVersionRatio(smp, buildhub), Seq("week_start", "country_name"))
+      .join(topAddons(addons, mw), Seq("week_start", "country_name"))
+      .join(topLocales(smp, mw), Seq("week_start", "country_name"))
+      .join(hasAddon(addons), Seq("week_start", "country_name"))
+      .filter(!col("week_start").cast("string").isin(cfg.excludedWeeks: _*))
+      .select(
+        col("week_start").as("submission_date"),
+        col("country_name"),
+        col("mau"),
+        col("avg_hours_usage_daily"),
+        col("intensity"),
+        col("new_profile_rate"),
+        col("latest_version_ratio"),
+        col("top_addons"),
+        col("has_addon_ratio"),
+        col("top_locales")
+      )
+  }
+}
