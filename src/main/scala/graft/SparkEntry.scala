@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +31,8 @@ object SparkEntry {
       PipelineOps.queries ++
       EventOps.queries ++
       TextOps.queries ++
-      VectorOps.queries
+      VectorOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
@@ -42,5 +44,6 @@ object SparkEntry {
       PipelineOps.oracles ++
       EventOps.oracles ++
       TextOps.oracles ++
-      VectorOps.oracles
+      VectorOps.oracles ++
+      MultimodalOps.oracles
 }

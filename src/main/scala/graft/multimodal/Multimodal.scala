@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support: opaque binary payloads + typed metadata, with
+  * batched decode/feature-extraction plumbing.
+  *
+  * Spark-side design (the part that must be real at 100 TB):
+  *   - media is an opaque `binary` column riding next to typed metadata —
+  *     parquet stores it page-compressed, and column pruning means queries
+  *     that don't touch bytes never read them;
+  *   - decode runs per-partition in fixed-size batches via `mapPartitions`
+  *     over a typed Dataset (the Scala analogue of `mapInPandas`): the
+  *     executor amortizes decoder setup per batch, and partition counts —
+  *     not row counts — bound memory;
+  *   - the decoder itself is a STUB: this environment has no image/audio
+  *     codecs, so [[decodeStub]] derives deterministic fake dimensions from
+  *     the payload. Swap in a real codec without touching the plumbing.
+  */
+object Multimodal {
+
+  /** Typed metadata emitted by the (stubbed) decoder. */
+  final case class MediaMeta(
+      mediaId: Long,
+      nBytes: Long,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      format: String
+  )
+
+  /** Batch size for per-partition decode — bounds decoder memory per task. */
+  val decodeBatchSize = 64
+
+  /** STUB decoder — deterministic fake in place of a real image/audio codec
+    * (none available in this environment). Derives plausible metadata from
+    * the payload bytes only, so it is reproducible anywhere.
+    */
+  def decodeStub(mediaId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    val first = if (bytes.isEmpty) 0 else bytes(0) & 0xff
+    MediaMeta(
+      mediaId = mediaId,
+      nBytes = n,
+      width = 64 + (n % 64).toInt,
+      height = 64 + (first % 64),
+      nFrames = 1 + (n % 8).toInt,
+      format = if (n % 2 == 0) "fake/even" else "fake/odd"
+    )
+  }
+
+  /** Attach a binary payload column to the documents table (UTF-8 bytes of
+    * the text stand in for real media payloads in the testdata). */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload")
+    )
+
+  /** Batched decode: Dataset[(id, payload)] -> Dataset[MediaMeta] through
+    * mapPartitions with `grouped(decodeBatchSize)` — the batch loop is where
+    * a real decoder would be initialized once and fed arrays of payloads.
+    */
+  def decode(payloads: DataFrame): Dataset[MediaMeta] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(decodeBatchSize).flatMap { batch =>
+          // real codec: init once here, decode the whole batch
+          batch.iterator.map { case (id, bytes) => decodeStub(id, bytes) }
+        }
+      }
+  }
+
+  /** The declared query: payload attach -> batched decode -> metadata
+    * aggregation. The aggregation shape (group by derived meta) is what a
+    * real feature-extraction pipeline feeds into dedup/quality filters.
+    */
+  def metaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    decode(withPayload(docs))
+      .groupBy("format", "nFrames")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum("nBytes").as("total_bytes"),
+        max("width").as("max_width"),
+        max("height").as("max_height")
+      )
+      .withColumnRenamed("nFrames", "n_frames")
+      .orderBy("format", "n_frames")
+  }
+}
+
+/** Declared-query wiring for the multimodal surface. */
+object MultimodalOps {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d))
+  )
+
+  /** The stub decoder is pure arithmetic over payload bytes, so the oracle
+    * reproduces it in SQL (strlen = UTF-8 byte count in DuckDB; the corpus
+    * is ASCII so ascii(first char) == first byte). */
+  val oracles: Map[String, String] = Map(
+    "m1_multimodal_meta" ->
+      """WITH meta AS (
+           SELECT doc_id, strlen(text) AS n, ascii(substr(text, 1, 1)) AS f
+           FROM documents
+         )
+         SELECT CASE WHEN n % 2 = 0 THEN 'fake/even' ELSE 'fake/odd' END
+             AS format,
+           CAST(1 + n % 8 AS INTEGER) AS n_frames,
+           count(*) AS n_media,
+           CAST(sum(n) AS BIGINT) AS total_bytes,
+           CAST(max(64 + n % 64) AS INTEGER) AS max_width,
+           CAST(max(64 + f % 64) AS INTEGER) AS max_height
+         FROM meta GROUP BY 1, 2 ORDER BY format, n_frames"""
+  )
+}
