@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.F
+import graft.functions.{F, GraftFunctions}
 import graft.sources.Tables
 
 /** Similarity search + hash-based near-dup operators over the `embeddings`
@@ -27,10 +27,12 @@ object VectorOps {
     * float noise in the score cannot flip the hash. */
   private def v1AnnBruteforce(s: SparkSession, d: String): DataFrame = {
     // Norms are computed ONCE per row before the pair join (not per pair) —
-    // the pair-side work is a single dot product. Bit-identical to
+    // the pair-side work is a single native dot product (codegen'd
+    // DotProductFloat: no per-pair array allocation). Bit-identical to
     // dot/(sqrt(dot aa)*sqrt(dot bb)) computed pairwise.
+    GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-      .withColumn("nrm", F.l2Norm(col("embedding")))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
     val queries = emb
       .filter(col("vec_id") < 10)
       .select(
@@ -41,7 +43,7 @@ object VectorOps {
     val scored = emb
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", F.dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("cos", call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -57,13 +59,14 @@ object VectorOps {
     // Per-row norm precomputation: pair cost is one dot product, and the
     // cos value stays bit-identical to the naive pairwise formula (same
     // IEEE op sequence: dot / (sqrt(aa) * sqrt(bb))).
+    GraftFunctions.register(s)
     val base = Tables.embeddings(s, d)
-      .withColumn("nrm", F.l2Norm(col("embedding")))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", F.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") > 0.45)
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")

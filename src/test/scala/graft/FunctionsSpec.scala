@@ -74,6 +74,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(2) == Seq.empty)
   }
 
+  test("native DotProductFloat matches the fold-based dot bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0 until 50).map { i =>
+      (Array.tabulate(64)(k => (math.sin(i * 64 + k) * 3).toFloat),
+       Array.tabulate(64)(k => (math.cos(i * 64 + k) * 3).toFloat))
+    }
+    val df = vecs.toDF("a", "b")
+    val out = df
+      .select(
+        F.dot(col("a"), col("b")).as("fold"),
+        call_function("graft_dot", col("a"), col("b")).as("native")
+      )
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("dot/cosine in double precision") {
     val out = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f)))
       .toDF("a", "b")
