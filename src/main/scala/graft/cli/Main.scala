@@ -1,0 +1,195 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.annotations.Annotations
+import graft.export.{JsonExport, JsonWriter}
+import graft.hardware.HardwareReport
+import graft.sources.DeviceMap
+import graft.useractivity.UserActivity
+
+/** CLI mirroring the reference's three jobs (`public_data_report/cli.py`):
+  *
+  *   hardware_report --input P --date_from D --past_weeks N --output DIR
+  *   user_activity   --clients P --country_names P --buildhub P --output DIR
+  *   annotations     --buildhub P --date_to D --output DIR
+  *
+  * Inputs are parquet paths (the BigQuery tables of the reference); outputs
+  * are the same JSON artifacts (hwsurvey-weekly.json, fxhealth.json,
+  * webusage.json, annotations_*.json) plus the partitioned parquet
+  * aggregate table for the hardware job.
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def parseArgs(args: Seq[String]): Map[String, String] =
+    args
+      .grouped(2)
+      .collect { case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v }
+      .toMap
+
+  def main(args: Array[String]): Unit = args.toSeq match {
+    case cmd +: rest =>
+      val opts = parseArgs(rest)
+      val spark = session()
+      try cmd match {
+        case "hardware_report" => hardwareReport(spark, opts)
+        case "user_activity" => userActivity(spark, opts)
+        case "annotations" => annotations(spark, opts)
+        case other =>
+          System.err.println(s"unknown command: $other"); sys.exit(2)
+      } finally spark.stop()
+    case _ =>
+      System.err.println(
+        "usage: graft.cli.Main {hardware_report|user_activity|annotations} [--opt value ...]"
+      )
+      sys.exit(2)
+  }
+
+  /** Weekly batch loop (hardware_report.py:416-470): runWeek per window,
+    * idempotent partitioned write, readback, flatten, JSON export. */
+  def hardwareReport(spark: SparkSession, opts: Map[String, String]): Unit = {
+    // dynamic partition overwrite = the reference's `table$YYYYMMDD` +
+    // WRITE_TRUNCATE idempotent weekly upsert (hardware_report.py:459-465):
+    // re-running a week replaces only that week's partition.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val input = spark.read.parquet(opts("input"))
+    val out = opts("output")
+    val weeks = opts.getOrElse("past_weeks", "0").toInt
+    val dateFrom = java.time.LocalDate.parse(opts("date_from"))
+    val deviceMap = DeviceMap.toLookup(DeviceMap.load(spark))
+    (0 to weeks).foreach { w =>
+      val from = java.sql.Date.valueOf(dateFrom.minusWeeks(w.toLong))
+      val to = java.sql.Date.valueOf(dateFrom.minusWeeks(w.toLong).plusDays(7))
+      HardwareReport
+        .runWeek(input, deviceMap, from, to)
+        .write
+        .mode("overwrite")
+        .partitionBy("date_from")
+        .parquet(s"$out/hardware_aggregates")
+    }
+    val readback = spark.read.parquet(s"$out/hardware_aggregates").orderBy("date_from")
+    val flat = HardwareReport.flatten(readback).collect()
+    val byDate = flat
+      .groupBy(_.getString(0))
+      .toSeq
+      .sortBy(_._1)(Ordering[String].reverse)
+      .map { case (date, rows) =>
+        scala.collection.immutable.ListMap(
+          (rows.map(r => r.getString(1) -> (r.getDouble(2): Any)) :+
+            ("date" -> (date: Any))): _*
+        )
+      }
+    JsonExport.writeJson(
+      s"$out/hwsurvey-weekly.json",
+      JsonWriter.write(byDate)
+    )
+  }
+
+  /** Aggregate build + export (user_activity.py): pipeline, country
+    * validation, fxhealth.json + webusage.json. */
+  def userActivity(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val cfg = UserActivity.Config()
+    val result = UserActivity.build(
+      spark.read.parquet(opts("clients")),
+      spark.read.parquet(opts("country_names")),
+      spark.read.parquet(opts("buildhub")),
+      cfg
+    )
+    val out = opts("output")
+    val fx = JsonExport.fxhealthRows(result)
+    val wu = JsonExport.webusageRows(result)
+    JsonExport.validateCountries(fx, cfg.countries)
+    JsonExport.validateCountries(wu, cfg.countries)
+    Seq((fx, "fxhealth.json"), (wu, "webusage.json")).foreach { case (df, name) =>
+      val schema = df.schema
+      val asMap = scala.collection.immutable.ListMap(
+        df.collect().toSeq.map { r =>
+          r.getString(0) -> JsonWriter.rowToAny(r.get(1), schema(1).dataType)
+        }: _*
+      )
+      JsonExport.writeJson(s"$out/$name", JsonWriter.write(asMap))
+    }
+  }
+
+  /** Annotations job (annotations.py:103-133): version spine + static
+    * merges, three JSON artifacts. */
+  def annotations(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val out = opts("output")
+    val dateTo = java.sql.Date.valueOf(opts("date_to"))
+    val cfg = UserActivity.Config()
+    val vd = Annotations.versionReleaseDays(
+      spark,
+      spark.read.parquet(opts("buildhub")),
+      dateTo
+    )
+    val fx = Annotations.fxhealthAnnotations(vd, cfg.countries)
+    JsonExport.writeJson(
+      s"$out/annotations_fxhealth.json",
+      JsonWriter.write(annotationsToJsonShape(fx), indent = 2)
+    )
+    val staticWu = loadStaticAnnotations(spark, "/graft/static/annotations_webusage.json")
+    val merged = Annotations.usageAnnotations(staticWu, cfg.countries)
+    JsonExport.writeJson(
+      s"$out/annotations_webusage.json",
+      JsonWriter.write(annotationsToJsonShape(merged), indent = 2, sortKeys = true)
+    )
+    JsonExport.writeJson(
+      s"$out/annotations_hardware.json",
+      DeviceMap.readResourceText("/graft/static/annotations_hardware.json")
+    )
+  }
+
+  private def annotationsToJsonShape(
+      m: Map[String, Seq[(String, Map[String, String])]]
+  ): Map[String, Any] =
+    m.map { case (country, entries) =>
+      country -> entries.map { case (date, ann) =>
+        scala.collection.immutable.ListMap(
+          "annotation" -> (ann: Any),
+          "date" -> (date: Any)
+        )
+      }
+    }
+
+  /** Static annotations resource (S4) parsed via from_json — no external
+    * JSON library needed. */
+  def loadStaticAnnotations(
+      spark: SparkSession,
+      resource: String
+  ): Map[String, Seq[(String, Map[String, String])]] = {
+    import spark.implicits._
+    val txt = DeviceMap.readResourceText(resource)
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "map<string,array<struct<annotation:map<string,string>,date:string>>>"
+    )
+    val parsed = Seq(txt)
+      .toDF("json")
+      .select(from_json(col("json"), schema).as("m"))
+      .select(explode(col("m")).as(Seq("country", "entries")))
+      .select(
+        col("country"),
+        col("entries.date").as("dates"),
+        col("entries.annotation").as("anns")
+      )
+      .collect()
+    parsed.map { r =>
+      val dates = r.getSeq[String](1)
+      val anns = r.getSeq[scala.collection.Map[String, String]](2)
+      r.getString(0) -> dates.zip(anns.map(_.toMap)).toSeq
+    }.toMap
+  }
+}

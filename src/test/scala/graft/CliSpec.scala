@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Main
+import graft.sources.DeviceMap
+
+/** End-to-end CLI runs over synthetic parquet inputs — exercises the S4
+  * (resource JSON), S5 (partitioned parquet sink + dynamic overwrite), S6
+  * (JSON file sink), S7 (readback) operators that the declared queries
+  * can't (they return DataFrames).
+  */
+class CliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("device map inverts like the reference (tests/test_hardware_report.py:50-66)") {
+    val df = DeviceMap.load(spark)
+    val lookup = DeviceMap.toLookup(df)
+    // vendor ids are 0x-prefixed, device ids resolve to (family, chipset)
+    assert(lookup("0x10de|0x13c1") == ("Maxwell", "GM204"))
+    assert(lookup("0x10de|0x13d7") == ("Maxwell", "GM204M"))
+    assert(lookup("0x8086|0x1912") == ("Gen9", "Skylake"))
+    assert(!lookup.contains("0x10de|0xdead"))
+  }
+
+  test("hardware_report CLI: weekly loop -> partitioned parquet -> readback -> JSON") {
+    val tmp = Files.createTempDirectory("graft-hw").toString
+    val input = Seq(
+      // week 1: two combos
+      ("2020-01-06", "2020-01-13", "Windows_NT-10.0", "x86-64", 8, "GenuineIntel",
+        "3.6", "1920x1080", 16, false, false, "0x10de", "0x13c1", 950L),
+      ("2020-01-06", "2020-01-13", "Darwin-19.0", "x86-64", 4, "GenuineIntel",
+        "2.6", "2560x1440", 8, false, false, "0x8086", "0x1912", 50L),
+      // week 2
+      ("2020-01-13", "2020-01-20", "Windows_NT-10.0", "x86-64", 8, "GenuineIntel",
+        "3.6", "1920x1080", 16, false, false, "0x10de", "0x13c1", 1000L)
+    ).toDF(
+      "date_from_s", "date_to_s", "os", "browser_arch", "cpu_cores", "cpu_vendor",
+      "cpu_speed", "resolution", "memory_gb", "has_flash", "is_wow64",
+      "gfx0_vendor_id", "gfx0_device_id", "client_count"
+    ).withColumn("date_from", org.apache.spark.sql.functions.to_date($"date_from_s"))
+      .withColumn("date_to", org.apache.spark.sql.functions.to_date($"date_to_s"))
+      .drop("date_from_s", "date_to_s")
+    input.write.mode("overwrite").parquet(s"$tmp/input")
+
+    Main.hardwareReport(
+      spark,
+      Map(
+        "input" -> s"$tmp/input",
+        "date_from" -> "2020-01-13",
+        "past_weeks" -> "1",
+        "output" -> s"$tmp/out"
+      )
+    )
+    // partitioned aggregate table written (S5) and readable (S7)
+    val agg = spark.read.parquet(s"$tmp/out/hardware_aggregates")
+    assert(agg.select("date_from").distinct().count() == 2)
+    // week 1: Darwin combo is 5% -> above the 1% threshold, survives; the
+    // gfx model decodes through the resource device map
+    val week1 = agg.filter($"date_from" === "2020-01-06")
+    val models = week1
+      .filter($"dimension" === "gfx0_model")
+      .select("key", "ratio")
+      .as[(String, Double)]
+      .collect()
+      .toMap
+    assert(models == Map("Maxwell-GM204" -> 0.95, "Gen9-Skylake" -> 0.05))
+    // JSON artifact exists, date-desc, prefixed keys (S6)
+    val json = Files.readString(java.nio.file.Path.of(s"$tmp/out/hwsurvey-weekly.json"))
+    assert(json.indexOf("2020-01-13") < json.indexOf("2020-01-06"))
+    assert(json.contains("\"gpuModel_Maxwell-GM204\""))
+    assert(json.contains("\"osName_Windows_NT-10.0\""))
+  }
+
+  test("annotations CLI writes three JSON artifacts with static merge") {
+    val tmp = Files.createTempDirectory("graft-ann").toString
+    val schema = StructType(Seq(StructField("build", StructType(Seq(
+      StructField("target", StructType(Seq(
+        StructField("version", StringType), StructField("channel", StringType)))),
+      StructField("build", StructType(Seq(StructField("date", TimestampType)))))))))
+    val rows = Seq(
+      Row(Row(Row("71.0", "release"), Row(java.sql.Timestamp.valueOf("2018-12-03 10:00:00")))),
+      Row(Row(Row("72.0", "release"), Row(java.sql.Timestamp.valueOf("2019-01-08 10:00:00"))))
+    )
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/buildhub")
+
+    Main.annotations(
+      spark,
+      Map(
+        "buildhub" -> s"$tmp/buildhub",
+        "date_to" -> "2019-02-04",
+        "output" -> s"$tmp/out"
+      )
+    )
+    val fx = Files.readString(java.nio.file.Path.of(s"$tmp/out/annotations_fxhealth.json"))
+    assert(fx.contains("\"pct_latest_version\": \"FF72\""))
+    assert(fx.contains("\"Worldwide\""))
+    val wu = Files.readString(java.nio.file.Path.of(s"$tmp/out/annotations_webusage.json"))
+    // static entry merged with per-country defaults
+    assert(wu.contains("example static annotation"))
+    assert(wu.contains("legacy addons disabled"))
+    assert(Files.exists(java.nio.file.Path.of(s"$tmp/out/annotations_hardware.json")))
+  }
+
+  test("JsonWriter matches python json.dumps conventions") {
+    val v = scala.collection.immutable.ListMap(
+      "b" -> (1L: Any),
+      "a" -> (Seq(scala.collection.immutable.ListMap("x" -> (0.5: Any))): Any),
+      "t" -> (true: Any),
+      "s" -> ("q\"uote": Any)
+    )
+    val out = graft.export.JsonWriter.write(v, indent = 2, sortKeys = true)
+    assert(out ==
+      """{
+        |  "a": [
+        |    {
+        |      "x": 0.5
+        |    }
+        |  ],
+        |  "b": 1,
+        |  "s": "q\"uote",
+        |  "t": true
+        |}""".stripMargin)
+  }
+}
