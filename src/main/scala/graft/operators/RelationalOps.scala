@@ -230,6 +230,35 @@ object RelationalOps {
       .orderBy("nation_group")
   }
 
+  /** J6 at 100 TB: the 'Worldwide' key holds half of all rows after the
+    * doubling — a single-level groupBy would funnel them through one
+    * reducer. Two-level salted aggregation: partial-aggregate on
+    * (key, salt=hash%16), then merge per key. Results are exactly identical
+    * (sums of sums), so it shares j6's oracle semantics; it exists so the
+    * bench can show the skew-safe plan costs nothing extra.
+    */
+  private def j6SaltedSkew(s: SparkSession, d: String): DataFrame = {
+    val doubled = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        explode(array(col("n_name"), lit("Worldwide"))).as("nation_group"),
+        col("c_acctbal"),
+        pmod(hash(col("c_custkey")), lit(16)).as("salt")
+      )
+    doubled
+      .groupBy("nation_group", "salt")
+      .agg(
+        count(lit(1)).as("pc"),
+        sum(F.cents(col("c_acctbal"))).as("ps")
+      )
+      .groupBy("nation_group")
+      .agg(
+        sum("pc").as("n_customers"),
+        sum("ps").as("acctbal_cents")
+      )
+      .orderBy("nation_group")
+  }
+
   /** J7: outer unnest preserving empty arrays as one NULL row — BQ's
     * `UNNEST(IF(ARRAY_LENGTH(a)>0, a, [a[SAFE_OFFSET(0)]]))` trick
     * (user_activity.sql:59-67) is native `explode_outer` in Spark. */
@@ -512,6 +541,7 @@ object RelationalOps {
     "j2_using_multikey" -> (j2UsingMultikey _),
     "j4_asof_join" -> (j4AsofJoin _),
     "j6_explode_literal" -> (j6ExplodeLiteral _),
+    "j6_salted_skew" -> (j6SaltedSkew _),
     "j7_explode_outer" -> (j7ExplodeOuter _),
     "j8_map_lookup" -> (j8MapLookup _),
     "a1_sum_groupby" -> (a1SumGroupBy _),
@@ -615,6 +645,14 @@ object RelationalOps {
          SELECT latest_major, count(*) AS n_orders FROM per_order
          GROUP BY latest_major ORDER BY latest_major""",
     "j6_explode_literal" ->
+      """SELECT nation_group, count(*) AS n_customers,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+         FROM (
+           SELECT unnest([n_name, 'Worldwide']) AS nation_group, c_acctbal
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+         )
+         GROUP BY nation_group ORDER BY nation_group""",
+    "j6_salted_skew" ->
       """SELECT nation_group, count(*) AS n_customers,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
          FROM (
