@@ -456,6 +456,37 @@ object RelationalOps {
       .orderBy("n_name", "rnk")
   }
 
+  /** A9 scale form: bounded-heap top-K via a typed Aggregator — partial
+    * buffers carry at most K entries, so the shuffle ships O(groups x K)
+    * rows instead of every candidate (SURVEY §7.4). Output and oracle are
+    * identical to a9_topk_per_group.
+    */
+  private def a9TopkHeap(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(5))
+    val rev = Tables.lineitem(s, d)
+      .join(
+        broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey")
+      )
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "l_partkey")
+      .agg(
+        sum(F.fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_f4")
+      )
+    rev
+      .groupBy("n_name")
+      .agg(topk(col("l_partkey"), col("revenue_f4")).as("top"))
+      .select(col("n_name"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(
+        col("n_name"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("e._1").as("l_partkey"),
+        col("e._2").as("revenue_f4")
+      )
+      .orderBy("n_name", "rnk")
+  }
+
   /** A11/A12: two-pass threshold bucket-collapse with family intermediate —
     * faithful shape of `collapse_buckets` (hardware_report.py:278-324):
     * below 1%-of-total keys collapse to '<family>-Other', then a second pass
@@ -553,6 +584,7 @@ object RelationalOps {
     "a7_countif_ratio" -> (a7CountifRatio _),
     "a8_group_minmax" -> (a8GroupMinMax _),
     "a9_topk_per_group" -> (a9TopkPerGroup _),
+    "a9_topk_heap" -> (a9TopkHeap _),
     "a11_bucket_collapse" -> (a11BucketCollapse _),
     "w1_running_sum" -> (w1RunningSum _),
     "w2_top_n" -> (w2TopN _)
@@ -747,6 +779,23 @@ object RelationalOps {
          FROM lineitem GROUP BY l_partkey
          HAVING l_partkey <= 200 ORDER BY l_partkey""",
     "a9_topk_per_group" ->
+      """WITH rev AS (
+           SELECT n_name, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT)) AS BIGINT) AS revenue_f4
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name, l_partkey
+         ), ranked AS (
+           SELECT n_name, l_partkey, revenue_f4,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY revenue_f4 DESC, l_partkey ASC) AS rnk
+           FROM rev
+         )
+         SELECT n_name, rnk, l_partkey, revenue_f4 FROM ranked
+         WHERE rnk <= 5 ORDER BY n_name, rnk""",
+    "a9_topk_heap" ->
       """WITH rev AS (
            SELECT n_name, l_partkey,
              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)

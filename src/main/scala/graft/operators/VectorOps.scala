@@ -278,7 +278,8 @@ object VectorOps {
     "v2_embed_cosine_dedup" -> (v2EmbedCosineDedup _),
     "v3_ann_lsh" -> (v3AnnLsh _),
     "v4_minhash_lsh" -> (v4MinhashLsh _),
-    "v5_simhash" -> (v5Simhash _)
+    "v5_simhash" -> (v5Simhash _),
+    "v6_ann_ivf" -> ((s: SparkSession, d: String) => IvfAnn.query(s, d))
   )
 
   /** v3/v4/v5 intentionally omitted: engine-specific hashing (xxhash64) has

@@ -45,6 +45,21 @@ class LshRecallSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF ANN recall vs brute force >= 60% at k=5") {
+    val exact = VectorOps
+      .queries("v1_ann_bruteforce")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val ivf = VectorOps
+      .queries("v6_ann_ivf")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
   test("SimHash near-dup pairs are also exact near-dups") {
     val exact = TextOps
       .queries("t4_dedup_ngram_jaccard")(spark, sf)
