@@ -18,15 +18,18 @@ class TopKAggregator(k: Int)
     extends Aggregator[(Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
 
   // entries as (key, value); kept sorted by (value desc, key asc), length <= k
-  private def insert(buf: List[(Long, Long)], e: (Long, Long)): List[(Long, Long)] = {
-    val merged = (e :: buf).sortBy { case (key, value) => (-value, key) }
-    merged.take(k)
-  }
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
 
   override def zero: List[(Long, Long)] = Nil
 
   override def reduce(buf: List[(Long, Long)], in: (Long, Long)): List[(Long, Long)] =
-    insert(buf, in)
+    // hot path: most rows lose to the current k-th entry and cost one compare
+    if (buf.length >= k && !better(in, buf.last)) buf
+    else {
+      val (pre, post) = buf.span(e => better(e, in))
+      (pre ::: in :: post).take(k)
+    }
 
   override def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] =
     (a ++ b).sortBy { case (key, value) => (-value, key) }.take(k)

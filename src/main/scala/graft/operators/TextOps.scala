@@ -152,12 +152,56 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting): hash
+    * every 3-word shingle, slide a window of W hashes, keep each window's
+    * minimum, dedupe — the classic MOSS scheme. Two documents sharing long
+    * stretches of text share winnowed fingerprints with high overlap, so
+    * the fingerprint join is a cheap near-dup candidate generator whose
+    * index size is ~1/W of the shingle count. Rows-only (engine-specific
+    * hash); agreement with exact Jaccard asserted in ScalaTest.
+    */
+  private def t6WinnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val W = 4
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), F.wordShingles(col("w"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            when(size(col("hs")) <= W, array(array_min(col("hs"))))
+              .otherwise(
+                transform(
+                  sequence(lit(0), size(col("hs")) - W),
+                  i => array_min(slice(col("hs"), i + 1, lit(W)))
+                )
+              )
+          )
+        ).as("fp")
+      )
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    fp.as("a")
+      .join(fp.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nfp", "nfp_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nfp", "nfp_b"), "doc_b")
+      .withColumn("overlap", col("shared") / least(col("nfp_a"), col("nfp_b")))
+      .filter(col("overlap") > 0.5)
+      .select("doc_a", "doc_b", "shared", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_lang_id" -> (t2LangId _),
     "t3_dedup_exact" -> (t3DedupExact _),
     "t4_dedup_ngram_jaccard" -> (t4DedupNgramJaccard _),
-    "t5_fingerprint_buckets" -> (t5FingerprintBuckets _)
+    "t5_fingerprint_buckets" -> (t5FingerprintBuckets _),
+    "t6_winnow_fingerprint" -> (t6WinnowFingerprint _)
   )
 
   val oracles: Map[String, String] = Map(

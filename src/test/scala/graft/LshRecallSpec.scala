@@ -60,6 +60,22 @@ class LshRecallSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("winnowing fingerprints recover the exact near-dup pairs") {
+    val exact = TextOps
+      .queries("t4_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val winnow = TextOps
+      .queries("t6_winnow_fingerprint")(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.subsetOf(winnow), s"missed: ${exact -- winnow}")
+  }
+
   test("SimHash near-dup pairs are also exact near-dups") {
     val exact = TextOps
       .queries("t4_dedup_ngram_jaccard")(spark, sf)
