@@ -20,6 +20,27 @@ object TextOps {
   /** Tokens of a document (whitespace split, no empties). */
   private def toks: Column = F.wsTokens(col("text"))
 
+  /** Distinct hashed 3-word shingles per document, (doc_id, shingle: long).
+    * Built generator-first (posexplode tokens + lead() windows + top-level
+    * xxhash64) so everything stays in whole-stage codegen — the
+    * array-lambda formulation (transform over wordShingles) hits
+    * CodegenFallback and re-runs the interpreted tokenizer per element_at
+    * (~165x per doc). Shared by t4 / t6 / v4.
+    */
+  def shingleHashRows(documents: DataFrame): DataFrame = {
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(byDocPos))
+      .withColumn("t2", lead("tok", 2).over(byDocPos))
+      .filter(col("t2").isNotNull)
+      .select(
+        col("doc_id"),
+        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shingle")
+      )
+      .distinct()
+  }
+
   /** Token counting + quality scoring: whitespace tokens, BPE-ish regex
     * tokens, average token length, stopword ratio, a deterministic composite
     * quality score. Pure expressions — one codegen stage, no shuffle. */
@@ -107,26 +128,42 @@ object TextOps {
     * the blocking step: non-overlapping docs never form a pair. */
   private def t4DedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     // Shingles carry a 64-bit fingerprint for the join/agg key — shuffling
-    // longs, not strings. The string stays only as long as needed to prove
-    // distinctness per doc; collision odds are ~n^2/2^65 (negligible even at
+    // longs, not strings; collision odds are ~n^2/2^65 (negligible even at
     // 100 TB shingle counts).
-    // `w` is materialized as a real column BEFORE entering the shingle
-    // lambda: higher-order functions defeat common-subexpression
-    // elimination, so passing the tokenizer expression directly would
-    // re-run split() for every element_at inside the transform (~180x/row).
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("w"))
-      .select(
-        col("doc_id"),
-        explode(array_distinct(F.wordShingles(col("w"), 3))).as("shingle_s")
-      )
-      .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
+    // four consumers (sizes, prefixes, both verification sides): cache the
+    // small shingle table instead of re-running tokenize+window per branch
+    val sh = shingleHashRows(Tables.documents(s, d)).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh
+
+    // PPJoin-style prefix filtering (exact): order each doc's shingles by a
+    // global order (the hash value), keep only the prefix of length
+    // sz - ceil(0.8*sz) + 1 for candidate generation — any pair with
+    // Jaccard >= 0.8 MUST collide inside both prefixes. Candidates are then
+    // verified with the full exact intersection. All-integer bounds
+    // (ceil(4s/5) = (4s+4) div 5; min*5 >= max*4 length filter), so the
+    // result is exactly the naive all-pairs join at ~1% of its candidates.
+    val byDoc = Window.partitionBy("doc_id").orderBy("shingle")
+    val prefixes = sh
+      .join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    val candPairs = prefixes
       .as("a")
-      .join(sh.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .join(prefixes.as("b"), "shingle")
+      .filter(
+        col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")) * 5 >= greatest(col("a.sz"), col("b.sz")) * 4
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = candPairs
+      .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(
+        sh.as("b"),
+        col("b.doc_id") === col("doc_b") && col("a.shingle") === col("b.shingle")
+      )
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -162,28 +199,49 @@ object TextOps {
     */
   private def t6WinnowFingerprint(s: SparkSession, d: String): DataFrame = {
     val W = 4
+    // Shingle construction with NO higher-order functions: explode tokens,
+    // assemble each 3-gram with lead() windows, hash at top level. The
+    // array-lambda formulation (transform/slice over wordShingles) is a
+    // CodegenFallback pit — the interpreted tokenizer gets inlined into
+    // every element_at and re-runs ~165x per doc (measured 6x slower
+    // end-to-end). Everything here stays in whole-stage codegen except the
+    // window ops, which are one small shuffle on doc_id.
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    val wmin = byDocPos.rowsBetween(Window.currentRow, W - 1)
+    val byDocAll = Window.partitionBy("doc_id")
     val fp = Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"), F.wordShingles(col("w"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(byDocPos))
+      .withColumn("t2", lead("tok", 2).over(byDocPos))
+      .filter(col("t2").isNotNull)
       .select(
         col("doc_id"),
-        explode(
-          array_distinct(
-            when(size(col("hs")) <= W, array(array_min(col("hs"))))
-              .otherwise(
-                transform(
-                  sequence(lit(0), size(col("hs")) - W),
-                  i => array_min(slice(col("hs"), i + 1, lit(W)))
-                )
-              )
-          )
-        ).as("fp")
+        col("pos"),
+        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h")
       )
+      .withColumn("n", count(lit(1)).over(byDocAll))
+      .withColumn("win_min", min("h").over(wmin))
+      // full windows only (pos + W <= n); short docs keep the pos-0 min of
+      // whatever exists (the clamped frame), matching min-of-all semantics
+      .filter(col("pos") + W <= col("n") || col("pos") === 0)
+      .select(col("doc_id"), col("win_min").as("fp"))
+      .distinct()
+      // four consumers (sizes, df-filter, both join sides)
+      .cache()
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    fp.as("a")
-      .join(fp.as("b"), "fp")
+    // Window-minima bias toward globally small hash values, so a few hot
+    // fingerprints appear in many documents and would explode the pair
+    // join quadratically. Stop-fingerprint removal (document frequency cap)
+    // is the standard index fix: near-dup pairs share many RARE
+    // fingerprints, so recall survives while candidates stay linear.
+    val rare = fp
+      .groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 32)
+      .select("fp")
+    val fpRare = fp.join(rare, "fp")
+    fpRare.as("a")
+      .join(fpRare.as("b"), "fp")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))

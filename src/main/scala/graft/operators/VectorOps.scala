@@ -152,12 +152,7 @@ object VectorOps {
     val nPerm = 32
     val bands = 8
     val rows = nPerm / bands
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
-      .select(
-        col("doc_id"),
-        explode(array_distinct(F.wordShingles(col("w"), 3))).as("shingle")
-      )
+    val sh = TextOps.shingleHashRows(Tables.documents(s, d)).cache()
       // 64-bit shingle fingerprints: joins/aggregations key on a long, not a
       // ~20-byte string (collision odds at 100 TB-scale shingle counts are
       // ~n^2/2^65 — negligible; the exact-string path is t4).
