@@ -85,13 +85,74 @@ object EventOps {
       .orderBy("k")
   }
 
+  /** Conversion funnel: for each user who signed up, did a purchase follow
+    * within 7 days? Self-join-free: per-user min signup ts vs min
+    * later purchase ts via conditional aggregation — one shuffle on
+    * user_id, no pairwise explosion at scale. */
+  private def e4Funnel(s: SparkSession, d: String): DataFrame = {
+    val horizonUs = 7L * 24 * 3600 * 1000000
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("us"))).as("signup_us"),
+        count(when(col("event_type") === "signup", 1)).as("n_signups"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases")
+      )
+    val converted = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .join(perUser.select("user_id", "signup_us"), "user_id")
+      .groupBy("user_id")
+      .agg(
+        max(
+          when(
+            col("event_type") === "purchase" &&
+              col("us") >= col("signup_us") &&
+              col("us") <= col("signup_us") + horizonUs,
+            1L
+          ).otherwise(0L)
+        ).as("converted")
+      )
+    perUser
+      .filter(col("signup_us").isNotNull)
+      .join(converted, "user_id")
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_signed_up_users"),
+        sum(col("converted")).as("n_converted"),
+        F.safeDiv(sum(col("converted")), count(lit(1))).as("conversion_rate")
+      )
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_weekly_activity" -> (e1WeeklyActivity _),
     "e2_sessionize" -> (e2Sessionize _),
-    "e3_json_extract" -> (e3JsonExtract _)
+    "e3_json_extract" -> (e3JsonExtract _),
+    "e4_funnel" -> (e4Funnel _)
   )
 
   val oracles: Map[String, String] = Map(
+    "e4_funnel" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS signup_us
+           FROM events GROUP BY user_id
+         ), conv AS (
+           SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'purchase'
+                       AND epoch_us(e.ts) >= p.signup_us
+                       AND epoch_us(e.ts) <= p.signup_us + 604800000000
+                      THEN 1 ELSE 0 END) AS converted
+           FROM events e JOIN per_user p ON e.user_id = p.user_id
+           GROUP BY e.user_id
+         )
+         SELECT count(*) AS n_signed_up_users,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) AS DOUBLE) / nullif(count(*), 0)
+             AS conversion_rate
+         FROM per_user JOIN conv USING (user_id)
+         WHERE signup_us IS NOT NULL""",
     "e1_weekly_activity" ->
       """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start, event_type,
          count(DISTINCT user_id) AS users, count(*) AS n_events,

@@ -104,15 +104,51 @@ object FunctionOps {
       .orderBy("p_partkey")
   }
 
+  /** F8/F9: array length + null-safe indexing semantics — BQ ARRAY_LENGTH
+    * returns NULL for NULL arrays (Spark `size` returns -1 unless guarded)
+    * and a[SAFE_OFFSET(i)] is try_element_at. The guard is part of the
+    * operator: the oracle checks the BQ-compatible NULL behavior. */
+  private def f8ArrayFns(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .withColumn(
+        "tags",
+        when(col("o_orderstatus") === "O", lit(null).cast("array<string>"))
+          .when(col("o_orderstatus") === "P", array().cast("array<string>"))
+          .otherwise(array(col("o_orderpriority"), col("o_orderstatus")))
+      )
+      .withColumn(
+        "n_tags",
+        when(col("tags").isNull, lit(null)).otherwise(size(col("tags"))).cast("long")
+      )
+      .withColumn("first_tag", try_element_at(col("tags"), lit(1)))
+      .withColumn("third_tag", try_element_at(col("tags"), lit(3)))
+      .groupBy("n_tags", "first_tag", "third_tag")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_tags").asc_nulls_first, col("first_tag").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "f1_dates" -> (f1Dates _),
     "f6_date_spine" -> (f6DateSpine _),
     "f12_version_major" -> (f12VersionMajor _),
     "f13_bits" -> (f13Bits _),
-    "f11_strings" -> (f11Strings _)
+    "f11_strings" -> (f11Strings _),
+    "f8_array_fns" -> (f8ArrayFns _)
   )
 
   val oracles: Map[String, String] = Map(
+    "f8_array_fns" ->
+      """WITH t AS (
+           SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+                       WHEN o_orderstatus = 'P' THEN []
+                       ELSE [o_orderpriority, o_orderstatus] END AS tags
+           FROM orders
+         )
+         SELECT CAST(len(tags) AS BIGINT) AS n_tags,
+           tags[1] AS first_tag, tags[3] AS third_tag,
+           count(*) AS n_orders
+         FROM t GROUP BY 1, 2, 3
+         ORDER BY n_tags NULLS FIRST, first_tag NULLS FIRST""",
     "f1_dates" ->
       """SELECT o_orderkey,
          CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,

@@ -253,16 +253,96 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The composed training-corpus cleaning pipeline — what the individual
+    * operators exist FOR: quality gate -> exact-dedup canonicalization ->
+    * near-dup removal (drop the higher id of every >0.8-Jaccard pair).
+    * Emits the surviving document ids; every stage is one of the declared
+    * operators chained, and the whole composition is oracle-checked.
+    */
+  private def t7CorpusDedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn(
+        "n_stopwords",
+        size(filter(toks, t => t === "the" || t === "a" || t === "of")).cast("long")
+      )
+      .withColumn(
+        "quality",
+        (lit(1.0) - col("n_stopwords") / col("n_tokens")) * 0.5 +
+          least(lit(1.0), col("n_tokens") / 100.0) * 0.5
+      )
+    val qualityPass = docs.filter(col("quality") >= 0.75)
+    val canon = qualityPass
+      .withColumn(
+        "canonical_id",
+        min("doc_id").over(Window.partitionBy(md5(col("text"))))
+      )
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id")
+    val nearDupLosers = t4DedupNgramJaccard(s, d)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    canon
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t1_token_stats" -> (t1TokenStats _),
     "t2_lang_id" -> (t2LangId _),
     "t3_dedup_exact" -> (t3DedupExact _),
     "t4_dedup_ngram_jaccard" -> (t4DedupNgramJaccard _),
     "t5_fingerprint_buckets" -> (t5FingerprintBuckets _),
-    "t6_winnow_fingerprint" -> (t6WinnowFingerprint _)
+    "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
+    "t7_corpus_dedup_pipeline" -> (t7CorpusDedupPipeline _)
   )
 
   val oracles: Map[String, String] = Map(
+    "t7_corpus_dedup_pipeline" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
+         ), quality AS (
+           SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS n_stopwords
+           FROM documents
+         ), quality_pass AS (
+           SELECT doc_id, text FROM quality
+           WHERE (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
+                 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 >= 0.75
+         ), canon AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+             FROM quality_pass
+           ) WHERE doc_id = canonical_id
+         )
+         SELECT doc_id FROM canon
+         WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         ORDER BY doc_id""",
     "t1_token_stats" ->
       """WITH base AS (
            SELECT doc_id,
