@@ -268,19 +268,49 @@ object VectorOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-label embedding statistics: centroid components + norms per
+    * cluster label — the profiling pass an embedding-space pipeline runs
+    * before choosing index parameters. posexplode + groupBy (label, dim):
+    * one shuffle, linear in vectors x dims. */
+  private def v7LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("x").cast("double")), 6).as("mean"),
+        round(min(col("x").cast("double")), 6).as("min_x"),
+        round(max(col("x").cast("double")), 6).as("max_x")
+      )
+      .filter(col("dim") < 8)
+      .orderBy("label", "dim")
+  }
+
   val queries: Map[String, Q] = Map(
     "v1_ann_bruteforce" -> (v1AnnBruteforce _),
     "v2_embed_cosine_dedup" -> (v2EmbedCosineDedup _),
     "v3_ann_lsh" -> (v3AnnLsh _),
     "v4_minhash_lsh" -> (v4MinhashLsh _),
     "v5_simhash" -> (v5Simhash _),
-    "v6_ann_ivf" -> ((s: SparkSession, d: String) => IvfAnn.query(s, d))
+    "v6_ann_ivf" -> ((s: SparkSession, d: String) => IvfAnn.query(s, d)),
+    "v7_label_centroids" -> (v7LabelCentroids _)
   )
 
   /** v3/v4/v5 intentionally omitted: engine-specific hashing (xxhash64) has
     * no DuckDB equivalent — the driver records a rows-only check; their
     * fidelity is asserted against the exact operators in ScalaTest. */
   val oracles: Map[String, String] = Map(
+    "v7_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+           round(avg(CAST(x AS DOUBLE)), 6) AS mean,
+           round(min(CAST(x AS DOUBLE)), 6) AS min_x,
+           round(max(CAST(x AS DOUBLE)), 6) AS max_x
+         FROM (
+           SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+           FROM embeddings
+         )
+         WHERE i <= 8 GROUP BY label, dim ORDER BY label, dim""",
     "v1_ann_bruteforce" ->
       """WITH q AS (
            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
