@@ -15,9 +15,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions sized to the DATA, not the core count: bench reads
+    // ~50 MB at sf0.1, so 8 partitions keeps task-scheduling overhead off
+    // the per-query floor (32 partitions cost ~20% wall clock here). At
+    // production scale this knob goes to thousands — the sizing rule is
+    // partition bytes, not cores (override via SPARK_GRAFT_SHUFFLE).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
