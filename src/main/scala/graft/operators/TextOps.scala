@@ -38,7 +38,12 @@ object TextOps {
         col("doc_id"),
         xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shingle")
       )
-      .distinct()
+      // per-doc dedupe WITHOUT a (doc_id, shingle) shuffle: rows are already
+      // partitioned by doc_id from the lead() window, so this second window
+      // only re-sorts in place and lag() drops equal-run duplicates
+      .withColumn("prev", lag("shingle", 1).over(Window.partitionBy("doc_id").orderBy("shingle")))
+      .filter(col("prev").isNull || col("prev") =!= col("shingle"))
+      .drop("prev")
   }
 
   /** Token counting + quality scoring: whitespace tokens, BPE-ish regex
@@ -130,10 +135,19 @@ object TextOps {
     // Shingles carry a 64-bit fingerprint for the join/agg key — shuffling
     // longs, not strings; collision odds are ~n^2/2^65 (negligible even at
     // 100 TB shingle counts).
-    // four consumers (sizes, prefixes, both verification sides): cache the
-    // small shingle table instead of re-running tokenize+window per branch
-    val sh = shingleHashRows(Tables.documents(s, d)).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // sz and rn ride the same doc_id partitioning as the dedupe — the whole
+    // build side (tokenize, shingle, dedupe, size, prefix-rank) is ONE
+    // shuffle. Cached for its four consumers.
+    val byDoc = Window.partitionBy("doc_id").orderBy("shingle")
+    val byDocAll = Window.partitionBy("doc_id")
+    val shSized = shingleHashRows(Tables.documents(s, d))
+      .withColumn("sz", count(lit(1)).over(byDocAll))
+      .withColumn("rn", row_number().over(byDoc))
+      .cache()
+    val sh = shSized.select("doc_id", "shingle")
+    val sizes = shSized
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("sz"))
 
     // PPJoin-style prefix filtering (exact): order each doc's shingles by a
     // global order (the hash value), keep only the prefix of length
@@ -142,10 +156,7 @@ object TextOps {
     // verified with the full exact intersection. All-integer bounds
     // (ceil(4s/5) = (4s+4) div 5; min*5 >= max*4 length filter), so the
     // result is exactly the naive all-pairs join at ~1% of its candidates.
-    val byDoc = Window.partitionBy("doc_id").orderBy("shingle")
-    val prefixes = sh
-      .join(sizes, "doc_id")
-      .withColumn("rn", row_number().over(byDoc))
+    val prefixes = shSized
       .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
       .select(col("doc_id"), col("shingle"), col("sz"))
     val candPairs = prefixes
