@@ -102,7 +102,13 @@ object Main {
   /** Aggregate build + export (user_activity.py): pipeline, country
     * validation, fxhealth.json + webusage.json. */
   def userActivity(spark: SparkSession, opts: Map[String, String]): Unit = {
-    val cfg = UserActivity.Config()
+    // --countries overrides the default 11-country allowlist
+    // (USER_ACTIVITY_COUNTRY_LIST analogue), comma-separated
+    val cfg = opts.get("countries") match {
+      case Some(list) =>
+        UserActivity.Config(countries = list.split(",").map(_.trim).toSeq)
+      case None => UserActivity.Config()
+    }
     val result = UserActivity.build(
       spark.read.parquet(opts("clients")),
       spark.read.parquet(opts("country_names")),

@@ -48,13 +48,21 @@ object JsonExport {
             map_from_entries(
               transform(
                 col("top_locales"),
-                e => struct(e.getField("locale"), e.getField("ratio") * 100)
+                // Python json.dumps renders a None dict key as "null";
+                // Spark maps reject null keys, so coalesce to match
+                e => struct(
+                  coalesce(e.getField("locale"), lit("null")),
+                  e.getField("ratio") * 100
+                )
               )
             ).as("locale"),
             map_from_entries(
               transform(
                 col("top_addons"),
-                e => struct(e.getField("addon_name"), e.getField("ratio") * 100)
+                e => struct(
+                  coalesce(e.getField("addon_name"), lit("null")),
+                  e.getField("ratio") * 100
+                )
               )
             ).as("top10addons"),
             (col("has_addon_ratio") * 100).as("pct_addon")

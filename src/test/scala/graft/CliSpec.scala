@@ -106,6 +106,32 @@ class CliSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Path.of(s"$tmp/out/annotations_hardware.json")))
   }
 
+  test("user_activity CLI: pipeline -> validation -> fxhealth/webusage JSON") {
+    val tmp = Files.createTempDirectory("graft-ua").toString
+    // reuse the UserActivitySpec fixture shapes, via parquet round-trip
+    val fixtures = new UserActivitySpec()
+    fixtures.writeFixtures(spark, tmp)
+    Main.userActivity(
+      spark,
+      Map(
+        "clients" -> s"$tmp/clients",
+        "country_names" -> s"$tmp/countries",
+        "buildhub" -> s"$tmp/buildhub",
+        "countries" -> "Worldwide,United States,Germany,France",
+        "output" -> s"$tmp/out"
+      )
+    )
+    val fx = Files.readString(java.nio.file.Path.of(s"$tmp/out/fxhealth.json"))
+    val wu = Files.readString(java.nio.file.Path.of(s"$tmp/out/webusage.json"))
+    // nested shape {country: [{date, metrics{...}}]} with x100 scaling keys
+    assert(fx.contains("\"United States\""))
+    assert(fx.contains("\"MAU\""))
+    assert(fx.contains("\"pct_new_user\""))
+    assert(wu.contains("\"top10addons\""))
+    assert(wu.contains("\"pct_addon\""))
+    assert(wu.contains("\"Worldwide\""))
+  }
+
   test("JsonWriter matches python json.dumps conventions") {
     val v = scala.collection.immutable.ListMap(
       "b" -> (1L: Any),

@@ -131,6 +131,13 @@ class UserActivitySpec extends AnyFunSuite {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
   }
 
+  /** Write the fixtures as parquet for CLI end-to-end runs (CliSpec). */
+  def writeFixtures(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    fixture.write.mode("overwrite").parquet(s"$dir/clients")
+    countryNames.write.mode("overwrite").parquet(s"$dir/countries")
+    buildhub.write.mode("overwrite").parquet(s"$dir/buildhub")
+  }
+
   private lazy val result = UserActivity
     .build(fixture, countryNames, buildhub)
     .cache()
