@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingSessionize
+import graft.streaming.StreamingSessionize.SessionEvent
+
+class StreamingSessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState emits sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val q = StreamingSessionize
+      .sessionize(stream.toDS(), watermark = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sessions_test")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      stream.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00")),
+        SessionEvent(1L, ts("2024-01-01 10:10:00"))
+      )
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").count() == 0) // session still open
+
+      // the late event closes the first session (gap > 30 min)...
+      stream.addData(SessionEvent(1L, ts("2024-01-01 12:10:00")))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions_test").as[(Long, Long, Long, Long)].collect()
+      assert(afterGap.length == 1)
+      val (uid, startUs, endUs, n) = afterGap.head
+      assert(uid == 1L && n == 2L)
+      assert((endUs - startUs) == 10L * 60 * 1000000)
+
+      // ...and advancing the watermark far enough times out the second one
+      stream.addData(SessionEvent(2L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      stream.addData(SessionEvent(2L, ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("sessions_test").as[(Long, Long, Long, Long)].collect()
+      assert(all.count(_._1 == 1L) == 2) // both of user 1's sessions emitted
+    } finally q.stop()
+  }
+}
