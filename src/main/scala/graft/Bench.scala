@@ -40,7 +40,16 @@ object Bench {
     val qs = results.toMap.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout through sbt gets an "[info] " prefix and interleaved WARN lines,
+    // which broke the driver's JSON parse in round 1 — write the line to a
+    // file as the primary channel and keep stdout as a human convenience.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -50,11 +50,16 @@ object IvfAnn {
     * Lloyd iterations (assign + per-cluster mean), all as DataFrame ops. */
   def centroids(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
+    // Seed ids are the seeds' own vec_ids, not a row_number: the mapping
+    // vec_id -> rank over the k lowest ids is order-preserving, so every
+    // downstream "ties break on cid asc" is unchanged — and there is no
+    // unpartitioned numbering window (which would single-partition the plan
+    // and WARN on every run if the limit were ever lifted).
     var cents = emb
       .orderBy("vec_id")
       .limit(k)
       .select(
-        row_number().over(Window.orderBy("vec_id")).as("cid"),
+        col("vec_id").cast("int").as("cid"),
         col("embedding").cast("array<float>").as("centroid")
       )
     (0 until lloydIters).foreach { _ =>

@@ -842,10 +842,11 @@ object RelationalOps {
     "w1_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER (
            PARTITION BY l_suppkey
            ORDER BY l_shipdate, l_orderkey, l_linenumber
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_cents
          FROM lineitem WHERE l_suppkey <= 5
          ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
     "w2_top_n" ->

@@ -219,7 +219,7 @@ object TextOps {
     // window ops, which are one small shuffle on doc_id.
     val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
     val wmin = byDocPos.rowsBetween(Window.currentRow, W - 1)
-    val byDocAll = Window.partitionBy("doc_id")
+    val byDocFp = Window.partitionBy("doc_id").orderBy("fp")
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("t1", lead("tok", 1).over(byDocPos))
@@ -230,13 +230,22 @@ object TextOps {
         col("pos"),
         xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h")
       )
-      .withColumn("n", count(lit(1)).over(byDocAll))
+      // min + frame-count share ONE WindowExec on the SAME (doc_id, pos)
+      // sort the lead() pass established — no extra shuffle, and no
+      // whole-partition count pass: a full window exists iff its frame
+      // actually holds W rows. Short docs keep the pos-0 min of whatever
+      // exists (the clamped frame), matching min-of-all semantics.
       .withColumn("win_min", min("h").over(wmin))
-      // full windows only (pos + W <= n); short docs keep the pos-0 min of
-      // whatever exists (the clamped frame), matching min-of-all semantics
-      .filter(col("pos") + W <= col("n") || col("pos") === 0)
+      .withColumn("wn", count(lit(1)).over(wmin))
+      .filter(col("wn") === W || col("pos") === 0)
       .select(col("doc_id"), col("win_min").as("fp"))
-      .distinct()
+      // per-doc dedupe WITHOUT a (doc_id, fp) distinct() shuffle: rows are
+      // already partitioned by doc_id, so this window only re-sorts in
+      // place and lag() drops equal-run duplicates (the shingleHashRows
+      // trick).
+      .withColumn("prev", lag("fp", 1).over(byDocFp))
+      .filter(col("prev").isNull || col("prev") =!= col("fp"))
+      .drop("prev")
       // four consumers (sizes, df-filter, both join sides)
       .cache()
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
