@@ -6,7 +6,7 @@ import graft.annotations.Annotations
 import graft.export.{JsonExport, JsonWriter}
 import graft.hardware.HardwareReport
 import graft.sources.DeviceMap
-import graft.useractivity.UserActivity
+import graft.useractivity.{CountryList, UserActivity}
 
 /** CLI mirroring the reference's three jobs (`public_data_report/cli.py`):
   *
@@ -18,6 +18,11 @@ import graft.useractivity.UserActivity
   * are the same JSON artifacts (hwsurvey-weekly.json, fxhealth.json,
   * webusage.json, annotations_*.json) plus the partitioned parquet
   * aggregate table for the hardware job.
+  *
+  * Common options: `--dry_run`/`--dryrun` (flag) computes everything but
+  * skips the JSON artifact writes (hardware_report.py:409-414);
+  * `--archive_date D` overrides the dated archive-copy suffix (defaults to
+  * today, like the reference's `datetime.today()`).
   */
 object Main {
 
@@ -35,11 +40,26 @@ object Main {
     s
   }
 
-  private def parseArgs(args: Seq[String]): Map[String, String] =
-    args
+  /** Valueless flags (click `is_flag` options): both spellings the reference
+    * accepts (hardware_report.py:409-414) normalize to `dry_run=true`. */
+  private val flagOpts = Set("dry_run", "dryrun")
+
+  private def parseArgs(args: Seq[String]): Map[String, String] = {
+    val (flags, pairs) = args.partition(a => a.startsWith("--") && flagOpts(a.drop(2)))
+    pairs
       .grouped(2)
       .collect { case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v }
-      .toMap
+      .toMap ++ flags.map(_ => "dry_run" -> "true")
+  }
+
+  private def isDryRun(opts: Map[String, String]): Boolean =
+    opts.get("dry_run").contains("true")
+
+  /** Archive-copy date suffix; the reference stamps the UPLOAD day
+    * (`datetime.today()`, hardware_report.py:367) — overridable for
+    * hermetic tests. */
+  private def archiveDate(opts: Map[String, String]): String =
+    opts.getOrElse("archive_date", java.time.LocalDate.now.toString)
 
   def main(args: Array[String]): Unit = args.toSeq match {
     case cmd +: rest =>
@@ -93,22 +113,36 @@ object Main {
             ("date" -> (date: Any))): _*
         )
       }
-    JsonExport.writeJson(
-      s"$out/hwsurvey-weekly.json",
-      JsonWriter.write(byDate)
+    // Latest + dated archive, or neither on --dry_run. The parquet
+    // aggregate above is written regardless — mirroring the reference,
+    // whose dry run skips only the artifact upload, not the warehouse
+    // write (hardware_report.py:456-472 vs :369).
+    JsonExport.writeArtifact(
+      out,
+      "hwsurvey-weekly.json",
+      JsonWriter.write(byDate),
+      archiveDate(opts),
+      isDryRun(opts)
     )
   }
 
   /** Aggregate build + export (user_activity.py): pipeline, country
     * validation, fxhealth.json + webusage.json. */
   def userActivity(spark: SparkSession, opts: Map[String, String]): Unit = {
-    // --countries overrides the default 11-country allowlist
-    // (USER_ACTIVITY_COUNTRY_LIST analogue), comma-separated
-    val cfg = opts.get("countries") match {
-      case Some(list) =>
-        UserActivity.Config(countries = list.split(",").map(_.trim).toSeq)
+    // --countries (comma-separated) overrides BOTH the aggregation list
+    // (the SQL's 11-country literal, user_activity.sql:30-45) and the
+    // export/validation allowlist. Without it the aggregation uses the
+    // reference SQL's list and the export validates against the FULL
+    // packaged 160-country allowlist (__init__.py:1-162) — exactly the
+    // reference's split, where the export query filters `country_name IN
+    // UNNEST(@country_list)` and then requires set equality.
+    val override_ = opts.get("countries").map(_.split(",").map(_.trim).toSeq)
+    val cfg = override_ match {
+      case Some(list) => UserActivity.Config(countries = list)
       case None => UserActivity.Config()
     }
+    val exportCountries =
+      override_.getOrElse(CountryList.userActivityCountryList)
     val result = UserActivity.build(
       spark.read.parquet(opts("clients")),
       spark.read.parquet(opts("country_names")),
@@ -116,10 +150,12 @@ object Main {
       cfg
     )
     val out = opts("output")
-    val fx = JsonExport.fxhealthRows(result)
-    val wu = JsonExport.webusageRows(result)
-    JsonExport.validateCountries(fx, cfg.countries)
-    JsonExport.validateCountries(wu, cfg.countries)
+    val exported =
+      result.filter(col("country_name").isin(exportCountries: _*))
+    val fx = JsonExport.fxhealthRows(exported)
+    val wu = JsonExport.webusageRows(exported)
+    JsonExport.validateCountries(fx, exportCountries)
+    JsonExport.validateCountries(wu, exportCountries)
     Seq((fx, "fxhealth.json"), (wu, "webusage.json")).foreach { case (df, name) =>
       val schema = df.schema
       val asMap = scala.collection.immutable.ListMap(
@@ -127,7 +163,8 @@ object Main {
           r.getString(0) -> JsonWriter.rowToAny(r.get(1), schema(1).dataType)
         }: _*
       )
-      JsonExport.writeJson(s"$out/$name", JsonWriter.write(asMap))
+      JsonExport.writeArtifact(out, name, JsonWriter.write(asMap),
+        archiveDate(opts), isDryRun(opts))
     }
   }
 
@@ -143,19 +180,28 @@ object Main {
       dateTo
     )
     val fx = Annotations.fxhealthAnnotations(vd, cfg.countries)
-    JsonExport.writeJson(
-      s"$out/annotations_fxhealth.json",
-      JsonWriter.write(annotationsToJsonShape(fx), indent = 2)
+    JsonExport.writeArtifact(
+      out,
+      "annotations_fxhealth.json",
+      JsonWriter.write(annotationsToJsonShape(fx), indent = 2),
+      archiveDate(opts),
+      isDryRun(opts)
     )
     val staticWu = loadStaticAnnotations(spark, "/graft/static/annotations_webusage.json")
     val merged = Annotations.usageAnnotations(staticWu, cfg.countries)
-    JsonExport.writeJson(
-      s"$out/annotations_webusage.json",
-      JsonWriter.write(annotationsToJsonShape(merged), indent = 2, sortKeys = true)
+    JsonExport.writeArtifact(
+      out,
+      "annotations_webusage.json",
+      JsonWriter.write(annotationsToJsonShape(merged), indent = 2, sortKeys = true),
+      archiveDate(opts),
+      isDryRun(opts)
     )
-    JsonExport.writeJson(
-      s"$out/annotations_hardware.json",
-      DeviceMap.readResourceText("/graft/static/annotations_hardware.json")
+    JsonExport.writeArtifact(
+      out,
+      "annotations_hardware.json",
+      DeviceMap.readResourceText("/graft/static/annotations_hardware.json"),
+      archiveDate(opts),
+      isDryRun(opts)
     )
   }
 

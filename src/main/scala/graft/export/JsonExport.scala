@@ -25,7 +25,10 @@ object JsonExport {
           struct(
             col("intensity").as("avg_intensity"),
             col("mau").as("MAU"),
-            col("avg_hours_usage_daily").as("avg_daily_usage_hours"),
+            // the reference's exact (unusual) key, parens included
+            // (user_activity.py:64) — consumers of the public artifact
+            // look this string up verbatim
+            col("avg_hours_usage_daily").as("avg_daily_usage(hours)"),
             (col("new_profile_rate") * 100).as("pct_new_user"),
             (col("latest_version_ratio") * 100).as("pct_latest_version")
           ).as("metrics")
@@ -107,6 +110,29 @@ object JsonExport {
     if (errors.nonEmpty)
       throw new RuntimeException(s"Invalid countries in output: ${errors.mkString(", ")}")
   }
+
+  /** Dual-copy artifact write — a stable "latest" name plus a dated archive
+    * copy (`name-YYYY-MM-DD.ext`). The reference's object store has no
+    * symlinks, so every export is uploaded twice: latest for consumers,
+    * the dated copy for history/backfills (hardware_report.py:361-381).
+    * `dryRun` skips BOTH sink writes while the caller still computes the
+    * artifact — the reference's dry-run contract (hardware_report.py:369,
+    * tests/test_hardware_report.py:193-200: no sink is ever constructed). */
+  def writeArtifact(
+      dir: String,
+      name: String,
+      json: String,
+      archiveDate: String,
+      dryRun: Boolean
+  ): Unit =
+    if (!dryRun) {
+      val (base, ext) = name.lastIndexOf('.') match {
+        case -1 => (name, "")
+        case i => (name.substring(0, i), name.substring(i))
+      }
+      writeJson(s"$dir/$name", json)
+      writeJson(s"$dir/$base-$archiveDate$ext", json)
+    }
 
   /** Minimal JSON writer for the terminal export files (4-space indent like
     * the reference's json.dumps(indent=4)). Values are already collected,

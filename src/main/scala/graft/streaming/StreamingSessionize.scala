@@ -15,6 +15,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * it). State per user is O(1): just the open session — this is what makes
   * the operator runnable over an unbounded stream where the batch window
   * form would need the full history.
+  *
+  * Batch parity: applied to a non-streaming Dataset the operator emits
+  * exactly the batch `e2_sessionize` result — each group is processed once,
+  * so the trailing open session is emitted eagerly instead of waiting for a
+  * timeout that batch execution never fires. Late (in-watermark) events
+  * extend an open session on BOTH ends (min start, max end), keeping
+  * session_start_us = min(event times).
   */
 object StreamingSessionize {
 
@@ -68,14 +75,27 @@ object StreamingSessionize {
               emitted += SessionOut(userId, o.startUs, o.lastUs, o.nEvents)
               open = OpenSession(us, us, 1)
             case o =>
-              open = OpenSession(o.startUs, math.max(o.lastUs, us), o.nEvents + 1)
+              // min on start too: a late in-watermark event can precede the
+              // open session's first event, and session_start_us must stay
+              // min(event times) like the batch operator's
+              open = OpenSession(
+                math.min(o.startUs, us),
+                math.max(o.lastUs, us),
+                o.nEvents + 1
+              )
           }
         }
         if (open != null) {
-          state.update(open)
-          // time out once no on-time event could extend this session
-          if (streaming)
+          if (streaming) {
+            state.update(open)
+            // time out once no on-time event could extend this session
             state.setTimeoutTimestamp(open.lastUs / 1000 + gapUs / 1000)
+          } else {
+            // batch: each group is processed exactly once and no timeout
+            // ever fires, so the trailing open session is final — emit it
+            // here so batch output equals the batch e2 operator's
+            emitted += SessionOut(userId, open.startUs, open.lastUs, open.nEvents)
+          }
         }
         emitted.result().iterator
       }

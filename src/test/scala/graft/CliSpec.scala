@@ -127,9 +127,46 @@ class CliSpec extends AnyFunSuite {
     assert(fx.contains("\"United States\""))
     assert(fx.contains("\"MAU\""))
     assert(fx.contains("\"pct_new_user\""))
+    // the reference's exact key, parens included (user_activity.py:64) —
+    // pinned so the public artifact format can't silently drift
+    assert(fx.contains("\"avg_daily_usage(hours)\""))
+    assert(!fx.contains("avg_daily_usage_hours"))
     assert(wu.contains("\"top10addons\""))
     assert(wu.contains("\"pct_addon\""))
     assert(wu.contains("\"Worldwide\""))
+  }
+
+  test("artifacts get a dated archive copy; --dry_run skips the JSON sink but not the warehouse write") {
+    val tmp = Files.createTempDirectory("graft-dry").toString
+    val input = Seq(
+      ("2020-01-06", "2020-01-13", "Windows_NT-10.0", "x86-64", 8, "GenuineIntel",
+        "3.6", "1920x1080", 16, false, false, "0x10de", "0x13c1", 950L)
+    ).toDF(
+      "date_from_s", "date_to_s", "os", "browser_arch", "cpu_cores", "cpu_vendor",
+      "cpu_speed", "resolution", "memory_gb", "has_flash", "is_wow64",
+      "gfx0_vendor_id", "gfx0_device_id", "client_count"
+    ).withColumn("date_from", org.apache.spark.sql.functions.to_date($"date_from_s"))
+      .withColumn("date_to", org.apache.spark.sql.functions.to_date($"date_to_s"))
+      .drop("date_from_s", "date_to_s")
+    input.write.mode("overwrite").parquet(s"$tmp/input")
+    val base = Map(
+      "input" -> s"$tmp/input",
+      "date_from" -> "2020-01-06",
+      "past_weeks" -> "0",
+      "archive_date" -> "2020-01-14"
+    )
+    // dry run: aggregate parquet written, NO json artifacts (reference
+    // contract: tests/test_hardware_report.py:193-200)
+    Main.hardwareReport(spark, base + ("output" -> s"$tmp/dry", "dry_run" -> "true"))
+    assert(Files.exists(java.nio.file.Path.of(s"$tmp/dry/hardware_aggregates")))
+    assert(!Files.exists(java.nio.file.Path.of(s"$tmp/dry/hwsurvey-weekly.json")))
+    assert(!Files.exists(java.nio.file.Path.of(s"$tmp/dry/hwsurvey-weekly-2020-01-14.json")))
+    // wet run: latest + dated archive, identical bytes (GCS-no-symlink
+    // dual copy, hardware_report.py:361-381)
+    Main.hardwareReport(spark, base + ("output" -> s"$tmp/wet"))
+    val latest = Files.readString(java.nio.file.Path.of(s"$tmp/wet/hwsurvey-weekly.json"))
+    val archived = Files.readString(java.nio.file.Path.of(s"$tmp/wet/hwsurvey-weekly-2020-01-14.json"))
+    assert(latest == archived && latest.nonEmpty)
   }
 
   test("JsonWriter matches python json.dumps conventions") {

@@ -30,34 +30,25 @@ class LshRecallSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
-  test("LSH ANN recall vs brute force >= 50% at k=5") {
+  // both ANN scale paths hold >= 80% recall at two scale factors
+  // (measured: v3 0.90/0.98, v6 0.90/0.90 at sf0.001/sf0.01 with the
+  // 64-bit 16x4 banding and k=16 nProbe=4 IVF config)
+  for {
+    sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    approx <- Seq("v3_ann_lsh", "v6_ann_ivf")
+  } test(s"$approx recall vs brute force >= 80% at k=5 ($sfDir)") {
     val exact = VectorOps
-      .queries("v1_ann_bruteforce")(spark, sf)
+      .queries("v1_ann_bruteforce")(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(2)))
       .toSet
-    val lsh = VectorOps
-      .queries("v3_ann_lsh")(spark, sf)
+    val got = VectorOps
+      .queries(approx)(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(2)))
       .toSet
-    val recall = (exact & lsh).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall=$recall")
-  }
-
-  test("IVF ANN recall vs brute force >= 60% at k=5") {
-    val exact = VectorOps
-      .queries("v1_ann_bruteforce")(spark, sf)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(2)))
-      .toSet
-    val ivf = VectorOps
-      .queries("v6_ann_ivf")(spark, sf)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(2)))
-      .toSet
-    val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall=$recall")
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
   }
 
   test("winnowing fingerprints recover the exact near-dup pairs") {

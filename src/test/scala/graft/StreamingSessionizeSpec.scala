@@ -49,4 +49,25 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       assert(all.count(_._1 == 1L) == 2) // both of user 1's sessions emitted
     } finally q.stop()
   }
+
+  test("batch mode emits the trailing open session — output equals batch sessionization") {
+    // user 1: two sessions (30-min gap rule); user 2: one single-event session
+    val events = Seq(
+      SessionEvent(1L, ts("2024-01-01 10:00:00")),
+      SessionEvent(1L, ts("2024-01-01 10:10:00")),
+      SessionEvent(1L, ts("2024-01-01 12:10:00")),
+      SessionEvent(2L, ts("2024-01-01 09:00:00"))
+    ).toDS()
+    val out = StreamingSessionize
+      .sessionize(events)
+      .collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+      .sortBy(t => (t._1, t._2))
+    def us(s: String) = ts(s).getTime * 1000
+    assert(out.toSeq == Seq(
+      (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 2L),
+      (1L, us("2024-01-01 12:10:00"), us("2024-01-01 12:10:00"), 1L),
+      (2L, us("2024-01-01 09:00:00"), us("2024-01-01 09:00:00"), 1L)
+    ))
+  }
 }

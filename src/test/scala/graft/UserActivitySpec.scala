@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.useractivity.UserActivity
+import graft.useractivity.{CountryList, UserActivity}
 import graft.export.JsonExport
 
 /** End-to-end test of the user-activity pipeline over a deterministic
@@ -233,5 +233,30 @@ class UserActivitySpec extends AnyFunSuite {
       .as[Int]
       .head()
     assert(series == 2)
+  }
+
+  test("packaged 160-country allowlist validates a full export and rejects partial ones") {
+    val full = CountryList.userActivityCountryList
+    assert(full.length == 160)
+    assert(full.distinct.length == 160)
+    // spot-check ported data fidelity (reference __init__.py:1-162)
+    assert(full.head == "Worldwide")
+    assert(full.contains("Côte d'Ivoire") && full.contains("Türkiye"))
+    // a synthetic export covering exactly the allowlist passes both ways
+    val fullExport = full.toDF("country_name")
+    JsonExport.validateCountries(fullExport, full)
+    // a default (11-country) aggregate does NOT satisfy the full-list
+    // validation — the reference aborts the export in this situation
+    val partial = intercept[RuntimeException] {
+      JsonExport.validateCountries(
+        JsonExport.fxhealthRows(result), full)
+    }
+    assert(partial.getMessage.contains("Expected countries missing"))
+    // and an export with a stray country is rejected the other way
+    val stray = intercept[RuntimeException] {
+      JsonExport.validateCountries(
+        (full :+ "Atlantis").toDF("country_name"), full)
+    }
+    assert(stray.getMessage.contains("not in allowlist"))
   }
 }
