@@ -80,8 +80,10 @@ object IvfAnn {
   }
 
   /** Declared query: IVF top-5 neighbors for queries vec_id < 10, probing
-    * the nProbe nearest lists. Rows-only (approximate by construction);
-    * recall vs v1 is asserted in ScalaTest. */
+    * the nProbe nearest lists. The build is hash-free and deterministic, so
+    * unlike the LSH family this IS oracle-checked (unrolled-Lloyd DuckDB
+    * SQL, `VectorOps.oracles("v6_ann_ivf")`); recall vs v1 is additionally
+    * gated in ScalaTest. */
   def query(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)

@@ -301,8 +301,65 @@ object VectorOps {
 
   /** v3/v4/v5 intentionally omitted: engine-specific hashing (xxhash64) has
     * no DuckDB equivalent — the driver records a rows-only check; their
-    * fidelity is asserted against the exact operators in ScalaTest. */
+    * fidelity is asserted against the exact operators in ScalaTest.
+    *
+    * v6 IS oracle-checked: the IVF build is hash-free and deterministic
+    * (id-ordered seeds, 2 unrolled Lloyd iterations, float-rounded
+    * centroids), so the whole index + probe + re-rank pipeline is
+    * reproducible in SQL. Rank-only output keeps ulp-level cross-engine
+    * float noise out of the hash, same as v1. */
+  private val ivfAssignDist: String =
+    """list_sum(list_transform(range(1, 65),
+      |            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))
+      |               * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))))""".stripMargin
+
+  private def ivfAssign(cents: String, name: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN $cents c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  private def ivfUpdate(assigned: String, name: String): String =
+    s"""${name}_u AS (
+       |  SELECT cid, i AS dim, CAST(avg(CAST(x AS DOUBLE)) AS REAL) AS m
+       |  FROM (SELECT cid, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS i FROM $assigned)
+       |  GROUP BY cid, i
+       |), $name AS (
+       |  SELECT cid, list(m ORDER BY dim) AS centroid FROM ${name}_u GROUP BY cid
+       |)""".stripMargin
+
+  private val v6Oracle: String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+       |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+       |${ivfAssign("cents2", "indexed")},
+       |probes AS (
+       |  SELECT qid, qe, cid FROM (
+       |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents2 c
+       |    WHERE e.vec_id < 10
+       |  ) WHERE rn <= 4
+       |), ranked AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id ASC) AS rnk
+       |  FROM probes JOIN indexed USING (cid)
+       |  WHERE vec_id <> qid
+       |)
+       |SELECT qid AS query_id, rnk, vec_id AS neighbor_id
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v6_ann_ivf" -> v6Oracle,
     "v7_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
            round(avg(CAST(x AS DOUBLE)), 6) AS mean,
