@@ -76,6 +76,50 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling over binary payloads: treat each payload as `n_frames`
+    * fixed-size frames (from the stub decoder's metadata), sample every 2nd
+    * frame, slice the frame's bytes with `substring` ON THE BINARY column,
+    * and extract a per-frame stub feature (leading byte) — the plumbing a
+    * video pipeline runs before decode, expressed as pure codegen
+    * expressions + one generator. No mapPartitions: slicing and sampling
+    * don't need a codec, so they stay in whole-stage codegen, and column
+    * pruning still skips payload bytes for queries that don't sample.
+    *
+    * Everything is integer arithmetic over bytes, so the DuckDB oracle
+    * reproduces it exactly (ASCII corpus: byte slicing == char slicing).
+    */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    withPayload(docs)
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("n_frames", (lit(1) + col("n_bytes") % 8).cast("int"))
+      .withColumn("frame_size", expr("n_bytes DIV n_frames"))
+      .select(
+        col("media_id"),
+        col("payload"),
+        col("n_frames"),
+        col("frame_size"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("frame_idx")
+      )
+      .withColumn(
+        "frame",
+        expr("substring(payload, CAST(frame_idx * frame_size + 1 AS INT), CAST(frame_size AS INT))")
+      )
+      .filter(length(col("frame")) > 0)
+      .withColumn(
+        "first_byte",
+        conv(hex(expr("substring(frame, 1, 1)")), 16, 10).cast("long")
+      )
+      .groupBy("media_id")
+      .agg(
+        max("n_frames").as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        sum(length(col("frame")).cast("long")).as("sampled_bytes"),
+        sum("first_byte").as("first_byte_sum")
+      )
+      .orderBy("media_id")
+  }
+
   /** The declared query: payload attach -> batched decode -> metadata
     * aggregation. The aggregation shape (group by derived meta) is what a
     * real feature-extraction pipeline feeds into dedup/quality filters.
@@ -98,7 +142,8 @@ object Multimodal {
 /** Declared-query wiring for the multimodal surface. */
 object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d))
+    "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
+    "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d))
   )
 
   /** The stub decoder is pure arithmetic over payload bytes, so the oracle
@@ -117,6 +162,25 @@ object MultimodalOps {
            CAST(sum(n) AS BIGINT) AS total_bytes,
            CAST(max(64 + n % 64) AS INTEGER) AS max_width,
            CAST(max(64 + f % 64) AS INTEGER) AS max_height
-         FROM meta GROUP BY 1, 2 ORDER BY format, n_frames"""
+         FROM meta GROUP BY 1, 2 ORDER BY format, n_frames""",
+    "m2_frame_sample" ->
+      """WITH meta AS (
+           SELECT doc_id AS media_id, text, strlen(text) AS n_bytes,
+             CAST(1 + strlen(text) % 8 AS INTEGER) AS n_frames,
+             strlen(text) // (1 + strlen(text) % 8) AS frame_size
+           FROM documents
+         ), frames AS (
+           SELECT media_id, n_frames,
+             substr(text, CAST(frame_idx * frame_size + 1 AS BIGINT),
+                    frame_size) AS frame
+           FROM meta, unnest(range(0, n_frames, 2)) AS t(frame_idx)
+           WHERE length(substr(text,
+                   CAST(frame_idx * frame_size + 1 AS BIGINT), frame_size)) > 0
+         )
+         SELECT media_id, CAST(max(n_frames) AS INTEGER) AS n_frames,
+           count(*) AS n_sampled,
+           CAST(sum(strlen(frame)) AS BIGINT) AS sampled_bytes,
+           CAST(sum(ascii(substr(frame, 1, 1))) AS BIGINT) AS first_byte_sum
+         FROM frames GROUP BY media_id ORDER BY media_id"""
   )
 }

@@ -124,11 +124,34 @@ object EventOps {
       )
   }
 
+  /** The approximate form of e1's exact distinct: HyperLogLog++ distinct
+    * users per (week, event_type) at 2% target rsd. This is the declared
+    * exact->approx switch for unbounded inputs (SURVEY §7.4): exact
+    * COUNT(DISTINCT) shuffles every (group, user) pair, while the HLL
+    * sketch partial-aggregates map-side to a constant-size buffer per
+    * group — the only form that holds at 100 TB of events. Engine-specific
+    * sketch => no DuckDB oracle; the error envelope vs exact e1 is gated in
+    * ScalaTest (EventApproxSpec).
+    */
+  private def e5ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(
+        F.weekStart(col("ts")).as("week_start"),
+        col("event_type")
+      )
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy("week_start", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_weekly_activity" -> (e1WeeklyActivity _),
     "e2_sessionize" -> (e2Sessionize _),
     "e3_json_extract" -> (e3JsonExtract _),
-    "e4_funnel" -> (e4Funnel _)
+    "e4_funnel" -> (e4Funnel _),
+    "e5_approx_distinct" -> (e5ApproxDistinct _)
   )
 
   val oracles: Map[String, String] = Map(

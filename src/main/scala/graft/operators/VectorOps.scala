@@ -289,6 +289,35 @@ object VectorOps {
       .orderBy("label", "dim")
   }
 
+  /** Int8 embedding quantization (the storage form an ANN index serves
+    * from): one native codegen expression per row, no shuffle — plus a
+    * quantization-quality column (cosine between the dequantized and
+    * original vector) so the error is measured where the data is, not in a
+    * driver loop. Rounded to 6dp for cross-engine comparability. */
+  private def v8EmbedQuantize(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        call_function("graft_quantize_int8", col("embedding")).as("q"),
+        col("embedding")
+      )
+      // dequantized cosine via the native dot on the float-cast int8 array:
+      // cos(q, x) is scale-invariant, so the scale factor drops out entirely
+      .withColumn("qf", col("q").cast("array<float>"))
+      .withColumn(
+        "cos_keep",
+        round(
+          call_function("graft_dot", col("qf"), col("embedding")) /
+            (sqrt(call_function("graft_dot", col("qf"), col("qf"))) *
+              sqrt(call_function("graft_dot", col("embedding"), col("embedding")))),
+          6
+        )
+      )
+      .select("vec_id", "q", "cos_keep")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "v1_ann_bruteforce" -> (v1AnnBruteforce _),
     "v2_embed_cosine_dedup" -> (v2EmbedCosineDedup _),
@@ -296,7 +325,8 @@ object VectorOps {
     "v4_minhash_lsh" -> (v4MinhashLsh _),
     "v5_simhash" -> (v5Simhash _),
     "v6_ann_ivf" -> ((s: SparkSession, d: String) => IvfAnn.query(s, d)),
-    "v7_label_centroids" -> (v7LabelCentroids _)
+    "v7_label_centroids" -> (v7LabelCentroids _),
+    "v8_embed_quantize" -> (v8EmbedQuantize _)
   )
 
   /** v3/v4/v5 intentionally omitted: engine-specific hashing (xxhash64) has
@@ -360,6 +390,33 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "v6_ann_ivf" -> v6Oracle,
+    // quantization is deterministic integer output; cos_keep mirrors
+    // graft_dot's exact double accumulation order (list_sum over
+    // index-ordered double products), so 6dp rounding is stable
+    "v8_embed_quantize" ->
+      """WITH scaled AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx
+           FROM embeddings
+         ), quant AS (
+           SELECT vec_id, embedding,
+             list_transform(embedding, x ->
+               CAST(CASE WHEN mx = 0 THEN 0
+                    ELSE round(CAST(x AS DOUBLE) / (mx / 127.0)) END
+                 AS TINYINT)) AS q
+           FROM scaled
+         )
+         SELECT vec_id, q,
+           round(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+           , 6) AS cos_keep
+         FROM quant ORDER BY vec_id""",
     "v7_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
            round(avg(CAST(x AS DOUBLE)), 6) AS mean,

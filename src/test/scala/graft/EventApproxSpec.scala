@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventOps
+
+/** Error envelope of the HLL++ approximate-distinct switch (e5) against the
+  * exact form (e1) — the correctness gate for the one declared query whose
+  * semantics are "approximately e1, at constant memory per group".
+  */
+class EventApproxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    test(s"approx distinct users within 5% of exact per (week, event_type) ($sf)") {
+      val exact = EventOps
+        .queries("e1_weekly_activity")(spark, sf)
+        .select("week_start", "event_type", "users")
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      val approx = EventOps
+        .queries("e5_approx_distinct")(spark, sf)
+        .select("week_start", "event_type", "approx_users")
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(approx.keySet == exact.keySet)
+      val worst = exact.map { case (k, ex) =>
+        math.abs(approx(k) - ex).toDouble / math.max(ex, 1L)
+      }.max
+      // rsd 0.02 -> 5% is > 2 sigma; small groups are exact (sparse mode)
+      assert(worst <= 0.05, s"worst relative error $worst")
+    }
+}

@@ -93,6 +93,38 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("QuantizeInt8: known values, rounding rule, zero vector, scale bounds") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Seq(
+      // absmax 2.0 -> scale 2/127; 1.0f -> 63.5 -> 64 (half away from zero)
+      Array(2.0f, 1.0f, -1.0f, 0.0f),
+      Array(0.0f, 0.0f, 0.0f, 0.0f), // all-zero -> all zeros, no div-by-0
+      Array(-3.0f, 1.5f, 3.0f, -1.5f) // negative absmax; -1.5f -> -63.5 -> -64
+    ).toDF("v")
+    val out = vecs
+      .select(call_function("graft_quantize_int8", col("v")).as("q"))
+      .collect()
+      .map(_.getSeq[Byte](0))
+    assert(out(0) == Seq[Byte](127, 64, -64, 0))
+    assert(out(1) == Seq[Byte](0, 0, 0, 0))
+    assert(out(2) == Seq[Byte](-127, 64, 127, -64))
+    // every component is within the int8 range by construction
+    out.foreach(q => q.foreach(b => assert(b >= -127 && b <= 127)))
+  }
+
+  test("quantized embeddings keep cosine structure on real vectors") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = graft.operators.VectorOps
+      .queries("v8_embed_quantize")(spark, "/root/testdata/sf0.001")
+      .select("cos_keep")
+      .collect()
+      .map(_.getDouble(0))
+    // int8 symmetric quantization of 64-dim vectors: cosine with the
+    // original should survive almost unchanged for every vector
+    assert(out.nonEmpty)
+    assert(out.forall(_ > 0.995), s"worst=${out.min}")
+  }
+
   test("dot/cosine in double precision") {
     val out = Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f)))
       .toDF("a", "b")

@@ -31,6 +31,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.format == "fake/even")
   }
 
+  test("frame sampling slices the right byte ranges with every-2nd-frame stride") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-m2").toString
+    // "abcdefghij": 10 bytes -> n_frames = 1 + 10%8 = 3, frame_size = 3,
+    // sampled frame_idx {0, 2} -> frames "abc" (a=97) and "ghi" (g=103)
+    Seq((1L, "abcdefghij", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Multimodal.frameSampleQuery(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Int]("n_frames") == 3)
+    assert(row.getAs[Long]("n_sampled") == 2L)
+    assert(row.getAs[Long]("sampled_bytes") == 6L)
+    assert(row.getAs[Long]("first_byte_sum") == 97L + 103L)
+  }
+
   test("metadata-only aggregation never touches payload bytes (column pruning)") {
     val plan = Multimodal
       .metaQuery(spark, "/root/testdata/sf0.001")
