@@ -18,6 +18,12 @@ class GraftSessionSpec extends AnyFunSuite {
       .head()
       .getDouble(0)
     assert(dot > 0.0)
+    val q8 = spark
+      .sql("""SELECT graft_quantize_int8(embedding) AS q
+              FROM embeddings WHERE vec_id = 0""")
+      .head()
+      .getSeq[Byte](0)
+    assert(q8.length == 64 && q8.exists(_ != 0))
     // joined SQL across registered views
     val n = spark
       .sql("""SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey""")
