@@ -8,11 +8,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * `ARRAY_AGG(STRUCT(...) ORDER BY ratio DESC LIMIT K)`
   * (user_activity.sql:249,319; SURVEY §7.4).
   *
-  * The window-function form (`a9_topk_per_group`) sorts every group's full
-  * candidate set after a shuffle; this Aggregator keeps only K entries per
-  * partial buffer, so the map-side combine ships at most K rows per group
-  * per partition — the shuffle volume drops from O(candidates) to
-  * O(groups x K x partitions). Ordering matches a9 exactly:
+  * This Aggregator keeps only K entries per partial buffer, so the
+  * map-side combine ships at most K rows per group per partition —
+  * O(groups x K x partitions) shuffle volume. Note that Spark's
+  * WindowGroupLimit rule gives the `row_number() <= K` window form
+  * (`a9_topk_per_group`) the SAME map-side pruning since 3.5, and the two
+  * forms measure within ~10% of each other at sf0.1 (heap ~1.5 s, window
+  * ~1.4 s). The Aggregator's remaining edge is composability: inside a
+  * single `groupBy().agg(...)` it computes top-K ALONGSIDE other
+  * aggregates in one shuffle, where the window form needs a window pass
+  * plus a separate aggregation plus a join. Ordering matches a9 exactly:
   * value desc, key asc.
   *
   * The buffer is an interleaved primitive Array[Long] of (key, value) pairs
