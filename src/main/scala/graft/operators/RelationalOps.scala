@@ -487,6 +487,50 @@ object RelationalOps {
       .orderBy("n_name", "rnk")
   }
 
+  /** A9 composition form — the case where the bounded-heap Aggregator
+    * genuinely beats the window form: top-K computed ALONGSIDE other
+    * aggregates in a single `groupBy().agg(...)` pass (one shuffle). The
+    * window formulation needs a window pass + a separate aggregation + a
+    * join (two extra exchanges) for the same result — compare this plan's
+    * single Exchange to the oracle SQL's shape.
+    */
+  private def a9TopkCombined(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val rev = Tables.lineitem(s, d)
+      .join(
+        broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey")
+      )
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "l_partkey")
+      .agg(
+        sum(F.fixed4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue_f4")
+      )
+    rev
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum("revenue_f4").as("nation_revenue_f4"),
+        topk(col("l_partkey"), col("revenue_f4")).as("top")
+      )
+      .select(
+        col("n_name"),
+        col("n_parts"),
+        col("nation_revenue_f4"),
+        posexplode(col("top")).as(Seq("pos", "e"))
+      )
+      .select(
+        col("n_name"),
+        col("n_parts"),
+        col("nation_revenue_f4"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("e._1").as("l_partkey"),
+        col("e._2").as("revenue_f4")
+      )
+      .orderBy("n_name", "rnk")
+  }
+
   /** A11/A12: two-pass threshold bucket-collapse with family intermediate —
     * faithful shape of `collapse_buckets` (hardware_report.py:278-324):
     * below 1%-of-total keys collapse to '<family>-Other', then a second pass
@@ -585,6 +629,7 @@ object RelationalOps {
     "a8_group_minmax" -> (a8GroupMinMax _),
     "a9_topk_per_group" -> (a9TopkPerGroup _),
     "a9_topk_heap" -> (a9TopkHeap _),
+    "a9_topk_combined" -> (a9TopkCombined _),
     "a11_bucket_collapse" -> (a11BucketCollapse _),
     "w1_running_sum" -> (w1RunningSum _),
     "w2_top_n" -> (w2TopN _)
@@ -795,6 +840,29 @@ object RelationalOps {
          )
          SELECT n_name, rnk, l_partkey, revenue_f4 FROM ranked
          WHERE rnk <= 5 ORDER BY n_name, rnk""",
+    "a9_topk_combined" ->
+      """WITH rev AS (
+           SELECT n_name, l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT)) AS BIGINT) AS revenue_f4
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name, l_partkey
+         ), agg AS (
+           SELECT n_name, count(*) AS n_parts,
+             CAST(sum(revenue_f4) AS BIGINT) AS nation_revenue_f4
+           FROM rev GROUP BY n_name
+         ), ranked AS (
+           SELECT n_name, l_partkey, revenue_f4,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY revenue_f4 DESC, l_partkey ASC) AS rnk
+           FROM rev
+         )
+         SELECT agg.n_name, n_parts, nation_revenue_f4, rnk, l_partkey,
+           revenue_f4
+         FROM agg JOIN ranked ON agg.n_name = ranked.n_name
+         WHERE rnk <= 3 ORDER BY agg.n_name, rnk""",
     "a9_topk_heap" ->
       """WITH rev AS (
            SELECT n_name, l_partkey,
