@@ -571,6 +571,28 @@ object RelationalOps {
       .orderBy("bucket")
   }
 
+  /** A14 (extension): grouped percentiles — exact `percentile` (full-sort
+    * linear interpolation, matching DuckDB's quantile_cont) over the
+    * fixed-point cents column. Exact percentile holds while groups fit the
+    * sort buffer; the unbounded-scale switch is `approx_percentile`
+    * (Greenwald-Khanna sketch, mergeable map-side partial state) whose
+    * error envelope vs this exact form is gated in PercentileSpec — the
+    * same exact->approx pattern as e1/e5. 4dp rounding absorbs the
+    * interpolation-formula ulp difference between engines.
+    */
+  private def a14Percentiles(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), F.cents(col("l_extendedprice")).as("price_cents"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("price_cents"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("price_cents"), lit(0.95)), 4).as("p95"),
+        round(percentile(col("price_cents"), lit(0.99)), 4).as("p99")
+      )
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------- W: windows, sorts
 
   /** W1 (frame spec): per-partition running sum over an exact ordering. */
@@ -630,6 +652,7 @@ object RelationalOps {
     "a9_topk_per_group" -> (a9TopkPerGroup _),
     "a9_topk_heap" -> (a9TopkHeap _),
     "a9_topk_combined" -> (a9TopkCombined _),
+    "a14_percentiles" -> (a14Percentiles _),
     "a11_bucket_collapse" -> (a11BucketCollapse _),
     "w1_running_sum" -> (w1RunningSum _),
     "w2_top_n" -> (w2TopN _)
@@ -840,6 +863,15 @@ object RelationalOps {
          )
          SELECT n_name, rnk, l_partkey, revenue_f4 FROM ranked
          WHERE rnk <= 5 ORDER BY n_name, rnk""",
+    "a14_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+               0.5), 4) AS p50,
+         round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+               0.95), 4) AS p95,
+         round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+               0.99), 4) AS p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a9_topk_combined" ->
       """WITH rev AS (
            SELECT n_name, l_partkey,

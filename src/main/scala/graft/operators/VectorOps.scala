@@ -318,6 +318,55 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Quantized-scan ANN — the serving pattern for a v8-compressed index:
+    * coarse-score every candidate with the int8 cosine (the scan that reads
+    * 4x fewer bytes at scale), keep the top-10 per query, exact re-rank
+    * only those with the full-precision cosine, emit top-5. Cosine is
+    * per-vector-scale-invariant, so the quantization scale drops out of the
+    * coarse score entirely. Deterministic end to end => oracle-checked
+    * (same contract as v6/v8). */
+  private def v9AnnQuantized(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .withColumn(
+        "qf",
+        call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
+      )
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("qf").as("query_qf"),
+        col("qn").as("query_qn"),
+        col("embedding").as("qe"),
+        col("nrm").as("query_nrm")
+      )
+    val wq = Window.partitionBy("query_id").orderBy(col("qcos").desc, col("vec_id").asc)
+    val wr = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "qcos",
+        call_function("graft_dot", col("query_qf"), col("qf")) /
+          (col("query_qn") * col("qn"))
+      )
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= 10)
+      // exact re-rank touches ONLY the 10 survivors per query
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("embedding")) /
+          (col("query_nrm") * col("nrm"))
+      )
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "v1_ann_bruteforce" -> (v1AnnBruteforce _),
     "v2_embed_cosine_dedup" -> (v2EmbedCosineDedup _),
@@ -326,7 +375,8 @@ object VectorOps {
     "v5_simhash" -> (v5Simhash _),
     "v6_ann_ivf" -> ((s: SparkSession, d: String) => IvfAnn.query(s, d)),
     "v7_label_centroids" -> (v7LabelCentroids _),
-    "v8_embed_quantize" -> (v8EmbedQuantize _)
+    "v8_embed_quantize" -> (v8EmbedQuantize _),
+    "v9_ann_quantized" -> (v9AnnQuantized _)
   )
 
   /** v3/v4/v5 intentionally omitted: engine-specific hashing (xxhash64) has
@@ -390,6 +440,48 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "v6_ann_ivf" -> v6Oracle,
+    "v9_ann_quantized" ->
+      """WITH scaled AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx
+           FROM embeddings
+         ), quant AS (
+           SELECT vec_id, embedding,
+             list_transform(embedding, x ->
+               CASE WHEN mx = 0 THEN 0.0
+                    ELSE round(CAST(x AS DOUBLE) / (mx / 127.0)) END) AS qf
+           FROM scaled
+         ), norms AS (
+           SELECT vec_id, embedding, qf,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> qf[i] * qf[i]))) AS qn,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               AS nrm
+           FROM quant
+         ), coarse AS (
+           SELECT q.vec_id AS query_id, c.vec_id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qf[i] * c.qf[i])) / (q.qn * c.qn) AS qcos,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                  * CAST(c.embedding[i] AS DOUBLE))) / (q.nrm * c.nrm) AS cos
+           FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10
+         ), c10 AS (
+           SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qcos DESC, vec_id ASC) AS crn
+           FROM coarse
+         ), ranked AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM c10 WHERE crn <= 10
+         )
+         SELECT query_id, rnk, vec_id AS neighbor_id
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
     // quantization is deterministic integer output; cos_keep mirrors
     // graft_dot's exact double accumulation order (list_sum over
     // index-ordered double products), so 6dp rounding is stable
