@@ -273,6 +273,34 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Text normalization — the canonicalization pass that runs BEFORE
+    * dedup/fingerprinting in a training pipeline so that case and
+    * punctuation variants hash identically: lowercase, strip
+    * non-alphanumerics, collapse whitespace. Pure per-row codegen
+    * expressions, no shuffle; emits before/after token counts so the
+    * aggressiveness of the normalization is observable per document.
+    */
+  private def t8Normalize(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+        "\\s+",
+        " "
+      )
+    )
+    Tables.documents(s, d)
+      .withColumn("norm_text", norm)
+      .withColumn("n_tokens_raw", size(toks).cast("long"))
+      .withColumn(
+        "n_tokens_norm",
+        when(col("norm_text") === "", 0L)
+          .otherwise(size(split(col("norm_text"), " ")).cast("long"))
+      )
+      .withColumn("norm_fingerprint", md5(col("norm_text")))
+      .select("doc_id", "norm_text", "n_tokens_raw", "n_tokens_norm", "norm_fingerprint")
+      .orderBy("doc_id")
+  }
+
   /** The composed training-corpus cleaning pipeline — what the individual
     * operators exist FOR: quality gate -> exact-dedup canonicalization ->
     * near-dup removal (drop the higher id of every >0.8-Jaccard pair).
@@ -314,7 +342,8 @@ object TextOps {
     "t4_dedup_ngram_jaccard" -> (t4DedupNgramJaccard _),
     "t5_fingerprint_buckets" -> (t5FingerprintBuckets _),
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
-    "t7_corpus_dedup_pipeline" -> (t7CorpusDedupPipeline _)
+    "t7_corpus_dedup_pipeline" -> (t7CorpusDedupPipeline _),
+    "t8_normalize" -> (t8Normalize _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,6 +479,22 @@ object TextOps {
     "t5_fingerprint_buckets" ->
       """SELECT substr(md5(text), 1, 2) AS bucket, count(*) AS n_docs,
          count(DISTINCT md5(text)) AS n_distinct
-         FROM documents GROUP BY bucket ORDER BY bucket"""
+         FROM documents GROUP BY bucket ORDER BY bucket""",
+    "t8_normalize" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text
+           FROM documents
+         )
+         SELECT doc_id, norm_text,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> length(x) > 0)) AS BIGINT) AS n_tokens_raw,
+           CASE WHEN norm_text = '' THEN 0
+                ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT)
+           END AS n_tokens_norm,
+           md5(norm_text) AS norm_fingerprint
+         FROM n ORDER BY doc_id"""
   )
 }
