@@ -118,9 +118,13 @@ class CliSpec extends AnyFunSuite {
         "country_names" -> s"$tmp/countries",
         "buildhub" -> s"$tmp/buildhub",
         "countries" -> "Worldwide,United States,Germany,France",
-        "output" -> s"$tmp/out"
+        "output" -> s"$tmp/out",
+        "archive_date" -> "2020-06-29"
       )
     )
+    // dual write applies to the user-activity artifacts too
+    assert(Files.exists(java.nio.file.Path.of(s"$tmp/out/fxhealth-2020-06-29.json")))
+    assert(Files.exists(java.nio.file.Path.of(s"$tmp/out/webusage-2020-06-29.json")))
     val fx = Files.readString(java.nio.file.Path.of(s"$tmp/out/fxhealth.json"))
     val wu = Files.readString(java.nio.file.Path.of(s"$tmp/out/webusage.json"))
     // nested shape {country: [{date, metrics{...}}]} with x100 scaling keys
