@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{
+  Expression, Generator, UnaryExpression, XXH64
+}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{
+  IntegerType, LongType, StringType, StructField, StructType
+}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst Generator: the distinct, sorted, rank-annotated word
+  * n-gram shingle hashes of a document, emitted in ONE pipelined generate
+  * step — `(shingle: long, sz: int, rn: int)` per distinct shingle, where
+  * `sz` is the document's distinct-shingle count and `rn` the 1-based rank
+  * of this shingle in ascending (signed) hash order.
+  *
+  * Why a Generator and not the compositional form: the equivalent built-in
+  * pipeline (posexplode tokens -> lead() windows to assemble n-grams ->
+  * top-level xxhash64 -> per-doc dedupe + count + row_number windows)
+  * needs a shuffle on doc_id plus two window sorts before the shingle join
+  * can start. The sz/rn annotations are per-document facts that this
+  * generator computes while the doc's shingle set is already in hand, so
+  * the whole dedup build side (tokenize, shingle, hash, dedupe, size,
+  * prefix-rank) becomes shuffle-FREE and pipelines straight into the
+  * PPJoin candidate join. At 100 TB that removes the full shingle-stream
+  * shuffle (the largest intermediate in the dedup pipeline) entirely.
+  *
+  * Hash parity: exactly `xxhash64(concat_ws(' ', w_i..w_{i+n-1}))` — XXH64
+  * with seed 42 over the UTF-8 bytes — so results are bit-identical to the
+  * compositional form (asserted in ShingleGeneratorSpec). Tokenization is
+  * `F.wsTokens` (trim, split on whitespace runs, drop empties).
+  *
+  * The generator itself is interpreted (GenerateExec), but it runs ONCE
+  * per document — not per token — so the CodegenFallback-inlining pitfall
+  * that rules out array-lambda shingling (SNIPPETS/t4 notes) does not
+  * apply.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with Generator
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_shingles expects a string column, got ${other.simpleString}"
+        )
+    }
+
+  override def elementSchema: StructType = StructType(
+    Seq(
+      StructField("shingle", LongType, nullable = false),
+      StructField("sz", IntegerType, nullable = false),
+      StructField("rn", IntegerType, nullable = false)
+    )
+  )
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) return Iterator.empty
+    val toks = t
+      .asInstanceOf[UTF8String]
+      .toString
+      .trim
+      .split("\\s+")
+      .filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return Iterator.empty
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val arr = new Array[Long](m)
+    var cnt = 0
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var k = 1
+      while (k < n) {
+        sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      if (seen.add(h)) {
+        arr(cnt) = h
+        cnt += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(arr, 0, cnt)
+    val sz = cnt
+    (0 until sz).iterator.map(j => InternalRow(arr(j), sz, j + 1))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}

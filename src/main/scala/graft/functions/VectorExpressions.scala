@@ -182,6 +182,11 @@ object GraftFunctions {
     "graft_quantize_int8"
   )
 
+  val shinglesInfo = new ExpressionInfo(
+    classOf[ShingleHashes].getName,
+    "graft_shingles"
+  )
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
@@ -191,6 +196,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_quantize_int8",
       (exprs: Seq[Expression]) => QuantizeInt8(exprs(0)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), 3),
       "built-in"
     )
   }
@@ -210,6 +220,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_quantize_int8"),
         GraftFunctions.quantizeInfo,
         (exprs: Seq[Expression]) => QuantizeInt8(exprs(0))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_shingles"),
+        GraftFunctions.shinglesInfo,
+        (exprs: Seq[Expression]) => ShingleHashes(exprs(0), 3)
       )
     )
   }

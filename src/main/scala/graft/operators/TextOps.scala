@@ -20,31 +20,26 @@ object TextOps {
   /** Tokens of a document (whitespace split, no empties). */
   private def toks: Column = F.wsTokens(col("text"))
 
-  /** Distinct hashed 3-word shingles per document, (doc_id, shingle: long).
-    * Built generator-first (posexplode tokens + lead() windows + top-level
-    * xxhash64) so everything stays in whole-stage codegen — the
-    * array-lambda formulation (transform over wordShingles) hits
-    * CodegenFallback and re-runs the interpreted tokenizer per element_at
-    * (~165x per doc). Shared by t4 / t6 / v4.
+  /** Distinct hashed 3-word shingles per document with per-doc size and
+    * ascending-hash rank: (doc_id, shingle: long, sz: int, rn: int).
+    *
+    * Emitted by the custom [[graft.functions.ShingleHashes]] Generator in
+    * one pipelined generate step — ZERO shuffles and zero window sorts on
+    * the dedup build side (the earlier compositional form needed a doc_id
+    * shuffle plus lead/lag/count/row_number window passes before the
+    * shingle join could start). Hash values are bit-identical to
+    * `xxhash64(concat_ws(' ', w0, w1, w2))` (parity asserted in
+    * ShingleGeneratorSpec). Shared by t4 / v4 / t7.
     */
-  def shingleHashRows(documents: DataFrame): DataFrame = {
-    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
-    documents
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(byDocPos))
-      .withColumn("t2", lead("tok", 2).over(byDocPos))
-      .filter(col("t2").isNotNull)
-      .select(
-        col("doc_id"),
-        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shingle")
-      )
-      // per-doc dedupe WITHOUT a (doc_id, shingle) shuffle: rows are already
-      // partitioned by doc_id from the lead() window, so this second window
-      // only re-sorts in place and lag() drops equal-run duplicates
-      .withColumn("prev", lag("shingle", 1).over(Window.partitionBy("doc_id").orderBy("shingle")))
-      .filter(col("prev").isNull || col("prev") =!= col("shingle"))
-      .drop("prev")
+  def shingleRows(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.selectExpr("doc_id", "graft_shingles(text) AS (shingle, sz, rn)")
   }
+
+  /** (doc_id, shingle) projection of [[shingleRows]] — the shape the
+    * MinHash/fingerprint consumers key on. */
+  def shingleHashRows(documents: DataFrame): DataFrame =
+    shingleRows(documents).select("doc_id", "shingle")
 
   /** Token counting + quality scoring: whitespace tokens, BPE-ish regex
     * tokens, average token length, stopword ratio, a deterministic composite
@@ -135,15 +130,11 @@ object TextOps {
     // Shingles carry a 64-bit fingerprint for the join/agg key — shuffling
     // longs, not strings; collision odds are ~n^2/2^65 (negligible even at
     // 100 TB shingle counts).
-    // sz and rn ride the same doc_id partitioning as the dedupe — the whole
-    // build side (tokenize, shingle, dedupe, size, prefix-rank) is ONE
-    // shuffle. Cached for its four consumers.
-    val byDoc = Window.partitionBy("doc_id").orderBy("shingle")
-    val byDocAll = Window.partitionBy("doc_id")
-    val shSized = shingleHashRows(Tables.documents(s, d))
-      .withColumn("sz", count(lit(1)).over(byDocAll))
-      .withColumn("rn", row_number().over(byDoc))
-      .cache()
+    // sz and rn are emitted BY the shingle generator itself, so the whole
+    // build side (tokenize, shingle, dedupe, size, prefix-rank) is
+    // shuffle-free and pipelines straight into the joins. Cached for its
+    // four consumers.
+    val shSized = shingleRows(Tables.documents(s, d)).cache()
     val sh = shSized.select("doc_id", "shingle")
     val sizes = shSized
       .filter(col("rn") === 1)

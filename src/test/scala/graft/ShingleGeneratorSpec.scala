@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.F
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Bit-parity of the custom ShingleHashes Generator against the
+  * compositional pipeline it replaced (posexplode + lead windows +
+  * xxhash64 + dedupe/count/rank windows) — the proof that swapping the
+  * build side changed the PLAN (shuffle-free) and not the DATA.
+  */
+class ShingleGeneratorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** The round-1 compositional form, kept verbatim as the reference. */
+  private def compositional(documents: org.apache.spark.sql.DataFrame) = {
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("shingle")
+    val byDocAll = Window.partitionBy("doc_id")
+    documents
+      .select(col("doc_id"), posexplode(F.wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(byDocPos))
+      .withColumn("t2", lead("tok", 2).over(byDocPos))
+      .filter(col("t2").isNotNull)
+      .select(
+        col("doc_id"),
+        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("shingle")
+      )
+      .withColumn("prev", lag("shingle", 1).over(byDoc))
+      .filter(col("prev").isNull || col("prev") =!= col("shingle"))
+      .drop("prev")
+      .withColumn("sz", count(lit(1)).over(byDocAll).cast("int"))
+      .withColumn("rn", row_number().over(byDoc))
+  }
+
+  test("generator output is bit-identical to the compositional window pipeline") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val gen = TextOps
+      .shingleRows(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val ref = compositional(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(gen.nonEmpty)
+    assert(gen == ref, s"only-gen=${(gen -- ref).take(3)} only-ref=${(ref -- gen).take(3)}")
+  }
+
+  test("edge cases: short, empty, duplicated-shingle, whitespace-heavy docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two"), // < 3 tokens -> no shingles
+      (2L, ""), // empty -> none
+      (3L, "  a   b  c  "), // whitespace runs collapse like wsTokens
+      (4L, "x y z x y z x y z") // repeated trigrams dedupe
+    ).toDF("doc_id", "text")
+    val out = TextOps.shingleRows(docs).collect()
+    assert(!out.exists(r => r.getLong(0) == 1L || r.getLong(0) == 2L))
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3.head.getInt(2) == 1 && d3.head.getInt(3) == 1)
+    val d4 = out.filter(_.getLong(0) == 4L)
+    // 7 trigram positions but only 3 distinct trigrams (xyz, yzx, zxy)
+    assert(d4.length == 3 && d4.forall(_.getInt(2) == 3))
+    assert(d4.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+    // rn follows ascending signed hash order
+    assert(d4.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq ==
+      d4.map(_.getLong(1)).sorted.toSeq)
+  }
+
+  test("the t4 build side plan has no shuffle before the candidate join") {
+    val plan = TextOps
+      .shingleRows(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("Generate"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
