@@ -63,17 +63,37 @@ case class ShingleHashes(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) return Iterator.empty
-    val toks = t
-      .asInstanceOf[UTF8String]
-      .toString
-      .trim
-      .split("\\s+")
-      .filter(_.nonEmpty)
-    val m = toks.length - n + 1
-    if (m <= 0) return Iterator.empty
+    val h = ShingleHashing.hashSequence(t.asInstanceOf[UTF8String], n)
+    val m = h.length
+    if (m == 0) return Iterator.empty
     val seen = new java.util.HashSet[java.lang.Long](m * 2)
     val arr = new Array[Long](m)
     var cnt = 0
+    var i = 0
+    while (i < m) {
+      if (seen.add(h(i))) {
+        arr(cnt) = h(i)
+        cnt += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(arr, 0, cnt)
+    val sz = cnt
+    (0 until sz).iterator.map(j => InternalRow(arr(j), sz, j + 1))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+private[functions] object ShingleHashing {
+  /** Positional (NOT deduped) n-gram shingle hash sequence of a text —
+    * exactly `xxhash64(concat_ws(' ', w_i..w_{i+n-1}))` per position. */
+  def hashSequence(text: UTF8String, n: Int): Array[Long] = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    val out = new Array[Long](m)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < m) {
@@ -86,18 +106,79 @@ case class ShingleHashes(child: Expression, n: Int)
         k += 1
       }
       val u = UTF8String.fromString(sb.toString)
-      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-      if (seen.add(h)) {
-        arr(cnt) = h
-        cnt += 1
-      }
+      out(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
       i += 1
     }
-    java.util.Arrays.sort(arr, 0, cnt)
-    val sz = cnt
-    (0 until sz).iterator.map(j => InternalRow(arr(j), sz, j + 1))
+    out
+  }
+}
+
+/** Custom Generator for winnowing fingerprints (the MOSS scheme): slide a
+  * window of `w` consecutive n-gram shingle hashes, keep each FULL window's
+  * minimum (plus the clamped position-0 minimum for short documents),
+  * dedupe, and emit `(fp: long, nfp: int, rn: int)` sorted by ascending
+  * fingerprint — same annotations as [[ShingleHashes]].
+  *
+  * Replaces the t6 build that needed a doc_id shuffle plus three window
+  * passes (lead-assembly, frame min, frame count) and a lag-dedupe before
+  * the fingerprint index could form. Semantics are identical to that
+  * pipeline (parity asserted in ShingleGeneratorSpec): full windows are
+  * positions `pos <= m - w`; a document with fewer than `w` shingles keeps
+  * the pos-0 minimum of whatever exists.
+  */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression
+    with Generator
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_winnow expects a string column, got ${other.simpleString}"
+        )
+    }
+
+  override def elementSchema: StructType = StructType(
+    Seq(
+      StructField("fp", LongType, nullable = false),
+      StructField("nfp", IntegerType, nullable = false),
+      StructField("rn", IntegerType, nullable = false)
+    )
+  )
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) return Iterator.empty
+    val h = ShingleHashing.hashSequence(t.asInstanceOf[UTF8String], n)
+    val m = h.length
+    if (m == 0) return Iterator.empty
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val kept = new Array[Long](m)
+    var cnt = 0
+    var pos = 0
+    while (pos < m) {
+      if (pos <= m - w || pos == 0) {
+        var mn = h(pos)
+        var j = pos + 1
+        val end = math.min(pos + w, m)
+        while (j < end) {
+          if (h(j) < mn) mn = h(j)
+          j += 1
+        }
+        if (seen.add(mn)) {
+          kept(cnt) = mn
+          cnt += 1
+        }
+      }
+      pos += 1
+    }
+    java.util.Arrays.sort(kept, 0, cnt)
+    val nfp = cnt
+    (0 until nfp).iterator.map(j => InternalRow(kept(j), nfp, j + 1))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }

@@ -187,6 +187,11 @@ object GraftFunctions {
     "graft_shingles"
   )
 
+  val winnowInfo = new ExpressionInfo(
+    classOf[WinnowFingerprints].getName,
+    "graft_winnow"
+  )
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
@@ -201,6 +206,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0), 3),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow",
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), 3, 4),
       "built-in"
     )
   }
@@ -227,6 +237,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_shingles"),
         GraftFunctions.shinglesInfo,
         (exprs: Seq[Expression]) => ShingleHashes(exprs(0), 3)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_winnow"),
+        GraftFunctions.winnowInfo,
+        (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), 3, 4)
       )
     )
   }

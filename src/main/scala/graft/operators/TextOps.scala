@@ -200,46 +200,18 @@ object TextOps {
     * hash); agreement with exact Jaccard asserted in ScalaTest.
     */
   private def t6WinnowFingerprint(s: SparkSession, d: String): DataFrame = {
-    val W = 4
-    // Shingle construction with NO higher-order functions: explode tokens,
-    // assemble each 3-gram with lead() windows, hash at top level. The
-    // array-lambda formulation (transform/slice over wordShingles) is a
-    // CodegenFallback pit — the interpreted tokenizer gets inlined into
-    // every element_at and re-runs ~165x per doc (measured 6x slower
-    // end-to-end). Everything here stays in whole-stage codegen except the
-    // window ops, which are one small shuffle on doc_id.
-    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
-    val wmin = byDocPos.rowsBetween(Window.currentRow, W - 1)
-    val byDocFp = Window.partitionBy("doc_id").orderBy("fp")
+    // The fingerprint build is the custom WinnowFingerprints Generator —
+    // one pipelined generate step per document, zero shuffles and zero
+    // window passes (the compositional form needed a doc_id shuffle plus
+    // lead-assembly, frame-min, frame-count and lag-dedupe windows before
+    // the index could form). Semantics identical; parity asserted in
+    // ShingleGeneratorSpec.
+    graft.functions.GraftFunctions.register(s)
     val fp = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(byDocPos))
-      .withColumn("t2", lead("tok", 2).over(byDocPos))
-      .filter(col("t2").isNotNull)
-      .select(
-        col("doc_id"),
-        col("pos"),
-        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h")
-      )
-      // min + frame-count share ONE WindowExec on the SAME (doc_id, pos)
-      // sort the lead() pass established — no extra shuffle, and no
-      // whole-partition count pass: a full window exists iff its frame
-      // actually holds W rows. Short docs keep the pos-0 min of whatever
-      // exists (the clamped frame), matching min-of-all semantics.
-      .withColumn("win_min", min("h").over(wmin))
-      .withColumn("wn", count(lit(1)).over(wmin))
-      .filter(col("wn") === W || col("pos") === 0)
-      .select(col("doc_id"), col("win_min").as("fp"))
-      // per-doc dedupe WITHOUT a (doc_id, fp) distinct() shuffle: rows are
-      // already partitioned by doc_id, so this window only re-sorts in
-      // place and lag() drops equal-run duplicates (the shingleHashRows
-      // trick).
-      .withColumn("prev", lag("fp", 1).over(byDocFp))
-      .filter(col("prev").isNull || col("prev") =!= col("fp"))
-      .drop("prev")
+      .selectExpr("doc_id", "graft_winnow(text) AS (fp, nfp, rn)")
       // four consumers (sizes, df-filter, both join sides)
       .cache()
-    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val sizes = fp.filter(col("rn") === 1).select(col("doc_id"), col("nfp"))
     // Window-minima bias toward globally small hash values, so a few hot
     // fingerprints appear in many documents and would explode the pair
     // join quadratically. Stop-fingerprint removal (document frequency cap)
@@ -250,7 +222,7 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= 32)
       .select("fp")
-    val fpRare = fp.join(rare, "fp")
+    val fpRare = fp.select("doc_id", "fp").join(rare, "fp")
     fpRare.as("a")
       .join(fpRare.as("b"), "fp")
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -72,6 +72,45 @@ class ShingleGeneratorSpec extends AnyFunSuite {
       d4.map(_.getLong(1)).sorted.toSeq)
   }
 
+  /** The round-1 winnowing build, kept verbatim as the reference. */
+  private def winnowCompositional(documents: org.apache.spark.sql.DataFrame) = {
+    val W = 4
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    val wmin = byDocPos.rowsBetween(Window.currentRow, W - 1)
+    documents
+      .select(col("doc_id"), posexplode(F.wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(byDocPos))
+      .withColumn("t2", lead("tok", 2).over(byDocPos))
+      .filter(col("t2").isNotNull)
+      .select(
+        col("doc_id"),
+        col("pos"),
+        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h")
+      )
+      .withColumn("win_min", min("h").over(wmin))
+      .withColumn("wn", count(lit(1)).over(wmin))
+      .filter(col("wn") === W || col("pos") === 0)
+      .select(col("doc_id"), col("win_min").as("fp"))
+      .distinct()
+  }
+
+  test("winnow generator matches the compositional windowed-min pipeline") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val gen = docs
+      .selectExpr("doc_id", "graft_winnow(text) AS (fp, nfp, rn)")
+      .select("doc_id", "fp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ref = winnowCompositional(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(gen.nonEmpty)
+    assert(gen == ref, s"only-gen=${(gen -- ref).take(3)} only-ref=${(ref -- gen).take(3)}")
+  }
+
   test("the t4 build side plan has no shuffle before the candidate join") {
     val plan = TextOps
       .shingleRows(Tables.documents(spark, "/root/testdata/sf0.001"))
