@@ -264,6 +264,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus sharding by token budget — assign documents (in doc_id order)
+    * to consecutive shards of ~`budget` tokens each, the packing step that
+    * turns a cleaned corpus into training files.
+    *
+    * The naive formulation is a running sum over a GLOBAL ORDER BY — an
+    * unpartitioned window that moves the whole corpus to one partition.
+    * This is the scalable two-phase scan instead: (1) per-bucket token
+    * totals (one small aggregation over doc_id DIV 1000 buckets), (2)
+    * exclusive bucket offsets via a theta-self-join over the tiny bucket
+    * table, (3) in-bucket prefix sums under a PARTITIONED window plus the
+    * broadcast offset. Identical result, no single-partition stage; the
+    * oracle is the naive global-window SQL.
+    */
+  private def t9TokenShards(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("doc_id DIV 1000"))
+    val bucketTotals = base
+      .groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val offsets = bucketTotals
+      .as("x")
+      .join(bucketTotals.as("y"), col("y.bucket") < col("x.bucket"), "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(coalesce(sum(col("y.bucket_tokens")), lit(0L)).as("bucket_offset"))
+    val w = Window
+      .partitionBy("bucket")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(offsets), "bucket")
+      .withColumn("prev_tokens", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("cum_tokens", col("bucket_offset") + col("prev_tokens") + col("n_tokens"))
+      .withColumn("shard", expr("(bucket_offset + prev_tokens) DIV 10000"))
+      .select("doc_id", "n_tokens", "cum_tokens", "shard")
+      .orderBy("doc_id")
+  }
+
   /** The composed training-corpus cleaning pipeline — what the individual
     * operators exist FOR: quality gate -> exact-dedup canonicalization ->
     * near-dup removal (drop the higher id of every >0.8-Jaccard pair).
@@ -306,7 +344,8 @@ object TextOps {
     "t5_fingerprint_buckets" -> (t5FingerprintBuckets _),
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
     "t7_corpus_dedup_pipeline" -> (t7CorpusDedupPipeline _),
-    "t8_normalize" -> (t8Normalize _)
+    "t8_normalize" -> (t8Normalize _),
+    "t9_token_shards" -> (t9TokenShards _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,6 +497,24 @@ object TextOps {
                 ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT)
            END AS n_tokens_norm,
            md5(norm_text) AS norm_fingerprint
-         FROM n ORDER BY doc_id"""
+         FROM n ORDER BY doc_id""",
+    // the oracle is the NAIVE global-window cumsum the Spark side
+    // deliberately avoids (two-phase scan) — same values by construction
+    "t9_token_shards" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+           FROM t
+         )
+         SELECT doc_id, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 10000 AS shard
+         FROM c ORDER BY doc_id"""
   )
 }
