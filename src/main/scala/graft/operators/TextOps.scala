@@ -264,6 +264,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Decontamination — detect training documents that leak a held-out
+    * benchmark/eval document (the check every training corpus runs before
+    * release). Stand-in eval set: doc_id % 10 == 0; a training doc is
+    * contaminated when its 3-gram Jaccard against ANY eval doc exceeds
+    * 0.8 (same near-dup bar as t4).
+    *
+    * Scale shape: the eval side is small BY NATURE (benchmarks are
+    * thousands of docs, corpora are billions), so its shingle set is
+    * broadcast and the training side streams through a broadcast hash
+    * join — no shuffle of the corpus, the only plan that works when the
+    * corpus is 100 TB. Shingles come from the shuffle-free generator
+    * build.
+    */
+  private def t10Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, d))
+    val ev = sh
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"), col("sz").as("sz_e"))
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(ev), "shingle")
+      .groupBy("doc_id", "eval_id")
+      .agg(
+        count(lit(1)).as("inter"),
+        max("sz").as("sz_t"),
+        max("sz_e").as("sz_e")
+      )
+      .withColumn("jaccard", col("inter") / (col("sz_t") + col("sz_e") - col("inter")))
+      .filter(col("jaccard") > 0.8)
+      .select("doc_id", "eval_id", "inter", "jaccard")
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Corpus sharding by token budget — assign documents (in doc_id order)
     * to consecutive shards of ~`budget` tokens each, the packing step that
     * turns a cleaned corpus into training files.
@@ -345,7 +377,8 @@ object TextOps {
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
     "t7_corpus_dedup_pipeline" -> (t7CorpusDedupPipeline _),
     "t8_normalize" -> (t8Normalize _),
-    "t9_token_shards" -> (t9TokenShards _)
+    "t9_token_shards" -> (t9TokenShards _),
+    "t10_decontaminate" -> (t10Decontaminate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,6 +548,35 @@ object TextOps {
          )
          SELECT doc_id, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 10000 AS shard
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+    "t10_decontaminate" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), ev AS (
+           SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0
+         ), tr AS (
+           SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0
+         ), inter AS (
+           SELECT tr.doc_id, ev.eval_id, count(*) AS inter
+           FROM tr JOIN ev USING (shingle)
+           GROUP BY 1, 2
+         )
+         SELECT i.doc_id, i.eval_id, i.inter,
+           CAST(i.inter AS DOUBLE) / (st.sz + se.sz - i.inter) AS jaccard
+         FROM inter i
+         JOIN sizes st ON st.doc_id = i.doc_id
+         JOIN sizes se ON se.doc_id = i.eval_id
+         WHERE CAST(i.inter AS DOUBLE) / (st.sz + se.sz - i.inter) > 0.8
+         ORDER BY i.doc_id, i.eval_id"""
   )
 }
