@@ -44,7 +44,7 @@ object Main {
     * accepts (hardware_report.py:409-414) normalize to `dry_run=true`. */
   private val flagOpts = Set("dry_run", "dryrun")
 
-  private def parseArgs(args: Seq[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Seq[String]): Map[String, String] = {
     val (flags, pairs) = args.partition(a => a.startsWith("--") && flagOpts(a.drop(2)))
     pairs
       .grouped(2)

@@ -173,6 +173,17 @@ class CliSpec extends AnyFunSuite {
     assert(latest == archived && latest.nonEmpty)
   }
 
+  test("argv parsing: valueless --dry_run/--dryrun flags mix with k-v options") {
+    // the click is_flag style the reference accepts (hardware_report.py:409-414)
+    val a = graft.cli.Main.parseArgs(
+      Seq("--input", "/x", "--dry_run", "--past_weeks", "2"))
+    assert(a == Map("input" -> "/x", "past_weeks" -> "2", "dry_run" -> "true"))
+    val b = graft.cli.Main.parseArgs(Seq("--dryrun", "--output", "/y"))
+    assert(b == Map("output" -> "/y", "dry_run" -> "true"))
+    val c = graft.cli.Main.parseArgs(Seq("--output", "/y"))
+    assert(!c.contains("dry_run"))
+  }
+
   test("JsonWriter matches python json.dumps conventions") {
     val v = scala.collection.immutable.ListMap(
       "b" -> (1L: Any),
