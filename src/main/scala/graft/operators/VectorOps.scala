@@ -314,7 +314,11 @@ object VectorOps {
           6
         )
       )
-      .select("vec_id", "q", "cos_keep")
+      // the vector is pinned as a CSV string, not a raw array column: every
+      // int8 component still hash-checks, without depending on how the
+      // compare harness stringifies array-typed cells
+      .withColumn("q_csv", concat_ws(",", col("q").cast("array<string>")))
+      .select("vec_id", "q_csv", "cos_keep")
       .orderBy("vec_id")
   }
 
@@ -499,7 +503,7 @@ object VectorOps {
                  AS TINYINT)) AS q
            FROM scaled
          )
-         SELECT vec_id, q,
+         SELECT vec_id, array_to_string(q, ',') AS q_csv,
            round(
              list_sum(list_transform(range(1, 65),
                i -> CAST(q[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
