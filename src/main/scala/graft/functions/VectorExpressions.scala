@@ -76,6 +76,77 @@ case class DotProductFloat(left: Expression, right: Expression)
   ): DotProductFloat = copy(left = newLeft, right = newRight)
 }
 
+/** Squared Euclidean distance between two float vectors, computed as
+  * Σ ((double)a_i − (double)b_i)² in index order — the SAME algebraic form
+  * the DuckDB oracles use (`sum((v−c)^2)`), so centroid-assignment
+  * tie-breaks are bit-identical across engines rather than merely
+  * mathematically equal. (The expanded form v·v − 2v·c + c·c differs in
+  * rounding and can flip near-equidistant assignments.) Same codegen shape
+  * as [[DotProductFloat]]: tight loop, no allocation.
+  */
+case class DistanceSquaredFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall {
+      _.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_dist2 expects two array<float> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})"
+      )
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dist2"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val n = ctx.freshName("gdN")
+        val acc = ctx.freshName("gdAcc")
+        val i = ctx.freshName("gdI")
+        val d = ctx.freshName("gdD")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+        """
+      }
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): DistanceSquaredFloat = copy(left = newLeft, right = newRight)
+}
+
 /** Symmetric int8 quantization of an embedding vector — the storage/compute
   * compression step an embedding pipeline runs before writing an ANN index
   * (4x smaller than float32, SIMD-friendly dot products downstream).
@@ -182,6 +253,11 @@ object GraftFunctions {
     "graft_quantize_int8"
   )
 
+  val dist2Info = new ExpressionInfo(
+    classOf[DistanceSquaredFloat].getName,
+    "graft_dist2"
+  )
+
   val shinglesInfo = new ExpressionInfo(
     classOf[ShingleHashes].getName,
     "graft_shingles"
@@ -201,6 +277,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_quantize_int8",
       (exprs: Seq[Expression]) => QuantizeInt8(exprs(0)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dist2",
+      (exprs: Seq[Expression]) => DistanceSquaredFloat(exprs(0), exprs(1)),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -230,6 +311,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_quantize_int8"),
         GraftFunctions.quantizeInfo,
         (exprs: Seq[Expression]) => QuantizeInt8(exprs(0))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_dist2"),
+        GraftFunctions.dist2Info,
+        (exprs: Seq[Expression]) => DistanceSquaredFloat(exprs(0), exprs(1))
       )
     )
     ext.injectFunction(

@@ -34,12 +34,13 @@ object IvfAnn {
       .partitionBy("vec_id")
       .orderBy(col("dist2").asc, col("cid").asc)
     df.crossJoin(broadcast(centroids))
-      // squared L2 via dot products: |v-c|^2 = v.v - 2 v.c + c.c
+      // squared L2 as Σ(v_i − c_i)² in index order — the same algebraic
+      // form the DuckDB oracle computes, so near-equidistant assignments
+      // tie-break identically on both engines (the expanded v·v − 2v·c +
+      // c·c form is equal in exact arithmetic but not in IEEE rounding)
       .withColumn(
         "dist2",
-        call_function("graft_dot", col("embedding"), col("embedding"))
-          - lit(2.0) * call_function("graft_dot", col("embedding"), col("centroid"))
-          + call_function("graft_dot", col("centroid"), col("centroid"))
+        call_function("graft_dist2", col("embedding"), col("centroid"))
       )
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -98,9 +99,7 @@ object IvfAnn {
       .crossJoin(broadcast(cents))
       .withColumn(
         "dist2",
-        call_function("graft_dot", col("qe"), col("qe"))
-          - lit(2.0) * call_function("graft_dot", col("qe"), col("centroid"))
-          + call_function("graft_dot", col("centroid"), col("centroid"))
+        call_function("graft_dist2", col("qe"), col("centroid"))
       )
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
@@ -113,6 +112,82 @@ object IvfAnn {
     probes
       .join(indexed, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("embedding")) /
+          (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
+            sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+      )
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid").as("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The composed production serving plan (v10 = v6 × v8 × v9's tail): IVF
+    * inverted lists stored int8-QUANTIZED, probes scored with the quantized
+    * cosine (the scan that reads 4× fewer bytes per probed list at scale),
+    * exact full-precision re-rank of only the top-10 coarse survivors per
+    * query. Deterministic end to end (id-seeded Lloyd + half-away-from-zero
+    * quantization), so fully oracle-checked by composing the v6 and v9
+    * oracle constructions; recall vs v1 is gated in ScalaTest alongside
+    * v6's.
+    *
+    * At 100 TB: the index at rest is (cid, vec_id, qf, qn) — a quarter of
+    * the float32 footprint; the full-precision vectors are touched only for
+    * the ≤10 survivors per query (a point-lookup-sized read), and every
+    * stage is a broadcast join or a partitioned window keyed by query. */
+  def queryQuantized(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cents = centroids(emb)
+    // index at rest: inverted lists with int8 codes + their norm
+    val indexed = assignTo(cents)(emb)
+      .withColumn(
+        "qf",
+        call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
+      )
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
+
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .withColumn(
+        "query_qf",
+        call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
+      )
+      .withColumn(
+        "query_qn",
+        sqrt(call_function("graft_dot", col("query_qf"), col("query_qf")))
+      )
+      .select(
+        col("vec_id").as("qid"),
+        col("embedding").as("qe"),
+        col("query_qf"),
+        col("query_qn")
+      )
+
+    val wq = Window.partitionBy("qid").orderBy(col("dist2").asc, col("cid").asc)
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", call_function("graft_dist2", col("qe"), col("centroid")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qe"), col("query_qf"), col("query_qn"), col("cid"))
+
+    val wc = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    probes
+      .join(indexed, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      // coarse pass touches ONLY the quantized codes
+      .withColumn(
+        "qcos",
+        call_function("graft_dot", col("query_qf"), col("qf")) /
+          (col("query_qn") * col("qn"))
+      )
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 10)
+      // exact re-rank touches only the 10 survivors per query
       .withColumn(
         "cos",
         call_function("graft_dot", col("qe"), col("embedding")) /

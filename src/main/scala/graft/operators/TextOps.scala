@@ -17,6 +17,33 @@ object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Document-frequency cap for t6's stop-fingerprint removal. */
+  val stopFpDfCap = 32
+
+  /** Stop-fingerprint removal with an OBSERVABLE drop count. Input: a
+    * (doc_id, fp) posting list; output: (keptFps, droppedStats) where
+    * keptFps is the fps with document frequency <= dfCap and droppedStats
+    * is exactly one row (dropped_fps, dropped_postings) — zeros when
+    * nothing was removed. The cap keeps the pair join linear (hot
+    * window-minimum fingerprints appear in many documents and would square
+    * the candidate space); surfacing the drop count is what keeps the cap
+    * honest on a corpus distribution the recall gates never saw.
+    * Boundary behavior (df == dfCap kept, df == dfCap+1 dropped) is
+    * property-tested in ShingleGeneratorSpec. */
+  def stopFingerprints(fp: DataFrame, dfCap: Int): (DataFrame, DataFrame) = {
+    val dfCounts = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    val kept = dfCounts.filter(col("df") <= dfCap).select("fp")
+    val droppedStats = dfCounts
+      .filter(col("df") > dfCap)
+      .agg(
+        count(lit(1)).as("dropped_fps"),
+        coalesce(sum("df"), lit(0L)).as("dropped_postings")
+      )
+    (kept, droppedStats)
+  }
+
   /** Tokens of a document (whitespace split, no empties). */
   private def toks: Column = F.wsTokens(col("text"))
 
@@ -212,16 +239,14 @@ object TextOps {
       // four consumers (sizes, df-filter, both join sides)
       .cache()
     val sizes = fp.filter(col("rn") === 1).select(col("doc_id"), col("nfp"))
-    // Window-minima bias toward globally small hash values, so a few hot
-    // fingerprints appear in many documents and would explode the pair
-    // join quadratically. Stop-fingerprint removal (document frequency cap)
-    // is the standard index fix: near-dup pairs share many RARE
-    // fingerprints, so recall survives while candidates stay linear.
-    val rare = fp
-      .groupBy("fp")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 32)
-      .select("fp")
+    val (rare, dropped) = stopFingerprints(fp.select("doc_id", "fp"), stopFpDfCap)
+    // No silent caps: surface what the df-cap removed. One tiny aggregate
+    // over the cached build side — at any scale this is a single-row job.
+    val d0 = dropped.first()
+    log.warn(
+      s"t6 stop-fingerprint cap df<=$stopFpDfCap dropped " +
+        s"${d0.getLong(0)} hot fingerprints (${d0.getLong(1)} postings)"
+    )
     val fpRare = fp.select("doc_id", "fp").join(rare, "fp")
     fpRare.as("a")
       .join(fpRare.as("b"), "fp")

@@ -13,9 +13,10 @@ import graft.sources.Tables
   * candidates once — the right baseline plan at any candidate scale. The LSH
   * variants (random-hyperplane for vectors, MinHash banding for shingles,
   * SimHash banding for tokens) bound candidate generation by bucket joins so
-  * the pair space never goes quadratic; they use Spark's xxhash64 and are
+  * the pair space never goes quadratic. v4/v5 use Spark's xxhash64 and are
   * therefore declared WITHOUT a DuckDB oracle (engine-specific hash) — their
   * recall against the exact operators is asserted in ScalaTest instead.
+  * v3 is hash-free (deterministic ±1 planes) and fully oracle-checked.
   */
 object VectorOps {
 
@@ -72,26 +73,32 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic ±1 hyperplane table shared by the v3 implementation and
+    * its DuckDB oracle (splitmix64-style bit mix on (plane, dim)). ±1 is
+    * exact in every float width, so the plane side contributes no rounding
+    * on either engine. */
+  private def planeSign(j: Int, k: Int): Float = {
+    var z = (j.toLong << 32 | k.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0f else -1.0f
+  }
+
   /** Random-hyperplane LSH ANN (scale path): 64 sign-hash bits from
     * deterministic ±1 hyperplanes (splitmix-seeded), banded bucket join on
     * the signature, exact cosine re-rank inside candidate buckets.
-    * No oracle (engine-specific hash); recall vs v1 asserted in tests. */
+    * Hash-free since round 2 => fully oracle-checked (plane table baked
+    * into the DuckDB SQL as literals). */
   private def v3AnnLsh(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val nBits = 64
     val dims = 64
-    // Deterministic ±1 hyperplanes materialized as LITERAL float arrays
-    // (plain Scala splitmix-style PRNG). Each bit is one native codegen
-    // graft_dot against a constant — the zip_with+aggregate HOF form this
-    // replaces was CodegenFallback and 5x+ slower (round-1 bench: 13.1 s).
-    def planeSign(j: Int, k: Int): Float = {
-      var z = (j.toLong << 32 | k.toLong) + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      if ((z & 1L) == 0L) 1.0f else -1.0f
-    }
+    // Deterministic ±1 hyperplanes materialized as LITERAL float arrays.
+    // Each bit is one native codegen graft_dot against a constant — the
+    // zip_with+aggregate HOF form this replaces was CodegenFallback and
+    // 5x+ slower (round-1 bench: 13.1 s).
     def bit(j: Int) = {
       val plane = typedlit((0 until dims).map(k => planeSign(j, k)))
       when(call_function("graft_dot", col("embedding"), plane) >= 0, lit(1L))
@@ -380,12 +387,21 @@ object VectorOps {
     "v6_ann_ivf" -> ((s: SparkSession, d: String) => IvfAnn.query(s, d)),
     "v7_label_centroids" -> (v7LabelCentroids _),
     "v8_embed_quantize" -> (v8EmbedQuantize _),
-    "v9_ann_quantized" -> (v9AnnQuantized _)
+    "v9_ann_quantized" -> (v9AnnQuantized _),
+    "v10_ann_ivf_quantized" -> ((s: SparkSession, d: String) => IvfAnn.queryQuantized(s, d))
   )
 
-  /** v3/v4/v5 intentionally omitted: engine-specific hashing (xxhash64) has
+  /** v4/v5 intentionally omitted: engine-specific hashing (xxhash64) has
     * no DuckDB equivalent — the driver records a rows-only check; their
     * fidelity is asserted against the exact operators in ScalaTest.
+    *
+    * v3 WAS in that set while its signature used xxhash64; since the
+    * round-2 rewrite it is hash-free (sign bits of graft_dot against
+    * deterministic ±1 planes), so it gets the same full oracle treatment
+    * as v6/v9: the 64×64 plane table is emitted into the SQL as literals,
+    * each band's 4-bit hash is rebuilt from the sign bits (per-band, so
+    * DuckDB's overflow-checked BIGINT never sees bit 63), and the re-rank
+    * cosine mirrors graft_dot's double accumulation exactly.
     *
     * v6 IS oracle-checked: the IVF build is hash-free and deterministic
     * (id-ordered seeds, 2 unrolled Lloyd iterations, float-rounded
@@ -433,16 +449,135 @@ object VectorOps {
        |    WHERE e.vec_id < 10
        |  ) WHERE rn <= 4
        |), ranked AS (
+       |  -- double cosine in graft_dot's exact op order (not the
+       |  -- float-typed list_cosine_similarity) so near-tie ranks cannot
+       |  -- flip between engines
        |  SELECT qid, vec_id,
        |    row_number() OVER (PARTITION BY qid
-       |      ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id ASC) AS rnk
+       |      ORDER BY ${duckDot("qe", "embedding")}
+       |            / (sqrt(${duckDot("qe", "qe")})
+       |             * sqrt(${duckDot("embedding", "embedding")})) DESC,
+       |        vec_id ASC) AS rnk
        |  FROM probes JOIN indexed USING (cid)
        |  WHERE vec_id <> qid
        |)
        |SELECT qid AS query_id, rnk, vec_id AS neighbor_id
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** 64-row VALUES literal of the ±1 plane table, built from the same
+    * [[planeSign]] the implementation uses — the oracle is still a static
+    * SQL string once rendered (dumped to oracle_sql.json by Verify). */
+  private val v3PlaneValues: String = (0 until 64).map { j =>
+    val row = (0 until 64)
+      .map(k => if (planeSign(j, k) > 0) "1" else "-1")
+      .mkString("[", ",", "]")
+    s"($j, CAST($row AS DOUBLE[]))"
+  }.mkString(",\n")
+
+  /** Exact double dot product in index order — bit-identical to graft_dot
+    * (float operands promoted to double, accumulated left-to-right). */
+  private def duckDot(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+  private val v3Oracle: String =
+    s"""WITH planes(j, plane) AS (VALUES
+       |$v3PlaneValues
+       |), bits AS (
+       |  SELECT e.vec_id, p.j,
+       |    CASE WHEN list_sum(list_transform(range(1, 65),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+       |      THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN planes p
+       |), bands AS (
+       |  -- band b holds sig bits [4b, 4b+4): identical to the Spark side's
+       |  -- (sig >> 4b) & 15 because the bits are disjoint powers of two
+       |  SELECT vec_id, j // 4 AS band,
+       |    CAST(sum(bit * (1 << (j % 4))) AS BIGINT) AS bh
+       |  FROM bits GROUP BY vec_id, band
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+       |  FROM bands q JOIN bands c USING (band, bh)
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY ${duckDot("q.embedding", "c.embedding")}
+       |            / (sqrt(${duckDot("q.embedding", "q.embedding")})
+       |             * sqrt(${duckDot("c.embedding", "c.embedding")})) DESC,
+       |        cand.vec_id ASC) AS rnk
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = cand.query_id
+       |  JOIN embeddings c ON c.vec_id = cand.vec_id
+       |)
+       |SELECT query_id, rnk, vec_id AS neighbor_id
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Squared L2 in the oracle, mirroring graft_dist2's op order. */
+  private def duckDist2(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+
+  /** v10 oracle = the v6 construction (unrolled Lloyd → indexed) composed
+    * with the v9 construction (int8 quantize → coarse rank → exact
+    * re-rank), restricted to the probed lists. */
+  private val v10Oracle: String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+       |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+       |${ivfAssign("cents2", "indexed")},
+       |quant AS (
+       |  SELECT vec_id, cid, embedding,
+       |    list_transform(embedding, x ->
+       |      CASE WHEN mx = 0 THEN 0.0
+       |           ELSE round(CAST(x AS DOUBLE) / (mx / 127.0)) END) AS qf
+       |  FROM (SELECT *,
+       |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |            AS mx
+       |        FROM indexed)
+       |), qnorm AS (
+       |  SELECT vec_id, cid, embedding, qf,
+       |    sqrt(list_sum(list_transform(range(1, 65), i -> qf[i] * qf[i]))) AS qn
+       |  FROM quant
+       |), probes AS (
+       |  SELECT qid, qe, query_qf, query_qn, cid FROM (
+       |    SELECT n.vec_id AS qid, n.embedding AS qe, n.qf AS query_qf,
+       |      n.qn AS query_qn, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${duckDist2("n.embedding", "c.centroid")} ASC,
+       |          c.cid ASC) AS rn
+       |    FROM qnorm n CROSS JOIN cents2 c
+       |    WHERE n.vec_id < 10
+       |  ) WHERE rn <= 4
+       |), coarse AS (
+       |  SELECT p.qid, n.vec_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> p.query_qf[i] * n.qf[i])) / (p.query_qn * n.qn) AS qcos,
+       |    ${duckDot("p.qe", "n.embedding")}
+       |      / (sqrt(${duckDot("p.qe", "p.qe")})
+       |       * sqrt(${duckDot("n.embedding", "n.embedding")})) AS cos
+       |  FROM probes p JOIN qnorm n USING (cid)
+       |  WHERE n.vec_id <> p.qid
+       |), c10 AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY qcos DESC, vec_id ASC) AS crn
+       |  FROM coarse
+       |), ranked AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM c10 WHERE crn <= 10
+       |)
+       |SELECT qid AS query_id, rnk, vec_id AS neighbor_id
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v3_ann_lsh" -> v3Oracle,
+    "v10_ann_ivf_quantized" -> v10Oracle,
     "v6_ann_ivf" -> v6Oracle,
     "v9_ann_quantized" ->
       """WITH scaled AS (
@@ -525,12 +660,14 @@ object VectorOps {
          )
          WHERE i <= 8 GROUP BY label, dim ORDER BY label, dim""",
     "v1_ann_bruteforce" ->
-      """WITH q AS (
+      s"""WITH q AS (
            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
            WHERE vec_id < 10
          ), scored AS (
            SELECT query_id, vec_id,
-             list_cosine_similarity(qe, embedding) AS cos
+             ${duckDot("qe", "embedding")}
+               / (sqrt(${duckDot("qe", "qe")})
+                * sqrt(${duckDot("embedding", "embedding")})) AS cos
            FROM embeddings, q WHERE vec_id <> query_id
          ), ranked AS (
            SELECT query_id, vec_id,

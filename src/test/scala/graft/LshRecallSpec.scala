@@ -35,7 +35,7 @@ class LshRecallSpec extends AnyFunSuite {
   // 64-bit 16x4 banding and k=16 nProbe=4 IVF config)
   for {
     sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
-    approx <- Seq("v3_ann_lsh", "v6_ann_ivf", "v9_ann_quantized")
+    approx <- Seq("v3_ann_lsh", "v6_ann_ivf", "v9_ann_quantized", "v10_ann_ivf_quantized")
   } test(s"$approx recall vs brute force >= 80% at k=5 ($sfDir)") {
     val exact = VectorOps
       .queries("v1_ann_bruteforce")(spark, sfDir)

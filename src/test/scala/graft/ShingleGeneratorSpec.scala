@@ -111,6 +111,54 @@ class ShingleGeneratorSpec extends AnyFunSuite {
     assert(gen == ref, s"only-gen=${(gen -- ref).take(3)} only-ref=${(ref -- gen).take(3)}")
   }
 
+  test("stop-fingerprint cap: df==cap kept, df==cap+1 dropped, drop count exact") {
+    import spark.implicits._
+    val cap = TextOps.stopFpDfCap
+    // fp 100 in exactly `cap` docs (boundary-kept), fp 200 in cap+1
+    // (boundary-dropped), fp 300 in 1 (kept)
+    val postings =
+      (0 until cap).map(i => (i.toLong, 100L)) ++
+        (0 until cap + 1).map(i => (i.toLong, 200L)) ++
+        Seq((0L, 300L))
+    val fp = postings.toDF("doc_id", "fp")
+    val (kept, dropped) = TextOps.stopFingerprints(fp, cap)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(100L, 300L))
+    val d = dropped.collect()
+    assert(d.length == 1)
+    assert(d.head.getLong(0) == 1L) // one hot fingerprint dropped
+    assert(d.head.getLong(1) == (cap + 1).toLong) // its postings counted
+  }
+
+  test("stop-fingerprint property: kept set == {fp : df <= cap}, counts reconcile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { trial =>
+      val cap = 1 + rnd.nextInt(6)
+      // random posting list: fps with document frequencies straddling cap
+      val postings = (0 until 40).flatMap { fpId =>
+        val df = 1 + rnd.nextInt(2 * cap + 2)
+        (0 until df).map(doc => (doc.toLong, fpId.toLong))
+      }
+      val expectedKept = postings.groupBy(_._2).filter(_._2.size <= cap).keySet
+      val expectedDroppedPostings =
+        postings.groupBy(_._2).filter(_._2.size > cap).values.map(_.size.toLong).sum
+      val (kept, dropped) = TextOps.stopFingerprints(postings.toDF("doc_id", "fp"), cap)
+      assert(kept.collect().map(_.getLong(0)).toSet == expectedKept, s"trial=$trial cap=$cap")
+      val d = dropped.collect().head
+      assert(d.getLong(0) == (40 - expectedKept.size).toLong, s"trial=$trial")
+      assert(d.getLong(1) == expectedDroppedPostings, s"trial=$trial")
+    }
+  }
+
+  test("stop-fingerprint drop stats are zero-row-safe when nothing is hot") {
+    import spark.implicits._
+    val fp = Seq((1L, 10L), (2L, 10L), (3L, 11L)).toDF("doc_id", "fp")
+    val (kept, dropped) = TextOps.stopFingerprints(fp, 32)
+    assert(kept.count() == 2)
+    val d = dropped.collect().head
+    assert(d.getLong(0) == 0L && d.getLong(1) == 0L)
+  }
+
   test("the t4 build side plan has no shuffle before the candidate join") {
     val plan = TextOps
       .shingleRows(Tables.documents(spark, "/root/testdata/sf0.001"))
