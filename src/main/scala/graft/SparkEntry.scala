@@ -32,7 +32,8 @@ object SparkEntry {
       EventOps.queries ++
       TextOps.queries ++
       VectorOps.queries ++
-      MultimodalOps.queries
+      MultimodalOps.queries ++
+      UserActivityFull.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops (the
@@ -45,5 +46,6 @@ object SparkEntry {
       EventOps.oracles ++
       TextOps.oracles ++
       VectorOps.oracles ++
-      MultimodalOps.oracles
+      MultimodalOps.oracles ++
+      UserActivityFull.oracles
 }
