@@ -45,11 +45,21 @@ object Main {
   private val flagOpts = Set("dry_run", "dryrun")
 
   private[graft] def parseArgs(args: Seq[String]): Map[String, String] = {
-    val (flags, pairs) = args.partition(a => a.startsWith("--") && flagOpts(a.drop(2)))
-    pairs
-      .grouped(2)
-      .collect { case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v }
-      .toMap ++ flags.map(_ => "dry_run" -> "true")
+    // positional walk (not partition + grouped pairing): a flag is consumed
+    // in place, so an option VALUE that happens to spell '--dry_run' still
+    // pairs with its key, and a stray token after a flag can't shift every
+    // later key/value by one
+    @annotation.tailrec
+    def go(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case flag :: tail if flag.startsWith("--") && flagOpts(flag.drop(2)) =>
+          go(tail, acc + ("dry_run" -> "true"))
+        case key :: value :: tail if key.startsWith("--") =>
+          go(tail, acc + (key.drop(2) -> value))
+        case _ :: tail => go(tail, acc) // stray token (click would abort)
+      }
+    go(args.toList, Map.empty)
   }
 
   private def isDryRun(opts: Map[String, String]): Boolean =
@@ -129,20 +139,17 @@ object Main {
   /** Aggregate build + export (user_activity.py): pipeline, country
     * validation, fxhealth.json + webusage.json. */
   def userActivity(spark: SparkSession, opts: Map[String, String]): Unit = {
-    // --countries (comma-separated) overrides BOTH the aggregation list
-    // (the SQL's 11-country literal, user_activity.sql:30-45) and the
-    // export/validation allowlist. Without it the aggregation uses the
-    // reference SQL's list and the export validates against the FULL
-    // packaged 160-country allowlist (__init__.py:1-162) — exactly the
-    // reference's split, where the export query filters `country_name IN
-    // UNNEST(@country_list)` and then requires set equality.
+    // --countries (comma-separated) overrides BOTH the aggregation list and
+    // the export/validation allowlist. Without it, BOTH default to the full
+    // packaged 160-country allowlist (__init__.py:1-162): the reference's
+    // export reads a production aggregate that was built over every
+    // allowlisted country, then requires the exported key set to EQUAL the
+    // allowlist — so a single-invocation CLI must aggregate the same list
+    // it validates, or the default path can never satisfy set equality.
     val override_ = opts.get("countries").map(_.split(",").map(_.trim).toSeq)
-    val cfg = override_ match {
-      case Some(list) => UserActivity.Config(countries = list)
-      case None => UserActivity.Config()
-    }
     val exportCountries =
       override_.getOrElse(CountryList.userActivityCountryList)
+    val cfg = UserActivity.Config(countries = exportCountries)
     val result = UserActivity.build(
       spark.read.parquet(opts("clients")),
       spark.read.parquet(opts("country_names")),

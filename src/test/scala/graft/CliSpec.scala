@@ -182,6 +182,14 @@ class CliSpec extends AnyFunSuite {
     assert(b == Map("output" -> "/y", "dry_run" -> "true"))
     val c = graft.cli.Main.parseArgs(Seq("--output", "/y"))
     assert(!c.contains("dry_run"))
+    // positional parsing: a VALUE that spells '--dry_run' stays a value,
+    // and a stray token after a flag can't shift later key/value pairing
+    val d = graft.cli.Main.parseArgs(
+      Seq("--note", "--dry_run", "--output", "/y"))
+    assert(d == Map("note" -> "--dry_run", "output" -> "/y"))
+    val e = graft.cli.Main.parseArgs(
+      Seq("--dry_run", "true", "--output", "/y"))
+    assert(e == Map("dry_run" -> "true", "output" -> "/y"))
   }
 
   test("JsonWriter matches python json.dumps conventions") {

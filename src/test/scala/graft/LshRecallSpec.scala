@@ -11,24 +11,28 @@ class LshRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("MinHash+LSH dedup finds the same pairs as exact n-gram Jaccard") {
-    val exact = TextOps
-      .queries("t4_dedup_ngram_jaccard")(spark, sf)
-      .select("doc_a", "doc_b")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    val lsh = VectorOps
-      .queries("v4_minhash_lsh")(spark, sf)
-      .select("doc_a", "doc_b")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    // LSH verifies candidates with the exact Jaccard, so lsh ⊆ exact always;
-    // at jaccard>0.8 with 32 perms / 8 bands recall should be total here.
-    assert(lsh.subsetOf(exact))
-    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
-  }
+  // both driver scale factors: sf0.01 is where the driver's DuckDB compare
+  // runs, and total recall there is what makes v4's semi-oracle (exact pair
+  // set as expected output) a sound hash check
+  for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    test(s"MinHash+LSH dedup finds the same pairs as exact n-gram Jaccard ($sfDir)") {
+      val exact = TextOps
+        .queries("t4_dedup_ngram_jaccard")(spark, sfDir)
+        .select("doc_a", "doc_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val lsh = VectorOps
+        .queries("v4_minhash_lsh")(spark, sfDir)
+        .select("doc_a", "doc_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      // LSH verifies candidates with the exact Jaccard, so lsh ⊆ exact
+      // always; at jaccard>0.8 with 32 perms / 8 bands recall is total here.
+      assert(lsh.subsetOf(exact))
+      assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+    }
 
   // both ANN scale paths hold >= 80% recall at two scale factors
   // (measured: v3 0.90/0.98, v6 0.90/0.90 at sf0.001/sf0.01 with the

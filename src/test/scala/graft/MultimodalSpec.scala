@@ -47,6 +47,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getAs[Long]("first_byte_sum") == 97L + 103L)
   }
 
+  test("ASCII-corpus assumption behind the byte/char oracle equivalence holds") {
+    // m1/m2's DuckDB oracles use char-based ascii()/substr() while the
+    // Spark side counts raw BYTES of the binary payload; the two agree only
+    // on a pure-ASCII corpus. Guard the assumption at both driver scale
+    // factors so a future corpus change fails HERE, not as a silent
+    // oracle divergence.
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = spark.read
+        .parquet(s"$sf/documents.parquet")
+        .filter(!col("text").rlike("^[\\x00-\\x7F]*$"))
+        .count()
+      assert(nonAscii == 0L, s"non-ASCII documents in $sf")
+    }
+  }
+
   test("metadata-only aggregation never touches payload bytes (column pruning)") {
     val plan = Multimodal
       .metaQuery(spark, "/root/testdata/sf0.001")
