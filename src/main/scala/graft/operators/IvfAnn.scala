@@ -109,7 +109,10 @@ object IvfAnn {
     val wr = Window
       .partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    probes
+    // the probe set is queries x nProbe — broadcast it so the INDEX side
+    // never shuffles (at scale the inverted lists are the 100 TB side and
+    // a sort-merge join on cid would reshuffle all of them)
+    broadcast(probes)
       .join(indexed, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn(
@@ -176,7 +179,10 @@ object IvfAnn {
 
     val wc = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
     val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
-    probes
+    // the probe set is queries x nProbe — broadcast it so the INDEX side
+    // never shuffles (at scale the inverted lists are the 100 TB side and
+    // a sort-merge join on cid would reshuffle all of them)
+    broadcast(probes)
       .join(indexed, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       // coarse pass touches ONLY the quantized codes
