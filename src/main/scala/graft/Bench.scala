@@ -34,9 +34,13 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
-    }
+    // optional comma-separated filter for local single-query iteration
+    // (the driver never sets it — full catalog by default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
+      .map { case (name, fn) => name -> math.min(once(fn), once(fn)) }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
