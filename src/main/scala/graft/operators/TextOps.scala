@@ -393,7 +393,100 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII redaction — the scrub pass a training corpus runs before release:
+    * emails, IPv4 addresses and long digit runs are replaced with typed
+    * placeholder tokens, and the per-type match counts are emitted so
+    * redaction coverage is observable per document. The synthetic corpus
+    * contains no PII, so deterministic PII-shaped strings are INJECTED
+    * first (a pure column function of doc_id) and then redacted — the
+    * operator's effect is real and the oracle reproduces inject + redact
+    * exactly. Regexes stay in the POSIX-class subset that Java regex and
+    * DuckDB's RE2 interpret identically. Per-row codegen, no shuffle.
+    */
+  private def t11PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val ipRe = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+    val digitsRe = "[0-9]{6,}"
+    val injected = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com from "),
+      (col("doc_id") % 256).cast("string"), lit(".0.10."),
+      ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" acct 10000"), (col("doc_id") % 1000).cast("string")
+    )
+    Tables.documents(s, d)
+      .withColumn("with_pii", injected)
+      .withColumn("n_emails", regexp_count(col("with_pii"), lit(emailRe)).cast("long"))
+      .withColumn("no_email", regexp_replace(col("with_pii"), emailRe, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("no_email"), lit(ipRe)).cast("long"))
+      .withColumn("no_ip", regexp_replace(col("no_email"), ipRe, "<IP>"))
+      .withColumn("n_nums", regexp_count(col("no_ip"), lit(digitsRe)).cast("long"))
+      .withColumn("redacted", regexp_replace(col("no_ip"), digitsRe, "<NUM>"))
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_ips"),
+        col("n_nums"),
+        md5(col("redacted")).as("redacted_fingerprint")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Repetition filtering (the Gopher-style quality signal): fraction of
+    * all 2-gram occurrences taken by the single most frequent 2-gram.
+    * Highly repetitive machine-generated text scores near 1; natural text
+    * stays low. One groupBy per (doc, gram) + a per-doc max — two
+    * shuffles, both keyed fine at scale (gram cardinality ~ token count).
+    */
+  private def t12Repetition(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(F.wordShingles(F.wsTokens(col("text")), 2)).as("gram"))
+    grams
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        max("n").as("top_bigram_count")
+      )
+      .withColumn("rep_ratio", col("top_bigram_count") / col("n_bigrams"))
+      .withColumn("keep", col("rep_ratio") < 0.2)
+      .select("doc_id", "n_bigrams", "top_bigram_count", "rep_ratio", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Context-window chunking — split each document's token stream into
+    * fixed-size training windows with overlap (size 64, stride 48): the
+    * shaping pass between a cleaned corpus and a tokenizer. Chunks start
+    * at i*stride while that is inside the document; each takes up to 64
+    * tokens. explode(sequence) + slice: per-row generation, no shuffle,
+    * no driver involvement — the number of output rows is data-driven.
+    */
+  private def t13ChunkWindows(s: SparkSession, d: String): DataFrame = {
+    val size_ = 64
+    val stride = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
+      .withColumn("n_tokens", size(col("w")))
+      .filter(col("n_tokens") > 0)
+      .withColumn(
+        "chunk_idx",
+        explode(sequence(lit(0), expr(s"(n_tokens - 1) DIV $stride").cast("int")))
+      )
+      .withColumn("chunk", slice(col("w"), col("chunk_idx") * stride + 1, lit(size_)))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fingerprint")
+      )
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t11_pii_redact" -> (t11PiiRedact _),
+    "t12_repetition" -> (t12Repetition _),
+    "t13_chunk_windows" -> (t13ChunkWindows _),
     "t1_token_stats" -> (t1TokenStats _),
     "t2_lang_id" -> (t2LangId _),
     "t3_dedup_exact" -> (t3DedupExact _),
@@ -407,6 +500,74 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t11_pii_redact" ->
+      """WITH injected AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com from ' || CAST(doc_id % 256 AS VARCHAR)
+               || '.0.10.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+               || ' acct 10000' || CAST(doc_id % 1000 AS VARCHAR) AS with_pii
+           FROM documents
+         ), stages AS (
+           SELECT doc_id, with_pii,
+             regexp_replace(with_pii,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS no_email
+           FROM injected
+         ), stages2 AS (
+           SELECT *, regexp_replace(no_email,
+               '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g') AS no_ip
+           FROM stages
+         )
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(with_pii,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(no_email,
+             '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(no_ip, '[0-9]{6,}')) AS BIGINT)
+             AS n_nums,
+           md5(regexp_replace(no_ip, '[0-9]{6,}', '<NUM>', 'g'))
+             AS redacted_fingerprint
+         FROM stages2 ORDER BY doc_id""",
+    "t12_repetition" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS gram
+           FROM words WHERE len(w) >= 2
+         ), counts AS (
+           SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2
+         )
+         SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(max(n) AS BIGINT) AS top_bigram_count,
+           CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS rep_ratio,
+           CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) < 0.2 AS keep
+         FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "t13_chunk_windows" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), chunks AS (
+           SELECT doc_id, w, len(w) AS n, unnest(range(0, (len(w) - 1) // 48 + 1))
+             AS chunk_idx
+           FROM words WHERE len(w) > 0
+         )
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(w[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)])
+             AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(
+             w[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' '))
+             AS chunk_fingerprint
+         FROM chunks ORDER BY doc_id, chunk_idx""",
     "t7_corpus_dedup_pipeline" ->
       """WITH words AS (
            SELECT doc_id,

