@@ -27,25 +27,39 @@ object IvfAnn {
   val nProbe = 4
   val lloydIters = 2
 
-  /** Nearest-centroid id for an embedding against a broadcast centroid
-    * table; ties break on centroid id (deterministic). */
-  private def assignTo(centroids: DataFrame)(df: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("cid").asc)
-    df.crossJoin(broadcast(centroids))
-      // squared L2 as Σ(v_i − c_i)² in index order — the same algebraic
-      // form the DuckDB oracle computes, so near-equidistant assignments
-      // tie-break identically on both engines (the expanded v·v − 2v·c +
-      // c·c form is equal in exact arithmetic but not in IEEE rounding)
-      .withColumn(
-        "dist2",
-        call_function("graft_dist2", col("embedding"), col("centroid"))
+  /** Collected centroid table — k × dims floats, tiny by construction
+    * (this is the ONE driver-side transfer the IVF design allows). */
+  private def collectCents(centroids: DataFrame): Array[(Int, Seq[Float])] =
+    centroids
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .sortBy(_._1)
+
+  /** (dist2, cid) struct per centroid as pure column expressions over the
+    * collected table. Struct ordering compares fields in declaration
+    * order, so array_min/array_sort over these IS the deterministic
+    * "dist2 asc, cid asc" tie-break — identical to the previous windowed
+    * row_number form and to the DuckDB oracle. */
+  private def distStructs(cents: Array[(Int, Seq[Float])], v: org.apache.spark.sql.Column) =
+    cents.map { case (cid, vec) =>
+      struct(
+        call_function("graft_dist2", v, typedlit(vec)).as("d"),
+        lit(cid).as("cid")
       )
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "dist2")
-  }
+    }
+
+  /** Nearest-centroid id as a single per-row expression — squared L2 as
+    * Σ(v_i − c_i)² in index order (same algebraic form as the DuckDB
+    * oracle, so near-equidistant assignments tie-break identically on
+    * both engines). No crossJoin, no window, NO SHUFFLE: the k-way argmin
+    * runs inside whole-stage codegen while the scan streams. This is the
+    * 100 TB assignment plan — the previous crossJoin + per-vector
+    * row_number window shuffled every (vector × centroid) row. */
+  private def assignTo(cents: Array[(Int, Seq[Float])])(df: DataFrame): DataFrame =
+    df.withColumn(
+      "cid",
+      array_min(array(distStructs(cents, col("embedding")): _*)).getField("cid")
+    )
 
   /** Deterministic k-means-lite: seed with the k lowest vec_ids, run a few
     * Lloyd iterations (assign + per-cluster mean), all as DataFrame ops. */
@@ -64,7 +78,7 @@ object IvfAnn {
         col("embedding").cast("array<float>").as("centroid")
       )
     (0 until lloydIters).foreach { _ =>
-      val assigned = assignTo(cents)(emb)
+      val assigned = assignTo(collectCents(cents))(emb)
       cents = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
@@ -88,22 +102,23 @@ object IvfAnn {
   def query(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val cents = centroids(emb)
-    val indexed = assignTo(cents)(emb) // (vec_id, embedding, cid)
+    val centArr = collectCents(centroids(emb))
+    val indexed = assignTo(centArr)(emb) // (vec_id, embedding, cid)
 
     val queries = emb.filter(col("vec_id") < 10)
-    // nProbe nearest centroids per query
-    val wq = Window.partitionBy("qid").orderBy(col("dist2").asc, col("cid").asc)
+    // nProbe nearest centroids per query: array_sort over (dist2, cid)
+    // structs + slice — the same per-row expression trick as assignment,
+    // replacing a crossJoin + per-query window (one less shuffle)
     val probes = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn(
-        "dist2",
-        call_function("graft_dist2", col("qe"), col("centroid"))
+      .select(
+        col("qid"),
+        col("qe"),
+        explode(
+          slice(array_sort(array(distStructs(centArr, col("qe")): _*)), 1, nProbe)
+        ).as("p")
       )
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("cid"))
+      .select(col("qid"), col("qe"), col("p.cid").as("cid"))
 
     // score only vectors in probed lists
     val wr = Window
@@ -143,9 +158,9 @@ object IvfAnn {
   def queryQuantized(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val cents = centroids(emb)
+    val centArr = collectCents(centroids(emb))
     // index at rest: inverted lists with int8 codes + their norm
-    val indexed = assignTo(cents)(emb)
+    val indexed = assignTo(centArr)(emb)
       .withColumn(
         "qf",
         call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
@@ -169,13 +184,17 @@ object IvfAnn {
         col("query_qn")
       )
 
-    val wq = Window.partitionBy("qid").orderBy(col("dist2").asc, col("cid").asc)
     val probes = queries
-      .crossJoin(broadcast(cents))
-      .withColumn("dist2", call_function("graft_dist2", col("qe"), col("centroid")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qe"), col("query_qf"), col("query_qn"), col("cid"))
+      .select(
+        col("qid"),
+        col("qe"),
+        col("query_qf"),
+        col("query_qn"),
+        explode(
+          slice(array_sort(array(distStructs(centArr, col("qe")): _*)), 1, nProbe)
+        ).as("p")
+      )
+      .select(col("qid"), col("qe"), col("query_qf"), col("query_qn"), col("p.cid").as("cid"))
 
     val wc = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
     val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)

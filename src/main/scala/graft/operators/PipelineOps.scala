@@ -59,10 +59,14 @@ object PipelineOps {
         (sum("total_cents") / count(lit(1))).as("avg_order_cents")
       )
     val excluded = Seq("1995-12-25", "1996-12-30")
+    // post-agg joins: the (week, nation) keyspace is bounded by
+    // construction (weeks × 25 nations) at ANY fact scale, so the metric
+    // CTE outputs broadcast — explicitly, not by stats luck (unhinted,
+    // Catalyst sees unknown-size aggregates and plans 3 sort-merge joins)
     mau
-      .join(volume, Seq("week_start", "n_name"))
-      .join(finished, Seq("week_start", "n_name"))
-      .join(avgValue, Seq("week_start", "n_name"))
+      .join(broadcast(volume), Seq("week_start", "n_name"))
+      .join(broadcast(finished), Seq("week_start", "n_name"))
+      .join(broadcast(avgValue), Seq("week_start", "n_name"))
       .filter(!col("week_start").cast("string").isin(excluded: _*))
       .orderBy("week_start", "n_name")
   }

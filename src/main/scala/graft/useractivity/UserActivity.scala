@@ -219,7 +219,8 @@ object UserActivity {
       .groupBy("week_start", "country_name", "addon_id", "addon_name")
       .agg(countDistinct(when(countableAddon, col("client_id"))).as("user_count"))
     val ratios = counts
-      .join(mauWau, Seq("week_start", "country_name"))
+      // mau_wau is one row per (week, country) — broadcast to the counts
+      .join(broadcast(mauWau), Seq("week_start", "country_name"))
       .select(
         col("week_start"), col("country_name"), col("addon_name"),
         (col("user_count") / col("wau")).as("ratio")
@@ -245,7 +246,7 @@ object UserActivity {
       .groupBy("week_start", "country_name", "locale")
       .agg(countDistinct(col("client_id")).as("user_count"))
     val ratios = counts
-      .join(mauWau, Seq("week_start", "country_name"))
+      .join(broadcast(mauWau), Seq("week_start", "country_name"))
       .select(
         col("week_start"), col("country_name"), col("locale"),
         (col("user_count") / col("wau")).as("ratio")
@@ -271,13 +272,19 @@ object UserActivity {
     val smp = sample(clientsLastSeen, countryNames, cfg)
     val addons = sampleAddons(smp)
     val mw = mauWau(smp)
-    mw.join(dailyUsage(smp), Seq("week_start", "country_name"))
-      .join(intensity(smp), Seq("week_start", "country_name"))
-      .join(newProfileRate(smp), Seq("week_start", "country_name"))
-      .join(latestVersionRatio(smp, buildhub), Seq("week_start", "country_name"))
-      .join(topAddons(addons, mw), Seq("week_start", "country_name"))
-      .join(topLocales(smp, mw), Seq("week_start", "country_name"))
-      .join(hasAddon(addons), Seq("week_start", "country_name"))
+    // The 8-way assembly keys on (week, country) — a keyspace bounded by
+    // construction (weeks × the country allowlist) no matter how big the
+    // fact table is, so every metric CTE output is broadcast explicitly
+    // (stats on fresh aggregates are unknown, and hoping for AQE's
+    // runtime conversion leaves 7 sort-merge joins in the static plan).
+    val keys = Seq("week_start", "country_name")
+    mw.join(broadcast(dailyUsage(smp)), keys)
+      .join(broadcast(intensity(smp)), keys)
+      .join(broadcast(newProfileRate(smp)), keys)
+      .join(broadcast(latestVersionRatio(smp, buildhub)), keys)
+      .join(broadcast(topAddons(addons, mw)), keys)
+      .join(broadcast(topLocales(smp, mw)), keys)
+      .join(broadcast(hasAddon(addons)), keys)
       .filter(!col("week_start").cast("string").isin(cfg.excludedWeeks: _*))
       .select(
         col("week_start").as("submission_date"),
