@@ -439,8 +439,15 @@ object TextOps {
     * shuffles, both keyed fine at scale (gram cardinality ~ token count).
     */
   private def t12Repetition(s: SparkSession, d: String): DataFrame = {
+    // the shuffle keys on a 64-bit gram fingerprint, not the gram string
+    // (same convention as t4/v4: longs shuffle ~3x narrower; collision
+    // odds ~n²/2⁶⁵ — counts are per (doc, gram), unchanged)
     val grams = Tables.documents(s, d)
-      .select(col("doc_id"), explode(F.wordShingles(F.wsTokens(col("text")), 2)).as("gram"))
+      .select(
+        col("doc_id"),
+        explode(F.wordShingles(F.wsTokens(col("text")), 2)).as("g")
+      )
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
     grams
       .groupBy("doc_id", "gram")
       .agg(count(lit(1)).as("n"))
