@@ -442,11 +442,13 @@ object TextOps {
     // the shuffle keys on a 64-bit gram fingerprint, not the gram string
     // (same convention as t4/v4: longs shuffle ~3x narrower; collision
     // odds ~n²/2⁶⁵ — counts are per (doc, gram), unchanged)
+    // tokens materialize as a column FIRST: passing F.wsTokens(text)
+    // straight into the shingle lambda would inline the split+filter into
+    // every element_at inside it (no CSE in lambdas — the documented
+    // HOF pitfall), re-tokenizing the document once per gram
     val grams = Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        explode(F.wordShingles(F.wsTokens(col("text")), 2)).as("g")
-      )
+      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(F.wordShingles(col("w"), 2)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gram"))
     grams
       .groupBy("doc_id", "gram")
