@@ -254,6 +254,35 @@ object UserActivity {
     topK(ratios, "locale", 5, "top_locales")
   }
 
+  /** `mau_wau` + `intensity` + `new_profile_rate` in ONE aggregation pass.
+    * The reference writes them as three CTEs (user_activity.sql:72-140),
+    * but they share the scan, the `is_last_day_of_week` filter AND the
+    * (week, country) grain — so [[build]] computes all six measures in a
+    * single groupBy (one scan + one shuffle instead of three of each).
+    * Semantics are identical: the conditional aggregates reproduce each
+    * CTE's row filter, and groups that would be absent from the stricter
+    * CTEs (no days_since_seen<7 rows → NULL intensity here) are dropped
+    * by the same inner joins that would have dropped them before, because
+    * top_locales requires the identical filter to produce the group at
+    * all. The standalone per-CTE methods remain above — they are the
+    * reference-shaped forms the unit specs pin. */
+  def weeklyStats(sample: DataFrame): DataFrame =
+    sample
+      .filter(col("is_last_day_of_week"))
+      .groupBy("week_start", "country_name")
+      .agg(
+        countDistinct(when(col("days_since_seen") < 28, col("client_id"))).as("mau"),
+        countDistinct(when(col("days_since_seen") < 7, col("client_id"))).as("wau"),
+        F.safeDiv(
+          sum(when(col("days_since_seen") < 7, F.bitcountLowest7(col("days_seen_bits")))),
+          count(when(col("days_since_seen") < 7, 1))
+        ).as("intensity"),
+        F.safeDiv(
+          count(when(F.posOfTrailingSetBit(col("days_created_profile_bits")) < 7, 1)),
+          count(when(F.posOfTrailingSetBit(col("days_seen_bits")) < 7, 1))
+        ).as("new_profile_rate")
+      )
+
   /** Final 8-way assembly + armagaddon-week exclusion
     * (user_activity.sql:326-360). */
   def build(
@@ -271,16 +300,15 @@ object UserActivity {
     // columnar; a recompute-hostile source would flip the call.
     val smp = sample(clientsLastSeen, countryNames, cfg)
     val addons = sampleAddons(smp)
-    val mw = mauWau(smp)
-    // The 8-way assembly keys on (week, country) — a keyspace bounded by
+    // one fused pass for the three same-grain weekly CTEs (see weeklyStats)
+    val mw = weeklyStats(smp)
+    // The assembly keys on (week, country) — a keyspace bounded by
     // construction (weeks × the country allowlist) no matter how big the
     // fact table is, so every metric CTE output is broadcast explicitly
     // (stats on fresh aggregates are unknown, and hoping for AQE's
-    // runtime conversion leaves 7 sort-merge joins in the static plan).
+    // runtime conversion leaves sort-merge joins in the static plan).
     val keys = Seq("week_start", "country_name")
     mw.join(broadcast(dailyUsage(smp)), keys)
-      .join(broadcast(intensity(smp)), keys)
-      .join(broadcast(newProfileRate(smp)), keys)
       .join(broadcast(latestVersionRatio(smp, buildhub)), keys)
       .join(broadcast(topAddons(addons, mw)), keys)
       .join(broadcast(topLocales(smp, mw)), keys)
