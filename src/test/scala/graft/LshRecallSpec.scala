@@ -55,38 +55,43 @@ class LshRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
-  test("winnowing fingerprints recover the exact near-dup pairs") {
-    val exact = TextOps
-      .queries("t4_dedup_ngram_jaccard")(spark, sf)
-      .select("doc_a", "doc_b")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    val winnow = TextOps
-      .queries("t6_winnow_fingerprint")(spark, sf)
-      .select("doc_a", "doc_b")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    assert(exact.subsetOf(winnow), s"missed: ${exact -- winnow}")
-  }
+  // the two remaining rows-only queries (t6/v5, xxhash64 by construction)
+  // carry their fidelity gates at BOTH driver scale factors, including the
+  // sf0.01 the driver's DuckDB compare runs at
+  for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"winnowing fingerprints recover the exact near-dup pairs ($sfDir)") {
+      val exact = TextOps
+        .queries("t4_dedup_ngram_jaccard")(spark, sfDir)
+        .select("doc_a", "doc_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val winnow = TextOps
+        .queries("t6_winnow_fingerprint")(spark, sfDir)
+        .select("doc_a", "doc_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(exact.subsetOf(winnow), s"missed: ${exact -- winnow}")
+    }
 
-  test("SimHash near-dup pairs are also exact near-dups") {
-    val exact = TextOps
-      .queries("t4_dedup_ngram_jaccard")(spark, sf)
-      .select("doc_a", "doc_b")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    val sim = VectorOps
-      .queries("v5_simhash")(spark, sf)
-      .select("doc_a", "doc_b")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    // hamming<=3 of 64 bits is a (much) stricter similarity bar; everything
-    // it finds must be a true near-dup pair.
-    assert(sim.subsetOf(exact), s"false positives: ${sim -- exact}")
-    assert(sim.nonEmpty)
+    test(s"SimHash near-dup pairs are also exact near-dups ($sfDir)") {
+      val exact = TextOps
+        .queries("t4_dedup_ngram_jaccard")(spark, sfDir)
+        .select("doc_a", "doc_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val sim = VectorOps
+        .queries("v5_simhash")(spark, sfDir)
+        .select("doc_a", "doc_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      // hamming<=3 of 64 bits is a (much) stricter similarity bar;
+      // everything it finds must be a true near-dup pair.
+      assert(sim.subsetOf(exact), s"false positives: ${sim -- exact}")
+      assert(sim.nonEmpty)
+    }
   }
 }
