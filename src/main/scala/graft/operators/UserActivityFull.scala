@@ -17,7 +17,7 @@ import graft.useractivity.UserActivity
   * Input synthesis (pure column functions of orders × customer × nation —
   * no RNG, no driver-side data):
   *   - clients_last_seen: order rows mapped into the pipeline's date window
-  *     (`1992-01-01 + n` → `2018-12-31 + n%540`), bit fields / hours /
+  *     (`1992-01-01 + n` → `2018-12-31 + n%90`), bit fields / hours /
   *     versions / locales derived by modular arithmetic, 1-2 addon structs
   *     per row (blocklist-matching ids included, NO empty arrays — the
   *     empty/NULL unnest path is pinned by j7 and UserActivitySpec; here it
@@ -59,7 +59,7 @@ object UserActivityFull {
       .select(
         date_add(
           to_date(lit("2018-12-31")),
-          (datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01"))) % 540)
+          (datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01"))) % 90)
             .cast("int")
         ).as("submission_date"),
         (col("o_orderkey") % 35).cast("int").as("days_since_seen"),
@@ -155,7 +155,7 @@ object UserActivityFull {
       s"""WITH synth AS (
          |  SELECT
          |    DATE '2018-12-31' + CAST(date_diff('day', DATE '1992-01-01',
-         |        CAST(o.o_orderdate AS DATE)) % 540 AS INTEGER) AS submission_date,
+         |        CAST(o.o_orderdate AS DATE)) % 90 AS INTEGER) AS submission_date,
          |    CAST(o.o_orderkey % 35 AS INTEGER) AS days_since_seen,
          |    n.n_name AS country,
          |    CAST(o.o_orderkey % 3000 AS DOUBLE) / CAST(100 AS DOUBLE)
