@@ -492,7 +492,53 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Deterministic train/valid/test split — the stable-under-re-runs hash
+    * split every training pipeline needs (a row's split NEVER changes when
+    * the corpus grows, unlike random or modulus-of-position splits).
+    * Bucket = first 16 bits of md5(doc_id) mod 100 → 80/10/10. The hex →
+    * int conversion is written as the same explicit per-character formula
+    * on both engines rather than engine-specific conv()/from_hex. Pure
+    * per-row expressions, no shuffle. */
+  private def t14HashSplit(s: SparkSession, d: String): DataFrame = {
+    val hex4ToBucket =
+      """((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+        | (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+        | (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+        | (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100""".stripMargin
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", expr(hex4ToBucket).cast("long"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test")
+      )
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus profiling rollup — the per-language statistics a data team
+    * reads before fixing mixture weights: document and token counts,
+    * vocabulary size (distinct tokens), type-token ratio, mean document
+    * length. One explode + one shuffle keyed by language. */
+  private def t15CorpusProfile(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), explode(toks).as("tok"))
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("vocab"),
+        (countDistinct(col("tok")) / count(lit(1))).as("type_token_ratio"),
+        (count(lit(1)) / countDistinct(col("doc_id"))).as("mean_doc_tokens")
+      )
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t14_hash_split" -> (t14HashSplit _),
+    "t15_corpus_profile" -> (t15CorpusProfile _),
     "t11_pii_redact" -> (t11PiiRedact _),
     "t12_repetition" -> (t12Repetition _),
     "t13_chunk_windows" -> (t13ChunkWindows _),
@@ -509,6 +555,36 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t14_hash_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+              (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+              (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100
+               AS bucket
+           FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents)
+         )
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    "t15_corpus_profile" ->
+      """WITH toks AS (
+           SELECT lang, doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> length(x) > 0)) AS tok
+           FROM documents
+         )
+         SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS total_tokens,
+           count(DISTINCT tok) AS vocab,
+           CAST(count(DISTINCT tok) AS DOUBLE) / count(*) AS type_token_ratio,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS mean_doc_tokens
+         FROM toks GROUP BY lang ORDER BY lang""",
     "t11_pii_redact" ->
       """WITH injected AS (
            SELECT doc_id,

@@ -88,6 +88,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spam(2L) < 0.2) // natural sentence stays under the keep bar
   }
 
+  test("t14 split is a pure function of doc_id and lands near 80/10/10") {
+    val bySf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { dir =>
+      TextOps
+        .queries("t14_hash_split")(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> r.getString(2))
+        .toMap
+    }
+    // stability: every doc present at both scale factors keeps its split
+    // (the property that makes a hash split safe under corpus growth)
+    val shared = bySf(0).keySet & bySf(1).keySet
+    assert(shared.nonEmpty)
+    assert(shared.forall(id => bySf(0)(id) == bySf(1)(id)))
+    // proportions: 80/10/10 within a tolerance suiting 5k docs
+    val counts = bySf(1).values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = bySf(1).size.toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.05, counts)
+    assert(math.abs(counts("valid") / n - 0.1) < 0.04, counts)
+    assert(math.abs(counts("test") / n - 0.1) < 0.04, counts)
+  }
+
   test("t10 streams the corpus through a broadcast join (no training-side shuffle)") {
     val plan = TextOps
       .queries("t10_decontaminate")(spark, sf)
