@@ -388,7 +388,8 @@ object VectorOps {
     "v7_label_centroids" -> (v7LabelCentroids _),
     "v8_embed_quantize" -> (v8EmbedQuantize _),
     "v9_ann_quantized" -> (v9AnnQuantized _),
-    "v10_ann_ivf_quantized" -> ((s: SparkSession, d: String) => IvfAnn.queryQuantized(s, d))
+    "v10_ann_ivf_quantized" -> ((s: SparkSession, d: String) => IvfAnn.queryQuantized(s, d)),
+    "v11_ann_pq" -> ((s: SparkSession, d: String) => PqAnn.query(s, d))
   )
 
   /** v5 intentionally omitted: engine-specific hashing (xxhash64) has no
@@ -617,7 +618,92 @@ object VectorOps {
        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
        ORDER BY doc_a, doc_b"""
 
+  /** 8-dim squared L2 between list slices, double, index order —
+    * mirrors graft_dist2 over a Spark slice() of the float vector. */
+  private def duckSubDist2(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 9),
+       |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+
+  /** v11 oracle: the PQ build unrolled — per-subspace seed assignment,
+    * one Lloyd mean (REAL-rounded like v6), re-encode, ADC sum rounded to
+    * 6dp (so the 8-term sum's cross-engine addition-order ulp noise cannot
+    * flip a coarse rank; ties fall to vec_id), exact cosine re-rank. */
+  private val v11Oracle: String =
+    s"""WITH subs AS (SELECT unnest(range(0, 8)) AS s),
+       |seedv AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+       |),
+       |seeds AS (
+       |  SELECT s, cid, embedding[s*8+1 : s*8+8] AS c
+       |  FROM seedv CROSS JOIN subs
+       |),
+       |svec AS (
+       |  SELECT vec_id, s, embedding[s*8+1 : s*8+8] AS sub
+       |  FROM embeddings CROSS JOIN subs
+       |),
+       |assign0 AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT v.vec_id, v.s, sd.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${duckSubDist2("v.sub", "sd.c")} ASC, sd.cid ASC) AS rn
+       |    FROM svec v JOIN seeds sd USING (s)
+       |  ) WHERE rn = 1
+       |),
+       |cent_u AS (
+       |  SELECT s, cid, i AS dim, CAST(avg(CAST(x AS DOUBLE)) AS REAL) AS m
+       |  FROM (
+       |    SELECT a.s, a.cid, unnest(v.sub) AS x,
+       |      generate_subscripts(v.sub, 1) AS i
+       |    FROM assign0 a JOIN svec v ON v.vec_id = a.vec_id AND v.s = a.s
+       |  ) GROUP BY s, cid, i
+       |),
+       |cents AS (
+       |  SELECT s, cid, list(m ORDER BY dim) AS c FROM cent_u GROUP BY s, cid
+       |),
+       |codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT v.vec_id, v.s, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${duckSubDist2("v.sub", "c.c")} ASC, c.cid ASC) AS rn
+       |    FROM svec v JOIN cents c USING (s)
+       |  ) WHERE rn = 1
+       |),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id,
+       |    round(sum(${duckSubDist2("q.sub", "ct.c")}), 6) AS adist
+       |  FROM codes v
+       |  JOIN cents ct ON ct.s = v.s AND ct.cid = v.cid
+       |  JOIN (SELECT vec_id, s, sub FROM svec WHERE vec_id < 10) q
+       |    ON q.s = v.s
+       |  WHERE v.vec_id <> q.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |c10 AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, vec_id ASC) AS crn
+       |  FROM adc
+       |),
+       |ranked AS (
+       |  SELECT c10.query_id, c10.vec_id,
+       |    row_number() OVER (PARTITION BY c10.query_id
+       |      ORDER BY ${duckDot("qq.embedding", "ee.embedding")}
+       |            / (sqrt(${duckDot("qq.embedding", "qq.embedding")})
+       |             * sqrt(${duckDot("ee.embedding", "ee.embedding")})) DESC,
+       |        c10.vec_id ASC) AS rnk
+       |  FROM c10
+       |  JOIN embeddings qq ON qq.vec_id = c10.query_id
+       |  JOIN embeddings ee ON ee.vec_id = c10.vec_id
+       |  WHERE c10.crn <= 50
+       |)
+       |SELECT query_id, rnk, vec_id AS neighbor_id
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v11_ann_pq" -> v11Oracle,
     "v3_ann_lsh" -> v3Oracle,
     "v4_minhash_lsh" -> v4Oracle,
     "v10_ann_ivf_quantized" -> v10Oracle,
