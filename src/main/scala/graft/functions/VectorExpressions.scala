@@ -268,6 +268,16 @@ object GraftFunctions {
     "graft_winnow"
   )
 
+  val pqEncodeInfo = new ExpressionInfo(
+    classOf[PqEncode].getName,
+    "graft_pq_encode"
+  )
+
+  val pqAdcInfo = new ExpressionInfo(
+    classOf[PqAdcDistance].getName,
+    "graft_pq_adc"
+  )
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
@@ -292,6 +302,16 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow",
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), 3, 4),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_encode",
+      (exprs: Seq[Expression]) => PqEncode(exprs(0), exprs(1), exprs(2)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_adc",
+      (exprs: Seq[Expression]) => PqAdcDistance(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in"
     )
   }
@@ -332,6 +352,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_winnow"),
         GraftFunctions.winnowInfo,
         (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), 3, 4)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_pq_encode"),
+        GraftFunctions.pqEncodeInfo,
+        (exprs: Seq[Expression]) => PqEncode(exprs(0), exprs(1), exprs(2))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_pq_adc"),
+        GraftFunctions.pqAdcInfo,
+        (exprs: Seq[Expression]) => PqAdcDistance(exprs(0), exprs(1), exprs(2), exprs(3))
       )
     )
   }

@@ -54,11 +54,25 @@ object IvfAnn {
     * both engines). No crossJoin, no window, NO SHUFFLE: the k-way argmin
     * runs inside whole-stage codegen while the scan streams. This is the
     * 100 TB assignment plan — the previous crossJoin + per-vector
-    * row_number window shuffled every (vector × centroid) row. */
+    * row_number window shuffled every (vector × centroid) row.
+    *
+    * The argmin itself is [[graft.functions.PqEncode]] with ONE subspace
+    * spanning the whole vector (same "dist2 asc, cid asc" tie-break as
+    * the previous array_min-over-structs form, bit-identical math): a
+    * 3-node expression tree instead of k unrolled dist2 nodes, so the
+    * janino source stays small no matter how large k grows. */
   private def assignTo(cents: Array[(Int, Seq[Float])])(df: DataFrame): DataFrame =
     df.withColumn(
       "cid",
-      array_min(array(distStructs(cents, col("embedding")): _*)).getField("cid")
+      element_at(
+        call_function(
+          "graft_pq_encode",
+          col("embedding"),
+          typedlit(Seq(cents.map(_._2).toSeq)),
+          typedlit(Seq(cents.map(_._1).toSeq))
+        ),
+        1
+      )
     )
 
   /** Deterministic k-means-lite: seed with the k lowest vec_ids, run a few

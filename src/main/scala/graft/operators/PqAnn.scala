@@ -20,12 +20,16 @@ import graft.sources.Tables
   * the candidate is reconstructed per subspace from its code — then exact
   * re-rank of the top-50 survivors, as in v9/v10.
   *
-  * All assignment/encoding/ADC math is pure per-row expressions over
-  * collected centroid literals (32 × 8 floats — driver-side size is fixed
-  * by construction): no crossJoin, no window, no shuffle anywhere in the
-  * encode path. Coarse ordering uses round(adc, 6) so cross-engine ulp
-  * noise from the 8-term sum cannot flip a rank (ties fall to vec_id on
-  * both engines).
+  * All assignment/encoding/ADC math runs in TWO native codegen expressions
+  * ([[graft.functions.PqEncode]] / [[graft.functions.PqAdcDistance]]) over
+  * the collected codebook literals (driver-side size fixed by
+  * construction: 8 subspaces × 16 × 8 floats): no crossJoin shuffle, no
+  * per-row allocation. The first implementation unrolled the same math
+  * into ~128 Catalyst nodes (slice/element_at/array_min-over-structs) and
+  * evaluated at ~120 µs/row — 2.5 s of the old 3.9 s bench time was that
+  * projection alone. Coarse ordering uses round(adc, 6) so cross-engine
+  * ulp noise from the 8-term sum cannot flip a rank (ties fall to vec_id
+  * on both engines).
   */
 object PqAnn {
 
@@ -35,20 +39,17 @@ object PqAnn {
 
   private def subCol(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
 
-  /** argmin over one subspace's (cid, centroid) literals: (dist2, cid)
-    * structs + array_min = deterministic (dist2 asc, cid asc) — the
-    * IvfAnn trick. Takes explicit cids so a subspace whose Lloyd pass
-    * emptied a cluster (possible only with duplicate seed subvectors)
-    * still mirrors the oracle, which only materializes present rows. */
-  private def subCid(cents: Seq[(Int, Seq[Float])], sub: Column): Column =
-    array_min(
-      array(cents.map { case (cid, c) =>
-        struct(
-          call_function("graft_dist2", sub, typedlit(c)).as("d"),
-          lit(cid).as("cid")
-        )
-      }: _*)
-    ).getField("cid")
+  /** The codebook as the two parallel literal columns the native
+    * expressions take: [subspace][entry][dim] floats, [subspace][entry]
+    * ascending cids (a subspace whose Lloyd pass emptied a cluster only
+    * materializes present entries — mirroring the oracle). */
+  private def centsLit(cents: Array[Seq[(Int, Seq[Float])]]): Column =
+    typedlit(cents.map(_.map(_._2)).toSeq)
+  private def cidsLit(cents: Array[Seq[(Int, Seq[Float])]]): Column =
+    typedlit(cents.map(_.map(_._1)).toSeq)
+
+  private def encode(cents: Array[Seq[(Int, Seq[Float])]], v: Column): Column =
+    call_function("graft_pq_encode", v, centsLit(cents), cidsLit(cents))
 
   /** One deterministic Lloyd pass per subspace; returns, per subspace,
     * the present (cid, centroid) pairs sorted by cid — means float-rounded
@@ -67,15 +68,21 @@ object PqAnn {
         }
       )
     // assign every (vector, subspace) to its nearest seed, mean per
-    // (s, cid, dim): one explode + one shuffle for all 8 subspaces
-    val assigned = emb.select(
-      explode(
-        array((0 until nSub).map { s =>
-          val sub = subCol(col("embedding"), s)
-          struct(lit(s).as("s"), sub.as("sub"), subCid(seeds(s), sub).as("cid"))
-        }: _*)
-      ).as("a")
-    )
+    // (s, cid, dim): one explode + one shuffle for all 8 subspaces; the
+    // per-subspace argmin is one native encode call, not 8 unrolled trees
+    val assigned = emb
+      .withColumn("enc", encode(seeds, col("embedding")))
+      .select(
+        explode(
+          array((0 until nSub).map { s =>
+            struct(
+              lit(s).as("s"),
+              subCol(col("embedding"), s).as("sub"),
+              element_at(col("enc"), s + 1).as("cid")
+            )
+          }: _*)
+        ).as("a")
+      )
     val means = assigned
       .select(col("a.s").as("s"), col("a.cid").as("cid"), posexplode(col("a.sub")).as(Seq("dim", "x")))
       .groupBy("s", "cid", "dim")
@@ -111,8 +118,7 @@ object PqAnn {
     val codes = emb.select(
       col("vec_id"),
       col("embedding"),
-      array((0 until nSub).map(sub => subCid(cents(sub), subCol(col("embedding"), sub))): _*)
-        .as("code")
+      encode(cents, col("embedding")).as("code")
     )
     val queries = emb
       .filter(col("vec_id") < 10)
@@ -121,15 +127,8 @@ object PqAnn {
     // ADC: per subspace, distance from the query's subvector to the
     // candidate's RECONSTRUCTED subvector (its sub-centroid), summed in
     // fixed subspace order; round(.,6) for cross-engine rank stability
-    val adc = (0 until nSub)
-      .map { sub =>
-        call_function(
-          "graft_dist2",
-          subCol(col("qe"), sub),
-          element_at(typedlit(cents(sub).toMap), element_at(col("code"), sub + 1))
-        )
-      }
-      .reduce(_ + _)
+    val adc =
+      call_function("graft_pq_adc", col("qe"), col("code"), centsLit(cents), cidsLit(cents))
 
     val wc = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
     val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
