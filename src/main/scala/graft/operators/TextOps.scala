@@ -536,7 +536,71 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Connected-components dedup clustering — turn t4's near-dup PAIRS into
+    * CLUSTERS (the step a production dedup actually needs: A~B and B~C must
+    * collapse to ONE survivor even when A~C was never emitted as a pair).
+    * Label = min doc_id reachable through the near-dup graph; the min-id
+    * member of each cluster is its canonical survivor; singletons are their
+    * own cluster.
+    *
+    * Scale shape: iterative min-label propagation, but the mutable state is
+    * ONLY the docs that appear in at least one pair — near-dup members are
+    * a tiny fraction of a 100 TB corpus, so each round is a join over a
+    * small edge table, never a corpus-wide shuffle; the corpus is touched
+    * once at the end (one left join for singleton labels). Rounds are
+    * bounded by cluster diameter (near-dup clusters are shallow by nature);
+    * lineage is cut per round with localCheckpoint. For adversarial
+    * long-chain graphs the upgrade path is the large-star/small-star
+    * alternation (O(log n) rounds, same join shape). Convergence is checked
+    * via sum(label) — propagation is monotone non-increasing per member, so
+    * a stationary sum IS the fixpoint.
+    */
+  private def t16DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = t4DedupNgramJaccard(s, d).select("doc_a", "doc_b")
+    val edges = pairs
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+      .cache()
+    def lblSum(df: DataFrame): Long = {
+      val v = df.agg(sum("lbl")).first().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    var labels = edges
+      .select("doc_id")
+      .distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    var curSum = lblSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nbr"), col("lbl").as("nbr_lbl")), "nbr")
+        .groupBy("doc_id")
+        .agg(min("nbr_lbl").as("min_nbr"))
+      labels = labels
+        .join(nbrMin, Seq("doc_id"))
+        .select(col("doc_id"), least(col("lbl"), col("min_nbr")).as("lbl"))
+        .localCheckpoint()
+      val nextSum = lblSum(labels)
+      converged = nextSum == curSum
+      curSum = nextSum
+      rounds += 1
+    }
+    require(converged, s"t16 label propagation did not converge in $rounds rounds")
+    val w = Window.partitionBy("cluster_id")
+    Tables.documents(s, d)
+      .select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t16_dedup_clusters" -> (t16DedupClusters _),
     "t14_hash_split" -> (t14HashSplit _),
     "t15_corpus_profile" -> (t15CorpusProfile _),
     "t11_pii_redact" -> (t11PiiRedact _),
@@ -555,6 +619,47 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // transitive closure of the t4 pair graph via a recursive CTE — the
+    // naive form whose fixpoint the Spark-side label propagation reaches
+    "t16_dedup_clusters" ->
+      """WITH RECURSIVE words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs
+         ), reach(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+         ), labels AS (
+           SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+         )
+         SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+         FROM labels ORDER BY doc_id""",
     "t14_hash_split" ->
       """WITH b AS (
            SELECT doc_id,

@@ -109,6 +109,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(counts("test") / n - 0.1) < 0.04, counts)
   }
 
+  test("t16 clusters are the transitive closure of t4 pairs with min-id labels") {
+    val labels = TextOps
+      .queries("t16_dedup_clusters")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byDoc = labels.map(l => l._1 -> l._2).toMap
+    val pairs = TextOps
+      .queries("t4_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // every near-dup pair collapsed into one cluster
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    // label is the min member id; exactly one canonical per cluster
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.map(_._1).min, s"cluster $cid label not min id")
+      assert(members.count(_._4) == 1, s"cluster $cid canonical count")
+      assert(members.forall(_._3 == members.length), s"cluster $cid size col")
+    }
+    // the planted near-dups make at least one multi-member cluster, and
+    // docs outside any pair stay singletons
+    assert(labels.exists(_._3 > 1))
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot(l => paired(l._1)).foreach { l =>
+      assert(l._3 == 1L && l._4, s"singleton ${l._1} mislabeled")
+    }
+  }
+
   test("t10 streams the corpus through a broadcast join (no training-side shuffle)") {
     val plan = TextOps
       .queries("t10_decontaminate")(spark, sf)
