@@ -278,6 +278,11 @@ object GraftFunctions {
     "graft_pq_adc"
   )
 
+  val bloomInfo = new ExpressionInfo(
+    classOf[BloomMightContainLong].getName,
+    "graft_bloom_might_contain"
+  )
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
@@ -312,6 +317,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pq_adc",
       (exprs: Seq[Expression]) => PqAdcDistance(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      (exprs: Seq[Expression]) => BloomMightContainLong(exprs(0), exprs(1)),
       "built-in"
     )
   }
@@ -366,6 +376,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_pq_adc"),
         GraftFunctions.pqAdcInfo,
         (exprs: Seq[Expression]) => PqAdcDistance(exprs(0), exprs(1), exprs(2), exprs(3))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bloom_might_contain"),
+        GraftFunctions.bloomInfo,
+        (exprs: Seq[Expression]) => BloomMightContainLong(exprs(0), exprs(1))
       )
     )
   }

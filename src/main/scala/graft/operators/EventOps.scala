@@ -146,7 +146,34 @@ object EventOps {
       .orderBy("week_start", "event_type")
   }
 
+  /** Retention cohort matrix — the product-analytics staple: users are
+    * cohorted by their first active week, and each (cohort, week-offset)
+    * cell counts how many came back. Four keyed aggregations/joins
+    * (user-week distinct → per-user min → offset rollup → cohort-size
+    * join), no window, no driver state; the cells table is tiny by
+    * construction (weeks × weeks), so the final join broadcasts. The same
+    * plan holds at 100 TB of events: everything shuffles on user_id or on
+    * the small cohort key. */
+  private def e6RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"), F.weekStart(col("ts")).as("week"))
+      .distinct()
+    val cohorts = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    uw.join(cohorts, "user_id")
+      .groupBy(
+        col("cohort_week"),
+        expr("datediff(week, cohort_week) DIV 7").cast("long").as("week_offset")
+      )
+      .agg(countDistinct("user_id").as("retained_users"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention_rate", col("retained_users") / col("cohort_users"))
+      .select("cohort_week", "week_offset", "retained_users", "cohort_users", "retention_rate")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e6_retention_cohorts" -> (e6RetentionCohorts _),
     "e1_weekly_activity" -> (e1WeeklyActivity _),
     "e2_sessionize" -> (e2Sessionize _),
     "e3_json_extract" -> (e3JsonExtract _),
@@ -155,6 +182,28 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e6_retention_cohorts" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events
+         ), cohorts AS (
+           SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+         ), sizes AS (
+           SELECT cohort_week, count(*) AS cohort_users
+           FROM cohorts GROUP BY cohort_week
+         ), ret AS (
+           SELECT c.cohort_week,
+             date_diff('day', c.cohort_week, uw.week) // 7 AS week_offset,
+             count(DISTINCT uw.user_id) AS retained_users
+           FROM uw JOIN cohorts c USING (user_id)
+           GROUP BY 1, 2
+         )
+         SELECT r.cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+           retained_users, cohort_users,
+           CAST(retained_users AS DOUBLE) / cohort_users AS retention_rate
+         FROM ret r JOIN sizes USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
     "e4_funnel" ->
       """WITH per_user AS (
            SELECT user_id,

@@ -536,6 +536,114 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Bloom-prefiltered decontamination — t10's broadcast-join check with
+    * the scale knob a truly large eval set needs: a [[BloomFilter]] built
+    * driver-side over the eval shingles (one pass on the SMALL side) is
+    * probed per corpus shingle in generated code
+    * ([[graft.functions.BloomMightContainLong]] — one hash + bit-test, no
+    * UDF), so non-colliding corpus shingles (the overwhelming majority)
+    * die BEFORE the join. Bloom filters have no false negatives, so the
+    * exact join + Jaccard verify downstream returns EXACTLY t10's result —
+    * the oracle is t10's SQL verbatim, and result equality is additionally
+    * pinned in ScalaTest.
+    *
+    * At 100 TB: the bloom is megabytes where the broadcast shingle table
+    * is gigabytes — the prefilter keeps the shuffle-free corpus streaming
+    * plan viable when the eval set outgrows comfortable broadcast size. */
+  private def t19BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, d))
+    val ev = sh
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"), col("sz").as("sz_e"))
+    val bloom = ev.stat.bloomFilter("shingle", math.max(ev.count(), 1L), 0.01)
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .filter(graft.functions.BloomMightContainLong(bloom, col("shingle")))
+      .join(broadcast(ev), "shingle")
+      .groupBy("doc_id", "eval_id")
+      .agg(
+        count(lit(1)).as("inter"),
+        max("sz").as("sz_t"),
+        max("sz_e").as("sz_e")
+      )
+      .withColumn("jaccard", col("inter") / (col("sz_t") + col("sz_e") - col("inter")))
+      .filter(col("jaccard") > 0.8)
+      .select("doc_id", "eval_id", "inter", "jaccard")
+      .orderBy("doc_id", "eval_id")
+  }
+
+  /** TF-IDF top terms per document — the classic term-weighting pass
+    * (keyword extraction / near-dup feature vectors / relevance scoring).
+    * tf from one (doc_id, term) aggregation; df derived FROM tf (one more
+    * aggregation over the already-grouped rows, never re-touching the
+    * corpus); idf = ln(N/df) with the corpus size N a broadcast 1-row
+    * scalar (the a2 pattern). Top-5 per doc under a PARTITIONED window.
+    * Scores are round(.,6) so cross-engine libm ulp noise in ln cannot
+    * flip a rank (ties fall to term asc on both engines).
+    *
+    * At 100 TB: two shuffles (doc_id+term, then term) and one shuffle join
+    * on term — all keyed, no driver state, no global window. */
+  private def t17Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * org.apache.spark.sql.functions.log(col("n_docs") / col("df")), 6)
+      )
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Deterministic stratified + weighted sampling — the mixture-control
+    * step that downsamples a corpus per language (stratified) or by a
+    * per-document weight (priority sampling), reproducibly: the "random"
+    * draw is a pure hash of doc_id (md5 hex4 → u ∈ (0,1]), so the sample
+    * is stable across runs, engines, and corpus growth — the same property
+    * t14's split hash gives.
+    *
+    * Stratified: rank by u within language, keep 50. Weighted: exponential
+    * priority key -ln(u)/weight (A-ES), SMALLEST 50 per language — a doc
+    * with twice the token count is twice as likely to survive. Both ranks
+    * are partitioned windows; keys are round(.,9) so libm ln ulps can't
+    * flip a rank (doc_id breaks ties). No shuffle beyond the two windows'
+    * language partitioning; at 100 TB the same plan holds (strata are
+    * bounded; nothing is global). */
+  private def t18StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val hex4 =
+      """((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+        | (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+        | (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+        | (instr('0123456789abcdef', substr(h, 4, 1)) - 1))""".stripMargin
+    val ws = Window.partitionBy("lang").orderBy(col("u").asc, col("doc_id").asc)
+    val ww = Window.partitionBy("lang").orderBy(col("priority").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("u", round((expr(hex4) + 1) / 65536.0, 9))
+      .withColumn("weight", size(toks).cast("long"))
+      .withColumn(
+        "priority",
+        round(-org.apache.spark.sql.functions.log(col("u")) / col("weight"), 9)
+      )
+      .withColumn("strat_rank", row_number().over(ws).cast("long"))
+      .withColumn("wt_rank", row_number().over(ww).cast("long"))
+      .withColumn("strat_keep", col("strat_rank") <= 50)
+      .withColumn("wt_keep", col("wt_rank") <= 50)
+      .select(
+        "doc_id", "lang", "u", "weight", "priority",
+        "strat_rank", "strat_keep", "wt_rank", "wt_keep"
+      )
+      .orderBy("doc_id")
+  }
+
   /** Connected-components dedup clustering — turn t4's near-dup PAIRS into
     * CLUSTERS (the step a production dedup actually needs: A~B and B~C must
     * collapse to ONE survivor even when A~C was never emitted as a pair).
@@ -601,6 +709,9 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "t16_dedup_clusters" -> (t16DedupClusters _),
+    "t17_tfidf" -> (t17Tfidf _),
+    "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
+    "t18_stratified_sample" -> (t18StratifiedSample _),
     "t14_hash_split" -> (t14HashSplit _),
     "t15_corpus_profile" -> (t15CorpusProfile _),
     "t11_pii_redact" -> (t11PiiRedact _),
@@ -660,6 +771,58 @@ object TextOps {
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = cluster_id AS is_canonical
          FROM labels ORDER BY doc_id""",
+    "t17_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> length(x) > 0)) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         ), df AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), n AS (
+           SELECT count(*) AS n_docs FROM documents
+         ), scored AS (
+           SELECT doc_id, term, tf, df,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n
+         ), ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+           FROM scored
+         )
+         SELECT doc_id, term, tf, df, tfidf, rnk
+         FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+    "t18_stratified_sample" ->
+      """WITH h4 AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT) AS weight,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents
+         ), u AS (
+           SELECT doc_id, lang, weight,
+             round(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+                    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+                    (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+                    (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) + 1)
+                   / 65536.0, 9) AS u
+           FROM h4
+         ), keyed AS (
+           SELECT *, round(-ln(u) / weight, 9) AS priority FROM u
+         ), ranked AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY u ASC, doc_id ASC) AS strat_rank,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY priority ASC, doc_id ASC) AS wt_rank
+           FROM keyed
+         )
+         SELECT doc_id, lang, u, weight, priority,
+           strat_rank, strat_rank <= 50 AS strat_keep,
+           wt_rank, wt_rank <= 50 AS wt_keep
+         FROM ranked ORDER BY doc_id""",
     "t14_hash_split" ->
       """WITH b AS (
            SELECT doc_id,
@@ -925,6 +1088,37 @@ object TextOps {
          SELECT doc_id, n_tokens, cum_tokens,
            (cum_tokens - n_tokens) // 10000 AS shard
          FROM c ORDER BY doc_id""",
+    // identical to t10's oracle BY DESIGN: the bloom stage is a pure
+    // prefilter (no false negatives) ahead of the same exact verify
+    "t19_bloom_decontaminate" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), ev AS (
+           SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0
+         ), tr AS (
+           SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0
+         ), inter AS (
+           SELECT tr.doc_id, ev.eval_id, count(*) AS inter
+           FROM tr JOIN ev USING (shingle)
+           GROUP BY 1, 2
+         )
+         SELECT i.doc_id, i.eval_id, i.inter,
+           CAST(i.inter AS DOUBLE) / (st.sz + se.sz - i.inter) AS jaccard
+         FROM inter i
+         JOIN sizes st ON st.doc_id = i.doc_id
+         JOIN sizes se ON se.doc_id = i.eval_id
+         WHERE CAST(i.inter AS DOUBLE) / (st.sz + se.sz - i.inter) > 0.8
+         ORDER BY i.doc_id, i.eval_id""",
     "t10_decontaminate" ->
       """WITH words AS (
            SELECT doc_id,

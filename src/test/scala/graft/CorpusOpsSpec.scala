@@ -140,6 +140,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t19 bloom prefilter returns exactly t10's result, probe in the plan") {
+    val t19 = TextOps.queries("t19_bloom_decontaminate")(spark, sf)
+    // the codegen bloom probe sits in the plan (not a UDF)
+    assert(
+      t19.queryExecution.executedPlan.toString.contains("graft_bloom_might_contain"),
+      "bloom probe missing from plan"
+    )
+    // no false negatives: bloom prefilter + exact verify == exact check
+    val got = t19.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = TextOps
+      .queries("t10_decontaminate")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("t10 streams the corpus through a broadcast join (no training-side shuffle)") {
     val plan = TextOps
       .queries("t10_decontaminate")(spark, sf)
