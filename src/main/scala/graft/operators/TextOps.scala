@@ -153,7 +153,13 @@ object TextOps {
     * intersection, Jaccard = |A∩B| / (|A|+|B|-|A∩B|), threshold 0.8.
     * All-integer arithmetic → exact cross-engine parity. The shingle join IS
     * the blocking step: non-overlapping docs never form a pair. */
-  private def t4DedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  private def t4DedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** t4's pair pipeline WITHOUT the final global sort — consumers that
+    * re-aggregate (t16's edge build) take this form so the cache boundary
+    * doesn't materialize a range-partitioned exchange nobody needs. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // Shingles carry a 64-bit fingerprint for the join/agg key — shuffling
     // longs, not strings; collision odds are ~n^2/2^65 (negligible even at
     // 100 TB shingle counts).
@@ -201,7 +207,6 @@ object TextOps {
       .withColumn("jaccard", col("inter") / col("union_sz"))
       .filter(col("jaccard") > 0.8)
       .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Content-defined fingerprinting: md5 full-document fingerprint plus a
@@ -664,10 +669,18 @@ object TextOps {
     * a stationary sum IS the fixpoint.
     */
   private def t16DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = t4DedupNgramJaccard(s, d).select("doc_a", "doc_b")
-    val edges = pairs
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
-      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+    // both directions from ONE evaluation of the t4 pair pipeline (a
+    // union of two selects would run the candidate join twice)
+    val edges = jaccardPairs(s, d)
+      .select(
+        explode(
+          array(
+            struct(col("doc_a").as("doc_id"), col("doc_b").as("nbr")),
+            struct(col("doc_b").as("doc_id"), col("doc_a").as("nbr"))
+          )
+        ).as("e")
+      )
+      .select("e.doc_id", "e.nbr")
       .cache()
     def lblSum(df: DataFrame): Long = {
       val v = df.agg(sum("lbl")).first().get(0)
