@@ -172,7 +172,38 @@ object EventOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Rolling 7-day active users + DAU/WAU stickiness per day — the sliding
+    * counterpart of e1's tumbling weeks. The sliding window is rewritten as
+    * a BOUNDED fan-out: each distinct (user, day) contributes to exactly 7
+    * as-of dates (one explode, ×7 rows), then one exact distinct per day —
+    * no per-day self-joins, no window over the event log. The same plan
+    * holds at 100 TB: fan-out is linear in distinct user-days, and the
+    * distinct shuffles on (as_of, user). */
+  private def e7RollingActive(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val hi = ud.agg(max("day").as("hi"))
+    ud.select(
+        col("user_id"),
+        col("day"),
+        explode(sequence(lit(0), lit(6))).as("o")
+      )
+      .withColumn("as_of", date_add(col("day"), col("o")))
+      .crossJoin(broadcast(hi))
+      .filter(col("as_of") <= col("hi"))
+      .groupBy("as_of")
+      .agg(
+        countDistinct(when(col("day") === col("as_of"), col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau_7d")
+      )
+      .withColumn("stickiness", col("dau") / col("wau_7d"))
+      .select("as_of", "dau", "wau_7d", "stickiness")
+      .orderBy("as_of")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e7_rolling_active" -> (e7RollingActive _),
     "e6_retention_cohorts" -> (e6RetentionCohorts _),
     "e1_weekly_activity" -> (e1WeeklyActivity _),
     "e2_sessionize" -> (e2Sessionize _),
@@ -182,6 +213,23 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e7_rolling_active" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         ), b AS (
+           SELECT max(day) AS hi FROM ud
+         ), fan AS (
+           SELECT user_id, day, day + CAST(o AS INTEGER) AS as_of
+           FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+         )
+         SELECT as_of,
+           count(DISTINCT CASE WHEN day = as_of THEN user_id END) AS dau,
+           count(DISTINCT user_id) AS wau_7d,
+           CAST(count(DISTINCT CASE WHEN day = as_of THEN user_id END)
+             AS DOUBLE) / count(DISTINCT user_id) AS stickiness
+         FROM fan CROSS JOIN b
+         WHERE as_of <= hi
+         GROUP BY as_of ORDER BY as_of""",
     "e6_retention_cohorts" ->
       """WITH uw AS (
            SELECT DISTINCT user_id,

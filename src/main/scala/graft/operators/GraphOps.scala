@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives shared by the dedup-cluster operators
+  * (t16 over the n-gram pair graph, v12 over the embedding-cosine pair
+  * graph).
+  */
+object GraphOps {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * `edges` must hold BOTH directions of every undirected edge as
+    * (`id`, `nbr`) and should be cached by the caller (it is scanned once
+    * per round). Returns (`id`, `lbl`) for every id present in `edges`,
+    * where lbl = min id reachable — the deterministic canonical label.
+    *
+    * Scale shape: mutable state is only the ids that appear in an edge
+    * (near-dup members are a tiny fraction of a 100 TB corpus); each round
+    * is one keyed join + aggregation over that small table, lineage cut
+    * with localCheckpoint. Rounds are bounded by component diameter
+    * (shallow for near-dup graphs by nature; the adversarial-chain upgrade
+    * path is large-star/small-star alternation at O(log n) rounds).
+    * Convergence is checked via sum(lbl): propagation is monotone
+    * non-increasing per member, so a stationary sum IS the fixpoint.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    def lblSum(df: DataFrame): Long = {
+      val v = df.agg(sum("lbl")).first().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    var labels = edges
+      .select("id")
+      .distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var curSum = lblSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("lbl").as("nbr_lbl")), "nbr")
+        .groupBy("id")
+        .agg(min("nbr_lbl").as("min_nbr"))
+      labels = labels
+        .join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("lbl"), col("min_nbr")).as("lbl"))
+        .localCheckpoint()
+      val nextSum = lblSum(labels)
+      converged = nextSum == curSum
+      curSum = nextSum
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    labels
+  }
+
+  /** Both edge directions from a one-directional pair table, via a single
+    * evaluation of the (possibly expensive) pair pipeline. */
+  def bidirectional(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs
+      .select(
+        explode(
+          array(
+            struct(col(a).as("id"), col(b).as("nbr")),
+            struct(col(b).as("id"), col(a).as("nbr"))
+          )
+        ).as("e")
+      )
+      .select("e.id", "e.nbr")
+}

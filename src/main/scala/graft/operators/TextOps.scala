@@ -390,7 +390,7 @@ object TextOps {
       )
       .filter(col("doc_id") === col("canonical_id"))
       .select("doc_id")
-    val nearDupLosers = t4DedupNgramJaccard(s, d)
+    val nearDupLosers = jaccardPairs(s, d)
       .select(col("doc_b").as("doc_id"))
       .distinct()
     canon
@@ -541,6 +541,46 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Bigram language-model scoring — the perplexity-style quality filter a
+    * training pipeline runs after the heuristic ones (t1): an MLE bigram
+    * model is fit ON the corpus (c_bigram / c_context, both from one gram
+    * aggregation — contexts are the per-first-word sums of bigram counts,
+    * never a second corpus pass), then each document is scored by its mean
+    * log-probability under that model; repetitive/templated text scores
+    * high, incoherent token soup scores low. Grams shuffle as 64-bit
+    * fingerprints (t12 convention — counts are identical to the string
+    * form the oracle uses); ln is round(.,6)-stabilized like t17.
+    *
+    * At 100 TB: two keyed aggregations (gram, then context) + one keyed
+    * join back to the per-doc grams — the model table is vocabulary-sized,
+    * the corpus streams once. */
+  private def t20BigramLm(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(F.wordShingles(col("w"), 2)).as("g"))
+      .select(
+        col("doc_id"),
+        xxhash64(col("g")).as("gram"),
+        xxhash64(substring_index(col("g"), " ", 1)).as("ctx")
+      )
+    val biCounts = grams
+      .groupBy("gram")
+      .agg(count(lit(1)).as("c_bi"), max("ctx").as("ctx"))
+    val ctxCounts = biCounts.groupBy("ctx").agg(sum("c_bi").as("c_ctx"))
+    val model = biCounts.join(ctxCounts, "ctx").select("gram", "c_bi", "c_ctx")
+    grams
+      .join(model, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(org.apache.spark.sql.functions.log(col("c_bi") / col("c_ctx"))), 6)
+          .as("avg_logp")
+      )
+      .withColumn("keep", col("avg_logp") > -5.0)
+      .select("doc_id", "n_bigrams", "avg_logp", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered decontamination — t10's broadcast-join check with
     * the scale knob a truly large eval set needs: a [[BloomFilter]] built
     * driver-side over the eval shingles (one pass on the SMALL side) is
@@ -656,59 +696,16 @@ object TextOps {
     * member of each cluster is its canonical survivor; singletons are their
     * own cluster.
     *
-    * Scale shape: iterative min-label propagation, but the mutable state is
-    * ONLY the docs that appear in at least one pair — near-dup members are
-    * a tiny fraction of a 100 TB corpus, so each round is a join over a
-    * small edge table, never a corpus-wide shuffle; the corpus is touched
-    * once at the end (one left join for singleton labels). Rounds are
-    * bounded by cluster diameter (near-dup clusters are shallow by nature);
-    * lineage is cut per round with localCheckpoint. For adversarial
-    * long-chain graphs the upgrade path is the large-star/small-star
-    * alternation (O(log n) rounds, same join shape). Convergence is checked
-    * via sum(label) — propagation is monotone non-increasing per member, so
-    * a stationary sum IS the fixpoint.
+    * Scale shape: [[GraphOps.connectedComponents]] — mutable state is ONLY
+    * the docs that appear in at least one pair (a tiny fraction of a
+    * 100 TB corpus); the corpus is touched once at the end (one left join
+    * for singleton labels).
     */
   private def t16DedupClusters(s: SparkSession, d: String): DataFrame = {
     // both directions from ONE evaluation of the t4 pair pipeline (a
     // union of two selects would run the candidate join twice)
-    val edges = jaccardPairs(s, d)
-      .select(
-        explode(
-          array(
-            struct(col("doc_a").as("doc_id"), col("doc_b").as("nbr")),
-            struct(col("doc_b").as("doc_id"), col("doc_a").as("nbr"))
-          )
-        ).as("e")
-      )
-      .select("e.doc_id", "e.nbr")
-      .cache()
-    def lblSum(df: DataFrame): Long = {
-      val v = df.agg(sum("lbl")).first().get(0)
-      if (v == null) 0L else v.asInstanceOf[Long]
-    }
-    var labels = edges
-      .select("doc_id")
-      .distinct()
-      .withColumn("lbl", col("doc_id"))
-      .localCheckpoint()
-    var curSum = lblSum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 64) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("nbr"), col("lbl").as("nbr_lbl")), "nbr")
-        .groupBy("doc_id")
-        .agg(min("nbr_lbl").as("min_nbr"))
-      labels = labels
-        .join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"), least(col("lbl"), col("min_nbr")).as("lbl"))
-        .localCheckpoint()
-      val nextSum = lblSum(labels)
-      converged = nextSum == curSum
-      curSum = nextSum
-      rounds += 1
-    }
-    require(converged, s"t16 label propagation did not converge in $rounds rounds")
+    val edges = GraphOps.bidirectional(jaccardPairs(s, d), "doc_a", "doc_b").cache()
+    val labels = GraphOps.connectedComponents(edges).withColumnRenamed("id", "doc_id")
     val w = Window.partitionBy("cluster_id")
     Tables.documents(s, d)
       .select("doc_id")
@@ -724,6 +721,7 @@ object TextOps {
     "t16_dedup_clusters" -> (t16DedupClusters _),
     "t17_tfidf" -> (t17Tfidf _),
     "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
+    "t20_bigram_lm" -> (t20BigramLm _),
     "t18_stratified_sample" -> (t18StratifiedSample _),
     "t14_hash_split" -> (t14HashSplit _),
     "t15_corpus_profile" -> (t15CorpusProfile _),
@@ -784,6 +782,31 @@ object TextOps {
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = cluster_id AS is_canonical
          FROM labels ORDER BY doc_id""",
+    "t20_bigram_lm" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS g
+           FROM words WHERE len(w) >= 2
+         ), bi AS (
+           SELECT g, count(*) AS c_bi FROM grams GROUP BY g
+         ), ctx AS (
+           SELECT split_part(g, ' ', 1) AS c, sum(c_bi) AS c_ctx
+           FROM bi GROUP BY 1
+         ), model AS (
+           SELECT g, c_bi, c_ctx
+           FROM bi JOIN ctx ON split_part(bi.g, ' ', 1) = ctx.c
+         )
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(CAST(c_bi AS DOUBLE) / c_ctx)), 6) AS avg_logp,
+           round(avg(ln(CAST(c_bi AS DOUBLE) / c_ctx)), 6) > -5.0 AS keep
+         FROM grams JOIN model USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     "t17_tfidf" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -378,7 +378,39 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Semantic dedup clusters (SemDeDup shape): embedding-cosine near-dup
+    * pairs (v2's exact criterion) collapsed into connected components —
+    * the canonical per cluster is what survives semantic deduplication.
+    * Reuses [[GraphOps.connectedComponents]] (state = pair members only);
+    * at 100 TB the pair stage swaps to the bucketed generators (v3/v4)
+    * while this clustering stage is unchanged. */
+  private def v12SemanticClusters(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a
+      .crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") > 0.45)
+      .select("id_a", "id_b")
+    val edges = GraphOps.bidirectional(pairs, "id_a", "id_b").cache()
+    val labels = GraphOps.connectedComponents(edges).withColumnRenamed("id", "vec_id")
+    val w = Window.partitionBy("cluster_id")
+    Tables.embeddings(s, d)
+      .select("vec_id")
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("vec_id")))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .select("vec_id", "cluster_id", "cluster_size", "is_canonical")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v12_semantic_clusters" -> (v12SemanticClusters _),
     "v1_ann_bruteforce" -> (v1AnnBruteforce _),
     "v2_embed_cosine_dedup" -> (v2EmbedCosineDedup _),
     "v3_ann_lsh" -> (v3AnnLsh _),
@@ -810,6 +842,28 @@ object VectorOps {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    // v2's pair criterion + recursive-CTE transitive closure — the naive
+    // form whose fixpoint the Spark-side label propagation reaches
+    "v12_semantic_clusters" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.45
+         ), edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL
+           SELECT id_b AS src, id_a AS dst FROM pairs
+         ), reach(vec_id, lbl) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.vec_id = e.dst
+         ), labels AS (
+           SELECT vec_id, min(lbl) AS cluster_id FROM reach GROUP BY vec_id
+         )
+         SELECT vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           vec_id = cluster_id AS is_canonical
+         FROM labels ORDER BY vec_id"""
   )
 }
