@@ -140,6 +140,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t20 bigram scores are log-probabilities and cover every bigram") {
+    val rows = TextOps
+      .queries("t20_bigram_lm")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // mean log-prob of MLE probabilities is <= 0, and a corpus-fit model
+    // gives every document a finite score (no unseen bigrams possible)
+    rows.foreach { case (id, n, lp) =>
+      assert(n >= 1L, s"doc $id has no bigrams")
+      assert(lp <= 0.0 && !lp.isNaN && !lp.isInfinite, s"doc $id avg_logp $lp")
+    }
+    // n_bigrams is exactly n_tokens - 1 (every adjacent pair scored)
+    val toks = TextOps
+      .queries("t1_token_stats")(spark, sf)
+      .select("doc_id", "n_tokens")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    rows.foreach { case (id, n, _) =>
+      assert(n == toks(id) - 1, s"doc $id bigram count $n vs tokens ${toks(id)}")
+    }
+  }
+
   test("t19 bloom prefilter returns exactly t10's result, probe in the plan") {
     val t19 = TextOps.queries("t19_bloom_decontaminate")(spark, sf)
     // the codegen bloom probe sits in the plan (not a UDF)
