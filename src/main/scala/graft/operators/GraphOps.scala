@@ -30,10 +30,12 @@ object GraphOps {
       val v = df.agg(sum("lbl")).first().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
     }
+    // seed with round 1 fused into the member-discovery aggregation:
+    // lbl0 = min(id, min direct neighbor) — same cost as a distinct over
+    // edge endpoints, one propagation round saved
     var labels = edges
-      .select("id")
-      .distinct()
-      .withColumn("lbl", col("id"))
+      .groupBy("id")
+      .agg(least(col("id"), min("nbr")).as("lbl"))
       .localCheckpoint()
     var curSum = lblSum(labels)
     var converged = false
