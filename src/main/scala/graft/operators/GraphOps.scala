@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Connected components by iterative min-label propagation.
     *
     * `edges` must hold BOTH directions of every undirected edge as
@@ -45,16 +47,36 @@ object GraphOps {
         .join(labels.select(col("id").as("nbr"), col("lbl").as("nbr_lbl")), "nbr")
         .groupBy("id")
         .agg(min("nbr_lbl").as("min_nbr"))
-      labels = labels
+      val prop = labels
         .join(nbrMin, Seq("id"))
         .select(col("id"), least(col("lbl"), col("min_nbr")).as("lbl"))
-        .localCheckpoint()
+      // near-dup graphs converge in 2-3 plain rounds (shallow by nature);
+      // if one is still moving after 8, add pointer-jumping
+      // (lbl <- lbl(lbl)) to those rounds — shortcutting turns long-chain
+      // convergence from O(diameter) into O(log n) at the cost of one
+      // extra self-join, paid only when needed. Labels are always member
+      // ids (mins of member ids), so the self-lookup is total.
+      val next =
+        if (rounds < 8) prop
+        else
+          prop
+            .join(
+              prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+              Seq("lbl"),
+              "left"
+            )
+            .select(
+              col("id"),
+              least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")
+            )
+      labels = next.localCheckpoint()
       val nextSum = lblSum(labels)
       converged = nextSum == curSum
       curSum = nextSum
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
+    log.warn(s"connectedComponents converged in $rounds rounds")
     labels
   }
 
