@@ -202,7 +202,44 @@ object EventOps {
       .orderBy("as_of")
   }
 
+  /** Rolling z-score anomaly detection on daily event volume — the alert
+    * shape a pipeline health check runs: each (event_type, day) count is
+    * scored against the mean/std of its own trailing 7 observed days.
+    *
+    * Variance comes from EXACT integer window sums (n·Σx² − (Σx)² over
+    * n(n−1)) rather than stddev_samp: the window aggregates are longs, so
+    * both engines feed bit-identical inputs into one fixed-form double
+    * expression — Welford-style streaming variance differs in merge order
+    * across engines and would hash-flip. Partitioned window (per event
+    * type), one count shuffle; z is emitted only for full 7-day windows
+    * with positive variance. */
+  private def e8AnomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy("day")
+      .rowsBetween(-7, -1)
+    val mean = col("s") / col("n")
+    val variance =
+      (col("n") * col("sumsq") - col("s") * col("s")) / (col("n") * (col("n") - 1))
+    val z = round((col("n_events") - mean) / sqrt(variance), 6)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("n_events").over(w))
+      .withColumn("sumsq", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn(
+        "z",
+        when(col("n") === 7 && variance > 0, z)
+      )
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > 2.0, lit(false)))
+      .select("event_type", "day", "n_events", "z", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e8_anomaly_zscore" -> (e8AnomalyZscore _),
     "e7_rolling_active" -> (e7RollingActive _),
     "e6_retention_cohorts" -> (e6RetentionCohorts _),
     "e1_weekly_activity" -> (e1WeeklyActivity _),
@@ -213,6 +250,31 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_anomaly_zscore" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+           FROM events GROUP BY 1, 2
+         ), win AS (
+           SELECT event_type, day, n_events,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(n_events) OVER w AS BIGINT) AS s,
+             CAST(sum(n_events * n_events) OVER w AS BIGINT) AS sumsq
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+         )
+         SELECT event_type, day, n_events,
+           CASE WHEN n = 7
+                 AND (n * sumsq - s * s) / (n * (n - 1)) > 0
+                THEN round((n_events - s / n)
+                     / sqrt((n * sumsq - s * s) / (n * (n - 1))), 6)
+           END AS z,
+           coalesce(abs(CASE WHEN n = 7
+                 AND (n * sumsq - s * s) / (n * (n - 1)) > 0
+                THEN round((n_events - s / n)
+                     / sqrt((n * sumsq - s * s) / (n * (n - 1))), 6)
+           END) > 2.0, false) AS is_anomaly
+         FROM win ORDER BY event_type, day""",
     "e7_rolling_active" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -541,6 +541,32 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Mixture balancing — the sampling-plan step between profiling (t15)
+    * and sampling (t18): given per-language token inventories, compute the
+    * LARGEST corpus with a uniform language mixture and each language's
+    * acceptance rate toward it (the binding language keeps 100%). Two
+    * broadcast scalars (language count, min inventory) against a
+    * language-sized table — every number is a single fixed-form expression
+    * over exact long sums, so the plan is reproducible anywhere at any
+    * scale. */
+  private def t21MixturePlan(s: SparkSession, d: String): DataFrame = {
+    val inv = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(sum(size(toks).cast("long")).as("tokens"))
+    val scalars = inv.agg(
+      count(lit(1)).as("n_langs"),
+      min("tokens").as("min_tokens"),
+      sum("tokens").as("total_tokens")
+    )
+    inv
+      .crossJoin(broadcast(scalars))
+      .withColumn("share", round(col("tokens") / col("total_tokens"), 6))
+      .withColumn("take_tokens", col("min_tokens"))
+      .withColumn("acceptance", round(col("min_tokens") / col("tokens"), 6))
+      .select("lang", "tokens", "share", "take_tokens", "acceptance")
+      .orderBy("lang")
+  }
+
   /** Bigram language-model scoring — the perplexity-style quality filter a
     * training pipeline runs after the heuristic ones (t1): an MLE bigram
     * model is fit ON the corpus (c_bigram / c_context, both from one gram
@@ -722,6 +748,7 @@ object TextOps {
     "t17_tfidf" -> (t17Tfidf _),
     "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
     "t20_bigram_lm" -> (t20BigramLm _),
+    "t21_mixture_plan" -> (t21MixturePlan _),
     "t18_stratified_sample" -> (t18StratifiedSample _),
     "t14_hash_split" -> (t14HashSplit _),
     "t15_corpus_profile" -> (t15CorpusProfile _),
@@ -782,6 +809,22 @@ object TextOps {
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = cluster_id AS is_canonical
          FROM labels ORDER BY doc_id""",
+    "t21_mixture_plan" ->
+      """WITH inv AS (
+           SELECT lang,
+             CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0))) AS BIGINT) AS tokens
+           FROM documents GROUP BY lang
+         ), scalars AS (
+           SELECT count(*) AS n_langs, min(tokens) AS min_tokens,
+             CAST(sum(tokens) AS BIGINT) AS total_tokens
+           FROM inv
+         )
+         SELECT lang, tokens,
+           round(CAST(tokens AS DOUBLE) / total_tokens, 6) AS share,
+           min_tokens AS take_tokens,
+           round(CAST(min_tokens AS DOUBLE) / tokens, 6) AS acceptance
+         FROM inv CROSS JOIN scalars ORDER BY lang""",
     "t20_bigram_lm" ->
       """WITH words AS (
            SELECT doc_id,
