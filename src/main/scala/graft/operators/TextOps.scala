@@ -567,6 +567,81 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Corpus length of the n-grams t22 deduplicates on. */
+  val substringDedupN = 6
+
+  /** Exact substring deduplication at n-gram granularity — the "remove any
+    * span that appears more than once in the training corpus" operation
+    * (cf. suffix-array dedup), approximated on fixed n=6 token windows: a
+    * token is removed when ANY duplicated 6-gram covers its position, and
+    * each document is reassembled from its surviving tokens in order.
+    *
+    * Plan shape (new to the catalog): position-coverage via a bounded
+    * window instead of interval explosion — duplicated gram STARTS are
+    * joined back to the token-position table, then `max(is_start) OVER
+    * (ROWS 5 PRECEDING)` marks covered tokens, so coverage costs one
+    * per-document window pass regardless of how many duplicate spans
+    * overlap. Reassembly is `array_sort(collect_list(struct(t, tok)))` —
+    * order restored by sort, never by aggregation order. Shuffles: one on
+    * the gram key (agg + self-join co-partitioned), one on (doc_id, t) for
+    * the starts join, one on doc_id shared by the window and the final
+    * aggregation. At 100 TB the gram key would be `xxhash64(g)` (fixed
+    * 8-byte shuffle key instead of a ~40-byte string); everything else
+    * holds as-is. */
+  private def t22SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val n = substringDedupN
+    val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
+    val grams = words
+      .filter(size(col("w")) >= n)
+      .withColumn("p", explode(sequence(lit(1), size(col("w")) - (n - 1))))
+      .select(
+        col("doc_id"),
+        col("p"),
+        concat_ws(" ", slice(col("w"), col("p"), lit(n))).as("g")
+      )
+    val dup = grams
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("g")
+    val starts = grams.join(dup, "g").select(col("doc_id"), col("p"))
+    val tokpos = words
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("t0", "tok")))
+      .select(col("doc_id"), (col("t0") + 1).as("t"), col("tok"))
+    val flagged = tokpos
+      .join(
+        starts,
+        tokpos("doc_id") === starts("doc_id") && col("t") === col("p"),
+        "left"
+      )
+      .select(
+        tokpos("doc_id"),
+        col("t"),
+        col("tok"),
+        when(col("p").isNotNull, 1).otherwise(0).as("is_start")
+      )
+    val w = Window.partitionBy("doc_id").orderBy("t").rowsBetween(-(n - 1), 0)
+    flagged
+      .withColumn("covered", max("is_start").over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("covered").cast("long").as("n_removed"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("covered") === 0, struct(col("t"), col("tok")))
+              )
+            ),
+            _.getField("tok")
+          ),
+          " "
+        ).as("clean_text")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Bigram language-model scoring — the perplexity-style quality filter a
     * training pipeline runs after the heuristic ones (t1): an MLE bigram
     * model is fit ON the corpus (c_bigram / c_context, both from one gram
@@ -749,6 +824,7 @@ object TextOps {
     "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
     "t20_bigram_lm" -> (t20BigramLm _),
     "t21_mixture_plan" -> (t21MixturePlan _),
+    "t22_substring_dedup" -> (t22SubstringDedup _),
     "t18_stratified_sample" -> (t18StratifiedSample _),
     "t14_hash_split" -> (t14HashSplit _),
     "t15_corpus_profile" -> (t15CorpusProfile _),
@@ -825,6 +901,38 @@ object TextOps {
            min_tokens AS take_tokens,
            round(CAST(min_tokens AS DOUBLE) / tokens, 6) AS acceptance
          FROM inv CROSS JOIN scalars ORDER BY lang""",
+    "t22_substring_dedup" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, w, unnest(range(1, len(w) - 4)) AS p
+           FROM words WHERE len(w) >= 6
+         ), grams AS (
+           SELECT doc_id, p, array_to_string(w[p : p + 5], ' ') AS g FROM pos
+         ), dup AS (
+           SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+         ), starts AS (
+           SELECT doc_id, p FROM grams JOIN dup USING (g)
+         ), tokpos AS (
+           SELECT doc_id, w[t] AS tok, t
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS t FROM words)
+         ), cov AS (
+           SELECT tp.doc_id, tp.t, tp.tok,
+             max(CASE WHEN s.p IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY tp.doc_id ORDER BY tp.t
+                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS covered
+           FROM tokpos tp
+           LEFT JOIN starts s ON s.doc_id = tp.doc_id AND s.p = tp.t
+         )
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(covered) AS BIGINT) AS n_removed,
+           coalesce(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE covered = 0),
+                    '') AS clean_text
+         FROM cov GROUP BY doc_id ORDER BY doc_id""",
     "t20_bigram_lm" ->
       """WITH words AS (
            SELECT doc_id,
