@@ -111,6 +111,38 @@ private[functions] object ShingleHashing {
     }
     out
   }
+
+  /** Positional n-gram hash sequence under the CROSS-ENGINE hash: the
+    * first 4 bytes (big-endian) of `md5(concat_ws(' ', w_i..w_{i+n-1}))`,
+    * i.e. the integer value of the first 8 hex chars — computable
+    * bit-identically in any engine with an md5() (DuckDB: instr-formula
+    * over `substr(md5(g), 1, 8)`). Used by [[WinnowFingerprints]] so t6 is
+    * fully oracle-checkable; [[ShingleHashes]] keeps xxhash64 (faster, and
+    * t4/v4 are verified through exact set-equality stages instead). */
+  def md5PrefixSequence(text: UTF8String, n: Int): Array[Long] = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m <= 0) return Array.emptyLongArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      sb.append(toks(i))
+      var k = 1
+      while (k < n) {
+        sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    out
+  }
 }
 
 /** Custom Generator for winnowing fingerprints (the MOSS scheme): slide a
@@ -125,6 +157,12 @@ private[functions] object ShingleHashing {
   * pipeline (parity asserted in ShingleGeneratorSpec): full windows are
   * positions `pos <= m - w`; a document with fewer than `w` shingles keeps
   * the pos-0 minimum of whatever exists.
+  *
+  * Hash: [[ShingleHashing.md5PrefixSequence]] (md5 first-4-bytes), NOT
+  * xxhash64 — chosen so the whole t6 pipeline is reproducible in DuckDB
+  * and therefore hash-checked by the oracle rather than rows-only. md5 is
+  * ~5x slower per gram than XXH64 but runs once per shingle inside a
+  * pipelined generate step; at 100 TB the build stays scan-bound.
   */
 case class WinnowFingerprints(child: Expression, n: Int, w: Int)
     extends UnaryExpression
@@ -151,7 +189,7 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) return Iterator.empty
-    val h = ShingleHashing.hashSequence(t.asInstanceOf[UTF8String], n)
+    val h = ShingleHashing.md5PrefixSequence(t.asInstanceOf[UTF8String], n)
     val m = h.length
     if (m == 0) return Iterator.empty
     val seen = new java.util.HashSet[java.lang.Long]()

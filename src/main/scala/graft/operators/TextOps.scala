@@ -228,8 +228,9 @@ object TextOps {
     * minimum, dedupe — the classic MOSS scheme. Two documents sharing long
     * stretches of text share winnowed fingerprints with high overlap, so
     * the fingerprint join is a cheap near-dup candidate generator whose
-    * index size is ~1/W of the shingle count. Rows-only (engine-specific
-    * hash); agreement with exact Jaccard asserted in ScalaTest.
+    * index size is ~1/W of the shingle count. Hash-checked by a DuckDB
+    * oracle reproducing the full scheme under the cross-engine md5-prefix
+    * hash; agreement with exact Jaccard additionally asserted in ScalaTest.
     */
   private def t6WinnowFingerprint(s: SparkSession, d: String): DataFrame = {
     // The fingerprint build is the custom WinnowFingerprints Generator —
@@ -237,7 +238,9 @@ object TextOps {
     // window passes (the compositional form needed a doc_id shuffle plus
     // lead-assembly, frame-min, frame-count and lag-dedupe windows before
     // the index could form). Semantics identical; parity asserted in
-    // ShingleGeneratorSpec.
+    // ShingleGeneratorSpec. The fingerprint hash is the cross-engine
+    // md5-prefix (not xxhash64), so the whole pipeline is hash-checked by
+    // a DuckDB oracle reproducing winnowing end-to-end.
     graft.functions.GraftFunctions.register(s)
     val fp = Tables.documents(s, d)
       .selectExpr("doc_id", "graft_winnow(text) AS (fp, nfp, rn)")
@@ -901,6 +904,56 @@ object TextOps {
            min_tokens AS take_tokens,
            round(CAST(min_tokens AS DOUBLE) / tokens, 6) AS acceptance
          FROM inv CROSS JOIN scalars ORDER BY lang""",
+    // full winnowing reproduced in SQL under the cross-engine md5-prefix
+    // hash: positional 3-gram hashes, window-of-4 minima (p=1 clamped for
+    // short docs), per-doc dedupe, df<=32 stop-fingerprint cap, pair join
+    "t6_winnow_fingerprint" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, p, len(w) - 2 AS m,
+             md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
+                 FROM words WHERE len(w) >= 3)
+         ), hs AS (
+           SELECT doc_id, p, m,
+             (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 268435456 +
+             (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16777216 +
+             (instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 1048576 +
+             (instr('0123456789abcdef', substr(hh, 4, 1)) - 1) * 65536 +
+             (instr('0123456789abcdef', substr(hh, 5, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(hh, 8, 1)) - 1) AS h
+           FROM sh
+         ), wmin AS (
+           SELECT doc_id, p, m,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM hs
+         ), fps AS (
+           SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= greatest(m - 3, 1)
+         ), sizes AS (
+           SELECT doc_id, count(*) AS nfp FROM fps GROUP BY 1
+         ), rare AS (
+           SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 32
+         ), kept AS (
+           SELECT doc_id, fp FROM fps JOIN rare USING (fp)
+         ), pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+           FROM kept a JOIN kept b USING (fp)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+         )
+         SELECT doc_a, doc_b, shared,
+           CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp) AS overlap
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp) > 0.5
+         ORDER BY doc_a, doc_b""",
     "t22_substring_dedup" ->
       """WITH words AS (
            SELECT doc_id,

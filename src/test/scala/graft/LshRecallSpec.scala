@@ -63,7 +63,7 @@ class LshRecallSpec extends AnyFunSuite {
     assert(recall >= minRecall, s"recall=$recall")
   }
 
-  // the two remaining rows-only queries (t6/v5, xxhash64 by construction)
+  // v5 is rows-only (xxhash64); t6 is oracle-checked but keeps its recall gate
   // carry their fidelity gates at BOTH driver scale factors, including the
   // sf0.01 the driver's DuckDB compare runs at
   for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

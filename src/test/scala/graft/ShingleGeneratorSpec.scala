@@ -85,7 +85,10 @@ class ShingleGeneratorSpec extends AnyFunSuite {
       .select(
         col("doc_id"),
         col("pos"),
-        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h")
+        // same cross-engine hash as the generator: md5 first 8 hex chars
+        conv(substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 8), 16, 10)
+          .cast("long")
+          .as("h")
       )
       .withColumn("win_min", min("h").over(wmin))
       .withColumn("wn", count(lit(1)).over(wmin))
