@@ -283,6 +283,11 @@ object GraftFunctions {
     "graft_bloom_might_contain"
   )
 
+  val mmrInfo = new ExpressionInfo(
+    classOf[MmrSelect].getName,
+    "graft_mmr"
+  )
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
@@ -322,6 +327,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_might_contain",
       (exprs: Seq[Expression]) => BloomMightContainLong(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_mmr",
+      (exprs: Seq[Expression]) => MmrSelect(exprs(0), 8, 0.7),
       "built-in"
     )
   }
@@ -383,6 +393,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_bloom_might_contain"),
         GraftFunctions.bloomInfo,
         (exprs: Seq[Expression]) => BloomMightContainLong(exprs(0), exprs(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_mmr"),
+        GraftFunctions.mmrInfo,
+        (exprs: Seq[Expression]) => MmrSelect(exprs(0), 8, 0.7)
       )
     )
   }

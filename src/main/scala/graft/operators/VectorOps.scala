@@ -409,7 +409,45 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** MMR diversity re-rank — the serving-side step AFTER ANN retrieval:
+    * from each query's top-20 cosine candidates, select 8 by Maximal
+    * Marginal Relevance (lambda=0.7), so results trade raw relevance
+    * against redundancy with what is already selected.
+    *
+    * The sequential-in-k selection runs INSIDE the custom
+    * [[graft.functions.MmrSelect]] Generator over `collect_list`-packed
+    * candidates — one row per query, O(k*N) per row — instead of k rounds
+    * of join+window (k shuffles) or a driver loop. Candidate generation is
+    * the v1 broadcast-queries scan; the only shuffles are the top-20
+    * window and the one-row-per-query groupBy. Fully deterministic
+    * (rounded-score argmax, id tie-break), so the recursive-CTE oracle
+    * reproduces every pick. */
+  private def v13MmrRerank(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        col("nrm").as("qn")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id"), col("cos"), col("embedding"))).as("cands"))
+      .selectExpr("query_id", "graft_mmr(cands) AS (rnk, neighbor_id, score)")
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v13_mmr_rerank" -> (v13MmrRerank _),
     "v12_semantic_clusters" -> (v12SemanticClusters _),
     "v1_ann_bruteforce" -> (v1AnnBruteforce _),
     "v2_embed_cosine_dedup" -> (v2EmbedCosineDedup _),
@@ -820,6 +858,60 @@ object VectorOps {
            FROM embeddings
          )
          WHERE i <= 8 GROUP BY label, dim ORDER BY label, dim""",
+    // MMR reproduced as a recursive CTE: one new pick per query per
+    // iteration (the working table holds only the frontier rows), the
+    // chosen set carried as a list, the argmax taken over the 6-dp rounded
+    // score exactly as the Generator does
+    "v13_mmr_rerank" ->
+      s"""WITH RECURSIVE q AS (
+           SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10
+         ), scored AS (
+           SELECT query_id, vec_id, embedding,
+             ${duckDot("qe", "embedding")}
+               / (sqrt(${duckDot("qe", "qe")})
+                * sqrt(${duckDot("embedding", "embedding")})) AS cos
+           FROM embeddings, q WHERE vec_id <> query_id
+         ), cands AS (
+           SELECT query_id, vec_id, embedding, cos
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id) AS rn FROM scored)
+           WHERE rn <= 20
+         ), pairsim AS (
+           SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b,
+             ${duckDot("c1.embedding", "c2.embedding")}
+               / (sqrt(${duckDot("c1.embedding", "c1.embedding")})
+                * sqrt(${duckDot("c2.embedding", "c2.embedding")})) AS sim
+           FROM cands c1 JOIN cands c2
+             ON c1.query_id = c2.query_id AND c1.vec_id <> c2.vec_id
+         ), sel AS (
+           SELECT query_id, 1 AS rnk, vec_id AS cand_id,
+             round(cos, 6) AS score, [vec_id] AS chosen
+           FROM (SELECT query_id, vec_id, cos, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+                 FROM cands)
+           WHERE rn = 1
+           UNION ALL
+           SELECT query_id, rnk, cand_id, score,
+             list_append(chosen, cand_id) AS chosen
+           FROM (
+             SELECT s.query_id, s.rnk + 1 AS rnk, c.vec_id AS cand_id,
+               round(0.7 * c.cos - 0.3 * max(p.sim), 6) AS score, s.chosen,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY round(0.7 * c.cos - 0.3 * max(p.sim), 6) DESC,
+                          c.vec_id) AS rn
+             FROM sel s
+             JOIN cands c ON c.query_id = s.query_id
+               AND NOT list_contains(s.chosen, c.vec_id)
+             JOIN pairsim p ON p.query_id = s.query_id AND p.a = c.vec_id
+               AND list_contains(s.chosen, p.b)
+             WHERE s.rnk < 8
+             GROUP BY s.query_id, s.rnk, c.vec_id, c.cos, s.chosen
+           ) WHERE rn = 1
+         )
+         SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id AS neighbor_id,
+           score
+         FROM sel ORDER BY query_id, rnk""",
     "v1_ann_bruteforce" ->
       s"""WITH q AS (
            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
