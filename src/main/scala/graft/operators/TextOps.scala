@@ -570,6 +570,89 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Incremental near-dup dedup — the pattern that actually runs at
+    * 100 TB: a NEW corpus increment (here `doc_id % 4 == 0`, ~25%) is
+    * deduplicated against the EXISTING corpus's winnowed-fingerprint
+    * index, without ever rescanning existing-vs-existing pairs. The
+    * existing side contributes only its (df-capped) fingerprint posting
+    * list and per-doc fingerprint counts — in production those are the
+    * persisted index artifact, so each increment costs
+    * O(increment x index-hit) instead of O(corpus²); existing TEXT is
+    * never re-read. Within-increment dedup remains t4/t6's job.
+    *
+    * Output per new doc: `dup_of` = best-overlap existing doc (ties to the
+    * smaller id), NULL + `is_kept=true` when nothing clears the 0.5
+    * fingerprint-overlap bar. Same cross-engine md5-prefix hash as t6, so
+    * the whole incremental path is hash-checked by the oracle. */
+  private def t23IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fp = Tables.documents(s, d)
+      .selectExpr("doc_id", "graft_winnow(text) AS (fp, nfp, rn)")
+      .withColumn("is_new", col("doc_id") % 4 === 0)
+      .cache()
+    val existing = fp.filter(!col("is_new"))
+    val incoming = fp.filter(col("is_new"))
+    // the df cap lives on the persisted EXISTING index, as it would in prod
+    val (rare, _) = stopFingerprints(existing.select("doc_id", "fp"), stopFpDfCap)
+    val exIdx = existing
+      .select(col("doc_id").as("old_id"), col("fp"))
+      .join(rare, "fp")
+    val exSizes = existing
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("old_id"), col("nfp").as("nfp_old"))
+    val newSizes = incoming
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("new_id"), col("nfp").as("nfp_new"))
+    val wBest = Window.partitionBy("new_id").orderBy(col("overlap").desc, col("old_id").asc)
+    val best = incoming
+      .select(col("doc_id").as("new_id"), col("fp"))
+      .join(exIdx, "fp")
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(newSizes, "new_id")
+      .join(exSizes, "old_id")
+      .withColumn("overlap", col("shared") / least(col("nfp_new"), col("nfp_old")))
+      .filter(col("overlap") > 0.5)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("new_id").as("doc_id"), col("old_id").as("dup_of"), col("overlap"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 4 === 0)
+      .select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("is_kept", col("dup_of").isNull)
+      .select("doc_id", "dup_of", "overlap", "is_kept")
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary build + out-of-vocabulary rate — the tokenizer-prep step:
+    * fit a frequency-ranked top-V vocabulary ON the corpus (one token
+    * agg), then score every document's OOV rate against it. The fitted
+    * vocabulary is tiny by construction (V rows), so it broadcasts back
+    * onto the token stream — the same fit-then-broadcast shape as t10/t20;
+    * the corpus is never shuffled except the per-doc agg. V=16 (the corpus
+    * vocabulary is 31 words, so rates are non-degenerate); ties in the
+    * frequency ranking break on the token string. */
+  private def t24VocabOov(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = tokens
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(16)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tokens
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(when(col("in_vocab").isNull, 1.0).otherwise(0.0)), 6).as("oov_rate")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Corpus length of the n-grams t22 deduplicates on. */
   val substringDedupN = 6
 
@@ -828,6 +911,8 @@ object TextOps {
     "t20_bigram_lm" -> (t20BigramLm _),
     "t21_mixture_plan" -> (t21MixturePlan _),
     "t22_substring_dedup" -> (t22SubstringDedup _),
+    "t23_incremental_dedup" -> (t23IncrementalDedup _),
+    "t24_vocab_oov" -> (t24VocabOov _),
     "t18_stratified_sample" -> (t18StratifiedSample _),
     "t14_hash_split" -> (t14HashSplit _),
     "t15_corpus_profile" -> (t15CorpusProfile _),
@@ -954,6 +1039,87 @@ object TextOps {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp) > 0.5
          ORDER BY doc_a, doc_b""",
+    "t24_vocab_oov" ->
+      """WITH tokens AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> length(x) > 0)) AS tok
+           FROM documents
+         ), vocab AS (
+           SELECT tok FROM tokens GROUP BY tok
+           ORDER BY count(*) DESC, tok ASC LIMIT 16
+         )
+         SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(avg(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS oov_rate
+         FROM tokens t LEFT JOIN vocab v ON v.tok = t.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // t6's winnowing SQL (same md5-prefix hash) + the increment-vs-index
+    // join; the df cap applies to the EXISTING index only, as in the query
+    "t23_incremental_dedup" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, p, len(w) - 2 AS m,
+             md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
+                 FROM words WHERE len(w) >= 3)
+         ), hs AS (
+           SELECT doc_id, p, m,
+             (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 268435456 +
+             (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16777216 +
+             (instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 1048576 +
+             (instr('0123456789abcdef', substr(hh, 4, 1)) - 1) * 65536 +
+             (instr('0123456789abcdef', substr(hh, 5, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(hh, 8, 1)) - 1) AS h
+           FROM sh
+         ), wmin AS (
+           SELECT doc_id, p, m,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM hs
+         ), fps AS (
+           SELECT DISTINCT doc_id, fp FROM wmin WHERE p <= greatest(m - 3, 1)
+         ), ex AS (
+           SELECT doc_id, fp FROM fps WHERE doc_id % 4 <> 0
+         ), nw AS (
+           SELECT doc_id, fp FROM fps WHERE doc_id % 4 = 0
+         ), exsizes AS (
+           SELECT doc_id, count(*) AS nfp FROM ex GROUP BY 1
+         ), nwsizes AS (
+           SELECT doc_id, count(*) AS nfp FROM nw GROUP BY 1
+         ), rare AS (
+           SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 32
+         ), exidx AS (
+           SELECT doc_id AS old_id, fp FROM ex JOIN rare USING (fp)
+         ), shr AS (
+           SELECT n.doc_id AS new_id, e.old_id, count(*) AS shared
+           FROM nw n JOIN exidx e USING (fp) GROUP BY 1, 2
+         ), matches AS (
+           SELECT new_id, old_id,
+             CAST(shared AS DOUBLE) / least(ns.nfp, es.nfp) AS overlap
+           FROM shr
+           JOIN nwsizes ns ON ns.doc_id = new_id
+           JOIN exsizes es ON es.doc_id = old_id
+           WHERE CAST(shared AS DOUBLE) / least(ns.nfp, es.nfp) > 0.5
+         ), best AS (
+           SELECT new_id, old_id AS dup_of, overlap,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY overlap DESC, old_id) AS rn
+           FROM matches
+         )
+         SELECT d.doc_id, b.dup_of, b.overlap, b.dup_of IS NULL AS is_kept
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+         ORDER BY d.doc_id""",
     "t22_substring_dedup" ->
       """WITH words AS (
            SELECT doc_id,
