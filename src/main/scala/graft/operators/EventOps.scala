@@ -238,7 +238,43 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Conversion-lag distribution — the funnel-timing follow-up to e4: per
+    * signed-up user, the delay from first signup to the first purchase at
+    * or after it, summarized as exact percentiles. All timestamp math on
+    * integer microseconds (`unix_micros` / DuckDB `epoch_us` — exact), so
+    * the percentile inputs are bit-identical cross-engine; the only double
+    * arithmetic is the final fixed-form us→s division, rounded on both
+    * sides. Two shuffles (per-user min, then the scalar percentile agg
+    * whose input is one row per user). */
+  private def e9ConversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val perUser = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("signup_us"))
+      .filter(col("signup_us").isNotNull)
+    val lags = ev
+      .join(perUser, "user_id")
+      .groupBy("user_id")
+      .agg(
+        (min(
+          when(
+            col("event_type") === "purchase" && col("us") >= col("signup_us"),
+            col("us")
+          )
+        ) - min(col("signup_us"))).as("lag_us")
+      )
+    lags.agg(
+      count(lit(1)).as("n_signed_up_users"),
+      count(col("lag_us")).as("n_converted"),
+      round(percentile(col("lag_us"), lit(0.5)) / 1e6, 4).as("p50_lag_s"),
+      round(percentile(col("lag_us"), lit(0.9)) / 1e6, 4).as("p90_lag_s"),
+      round(percentile(col("lag_us"), lit(0.99)) / 1e6, 4).as("p99_lag_s")
+    )
+  }
+
   val queries: Map[String, Q] = Map(
+    "e9_conversion_lag" -> (e9ConversionLag _),
     "e8_anomaly_zscore" -> (e8AnomalyZscore _),
     "e7_rolling_active" -> (e7RollingActive _),
     "e6_retention_cohorts" -> (e6RetentionCohorts _),
@@ -250,6 +286,27 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e9_conversion_lag" ->
+      """WITH per_user AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS signup_us
+           FROM events GROUP BY user_id
+           HAVING signup_us IS NOT NULL
+         ), lags AS (
+           SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase'
+                       AND epoch_us(e.ts) >= p.signup_us
+                      THEN epoch_us(e.ts) END) - min(p.signup_us) AS lag_us
+           FROM events e JOIN per_user p ON e.user_id = p.user_id
+           GROUP BY e.user_id
+         )
+         SELECT count(*) AS n_signed_up_users,
+           count(lag_us) AS n_converted,
+           round(quantile_cont(lag_us, 0.5) / 1e6, 4) AS p50_lag_s,
+           round(quantile_cont(lag_us, 0.9) / 1e6, 4) AS p90_lag_s,
+           round(quantile_cont(lag_us, 0.99) / 1e6, 4) AS p99_lag_s
+         FROM lags""",
     "e8_anomaly_zscore" ->
       """WITH daily AS (
            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events

@@ -593,6 +593,32 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
+  /** W4 (extension): equal-frequency binning via ntile — the feature
+    * bucketization a training pipeline runs to discretize a numeric
+    * column. Partitioned by nation so no window sees a single global
+    * partition; the ordering is total (exact cents, then key) so bin
+    * assignment is deterministic and ntile's earlier-bins-get-extras
+    * semantics agree across engines. */
+  private def w4NtileBins(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("c_nationkey")
+      .orderBy(col("bal_cents").asc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(
+        col("c_nationkey"),
+        col("c_custkey"),
+        F.cents(col("c_acctbal")).as("bal_cents")
+      )
+      .withColumn("bin", ntile(4).over(w).cast("long"))
+      .groupBy("c_nationkey", "bin")
+      .agg(
+        count(lit(1)).as("n"),
+        min("bal_cents").as("min_cents"),
+        max("bal_cents").as("max_cents")
+      )
+      .orderBy("c_nationkey", "bin")
+  }
+
   // ------------------------------------------------------- W: windows, sorts
 
   /** W1 (frame spec): per-partition running sum over an exact ordering. */
@@ -655,7 +681,8 @@ object RelationalOps {
     "a14_percentiles" -> (a14Percentiles _),
     "a11_bucket_collapse" -> (a11BucketCollapse _),
     "w1_running_sum" -> (w1RunningSum _),
-    "w2_top_n" -> (w2TopN _)
+    "w2_top_n" -> (w2TopN _),
+    "w4_ntile_bins" -> (w4NtileBins _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -863,6 +890,18 @@ object RelationalOps {
          )
          SELECT n_name, rnk, l_partkey, revenue_f4 FROM ranked
          WHERE rnk <= 5 ORDER BY n_name, rnk""",
+    "w4_ntile_bins" ->
+      """WITH b AS (
+           SELECT c_nationkey, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             CAST(ntile(4) OVER (PARTITION BY c_nationkey
+               ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+               AS BIGINT) AS bin
+           FROM customer
+         )
+         SELECT c_nationkey, bin, count(*) AS n,
+           min(bal_cents) AS min_cents, max(bal_cents) AS max_cents
+         FROM b GROUP BY 1, 2 ORDER BY c_nationkey, bin""",
     "a14_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
          round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
