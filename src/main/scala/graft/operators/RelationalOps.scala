@@ -619,6 +619,30 @@ object RelationalOps {
       .orderBy("c_nationkey", "bin")
   }
 
+  /** A15 (extension): relational pivot — long-to-wide reshaping with an
+    * EXPLICIT value list (`pivot(col, values)`), which is the only form
+    * that scales: without the list Spark runs a distinct-values job first
+    * AND the output schema becomes data-dependent, which no downstream
+    * consumer can bind to. One scan, one shuffle; each cell a conditional
+    * integer sum. The reference's pivot-to-JSON export (§2 W3) does this
+    * shape driver-side at tiny cardinality; this is the distributed form.
+    */
+  private def a15Pivot(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d)
+      .select(
+        col("o_orderpriority"),
+        col("o_orderstatus"),
+        F.cents(col("o_totalprice")).as("cents")
+      )
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum("cents"))
+      .withColumnRenamed("F", "cents_f")
+      .withColumnRenamed("O", "cents_o")
+      .withColumnRenamed("P", "cents_p")
+      .orderBy("o_orderpriority")
+  }
+
   // ------------------------------------------------------- W: windows, sorts
 
   /** W1 (frame spec): per-partition running sum over an exact ordering. */
@@ -682,7 +706,8 @@ object RelationalOps {
     "a11_bucket_collapse" -> (a11BucketCollapse _),
     "w1_running_sum" -> (w1RunningSum _),
     "w2_top_n" -> (w2TopN _),
-    "w4_ntile_bins" -> (w4NtileBins _)
+    "w4_ntile_bins" -> (w4NtileBins _),
+    "a15_pivot" -> (a15Pivot _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -890,6 +915,18 @@ object RelationalOps {
          )
          SELECT n_name, rnk, l_partkey, revenue_f4 FROM ranked
          WHERE rnk <= 5 ORDER BY n_name, rnk""",
+    "a15_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+           AS cents_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+           AS cents_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+           AS cents_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "w4_ntile_bins" ->
       """WITH b AS (
            SELECT c_nationkey, c_custkey,

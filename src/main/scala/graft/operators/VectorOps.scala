@@ -446,7 +446,73 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Hybrid retrieval with Reciprocal Rank Fusion — the fusion step of a
+    * modern search stack: a LEXICAL ranking (tf-idf sparse dot via the
+    * inverted-index token join) and a VECTOR ranking (v1's broadcast
+    * cosine scan) are combined per query as
+    * `1/(60+r_lex) + 1/(60+r_vec)`, so neither scorer's scale matters,
+    * only its ranks. `documents.doc_id` and `embeddings.vec_id` share the
+    * id space (TESTDATA), which is what makes the fusion join meaningful.
+    *
+    * Cross-engine determinism by construction: the lexical score is a sum
+    * of INTEGER terms (tf_q * tf_d * round(ln(N/df)*1e6)) — exact whatever
+    * the aggregation order — and the RRF score is a fixed-form double over
+    * integer ranks. Shuffles: the token join (inverted index), one per
+    * ranking window, the fusion join co-partitioned on (query_id, id). */
+  private def v14HybridRrf(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(F.wsTokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf
+      .join(dft, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf6", round(log(col("n_docs") / col("df")) * 1e6).cast("long"))
+    val qterms = weighted
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term"), col("tf").as("qtf"), col("idf6"))
+    val wLex = Window.partitionBy("query_id").orderBy(col("lex_score").desc, col("doc_id").asc)
+    val lexRank = qterms
+      .join(weighted.select(col("doc_id"), col("term"), col("tf")), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qtf") * col("tf") * col("idf6")).as("lex_score"))
+      .withColumn("r_lex", row_number().over(wLex))
+      .filter(col("r_lex") <= 50)
+      .select("query_id", "doc_id", "r_lex")
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val qvec = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val wVec = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val vecRank = emb
+      .crossJoin(broadcast(qvec))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("r_vec", row_number().over(wVec))
+      .filter(col("r_vec") <= 50)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("r_vec"))
+    val wFuse = Window.partitionBy("query_id").orderBy(col("rrf_raw").desc, col("doc_id").asc)
+    lexRank
+      .join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn(
+        "rrf_raw",
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))
+      )
+      .withColumn("rnk", row_number().over(wFuse).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk"), col("doc_id"), round(col("rrf_raw"), 6).as("rrf"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v14_hybrid_rrf" -> (v14HybridRrf _),
     "v13_mmr_rerank" -> (v13MmrRerank _),
     "v12_semantic_clusters" -> (v12SemanticClusters _),
     "v1_ann_bruteforce" -> (v1AnnBruteforce _),
@@ -858,6 +924,62 @@ object VectorOps {
            FROM embeddings
          )
          WHERE i <= 8 GROUP BY label, dim ORDER BY label, dim""",
+    "v14_hybrid_rrf" ->
+      s"""WITH toksq AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> length(x) > 0)) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM toksq GROUP BY 1, 2
+         ), dft AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), n AS (
+           SELECT count(*) AS n_docs FROM documents
+         ), wt AS (
+           SELECT doc_id, term, tf,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)
+               AS idf6
+           FROM tf JOIN dft USING (term) CROSS JOIN n
+         ), lex AS (
+           SELECT q.doc_id AS query_id, c.doc_id,
+             CAST(sum(q.tf * c.tf * q.idf6) AS BIGINT) AS lex_score
+           FROM wt q JOIN wt c USING (term)
+           WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+           GROUP BY 1, 2
+         ), lexrank AS (
+           SELECT query_id, doc_id, r_lex FROM (
+             SELECT query_id, doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY lex_score DESC, doc_id) AS r_lex
+             FROM lex) WHERE r_lex <= 50
+         ), qv AS (
+           SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10
+         ), scored AS (
+           SELECT query_id, vec_id,
+             ${duckDot("qe", "embedding")}
+               / (sqrt(${duckDot("qe", "qe")})
+                * sqrt(${duckDot("embedding", "embedding")})) AS cos
+           FROM embeddings, qv WHERE vec_id <> query_id
+         ), vecrank AS (
+           SELECT query_id, doc_id, r_vec FROM (
+             SELECT query_id, vec_id AS doc_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r_vec
+             FROM scored) WHERE r_vec <= 50
+         ), fused AS (
+           SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             coalesce(1e0 / (60 + l.r_lex), 0) +
+               coalesce(1e0 / (60 + v.r_vec), 0) AS rrf_raw
+           FROM lexrank l FULL JOIN vecrank v
+             ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+         )
+         SELECT query_id, rnk, doc_id, round(rrf_raw, 6) AS rrf FROM (
+           SELECT query_id, doc_id, rrf_raw, CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id) AS BIGINT)
+             AS rnk
+           FROM fused) WHERE rnk <= 10
+         ORDER BY query_id, rnk""",
     // MMR reproduced as a recursive CTE: one new pick per query per
     // iteration (the working table holds only the frontier rows), the
     // chosen set carried as a list, the argmax taken over the 6-dp rounded
