@@ -273,7 +273,32 @@ object EventOps {
     )
   }
 
+  /** Latest-record-per-key snapshot — log compaction / CDC materialization:
+    * each (user, event_type) keeps only its most recent event, ordered by
+    * event time with the id as the deterministic late-tie breaker. One
+    * shuffle; `WindowGroupLimit` pushes the rank-1 filter into the sort so
+    * only one row per key survives each partial. At 100 TB this is the
+    * query shape MERGE/compaction jobs run per partition. */
+  private def e10LatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("last_us").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("event_id"),
+        unix_micros(col("ts")).as("last_us"),
+        F.fixed4(col("value")).as("value_f4")
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "last_us", "value_f4")
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e10_latest_per_key" -> (e10LatestPerKey _),
     "e9_conversion_lag" -> (e9ConversionLag _),
     "e8_anomaly_zscore" -> (e8AnomalyZscore _),
     "e7_rolling_active" -> (e7RollingActive _),
@@ -286,6 +311,15 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "e10_latest_per_key" ->
+      """SELECT user_id, event_type, event_id, last_us, value_f4 FROM (
+           SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS last_us,
+             CAST(round(value * 10000) AS BIGINT) AS value_f4,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events
+         ) WHERE rn = 1 ORDER BY user_id, event_type""",
     "e9_conversion_lag" ->
       """WITH per_user AS (
            SELECT user_id,

@@ -653,6 +653,69 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The corpus-to-training-shards pipeline as ONE declared query — the
+    * composition a user actually runs: normalize (t8) -> token-count
+    * quality gate -> exact dedup on normalized content (t3's shape; the
+    * canonical copy is the smallest id) -> token-budget shard assignment
+    * over survivors (t9's TWO-PHASE prefix sum — per-bucket totals +
+    * partitioned windows, no global-window stage) -> growth-stable hash
+    * split (t14). Every stage is a declared operator; the oracle chains
+    * their SQL forms (with t9's naive global-cumsum oracle form), so the
+    * composition is hash-checked end to end like t7. */
+  private def t25CorpusToShards(s: SparkSession, d: String): DataFrame = {
+    val normExpr = trim(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+        "\\s+",
+        " "
+      )
+    )
+    val wHash = Window.partitionBy("h").orderBy("doc_id")
+    val kept = Tables.documents(s, d)
+      .withColumn("norm_text", normExpr)
+      .withColumn(
+        "n_tokens",
+        when(col("norm_text") === "", 0L)
+          .otherwise(size(split(col("norm_text"), " ")).cast("long"))
+      )
+      .filter(col("n_tokens") >= 20)
+      .withColumn("h", md5(col("norm_text")))
+      .withColumn("rn", row_number().over(wHash))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"))
+    val withBucket = kept.withColumn("bucket", expr("doc_id DIV 1000"))
+    val bucketTotals =
+      withBucket.groupBy("bucket").agg(sum("n_tokens").as("bucket_tokens"))
+    val offsets = bucketTotals
+      .as("x")
+      .join(bucketTotals.as("y"), col("y.bucket") < col("x.bucket"), "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(coalesce(sum(col("y.bucket_tokens")), lit(0L)).as("bucket_offset"))
+    val wB = Window
+      .partitionBy("bucket")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hex4ToBucket =
+      """((instr('0123456789abcdef', substr(hs, 1, 1)) - 1) * 4096 +
+        | (instr('0123456789abcdef', substr(hs, 2, 1)) - 1) * 256 +
+        | (instr('0123456789abcdef', substr(hs, 3, 1)) - 1) * 16 +
+        | (instr('0123456789abcdef', substr(hs, 4, 1)) - 1)) % 100""".stripMargin
+    withBucket
+      .join(broadcast(offsets), "bucket")
+      .withColumn("prev_tokens", coalesce(sum("n_tokens").over(wB), lit(0L)))
+      .withColumn("shard", expr("(bucket_offset + prev_tokens) DIV 10000"))
+      .withColumn("hs", md5(col("doc_id").cast("string")))
+      .withColumn("split_bucket", expr(hex4ToBucket).cast("long"))
+      .withColumn(
+        "split",
+        when(col("split_bucket") < 80, "train")
+          .when(col("split_bucket") < 90, "valid")
+          .otherwise("test")
+      )
+      .select("doc_id", "n_tokens", "shard", "split")
+      .orderBy("doc_id")
+  }
+
   /** Corpus length of the n-grams t22 deduplicates on. */
   val substringDedupN = 6
 
@@ -913,6 +976,7 @@ object TextOps {
     "t22_substring_dedup" -> (t22SubstringDedup _),
     "t23_incremental_dedup" -> (t23IncrementalDedup _),
     "t24_vocab_oov" -> (t24VocabOov _),
+    "t25_corpus_to_shards" -> (t25CorpusToShards _),
     "t18_stratified_sample" -> (t18StratifiedSample _),
     "t14_hash_split" -> (t14HashSplit _),
     "t15_corpus_profile" -> (t15CorpusProfile _),
@@ -1039,6 +1103,47 @@ object TextOps {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp) > 0.5
          ORDER BY doc_a, doc_b""",
+    // chains t8's normalization, the quality gate, t3-shaped dedup, t9's
+    // NAIVE cumsum oracle form and t14's split-hash formula
+    "t25_corpus_to_shards" ->
+      """WITH n AS (
+           SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text
+           FROM documents
+         ), q AS (
+           SELECT doc_id, norm_text,
+             CASE WHEN norm_text = '' THEN 0
+                  ELSE CAST(len(string_split(norm_text, ' ')) AS BIGINT)
+             END AS n_tokens
+           FROM n
+         ), kept AS (
+           SELECT doc_id, n_tokens FROM (
+             SELECT doc_id, n_tokens, row_number() OVER (
+               PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+             FROM q WHERE n_tokens >= 20
+           ) WHERE rn = 1
+         ), c AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+           FROM kept
+         ), sp AS (
+           SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+              (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+              (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100 AS b
+           FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM kept)
+         )
+         SELECT c.doc_id, c.n_tokens, CAST(c.prev // 10000 AS BIGINT) AS shard,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM c JOIN sp ON sp.doc_id = c.doc_id
+         ORDER BY c.doc_id""",
     "t24_vocab_oov" ->
       """WITH tokens AS (
            SELECT doc_id,
