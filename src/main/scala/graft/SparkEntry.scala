@@ -15,8 +15,9 @@ import graft.multimodal.MultimodalOps
   *   - [[VectorOps]]      ANN + LSH/MinHash/SimHash over `embeddings`
   *
   * Every query with SQL-expressible semantics has a DuckDB oracle in
-  * [[oracleSql]]; LSH-family queries (engine-specific hashing) are declared
-  * rows-only and verified against their exact counterparts in ScalaTest.
+  * [[oracleSql]]; the two remaining rows-only queries (v5 SimHash on
+  * xxhash64, e5 on an HLL sketch) are engine-specific by construction and
+  * verified against their exact counterparts in ScalaTest.
   */
 object SparkEntry {
 

@@ -68,4 +68,78 @@ class MmrSelectSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
     assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  // ---- properties, via direct Catalyst eval (no Spark job per trial) ----
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+  import graft.functions.MmrSelect
+
+  private val candType = ArrayType(
+    StructType(
+      Seq(
+        StructField("vec_id", LongType),
+        StructField("rel", DoubleType),
+        StructField("embedding", ArrayType(FloatType))
+      )
+    )
+  )
+
+  private def evalMmr(
+      cands: Seq[(Long, Double, Array[Float])],
+      k: Int,
+      lam: Double
+  ): Seq[(Long, Long, Double)] = {
+    val av = new GenericArrayData(
+      cands.map { case (id, rel, v) =>
+        InternalRow(id, rel, new GenericArrayData(v.map(x => x: Any)))
+      }.toArray[Any]
+    )
+    MmrSelect(Literal(av, candType), k, lam)
+      .eval(InternalRow.empty)
+      .iterator
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+  }
+
+  private def randomCands(rnd: scala.util.Random, n: Int) =
+    (0 until n).map { i =>
+      // rels on a 1e-3 grid, all distinct -> 6-dp rounding cannot reorder
+      (i.toLong, (rnd.shuffle((1 to 500).toList).head + i * 500) * 0.001,
+        Array.fill(8)(rnd.nextFloat() - 0.3f))
+    }
+
+  test("property: picks are distinct, within the candidate set, min(k,n) long") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val n = 3 + rnd.nextInt(8)
+      val cands = randomCands(rnd, n)
+      val out = evalMmr(cands, 5, 0.7)
+      assert(out.length == math.min(5, n))
+      assert(out.map(_._2).distinct.length == out.length)
+      assert(out.map(_._2).toSet.subsetOf(cands.map(_._1).toSet))
+      assert(out.map(_._1) == (1 to out.length).map(_.toLong))
+    }
+  }
+
+  test("property: output is invariant under candidate input order") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 50) {
+      val cands = randomCands(rnd, 3 + rnd.nextInt(8))
+      val out = evalMmr(cands, 5, 0.7)
+      assert(evalMmr(rnd.shuffle(cands), 5, 0.7) == out)
+    }
+  }
+
+  test("property: lambda=1 degenerates to the pure relevance ranking") {
+    val rnd = new scala.util.Random(37)
+    for (_ <- 1 to 50) {
+      val cands = randomCands(rnd, 3 + rnd.nextInt(8))
+      val out = evalMmr(cands, 5, 1.0)
+      val byRel = cands.sortBy { case (id, rel, _) => (-rel, id) }.map(_._1)
+      assert(out.map(_._2) == byRel.take(out.length))
+    }
+  }
 }
