@@ -212,7 +212,12 @@ object EventOps {
     * expression — Welford-style streaming variance differs in merge order
     * across engines and would hash-flip. Partitioned window (per event
     * type), one count shuffle; z is emitted only for full 7-day windows
-    * with positive variance. */
+    * with positive variance.
+    *
+    * Range limit, stated honestly: Σx² over a 7-row window of daily counts
+    * stays inside a signed long while each daily count is < ~1.1e9
+    * (7·(1.1e9)² < 2^63). Past that — ~10^9 events/day/series — lift the
+    * sums to DECIMAL(38,0) on both engines; the z formula is unchanged. */
   private def e8AnomalyZscore(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
