@@ -716,6 +716,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Training-sequence packing — the step AFTER sharding (t9) and split
+    * assignment (t14): documents are laid head-to-tail in deterministic
+    * doc_id order and cut into fixed 512-token training sequences; each
+    * document learns its sequence id, its offset inside that sequence,
+    * and whether it spans a cut (the fraction of boundary-spanning docs is
+    * the packing-efficiency metric people tune sequence length against).
+    * Same two-phase prefix sum as t9 — per-bucket totals + partitioned
+    * windows, no global-window stage — so the layout is computed with
+    * bounded parallelism at any corpus size; the oracle is the naive
+    * global-cumsum form. */
+  private def t26SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val seqLen = 512
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("doc_id DIV 1000"))
+    val bucketTotals = base
+      .groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val offsets = bucketTotals
+      .as("x")
+      .join(bucketTotals.as("y"), col("y.bucket") < col("x.bucket"), "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(coalesce(sum(col("y.bucket_tokens")), lit(0L)).as("bucket_offset"))
+    val w = Window
+      .partitionBy("bucket")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(offsets), "bucket")
+      .withColumn("prev", col("bucket_offset") + coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"prev DIV $seqLen"))
+      .withColumn("seq_offset", expr(s"prev % $seqLen"))
+      .withColumn("spans_boundary", col("seq_offset") + col("n_tokens") > seqLen)
+      .select("doc_id", "n_tokens", "seq_id", "seq_offset", "spans_boundary")
+      .orderBy("doc_id")
+  }
+
   /** Corpus length of the n-grams t22 deduplicates on. */
   val substringDedupN = 6
 
@@ -977,6 +1014,7 @@ object TextOps {
     "t23_incremental_dedup" -> (t23IncrementalDedup _),
     "t24_vocab_oov" -> (t24VocabOov _),
     "t25_corpus_to_shards" -> (t25CorpusToShards _),
+    "t26_sequence_packing" -> (t26SequencePacking _),
     "t18_stratified_sample" -> (t18StratifiedSample _),
     "t14_hash_split" -> (t14HashSplit _),
     "t15_corpus_profile" -> (t15CorpusProfile _),
@@ -1103,6 +1141,25 @@ object TextOps {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp) > 0.5
          ORDER BY doc_a, doc_b""",
+    // naive global-cumsum oracle form (the Spark side is the two-phase sum)
+    "t26_sequence_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+           FROM t
+         )
+         SELECT doc_id, n_tokens,
+           CAST(prev // 512 AS BIGINT) AS seq_id,
+           CAST(prev % 512 AS BIGINT) AS seq_offset,
+           prev % 512 + n_tokens > 512 AS spans_boundary
+         FROM c ORDER BY doc_id""",
     // chains t8's normalization, the quality gate, t3-shaped dedup, t9's
     // NAIVE cumsum oracle form and t14's split-hash formula
     "t25_corpus_to_shards" ->

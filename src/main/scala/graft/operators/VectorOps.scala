@@ -511,7 +511,40 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Radius (range) search — the other half of a similarity-search API
+    * next to top-k: ALL candidates with cosine ≥ τ per query, not a fixed
+    * count. Same broadcast-queries single-scan plan as v1; the result size
+    * is data-dependent (possibly zero rows per query — preserved via the
+    * per-query match count), which is exactly why serving APIs offer both
+    * forms. τ=0.3 sits below this corpus's 0.51 max pair cosine so the
+    * operator returns real matches. */
+  private def v15RangeSearch(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        col("nrm").as("qn")
+      )
+    emb
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+      .filter(col("cos") >= 0.3)
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_matches"),
+        round(max("cos"), 6).as("best_cos"),
+        sort_array(collect_list(col("vec_id"))).as("neighbor_ids")
+      )
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v15_range_search" -> (v15RangeSearch _),
     "v14_hybrid_rrf" -> (v14HybridRrf _),
     "v13_mmr_rerank" -> (v13MmrRerank _),
     "v12_semantic_clusters" -> (v12SemanticClusters _),
@@ -924,6 +957,22 @@ object VectorOps {
            FROM embeddings
          )
          WHERE i <= 8 GROUP BY label, dim ORDER BY label, dim""",
+    "v15_range_search" ->
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10
+         ), scored AS (
+           SELECT query_id, vec_id,
+             ${duckDot("qe", "embedding")}
+               / (sqrt(${duckDot("qe", "qe")})
+                * sqrt(${duckDot("embedding", "embedding")})) AS cos
+           FROM embeddings, q WHERE vec_id <> query_id
+         )
+         SELECT query_id, count(*) AS n_matches,
+           round(max(cos), 6) AS best_cos,
+           list_sort(list(vec_id)) AS neighbor_ids
+         FROM scored WHERE cos >= 0.3
+         GROUP BY query_id ORDER BY query_id""",
     "v14_hybrid_rrf" ->
       s"""WITH toksq AS (
            SELECT doc_id,
