@@ -43,6 +43,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-then-filter queries keep Spark 4's WindowGroupLimit pushdown engaged") {
+    // row_number + rank<=k must plan the partial/final group-limit pair —
+    // without it every partition sorts its FULL group before the filter,
+    // which is the difference between top-k and global-sort cost at scale
+    for (q <- Seq("a9_topk_per_group", "e10_latest_per_key", "v13_mmr_rerank")) {
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lost the group-limit pushdown")
+    }
+    // the GLOBAL top-n plans as the even cheaper TakeOrderedAndProject
+    // (per-partition heap + merge — no global sort ever materializes)
+    assert(plan("w2_top_n").contains("TakeOrderedAndProject"), "w2 regressed to a global sort")
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
