@@ -1004,7 +1004,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1, public
+    * paper): per-document gate flags with a failure-reason bitmask —
+    * word-count bounds, mean-word-length bounds, alphabetic-token
+    * fraction, stop-word floor, and a token-entropy floor (gibberish /
+    * low-diversity filter). Rules r1–r4 are pure per-row expressions in
+    * one codegen stage; entropy needs the per-(doc, token) counts, keyed
+    * by `xxhash64(token)` like t12 (longs shuffle ~3x narrower than the
+    * token strings; only the counts survive, so the hash never reaches
+    * the output). Two partial-aggregated shuffles on doc-grain keys and
+    * one co-partitioned join — the same plan at any corpus size.
+    *
+    * Oracle parity: the entropy sum Σ n·ln(n) is integer-scaled per
+    * distinct count (round(ln(n)·1e6) as BIGINT) so the cross-engine
+    * aggregation order can't move the total; ln(N) is a single double and
+    * the final entropy is rounded to 6dp on both sides (the documented
+    * avg-of-ln pattern). The keep decision compares the ROUNDED entropy,
+    * so the gate itself is engine-stable too. */
+  private def t27GopherRules(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // per-row stats: tokens bound as a column FIRST (the documented HOF
+    // pitfall — lambdas inline unbound expressions without CSE)
+    val perRow = docs
+      .select(col("doc_id"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(transform(col("w"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long").as("token_chars"),
+        size(filter(col("w"), t => t.rlike("[A-Za-z]")))
+          .cast("long").as("n_alpha"),
+        size(filter(col("w"), t => t === "the" || t === "a" || t === "of"))
+          .cast("long").as("n_stop")
+      )
+    val entropy = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("th"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("nn"),
+        sum(col("n") * round(ln(col("n").cast("double")) * 1e6).cast("long"))
+          .as("slnl")
+      )
+      .select(
+        col("doc_id"),
+        round(
+          ln(col("nn").cast("double")) - col("slnl") / (col("nn") * lit(1e6)),
+          6
+        ).as("token_entropy")
+      )
+    def failBit(pass: Column, bit: Int): Column =
+      when(pass, lit(0L)).otherwise(lit(bit.toLong))
+    perRow
+      .join(entropy, Seq("doc_id"))
+      .withColumn("mean_token_len", col("token_chars") / col("n_tokens"))
+      .withColumn("alpha_ratio", col("n_alpha") / col("n_tokens"))
+      .withColumn(
+        "reasons",
+        failBit(col("n_tokens").between(30L, 10000L), 1) +
+          failBit(col("mean_token_len").between(3.0, 10.0), 2) +
+          failBit(col("alpha_ratio") > 0.8, 4) +
+          failBit(col("n_stop") >= 2L, 8) +
+          failBit(col("token_entropy") >= 2.9, 16)
+      )
+      .withColumn("keep", col("reasons") === 0L)
+      .select(
+        "doc_id", "n_tokens", "mean_token_len", "alpha_ratio", "n_stop",
+        "token_entropy", "reasons", "keep"
+      )
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t27_gopher_rules" -> (t27GopherRules _),
     "t16_dedup_clusters" -> (t16DedupClusters _),
     "t17_tfidf" -> (t17Tfidf _),
     "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
@@ -1034,6 +1107,55 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // entropy sum integer-scaled per distinct count (round(ln(n)*1e6) AS
+    // BIGINT) so aggregation order can't move it; final entropy rounded
+    // to 6dp on both sides and the keep gate compares the rounded value
+    "t27_gopher_rules" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), per_row AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               AS token_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of')))
+               AS BIGINT) AS n_stop
+           FROM words
+         ), tok_counts AS (
+           SELECT doc_id, tok, count(*) AS n
+           FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+           GROUP BY 1, 2
+         ), entropy AS (
+           SELECT doc_id,
+             round(ln(CAST(sum(n) AS DOUBLE))
+               - CAST(sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6)
+                                   AS BIGINT)) AS BIGINT)
+                 / (CAST(sum(n) AS BIGINT) * 1e6), 6) AS token_entropy
+           FROM tok_counts GROUP BY doc_id
+         ), scored AS (
+           SELECT p.doc_id, n_tokens,
+             CAST(token_chars AS DOUBLE) / n_tokens AS mean_token_len,
+             CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_ratio,
+             n_stop, token_entropy
+           FROM per_row p JOIN entropy e ON e.doc_id = p.doc_id
+         ), flagged AS (
+           SELECT *,
+             CAST(CASE WHEN n_tokens BETWEEN 30 AND 10000 THEN 0 ELSE 1 END
+               + CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 2 END
+               + CASE WHEN alpha_ratio > 0.8 THEN 0 ELSE 4 END
+               + CASE WHEN n_stop >= 2 THEN 0 ELSE 8 END
+               + CASE WHEN token_entropy >= 2.9 THEN 0 ELSE 16 END
+               AS BIGINT) AS reasons
+           FROM scored
+         )
+         SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, n_stop,
+           token_entropy, reasons, reasons = 0 AS keep
+         FROM flagged ORDER BY doc_id""",
     // transitive closure of the t4 pair graph via a recursive CTE — the
     // naive form whose fixpoint the Spark-side label propagation reaches
     "t16_dedup_clusters" ->
