@@ -538,7 +538,7 @@ object VectorOps {
       .agg(
         count(lit(1)).as("n_matches"),
         round(max("cos"), 6).as("best_cos"),
-        sort_array(collect_list(col("vec_id"))).as("neighbor_ids")
+        array_join(sort_array(collect_list(col("vec_id"))), ",").as("neighbor_ids")
       )
       .orderBy("query_id")
   }
@@ -970,7 +970,7 @@ object VectorOps {
          )
          SELECT query_id, count(*) AS n_matches,
            round(max(cos), 6) AS best_cos,
-           list_sort(list(vec_id)) AS neighbor_ids
+           array_to_string(list_sort(list(vec_id)), ',') AS neighbor_ids
          FROM scored WHERE cos >= 0.3
          GROUP BY query_id ORDER BY query_id""",
     "v14_hybrid_rrf" ->
