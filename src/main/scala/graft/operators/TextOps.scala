@@ -884,9 +884,14 @@ object TextOps {
     * plan viable when the eval set outgrows comfortable broadcast size. */
   private def t19BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(Tables.documents(s, d))
+    // The eval side is consumed THREE times (count to size the bloom, the
+    // bloom build, the broadcast verify join) — cache it so the shingle
+    // Generator runs once over the eval partition, not three times. The
+    // eval set is the SMALL side by contract, so the cache is bounded.
     val ev = sh
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("shingle"), col("sz").as("sz_e"))
+      .cache()
     val bloom = ev.stat.bloomFilter("shingle", math.max(ev.count(), 1L), 0.01)
     sh.filter(col("doc_id") % 10 =!= 0)
       .filter(graft.functions.BloomMightContainLong(bloom, col("shingle")))

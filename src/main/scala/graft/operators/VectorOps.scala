@@ -22,6 +22,8 @@ object VectorOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Brute-force cosine top-k: queries (vec_id < 10) × all candidates,
     * double-precision cosine, k=5, deterministic tie-break on neighbor id.
     * Output is (query_id, rnk, neighbor_id) — rank only, so cross-engine
@@ -220,9 +222,17 @@ object VectorOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup: 64-bit simhash over tokens (sum of ±1 per bit from
-    * xxhash64(token), sign → bit), 4×16-bit band blocking, Hamming
-    * distance <= 3 on candidates. No oracle; asserted in tests. */
+  /** SimHash near-dup: 64-bit simhash over 3-word shingles (sum of ±1 per
+    * bit from the shingle hash, sign → bit), 4×16-bit band blocking,
+    * Hamming distance <= 3 on candidates.
+    *
+    * The shingle hash is the CROSS-ENGINE md5-prefix scheme (first 8 bytes
+    * of md5, big-endian — the 64-bit extension of t6's 4-byte form), so the
+    * whole pipeline is reproducible in DuckDB and hash-checked by the
+    * oracle; until round 6 this used xxhash64 and was rows-only. md5 is
+    * slower per gram than xxhash64 but runs once per shingle in a codegen
+    * projection — the build stays scan-bound at scale (same trade t6 made,
+    * ShingleGenerator.scala:161). */
   private def v5Simhash(s: SparkSession, d: String): DataFrame = {
     // SimHash over 3-word shingles, not bare tokens: with a small vocabulary
     // every document shares most TOKENS, so token-level simhashes collapse
@@ -231,7 +241,14 @@ object VectorOps {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
       .select(col("doc_id"), explode(F.wordShingles(col("w"), 3)).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      // h = first 8 md5 bytes as a signed 64-bit long: hi/lo 32-bit halves
+      // parsed separately so the hex→long conversion never overflows
+      .withColumn("hhex", md5(col("t")))
+      .withColumn(
+        "h",
+        shiftleft(conv(substring(col("hhex"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("hhex"), 9, 8), 16, 10).cast("long"))
+      )
     val sig = tok
       .groupBy("doc_id")
       .agg(
@@ -458,7 +475,18 @@ object VectorOps {
     * of INTEGER terms (tf_q * tf_d * round(ln(N/df)*1e6)) — exact whatever
     * the aggregation order — and the RRF score is a fixed-form double over
     * integer ranks. Shuffles: the token join (inverted index), one per
-    * ranking window, the fusion join co-partitioned on (query_id, id). */
+    * ranking window, the fusion join co-partitioned on (query_id, id).
+    *
+    * Hot-term cap (the t5/t6 stop-fingerprint pattern applied to the
+    * inverted index): terms with df > N/2 are dropped from the dictionary
+    * BEFORE the term join, so a stop word appearing in every document can
+    * never fan the join out quadratically — exactly the terms whose
+    * idf < ln 2 contributes nothing to the ranking anyway. The cap is
+    * RELATIVE (df/N), so it needs no retuning as the corpus grows, and the
+    * dropped-term count is surfaced (logged, t6's convention), never
+    * silent. The query side of the term join is broadcast — query term
+    * lists are bounded by construction, so the corpus-side posting list
+    * streams without a shuffle. */
   private def v14HybridRrf(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
@@ -468,15 +496,23 @@ object VectorOps {
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dftN = dft.crossJoin(broadcast(n))
+    val droppedTerms = dftN
+      .filter(col("df") > expr("n_docs DIV 2"))
+      .agg(count(lit(1)).as("dropped_terms"), coalesce(sum("df"), lit(0L)).as("dropped_postings"))
+      .first()
+    logger.warn(
+      s"v14 hot-term cap df<=N/2 dropped ${droppedTerms.getLong(0)} terms " +
+        s"(${droppedTerms.getLong(1)} postings)"
+    )
     val weighted = tf
-      .join(dft, "term")
-      .crossJoin(broadcast(n))
+      .join(dftN.filter(col("df") <= expr("n_docs DIV 2")), "term")
       .withColumn("idf6", round(log(col("n_docs") / col("df")) * 1e6).cast("long"))
     val qterms = weighted
       .filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("term"), col("tf").as("qtf"), col("idf6"))
     val wLex = Window.partitionBy("query_id").orderBy(col("lex_score").desc, col("doc_id").asc)
-    val lexRank = qterms
+    val lexRank = broadcast(qterms)
       .join(weighted.select(col("doc_id"), col("term"), col("tf")), "term")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
@@ -498,7 +534,11 @@ object VectorOps {
       .filter(col("r_vec") <= 50)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("r_vec"))
     val wFuse = Window.partitionBy("query_id").orderBy(col("rrf_raw").desc, col("doc_id").asc)
+    // Full-outer fuses can't broadcast; the shuffle_hash hint keeps the
+    // tiny rank tables (≤ queries × 50 rows each) off a sort-merge plan —
+    // no sort pass, and the pin in PlanAuditSpec keeps it that way.
     lexRank
+      .hint("shuffle_hash")
       .join(vecRank, Seq("query_id", "doc_id"), "full_outer")
       .withColumn(
         "rrf_raw",
@@ -561,11 +601,14 @@ object VectorOps {
     "v11_ann_pq" -> ((s: SparkSession, d: String) => PqAnn.query(s, d))
   )
 
-  /** v5 intentionally omitted: engine-specific hashing (xxhash64) has no
-    * DuckDB equivalent — the driver records a rows-only check; its
-    * fidelity is asserted against the exact operators in ScalaTest.
-    * v4 carries a SEMI-oracle (see [[v4Oracle]]): its verification stage
+  /** v4 carries a SEMI-oracle (see [[v4Oracle]]): its verification stage
     * is exact, so the output is hash-checked against the exact pair set.
+    *
+    * v5 is FULLY oracle-checked since round 6: its shingle hash is the
+    * md5-prefix scheme, so the DuckDB side rebuilds every simhash bit from
+    * `substr(md5(g), 1, 16)` (bit j lives in hex digit 16 - j/4 at digit
+    * bit j%4), reproduces the ±1 bit sums, the 4×16-bit bands, and the
+    * Hamming verify — no engine-specific hashing anywhere in the pipeline.
     *
     * v3 WAS in that set while its signature used xxhash64; since the
     * round-2 rewrite it is hash-free (sign bits of graft_dot against
@@ -871,8 +914,58 @@ object VectorOps {
        |SELECT query_id, rnk, vec_id AS neighbor_id
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** v5's full cross-engine reproduction: positional 3-gram md5 hashes,
+    * per-(doc, bit) ±1 sums over all 64 bits of the first 8 md5 bytes,
+    * sign → bit, 16-bit band hashes from the disjoint bit ranges, pair
+    * candidates from the band join, Hamming ≤ 3 on the full bit vectors. */
+  private val v5Oracle: String =
+    """WITH words AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> length(x) > 0) AS w
+         FROM documents
+       ), sh AS (
+         SELECT doc_id, md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
+         FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
+               FROM words WHERE len(w) >= 3)
+       ), js AS (
+         SELECT unnest(range(0, 64)) AS j
+       ), sig AS (
+         -- bit j of the 64-bit big-endian md5 prefix sits in hex digit
+         -- 16 - j/4 (1-based from the left) at digit bit j%4
+         SELECT doc_id, j,
+           CASE WHEN sum(CASE WHEN
+               ((instr('0123456789abcdef',
+                       substr(hh, CAST(16 - j // 4 AS INTEGER), 1)) - 1)
+                 >> (j % 4)) & 1 = 1
+             THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit
+         FROM sh CROSS JOIN js
+         GROUP BY doc_id, j
+       ), sigbits AS (
+         SELECT doc_id, list(bit ORDER BY j) AS bits FROM sig GROUP BY doc_id
+       ), bands AS (
+         SELECT doc_id, j // 16 AS band,
+           CAST(sum(bit * (1 << (j % 16))) AS BIGINT) AS bh
+         FROM sig GROUP BY doc_id, band
+       ), cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y USING (band, bh)
+         WHERE x.doc_id < y.doc_id
+       )
+       SELECT doc_a, doc_b,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))
+           AS BIGINT) AS hamming
+       FROM cand
+       JOIN sigbits a ON a.doc_id = doc_a
+       JOIN sigbits b ON b.doc_id = doc_b
+       WHERE list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) <= 3
+       ORDER BY doc_a, doc_b"""
+
   val oracles: Map[String, String] = Map(
     "v11_ann_pq" -> v11Oracle,
+    "v5_simhash" -> v5Oracle,
     "v3_ann_lsh" -> v3Oracle,
     "v4_minhash_lsh" -> v4Oracle,
     "v10_ann_ivf_quantized" -> v10Oracle,
@@ -986,10 +1079,13 @@ object VectorOps {
          ), n AS (
            SELECT count(*) AS n_docs FROM documents
          ), wt AS (
+           -- hot-term cap mirrored from the Spark side: df > N/2 terms
+           -- never enter the inverted-index join
            SELECT doc_id, term, tf,
              CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)
                AS idf6
            FROM tf JOIN dft USING (term) CROSS JOIN n
+           WHERE df <= n_docs // 2
          ), lex AS (
            SELECT q.doc_id AS query_id, c.doc_id,
              CAST(sum(q.tf * c.tf * q.idf6) AS BIGINT) AS lex_score
