@@ -27,29 +27,38 @@ object GraphOps {
     * Convergence is checked via sum(lbl): propagation is monotone
     * non-increasing per member, so a stationary sum IS the fixpoint.
     */
+  /** One min-label propagation round: each member's label drops to the
+    * minimum of its own and its neighbors' labels. Factored out so the
+    * per-round PLAN is pinnable in PlanAuditSpec — the loop's cost per
+    * round is exactly this plan's, repeated; nothing else accumulates
+    * (lineage is cut with localCheckpoint between rounds). */
+  def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = edges
+      .join(labels.select(col("id").as("nbr"), col("lbl").as("nbr_lbl")), "nbr")
+      .groupBy("id")
+      .agg(min("nbr_lbl").as("min_nbr"))
+    labels
+      .join(nbrMin, Seq("id"))
+      .select(col("id"), least(col("lbl"), col("min_nbr")).as("lbl"))
+  }
+
+  /** Seed labels: lbl0 = min(id, min direct neighbor) — round 1 fused into
+    * the member-discovery aggregation (same cost as a distinct over edge
+    * endpoints, one propagation round saved). */
+  def seedLabels(edges: DataFrame): DataFrame =
+    edges.groupBy("id").agg(least(col("id"), min("nbr")).as("lbl"))
+
   def connectedComponents(edges: DataFrame): DataFrame = {
     def lblSum(df: DataFrame): Long = {
       val v = df.agg(sum("lbl")).first().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
     }
-    // seed with round 1 fused into the member-discovery aggregation:
-    // lbl0 = min(id, min direct neighbor) — same cost as a distinct over
-    // edge endpoints, one propagation round saved
-    var labels = edges
-      .groupBy("id")
-      .agg(least(col("id"), min("nbr")).as("lbl"))
-      .localCheckpoint()
+    var labels = seedLabels(edges).localCheckpoint()
     var curSum = lblSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("nbr"), col("lbl").as("nbr_lbl")), "nbr")
-        .groupBy("id")
-        .agg(min("nbr_lbl").as("min_nbr"))
-      val prop = labels
-        .join(nbrMin, Seq("id"))
-        .select(col("id"), least(col("lbl"), col("min_nbr")).as("lbl"))
+      val prop = propagationRound(edges, labels)
       // near-dup graphs converge in 2-3 plain rounds (shallow by nature);
       // if one is still moving after 8, add pointer-jumping
       // (lbl <- lbl(lbl)) to those rounds — shortcutting turns long-chain

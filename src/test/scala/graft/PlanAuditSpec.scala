@@ -55,6 +55,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("w2_top_n").contains("TakeOrderedAndProject"), "w2 regressed to a global sort")
   }
 
+  test("v14's fuse avoids sort-merge everywhere and keeps the cosine arm broadcast") {
+    // the two most expensive joins in the hybrid-retrieval plan: the
+    // full-outer rank fuse must ride the (sort-free) shuffled hash join,
+    // and the vector arm must stay v1's broadcast-queries single scan;
+    // the term joins are broadcast because the query term list is bounded
+    val p = plan("v14_hybrid_rrf")
+    assert(!p.contains("SortMergeJoin"), s"v14 regressed to sort-merge:\n$p")
+    assert(p.contains("ShuffledHashJoin"), "v14's full-outer fuse lost the hash-join hint")
+    assert(p.contains("BroadcastNestedLoopJoin"), "v14's cosine arm lost its broadcast scan")
+    assert(p.contains("BroadcastHashJoin"), "v14's term join lost the broadcast query side")
+  }
+
+  test("one CC propagation round is a fixed set of keyed exchanges — nothing quadratic") {
+    // t16/v12's iterative clustering: per-round cost is exactly this plan,
+    // repeated (lineage cut between rounds), so the loop scales iff one
+    // round does — keyed joins/aggregations over member-only state, a
+    // CONSTANT number of hash exchanges, and no broadcast-dependence on
+    // state size (auto-broadcast disabled to expose the true shuffle shape)
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      val edges = graft.operators.GraphOps.bidirectional(pairs, "id_a", "id_b")
+      val labels = graft.operators.GraphOps.seedLabels(edges).localCheckpoint()
+      val p = graft.operators.GraphOps
+        .propagationRound(edges, labels)
+        .queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 4, s"propagation round grew extra exchanges ($exchanges):\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"propagation round planned an all-pairs join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("v12's banded pair stage plans keyed joins only — the all-pairs scan is gone") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = graft.operators.VectorOps
+      .cosinePairsBanded(emb, 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded pair stage planned an all-pairs join:\n$p")
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
