@@ -124,16 +124,16 @@ object EventOps {
       )
   }
 
-  /** The approximate form of e1's exact distinct: HyperLogLog++ distinct
-    * users per (week, event_type) at 2% target rsd. This is the declared
-    * exact->approx switch for unbounded inputs (SURVEY §7.4): exact
-    * COUNT(DISTINCT) shuffles every (group, user) pair, while the HLL
-    * sketch partial-aggregates map-side to a constant-size buffer per
-    * group — the only form that holds at 100 TB of events. Engine-specific
-    * sketch => no DuckDB oracle; the error envelope vs exact e1 is gated in
-    * ScalaTest (EventApproxSpec).
-    */
-  private def e5ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+  /** The PRODUCTION form of the approximate-distinct switch: HyperLogLog++
+    * distinct users per (week, event_type) at 2% target rsd, and nothing
+    * else. This is the declared exact->approx switch for unbounded inputs
+    * (SURVEY §7.4): exact COUNT(DISTINCT) shuffles every (group, user)
+    * pair, while the HLL sketch partial-aggregates map-side to a
+    * constant-size buffer per group — the only form that holds at 100 TB
+    * of events. The raw estimate is engine-specific, so THIS form has no
+    * cross-engine oracle; its error envelope vs exact e1 is gated in
+    * ScalaTest (EventApproxSpec). */
+  def e5Sketch(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d)
       .groupBy(
         F.weekStart(col("ts")).as("week_start"),
@@ -143,6 +143,36 @@ object EventOps {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_events")
       )
+      .orderBy("week_start", "event_type")
+  }
+
+  /** The declared e5 — [[e5Sketch]] wrapped in a split-column verification
+    * harness so the row is hash-checkable: the EXACT distinct count rides
+    * along as a sibling column (oracle-checked value-for-value), and the
+    * engine-specific HLL estimate is surfaced as `approx_ok` — "the sketch
+    * landed within 15% of exact" — a predicate BOTH engines evaluate over
+    * their own HLL, true on both sides whenever both sketches behave
+    * (Spark's rsd 0.02 and DuckDB's default HLL are each an order of
+    * magnitude inside that bound; the tight 5% gate on the raw estimate
+    * stays in EventApproxSpec). The exact column exists for verification
+    * only — production runs [[e5Sketch]]. */
+  private def e5ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(
+        F.weekStart(col("ts")).as("week_start"),
+        col("event_type")
+      )
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events")
+      )
+      .withColumn(
+        "approx_ok",
+        abs(col("approx_users") - col("exact_users")) <=
+          lit(0.15) * greatest(col("exact_users"), lit(1L))
+      )
+      .select("week_start", "event_type", "n_events", "exact_users", "approx_ok")
       .orderBy("week_start", "event_type")
   }
 
@@ -316,6 +346,23 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // split-column semi-oracle: exact_users is checked value-for-value;
+    // approx_ok compares each engine's OWN HLL estimate to the shared
+    // exact count, so the sketch is verified without requiring the two
+    // engines' sketches to agree bit-for-bit
+    "e5_approx_distinct" ->
+      """SELECT week_start, event_type, n_events, exact_users,
+           abs(approx_users - exact_users) <= 0.15 * greatest(exact_users, 1)
+             AS approx_ok
+         FROM (
+           SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+             event_type,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS exact_users,
+             approx_count_distinct(user_id) AS approx_users
+           FROM events GROUP BY 1, 2
+         )
+         ORDER BY week_start, event_type""",
     "e10_latest_per_key" ->
       """SELECT user_id, event_type, event_id, last_us, value_f4 FROM (
            SELECT user_id, event_type, event_id,

@@ -19,7 +19,7 @@ class EventApproxSpec extends AnyFunSuite {
         .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
         .toMap
       val approx = EventOps
-        .queries("e5_approx_distinct")(spark, sf)
+        .e5Sketch(spark, sf)
         .select("week_start", "event_type", "approx_users")
         .collect()
         .map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2))
