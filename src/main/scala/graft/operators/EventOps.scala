@@ -332,7 +332,51 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Mergeable quantile sketch next to the exact percentiles — e5's
+    * split-column harness applied to quantiles: the exact p50/p95 columns
+    * (interpolated, the e9/a14-proven cross-engine form) are hash-checked
+    * value-for-value, while each engine's OWN sketch (Spark's
+    * Greenwald-Khanna `percentile_approx`, DuckDB's t-digest
+    * `approx_quantile`) is verified by a RANK gate rather than a value
+    * compare: the count of rows at or below the sketch's answer must sit
+    * within 2%·n + 1 of the target rank. A rank gate is the sketch's
+    * actual contract (both structures bound rank error, not value error),
+    * so the check is meaningful on any value distribution.
+    *
+    * Scale shape: the sketch is constant-size mergeable state per group —
+    * the 100 TB form, where an exact percentile would need a full sort per
+    * group; the exact columns are the test-scale certificate. One grouped
+    * agg + one broadcast join back for the rank count. */
+  private def e11QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val sk = ev
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.5)).as("ex50"),
+        percentile(col("value"), lit(0.95)).as("ex95"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+        percentile_approx(col("value"), lit(0.95), lit(1000)).as("ap95")
+      )
+    ev.join(broadcast(sk), "event_type")
+      .groupBy("event_type", "n", "ex50", "ex95", "ap50", "ap95")
+      .agg(
+        sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("ap95"), 1L).otherwise(0L)).as("r95")
+      )
+      .select(
+        col("event_type"),
+        col("n"),
+        round(col("ex50"), 4).as("p50"),
+        round(col("ex95"), 4).as("p95"),
+        (abs(col("r50") - lit(0.5) * col("n")) <= lit(0.02) * col("n") + 1).as("p50_ok"),
+        (abs(col("r95") - lit(0.95) * col("n")) <= lit(0.02) * col("n") + 1).as("p95_ok")
+      )
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e11_quantile_sketch" -> (e11QuantileSketch _),
     "e10_latest_per_key" -> (e10LatestPerKey _),
     "e9_conversion_lag" -> (e9ConversionLag _),
     "e8_anomaly_zscore" -> (e8AnomalyZscore _),
@@ -363,6 +407,28 @@ object EventOps {
            FROM events GROUP BY 1, 2
          )
          ORDER BY week_start, event_type""",
+    // exact p50/p95 hash-checked; each engine's own sketch (GK vs
+    // t-digest) passes a rank gate against its own data — the sketch's
+    // actual contract — instead of a cross-engine value compare
+    "e11_quantile_sketch" ->
+      """WITH sk AS (
+           SELECT event_type, count(*) AS n,
+             quantile_cont(value, 0.5) AS ex50,
+             quantile_cont(value, 0.95) AS ex95,
+             approx_quantile(value, 0.5) AS ap50,
+             approx_quantile(value, 0.95) AS ap95
+           FROM events GROUP BY event_type
+         )
+         SELECT s.event_type, s.n,
+           round(s.ex50, 4) AS p50,
+           round(s.ex95, 4) AS p95,
+           abs(sum(CASE WHEN e.value <= s.ap50 THEN 1 ELSE 0 END)
+               - 0.5 * s.n) <= 0.02 * s.n + 1 AS p50_ok,
+           abs(sum(CASE WHEN e.value <= s.ap95 THEN 1 ELSE 0 END)
+               - 0.95 * s.n) <= 0.02 * s.n + 1 AS p95_ok
+         FROM events e JOIN sk s USING (event_type)
+         GROUP BY s.event_type, s.n, s.ex50, s.ex95, s.ap50, s.ap95
+         ORDER BY s.event_type""",
     "e10_latest_per_key" ->
       """SELECT user_id, event_type, event_id, last_us, value_f4 FROM (
            SELECT user_id, event_type, event_id,

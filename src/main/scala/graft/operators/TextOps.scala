@@ -1081,7 +1081,165 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Near-dup cluster representative selection — the "keep one" step that
+    * turns t16's cluster labels into an actual deduplicated corpus (the
+    * SemDeDup/FineWeb convention: one representative per near-dup cluster,
+    * highest quality wins, doc id as the deterministic tie-break).
+    * Composes two declared operators: t16's connected-component labels
+    * (mutable state = pair members only) and t1's per-row quality score
+    * (pure codegen, no shuffle). The selection itself is one window per
+    * cluster — cluster populations are near-dup sets and inherently small,
+    * so the partition key never concentrates data the way a corpus-wide
+    * key would. Output keeps full corpus grain (every doc labeled
+    * kept/dropped plus its representative) so downstream stages can either
+    * filter on is_kept or audit what a dedup pass would remove. */
+  private def t28ClusterRepr(s: SparkSession, d: String): DataFrame = {
+    val quality = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), t => t === "the" || t === "a" || t === "of"))
+          .cast("long").as("n_stop")
+      )
+      .select(
+        col("doc_id"),
+        round(
+          (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.5 +
+            least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
+          6
+        ).as("quality")
+      )
+    // first_value over the ordered frame (unbounded preceding → current
+    // row) resolves to the top-quality doc for EVERY row of the cluster —
+    // one window pass, no self-join back to a rank-1 subset
+    val w = Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    t16DedupClusters(s, d)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .join(quality, Seq("doc_id"))
+      .withColumn("repr_id", first(col("doc_id")).over(w))
+      .withColumn("is_kept", col("doc_id") === col("repr_id"))
+      .select("doc_id", "cluster_id", "cluster_size", "quality", "repr_id", "is_kept")
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", public paper): score each
+    * document by how much more likely its hashed n-gram features are under
+    * a target distribution than under the raw-corpus distribution — the
+    * standard heuristic for selecting pretraining data that "looks like" a
+    * trusted corpus. Features are word unigrams + bigrams hashed into
+    * B=256 buckets via the t14 md5 hex-prefix formula (cross-engine
+    * exact); the target here is the corpus's 'en' slice standing in for
+    * the trusted corpus.
+    *
+    * Scale shape: the feature explode aggregates straight to (doc, bucket)
+    * grain — one partial-aggregated shuffle — and that table is cached and
+    * reused for all four distribution reads (≤ docs × B narrow rows, vs
+    * re-running the explode four times). Both corpus-level distributions
+    * collapse to B = 256 rows and broadcast; the per-doc score join is
+    * therefore shuffle-free on the corpus side. Log-ratios are
+    * integer-scaled PER ln TERM (round(ln·1e6), the t27 convention), so
+    * the per-doc Σ count·logratio is exact integer arithmetic whatever
+    * Spark's aggregation order. */
+  private def t29DsirImportance(s: SparkSession, d: String): DataFrame = {
+    val B = 256
+    val hex4ToBucket =
+      s"""((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+         | (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+         | (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+         | (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % $B""".stripMargin
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(
+          concat(
+            col("w"),
+            when(
+              size(col("w")) >= 2,
+              zip_with(
+                slice(col("w"), lit(1), size(col("w")) - 1),
+                slice(col("w"), lit(2), size(col("w")) - 1),
+                (a, b) => concat_ws(" ", a, b)
+              )
+            ).otherwise(array().cast("array<string>"))
+          )
+        ).as("g")
+      )
+      .withColumn("h", md5(col("g")))
+      .select(col("doc_id"), col("lang"), expr(hex4ToBucket).cast("long").as("bucket"))
+    // (doc, lang, bucket) feature counts — the single pass everything else
+    // derives from; bounded at docs × B rows of three narrow columns
+    val feats = grams
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val raw = feats.groupBy("bucket").agg(sum("c").as("cr"))
+    val tgt = feats.filter(col("lang") === "en").groupBy("bucket").agg(sum("c").as("ct"))
+    val tot = feats.agg(
+      sum("c").as("c_raw"),
+      coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("c_tgt")
+    )
+    def ln6(c: Column): Column =
+      round(org.apache.spark.sql.functions.log(c.cast("double")) * 1e6).cast("long")
+    // add-one smoothing over the B buckets; buckets unseen in the target
+    // get ct=0 via the left join (every doc bucket is by construction in
+    // the raw table, so raw is the complete key universe)
+    val lr = raw
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bucket"),
+        (ln6(coalesce(col("ct"), lit(0L)) + 1) - ln6(col("c_tgt") + B) -
+          ln6(col("cr") + 1) + ln6(col("c_raw") + B)).as("lr6")
+      )
+    feats
+      .join(broadcast(lr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_feats"), sum(col("c") * col("lr6")).as("score6"))
+      .withColumn("avg_logratio", round(col("score6") / (col("n_feats") * lit(1e6)), 6))
+      .withColumn("keep", col("score6") > 0)
+      .select("doc_id", "n_feats", "score6", "avg_logratio", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Exact distributed heavy hitters in two bounded passes — the
+    * scale-correct alternative to a full token groupBy when the key domain
+    * is unbounded (every token of a 100 TB corpus): pass 1 runs the
+    * mergeable Misra-Gries sketch ([[graft.functions.MisraGriesAggregator]],
+    * capacity 128) alongside the total count in ONE scan — every partial
+    * buffer ships ≤ 128 entries regardless of input size — yielding a
+    * candidate set guaranteed to contain every token with frequency
+    * > n/129; pass 2 exact-counts ONLY the ≤ 128 candidates (the explode
+    * is pruned by a broadcast join before any shuffle) and applies the
+    * report threshold n/64. The guarantee threshold (n/129) is strictly
+    * below the report threshold, so the output is the EXACT heavy-hitter
+    * set — which is why this row carries a plain (non-semi) oracle. */
+  private def a16HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(128))
+    val tokens = Tables.documents(s, d).select(explode(toks).as("token"))
+    val cands = tokens
+      .agg(mg(col("token")).as("cands"), count(lit(1)).as("n"))
+      .select(col("n"), explode(col("cands")).as("cand"))
+      .select(col("n"), col("cand._1").as("token"))
+    tokens
+      .join(broadcast(cands), Seq("token"))
+      .groupBy("token", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 64 > col("n"))
+      .withColumn("share", round(col("cnt") / col("n"), 6))
+      .select("token", "cnt", "share")
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a16_heavy_hitters" -> (a16HeavyHitters _),
+    "t29_dsir_importance" -> (t29DsirImportance _),
+    "t28_cluster_repr" -> (t28ClusterRepr _),
     "t27_gopher_rules" -> (t27GopherRules _),
     "t16_dedup_clusters" -> (t16DedupClusters _),
     "t17_tfidf" -> (t17Tfidf _),
@@ -1163,6 +1321,129 @@ object TextOps {
          FROM flagged ORDER BY doc_id""",
     // transitive closure of the t4 pair graph via a recursive CTE — the
     // naive form whose fixpoint the Spark-side label propagation reaches
+    // the oracle is the EXACT heavy-hitter set (full groupBy) — equality
+    // with the two-pass sketch pipeline is the Misra-Gries guarantee,
+    // since the report threshold n/64 exceeds the error bound n/129
+    "a16_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0)) AS token
+           FROM documents
+         ), tot AS (
+           SELECT count(*) AS n FROM toks
+         ), cnts AS (
+           SELECT token, count(*) AS cnt FROM toks GROUP BY token
+         )
+         SELECT token, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
+         FROM cnts CROSS JOIN tot
+         WHERE cnt * 64 > n
+         ORDER BY cnt DESC, token""",
+    // same feature hash (md5 hex-prefix % 256), same per-ln integer
+    // scaling; DuckDB's list_concat(w, bigrams) mirrors Spark's
+    // concat(w, zip_with(...)) including the empty-bigram case
+    "t29_dsir_importance" ->
+      """WITH words AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id, lang,
+             unnest(list_concat(w,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+               AS g
+           FROM words
+         ), bkt AS (
+           SELECT doc_id, lang,
+             ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+              (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+              (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+              (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 256
+               AS bucket
+           FROM (SELECT doc_id, lang, md5(g) AS h FROM grams)
+         ), feats AS (
+           SELECT doc_id, lang, bucket, count(*) AS c FROM bkt GROUP BY 1, 2, 3
+         ), raw AS (
+           SELECT bucket, sum(c) AS cr FROM feats GROUP BY bucket
+         ), tgt AS (
+           SELECT bucket, sum(c) AS ct FROM feats WHERE lang = 'en'
+           GROUP BY bucket
+         ), tot AS (
+           SELECT sum(c) AS c_raw,
+             coalesce(sum(CASE WHEN lang = 'en' THEN c END), 0) AS c_tgt
+           FROM feats
+         ), lr AS (
+           SELECT r.bucket,
+             CAST(round(ln(CAST(coalesce(t.ct, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             - CAST(round(ln(CAST(c_tgt + 256 AS DOUBLE)) * 1e6) AS BIGINT)
+             - CAST(round(ln(CAST(r.cr + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+             + CAST(round(ln(CAST(c_raw + 256 AS DOUBLE)) * 1e6) AS BIGINT)
+               AS lr6
+           FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+         )
+         SELECT f.doc_id,
+           CAST(sum(f.c) AS BIGINT) AS n_feats,
+           CAST(sum(f.c * lr.lr6) AS BIGINT) AS score6,
+           round(CAST(sum(f.c * lr.lr6) AS DOUBLE) / (sum(f.c) * 1e6), 6)
+             AS avg_logratio,
+           sum(f.c * lr.lr6) > 0 AS keep
+         FROM feats f JOIN lr USING (bucket)
+         GROUP BY f.doc_id ORDER BY f.doc_id""",
+    // t16's closure oracle + t1's quality formula + a first_value window:
+    // the representative is the max-quality (rounded 6dp, so the ordering
+    // key is cross-engine exact) doc of each cluster, doc_id tie-break
+    "t28_cluster_repr" ->
+      """WITH RECURSIVE words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs
+         ), reach(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+         ), labels AS (
+           SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+         ), qual AS (
+           SELECT doc_id,
+             round((1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of')))
+                     AS DOUBLE) / len(w)) * 0.5
+                   + least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.5, 6)
+               AS quality
+           FROM words
+         ), lab AS (
+           SELECT l.doc_id, l.cluster_id,
+             count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+             q.quality,
+             first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+               ORDER BY q.quality DESC, l.doc_id ASC) AS repr_id
+           FROM labels l JOIN qual q USING (doc_id)
+         )
+         SELECT doc_id, cluster_id, cluster_size, quality, repr_id,
+           doc_id = repr_id AS is_kept
+         FROM lab ORDER BY doc_id""",
     "t16_dedup_clusters" ->
       """WITH RECURSIVE words AS (
            SELECT doc_id,

@@ -663,7 +663,47 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** Filtered ANN — top-k under a metadata predicate, the third member of
+    * the serving API next to top-k (v1) and radius (v15): "nearest
+    * neighbors WHERE label ∈ …". The filter is applied BEFORE ranking
+    * (pre-filtering), so every query gets k true neighbors from the
+    * eligible set — post-filtering a plain top-k can return fewer than k
+    * (or zero) rows when the predicate is selective, which is why serving
+    * engines treat the filtered form as a distinct operator.
+    *
+    * Scale shape: the predicate lands in the parquet scan as a pushed
+    * filter (pinned in PlanAuditSpec — the candidate scan reads only
+    * matching row groups), then the same broadcast-queries single scan as
+    * v1. At 100 TB the filter column becomes the index's partition key, so
+    * the predicate upgrades from row-group pruning to directory pruning —
+    * the layout ScaleTechniquesSpec proves on the bucketed corpus; the
+    * query plan here is unchanged by that swap. */
+  private def v16AnnFiltered(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        col("nrm").as("qn")
+      )
+    // predicate FIRST: candidates are restricted before any scoring
+    val eligible = emb.filter(col("label").isin(0, 1, 2))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    eligible
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("label"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v16_ann_filtered" -> (v16AnnFiltered _),
     "v15_range_search" -> (v15RangeSearch _),
     "v14_hybrid_rrf" -> (v14HybridRrf _),
     "v13_mmr_rerank" -> (v13MmrRerank _),
@@ -1130,6 +1170,22 @@ object VectorOps {
            FROM embeddings
          )
          WHERE i <= 8 GROUP BY label, dim ORDER BY label, dim""",
+    "v16_ann_filtered" ->
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10
+         ), ranked AS (
+           SELECT query_id, vec_id, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ${duckDot("qe", "embedding")}
+                     / (sqrt(${duckDot("qe", "qe")})
+                      * sqrt(${duckDot("embedding", "embedding")})) DESC,
+                 vec_id ASC) AS rnk
+           FROM embeddings, q
+           WHERE label IN (0, 1, 2) AND vec_id <> query_id
+         )
+         SELECT query_id, rnk, vec_id AS neighbor_id, label
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "v15_range_search" ->
       s"""WITH q AS (
            SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -100,6 +100,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"banded pair stage planned an all-pairs join:\n$p")
   }
 
+  test("v16's metadata predicate reaches the parquet scan as a pushed filter") {
+    // filtered ANN is only "pre-filtering" if the predicate prunes the
+    // scan — a Filter node above a full-table scan would read every row
+    // group and score nothing cheaper; at 100 TB the same column becomes
+    // the partition key and this pushdown upgrades to directory pruning
+    val p = plan("v16_ann_filtered")
+    assert(p.contains("PushedFilters: [In(label"),
+      s"v16's label predicate no longer reaches the scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "v16's query side lost its broadcast")
+  }
+
+  test("the sketch-candidate joins stay broadcast — corpus side never shuffles") {
+    // a16 pass 2: the <=128 MG candidates broadcast against the token
+    // explode; t29: the 256-bucket log-ratio table broadcasts against the
+    // (doc, bucket) features. Either regressing to sort-merge would
+    // shuffle corpus-scale data to join a constant-size table.
+    for (q <- Seq("a16_heavy_hitters", "t29_dsir_importance")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q regressed to sort-merge:\n$p")
+    }
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
