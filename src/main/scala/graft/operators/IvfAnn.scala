@@ -29,7 +29,7 @@ object IvfAnn {
 
   /** Collected centroid table — k × dims floats, tiny by construction
     * (this is the ONE driver-side transfer the IVF design allows). */
-  private def collectCents(centroids: DataFrame): Array[(Int, Seq[Float])] =
+  private[operators] def collectCents(centroids: DataFrame): Array[(Int, Seq[Float])] =
     centroids
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1))
@@ -40,7 +40,7 @@ object IvfAnn {
     * order, so array_min/array_sort over these IS the deterministic
     * "dist2 asc, cid asc" tie-break — identical to the previous windowed
     * row_number form and to the DuckDB oracle. */
-  private def distStructs(cents: Array[(Int, Seq[Float])], v: org.apache.spark.sql.Column) =
+  private[operators] def distStructs(cents: Array[(Int, Seq[Float])], v: org.apache.spark.sql.Column) =
     cents.map { case (cid, vec) =>
       struct(
         call_function("graft_dist2", v, typedlit(vec)).as("d"),
@@ -61,7 +61,7 @@ object IvfAnn {
     * the previous array_min-over-structs form, bit-identical math): a
     * 3-node expression tree instead of k unrolled dist2 nodes, so the
     * janino source stays small no matter how large k grows. */
-  private def assignTo(cents: Array[(Int, Seq[Float])])(df: DataFrame): DataFrame =
+  private[operators] def assignTo(cents: Array[(Int, Seq[Float])])(df: DataFrame): DataFrame =
     df.withColumn(
       "cid",
       element_at(

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Materialized IVF index store — the ANN analogue of
+  * [[graft.export.ShardStore]]: v6/v10 rebuild their inverted-file index
+  * inline on every query, which is the right shape for a one-shot batch
+  * job but not for SERVING, where the index is built once and probed many
+  * times. This sink persists the index partitioned BY INVERTED LIST so a
+  * probe reads only its nProbe directories.
+  *
+  * Layout, both choices load-bearing at 100 TB:
+  *   - `partitionBy(cid)`: a probe touches nProbe/k of the index as
+  *     DIRECTORY pruning — the `cid IN (...)` filter shows up as
+  *     PartitionFilters, so unprobed lists are never opened (pinned in
+  *     VectorIndexSinkSpec). This is the storage-layout upgrade of v6's
+  *     "queries touch nProbe/k of the data" argument.
+  *   - rows at rest carry the int8 codes + norm (v8's 4× byte cut — the
+  *     coarse pass reads only these) alongside the full-precision vector
+  *     for survivor re-rank. At production scale the full-precision
+  *     column would split into its own point-lookup table; one table
+  *     keeps the test honest without changing either plan shape.
+  *
+  * The centroid table (k rows) is persisted beside the index — the probe
+  * side needs nothing else, so an index built once serves any number of
+  * later query batches (asserted by the spec probing a freshly-read
+  * table). Overwrite semantics mirror ShardStore: drop-and-rewrite, the
+  * batch equivalent of the reference's truncate-then-load sink
+  * (`/root/reference/public_data_report/hardware_report/hardware_report.py:459-465`).
+  */
+object VectorIndexStore {
+
+  /** Build the IVF index from `emb` (id-seeded deterministic Lloyd — the
+    * exact v6/v10 build) and persist `table` (inverted lists, partitioned
+    * by cid) plus `table_centroids` (k rows). */
+  def write(emb: DataFrame, table: String): Unit = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val cents = IvfAnn.centroids(emb)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    cents.write.saveAsTable(s"${table}_centroids")
+    val indexed = IvfAnn
+      .assignTo(IvfAnn.collectCents(cents))(emb)
+      .withColumn(
+        "qf",
+        call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
+      )
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    indexed.write.partitionBy("cid").saveAsTable(table)
+  }
+
+  /** Probe the materialized index with a batch of (vec_id, embedding)
+    * queries: nProbe nearest lists per query, coarse rank on the stored
+    * int8 codes, exact re-rank of the top-10 survivors — v10's serving
+    * plan, except the probed lists come from partition pruning on the
+    * stored table instead of an inline full-index rebuild. Output is
+    * bit-identical to [[IvfAnn.queryQuantized]] on the same data (the
+    * build is deterministic; the spec asserts equality). */
+  def probe(spark: SparkSession, table: String, queries: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val centArr = IvfAnn.collectCents(spark.table(s"${table}_centroids"))
+    val q = queries
+      .withColumn(
+        "query_qf",
+        call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
+      )
+      .withColumn(
+        "query_qn",
+        sqrt(call_function("graft_dot", col("query_qf"), col("query_qf")))
+      )
+      .select(
+        col("vec_id").as("qid"),
+        col("embedding").as("qe"),
+        col("query_qf"),
+        col("query_qn")
+      )
+    val probes = q
+      .select(
+        col("qid"),
+        col("qe"),
+        col("query_qf"),
+        col("query_qn"),
+        explode(
+          slice(
+            array_sort(array(IvfAnn.distStructs(centArr, col("qe")): _*)),
+            1,
+            IvfAnn.nProbe
+          )
+        ).as("p")
+      )
+      .select(col("qid"), col("qe"), col("query_qf"), col("query_qn"), col("p.cid").as("cid"))
+    // the distinct probed-list ids are bounded by k (16) — a driver-side
+    // collect of a handful of ints, which is what turns the probe into a
+    // partition-pruning literal the scan can use
+    val probedCids = probes.select("cid").distinct().collect().map(_.getInt(0)).sorted
+    val index = spark.table(table).filter(col("cid").isin(probedCids.map(Integer.valueOf): _*))
+    val wc = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
+    val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(index, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn(
+        "qcos",
+        call_function("graft_dot", col("query_qf"), col("qf")) /
+          (col("query_qn") * col("qn"))
+      )
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 10)
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("embedding")) /
+          (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
+            sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+      )
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid").as("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rnk")
+  }
+}
