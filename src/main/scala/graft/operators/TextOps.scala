@@ -1137,10 +1137,11 @@ object TextOps {
     *
     * Scale shape: the feature explode aggregates straight to (doc, bucket)
     * grain — one partial-aggregated shuffle — and that table is cached and
-    * reused for all four distribution reads (≤ docs × B narrow rows, vs
-    * re-running the explode four times). Both corpus-level distributions
-    * collapse to B = 256 rows and broadcast; the per-doc score join is
-    * therefore shuffle-free on the corpus side. Log-ratios are
+    * read exactly twice (distribution build + score join; ≤ docs × B
+    * narrow rows, vs re-running the explode per read). Both corpus-level
+    * distributions come from ONE conditional-sum pass and collapse to
+    * B = 256 rows that broadcast; the per-doc score join is therefore
+    * shuffle-free on the corpus side. Log-ratios are
     * integer-scaled PER ln TERM (round(ln·1e6), the t27 convention), so
     * the per-doc Σ count·logratio is exact integer arithmetic whatever
     * Spark's aggregation order. */
@@ -1178,23 +1179,27 @@ object TextOps {
       .groupBy("doc_id", "lang", "bucket")
       .agg(count(lit(1)).as("c"))
       .cache()
-    val raw = feats.groupBy("bucket").agg(sum("c").as("cr"))
-    val tgt = feats.filter(col("lang") === "en").groupBy("bucket").agg(sum("c").as("ct"))
-    val tot = feats.agg(
-      sum("c").as("c_raw"),
-      coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("c_tgt")
-    )
+    // BOTH corpus distributions from one conditional-sum pass over feats
+    // (target = the 'en' slice), and the scalar totals from the resulting
+    // B-row table — feats is read twice total (here + the score join),
+    // not four times
+    val dist = feats
+      .groupBy("bucket")
+      .agg(
+        sum("c").as("cr"),
+        coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L)).as("ct")
+      )
+    val tot = dist.agg(sum("cr").as("c_raw"), sum("ct").as("c_tgt"))
     def ln6(c: Column): Column =
       round(org.apache.spark.sql.functions.log(c.cast("double")) * 1e6).cast("long")
     // add-one smoothing over the B buckets; buckets unseen in the target
-    // get ct=0 via the left join (every doc bucket is by construction in
-    // the raw table, so raw is the complete key universe)
-    val lr = raw
-      .join(tgt, Seq("bucket"), "left")
+    // have ct=0 from the conditional sum (every doc bucket is by
+    // construction in dist, so it is the complete key universe)
+    val lr = dist
       .crossJoin(broadcast(tot))
       .select(
         col("bucket"),
-        (ln6(coalesce(col("ct"), lit(0L)) + 1) - ln6(col("c_tgt") + B) -
+        (ln6(col("ct") + 1) - ln6(col("c_tgt") + B) -
           ln6(col("cr") + 1) + ln6(col("c_raw") + B)).as("lr6")
       )
     feats
