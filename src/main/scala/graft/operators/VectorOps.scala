@@ -702,7 +702,60 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Bulk k-NN graph construction — every vector's top-3 neighbors in one
+    * job (the SemDeDup / graph-curation building block), as opposed to
+    * v1/v6's point queries. Candidate generation is bounded by coarse IVF
+    * geometry: each vector probes only its nProbe=4 nearest inverted
+    * lists (v6's config — a 25% scan fraction at k=16, shrinking as k
+    * grows), so per-node candidates are ~4·n/k and total pair work 4n²/k;
+    * at scale k grows with the corpus (k ≈ n / target list size), holding
+    * per-list pair work constant — the standard within-cluster pairing
+    * recipe. The probe side is the WHOLE corpus (not a broadcastable query
+    * set), so the list join is a keyed co-partitioned join — one shuffle
+    * per side on cid; hot lists are AQE skew-split territory, and at test
+    * scale k=16 keeps everything tiny. Deterministic id-seeded build ⇒
+    * fully oracle-checked by composing v6's unrolled-Lloyd SQL with the
+    * all-nodes probe; recall vs exact brute force is gated in ScalaTest. */
+  private def v17KnnGraph(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
+    val indexed = IvfAnn
+      .assignTo(centArr)(emb)
+      .select(
+        col("cid"),
+        col("vec_id").as("nbr_id"),
+        col("embedding").as("ne"),
+        sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("nn")
+      )
+    val probes = emb
+      .select(col("vec_id").as("src_id"), col("embedding").as("se"))
+      .withColumn("sn", sqrt(call_function("graft_dot", col("se"), col("se"))))
+      .select(
+        col("src_id"),
+        col("se"),
+        col("sn"),
+        explode(
+          slice(array_sort(array(IvfAnn.distStructs(centArr, col("se")): _*)), 1, 4)
+        ).as("p")
+      )
+      .select(col("src_id"), col("se"), col("sn"), col("p.cid").as("cid"))
+    val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    probes
+      .join(indexed, Seq("cid"))
+      .filter(col("nbr_id") =!= col("src_id"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("se"), col("ne")) / (col("sn") * col("nn"))
+      )
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("src_id").as("vec_id"), col("rnk"), col("nbr_id").as("neighbor_id"))
+      .orderBy("vec_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v17_knn_graph" -> (v17KnnGraph _),
     "v16_ann_filtered" -> (v16AnnFiltered _),
     "v15_range_search" -> (v15RangeSearch _),
     "v14_hybrid_rrf" -> (v14HybridRrf _),
@@ -910,6 +963,36 @@ object VectorOps {
        |SELECT qid AS query_id, rnk, vec_id AS neighbor_id
        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** v17 oracle: v6's unrolled-Lloyd index construction, probed by EVERY
+    * vector (rn <= 4 nearest lists), self-joined within lists, exact
+    * double cosine in graft_dot's op order, rank-only output. */
+  private val v17Oracle: String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+       |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+       |${ivfAssign("cents2", "indexed")},
+       |probes AS (
+       |  SELECT src_id, qe, cid FROM (
+       |    SELECT e.vec_id AS src_id, e.embedding AS qe, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents2 c
+       |  ) WHERE rn <= 4
+       |), ranked AS (
+       |  SELECT p.src_id, i.vec_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY p.src_id
+       |      ORDER BY ${duckDot("p.qe", "i.embedding")}
+       |            / (sqrt(${duckDot("p.qe", "p.qe")})
+       |             * sqrt(${duckDot("i.embedding", "i.embedding")})) DESC,
+       |        i.vec_id ASC) AS rnk
+       |  FROM probes p JOIN indexed i USING (cid)
+       |  WHERE i.vec_id <> p.src_id
+       |)
+       |SELECT src_id AS vec_id, rnk, nbr_id AS neighbor_id
+       |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
   /** v4 SEMI-oracle. The banding stage uses xxhash64 (not reproducible in
     * DuckDB), but the VERIFICATION stage is exact Jaccard on candidates —
     * and the emitted pair set equals the exact t4 pair set whenever no
@@ -1084,6 +1167,7 @@ object VectorOps {
        ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
+    "v17_knn_graph" -> v17Oracle,
     "v11_ann_pq" -> v11Oracle,
     "v5_simhash" -> v5Oracle,
     "v3_ann_lsh" -> v3Oracle,
