@@ -77,8 +77,15 @@ object StreamingHeavyHitters {
         if (!streaming) emit(next) // batch: group seen exactly once
         else {
           state.update(next)
-          // window close + nothing: the watermark itself is the grace
-          state.setTimeoutTimestamp((windowStartUs + windowUs) / 1000)
+          // window close + nothing: the watermark itself is the grace.
+          // The clamp is a defensive invariant, not a reachable branch:
+          // an accepted row has ts >= watermark and ts < window end, so
+          // window end > watermark whenever this runs — but an
+          // at-or-behind-watermark timeout would throw, so the invariant
+          // is enforced here rather than assumed across Spark versions.
+          state.setTimeoutTimestamp(
+            math.max((windowStartUs + windowUs) / 1000, state.getCurrentWatermarkMs() + 1)
+          )
           Iterator.empty
         }
       }
