@@ -1206,7 +1206,13 @@ object TextOps {
       .join(broadcast(lr), "bucket")
       .groupBy("doc_id")
       .agg(sum("c").as("n_feats"), sum(col("c") * col("lr6")).as("score6"))
-      .withColumn("avg_logratio", round(col("score6") / (col("n_feats") * lit(1e6)), 6))
+      // + 0.0 normalizes IEEE negative zero: a tiny negative average
+      // rounds to -0.0, which one engine prints as "-0.0" and the other
+      // as "0.0" — same value, different hash (bit at sf0.1)
+      .withColumn(
+        "avg_logratio",
+        round(col("score6") / (col("n_feats") * lit(1e6)), 6) + lit(0.0)
+      )
       .withColumn("keep", col("score6") > 0)
       .select("doc_id", "n_feats", "score6", "avg_logratio", "keep")
       .orderBy("doc_id")
@@ -1389,7 +1395,7 @@ object TextOps {
          SELECT f.doc_id,
            CAST(sum(f.c) AS BIGINT) AS n_feats,
            CAST(sum(f.c * lr.lr6) AS BIGINT) AS score6,
-           round(CAST(sum(f.c * lr.lr6) AS DOUBLE) / (sum(f.c) * 1e6), 6)
+           round(CAST(sum(f.c * lr.lr6) AS DOUBLE) / (sum(f.c) * 1e6), 6) + 0.0
              AS avg_logratio,
            sum(f.c * lr.lr6) > 0 AS keep
          FROM feats f JOIN lr USING (bucket)
