@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several queries cache intermediates (t19 eval shingles, t29
+      // features, v4 shingle rows); without this the pins accumulate
+      // across the 100-query session and evict each other mid-run
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -75,6 +75,26 @@ object IvfAnn {
       )
     )
 
+  /** Append each row's `probes` nearest-list ids (by squared L2 of the
+    * `vecCol` vector to the collected centroids) as an exploded `cid`
+    * column — the shared probe stage of [[query]]/[[queryQuantized]],
+    * [[VectorIndexStore.probe]] and the v17 k-NN graph. Pure per-row
+    * expressions (array_sort over (dist2, cid) structs + slice): no
+    * crossJoin, no window, no shuffle. */
+  private[operators] def withProbedCids(
+      cents: Array[(Int, Seq[Float])],
+      vecCol: String,
+      probes: Int = nProbe
+  )(df: DataFrame): DataFrame =
+    df.select(
+        col("*"),
+        explode(
+          slice(array_sort(array(distStructs(cents, col(vecCol)): _*)), 1, probes)
+        ).as("p")
+      )
+      .withColumn("cid", col("p.cid"))
+      .drop("p")
+
   /** Deterministic k-means-lite: seed with the k lowest vec_ids, run a few
     * Lloyd iterations (assign + per-cluster mean), all as DataFrame ops. */
   def centroids(emb: DataFrame): DataFrame = {
@@ -120,19 +140,9 @@ object IvfAnn {
     val indexed = assignTo(centArr)(emb) // (vec_id, embedding, cid)
 
     val queries = emb.filter(col("vec_id") < 10)
-    // nProbe nearest centroids per query: array_sort over (dist2, cid)
-    // structs + slice — the same per-row expression trick as assignment,
-    // replacing a crossJoin + per-query window (one less shuffle)
-    val probes = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .select(
-        col("qid"),
-        col("qe"),
-        explode(
-          slice(array_sort(array(distStructs(centArr, col("qe")): _*)), 1, nProbe)
-        ).as("p")
-      )
-      .select(col("qid"), col("qe"), col("p.cid").as("cid"))
+    val probes = withProbedCids(centArr, "qe")(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    )
 
     // score only vectors in probed lists
     val wr = Window
@@ -198,17 +208,7 @@ object IvfAnn {
         col("query_qn")
       )
 
-    val probes = queries
-      .select(
-        col("qid"),
-        col("qe"),
-        col("query_qf"),
-        col("query_qn"),
-        explode(
-          slice(array_sort(array(distStructs(centArr, col("qe")): _*)), 1, nProbe)
-        ).as("p")
-      )
-      .select(col("qid"), col("qe"), col("query_qf"), col("query_qn"), col("p.cid").as("cid"))
+    val probes = withProbedCids(centArr, "qe")(queries)
 
     val wc = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
     val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)

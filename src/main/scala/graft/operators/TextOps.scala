@@ -1330,8 +1330,6 @@ object TextOps {
          SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, n_stop,
            token_entropy, reasons, reasons = 0 AS keep
          FROM flagged ORDER BY doc_id""",
-    // transitive closure of the t4 pair graph via a recursive CTE — the
-    // naive form whose fixpoint the Spark-side label propagation reaches
     // the oracle is the EXACT heavy-hitter set (full groupBy) — equality
     // with the two-pass sketch pipeline is the Misra-Gries guarantee,
     // since the report threshold n/64 exceeds the error bound n/129
@@ -1455,6 +1453,8 @@ object TextOps {
          SELECT doc_id, cluster_id, cluster_size, quality, repr_id,
            doc_id = repr_id AS is_kept
          FROM lab ORDER BY doc_id""",
+    // transitive closure of the t4 pair graph via a recursive CTE — the
+    // naive form whose fixpoint the Spark-side label propagation reaches
     "t16_dedup_clusters" ->
       """WITH RECURSIVE words AS (
            SELECT doc_id,

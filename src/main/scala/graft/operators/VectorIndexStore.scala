@@ -38,12 +38,20 @@ object VectorIndexStore {
     * by cid) plus `table_centroids` (k rows). */
   def write(emb: DataFrame, table: String): Unit = {
     val spark = emb.sparkSession
+    import spark.implicits._
     GraftFunctions.register(spark)
-    val cents = IvfAnn.centroids(emb)
+    // Lloyd runs EXACTLY once: collect the k centroids, then write the
+    // tiny table from the collected rows — materializing the centroid
+    // DataFrame twice (write + collect) would run the whole iterative
+    // build a second time
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
-    cents.write.saveAsTable(s"${table}_centroids")
+    centArr.toSeq
+      .toDF("cid", "centroid")
+      .write
+      .saveAsTable(s"${table}_centroids")
     val indexed = IvfAnn
-      .assignTo(IvfAnn.collectCents(cents))(emb)
+      .assignTo(centArr)(emb)
       .withColumn(
         "qf",
         call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
@@ -78,21 +86,7 @@ object VectorIndexStore {
         col("query_qf"),
         col("query_qn")
       )
-    val probes = q
-      .select(
-        col("qid"),
-        col("qe"),
-        col("query_qf"),
-        col("query_qn"),
-        explode(
-          slice(
-            array_sort(array(IvfAnn.distStructs(centArr, col("qe")): _*)),
-            1,
-            IvfAnn.nProbe
-          )
-        ).as("p")
-      )
-      .select(col("qid"), col("qe"), col("query_qf"), col("query_qn"), col("p.cid").as("cid"))
+    val probes = IvfAnn.withProbedCids(centArr, "qe")(q)
     // the distinct probed-list ids are bounded by k (16) — a driver-side
     // collect of a handful of ints, which is what turns the probe into a
     // partition-pruning literal the scan can use

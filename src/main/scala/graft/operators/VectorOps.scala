@@ -577,14 +577,21 @@ object VectorOps {
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val dftN = dft.crossJoin(broadcast(n))
-    val droppedTerms = dftN
-      .filter(col("df") > expr("n_docs DIV 2"))
-      .agg(count(lit(1)).as("dropped_terms"), coalesce(sum("df"), lit(0L)).as("dropped_postings"))
-      .first()
-    logger.warn(
-      s"v14 hot-term cap df<=N/2 dropped ${droppedTerms.getLong(0)} terms " +
-        s"(${droppedTerms.getLong(1)} postings)"
-    )
+    // Drop-count observability is config-gated: the .first() is an EAGER
+    // Spark job over the tokenize→tf→df pipeline, and running it at
+    // DataFrame-construction time made every plan inspection / bench
+    // construction of v14 pay the pipeline twice. The cap itself is
+    // always on; flip spark.graft.v14.logDrops to audit a new corpus.
+    if (s.conf.getOption("spark.graft.v14.logDrops").exists(_.toBoolean)) {
+      val droppedTerms = dftN
+        .filter(col("df") > expr("n_docs DIV 2"))
+        .agg(count(lit(1)).as("dropped_terms"), coalesce(sum("df"), lit(0L)).as("dropped_postings"))
+        .first()
+      logger.warn(
+        s"v14 hot-term cap df<=N/2 dropped ${droppedTerms.getLong(0)} terms " +
+          s"(${droppedTerms.getLong(1)} postings)"
+      )
+    }
     val weighted = tf
       .join(dftN.filter(col("df") <= expr("n_docs DIV 2")), "term")
       .withColumn("idf6", round(log(col("n_docs") / col("df")) * 1e6).cast("long"))
@@ -705,9 +712,9 @@ object VectorOps {
   /** Bulk k-NN graph construction — every vector's top-3 neighbors in one
     * job (the SemDeDup / graph-curation building block), as opposed to
     * v1/v6's point queries. Candidate generation is bounded by coarse IVF
-    * geometry: each vector probes only its nProbe=4 nearest inverted
-    * lists (v6's config — a 25% scan fraction at k=16, shrinking as k
-    * grows), so per-node candidates are ~4·n/k and total pair work 4n²/k;
+    * geometry: each vector probes only its IvfAnn.nProbe=4 nearest
+    * inverted lists (v6's config — a 25% scan fraction at k=16, shrinking
+    * as k grows), so per-node candidates are ~4·n/k and pair work 4n²/k;
     * at scale k grows with the corpus (k ≈ n / target list size), holding
     * per-list pair work constant — the standard within-cluster pairing
     * recipe. The probe side is the WHOLE corpus (not a broadcastable query
@@ -728,18 +735,11 @@ object VectorOps {
         col("embedding").as("ne"),
         sqrt(call_function("graft_dot", col("embedding"), col("embedding"))).as("nn")
       )
-    val probes = emb
-      .select(col("vec_id").as("src_id"), col("embedding").as("se"))
-      .withColumn("sn", sqrt(call_function("graft_dot", col("se"), col("se"))))
-      .select(
-        col("src_id"),
-        col("se"),
-        col("sn"),
-        explode(
-          slice(array_sort(array(IvfAnn.distStructs(centArr, col("se")): _*)), 1, 4)
-        ).as("p")
-      )
-      .select(col("src_id"), col("se"), col("sn"), col("p.cid").as("cid"))
+    val probes = IvfAnn.withProbedCids(centArr, "se")(
+      emb
+        .select(col("vec_id").as("src_id"), col("embedding").as("se"))
+        .withColumn("sn", sqrt(call_function("graft_dot", col("se"), col("se"))))
+    )
     val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("nbr_id").asc)
     probes
       .join(indexed, Seq("cid"))
