@@ -120,6 +120,54 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Resize plumbing — the remaining verb of the multimodal surface next
+    * to decode (m1) and frame-sample (m2): per-media target dimensions by
+    * integer aspect-preserving box fit (scale into 64×64: the larger side
+    * pins the ratio, `dim · 64 DIV max(w,h)`), a stub "resample" that
+    * slices the payload to the target byte budget (one byte per target
+    * pixel) ON THE BINARY column, and the padding shortfall surfaced per
+    * row. Everything is integer arithmetic + substring in whole-stage
+    * codegen — a real resampler replaces the slice inside [[decode]]'s
+    * batched mapPartitions without touching the dims math, the schema, or
+    * the plan; the DuckDB oracle reproduces the stub exactly (ASCII
+    * corpus: byte slicing == char slicing). */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    withPayload(docs)
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn(
+        "first_byte",
+        conv(hex(expr("substring(payload, 1, 1)")), 16, 10).cast("long")
+      )
+      // the m1 stub-decoder dims, as pure columns
+      .withColumn("width", (lit(64) + col("n_bytes") % 64).cast("int"))
+      .withColumn("height", (lit(64) + col("first_byte") % 64).cast("int"))
+      .withColumn(
+        "target_w",
+        expr("CAST(width * 64 DIV greatest(width, height) AS INT)")
+      )
+      .withColumn(
+        "target_h",
+        expr("CAST(height * 64 DIV greatest(width, height) AS INT)")
+      )
+      .withColumn("out_bytes", (col("target_w") * col("target_h")).cast("long"))
+      .withColumn(
+        "resized",
+        expr("substring(payload, 1, CAST(least(n_bytes, out_bytes) AS INT))")
+      )
+      .withColumn("kept_bytes", length(col("resized")).cast("long"))
+      .withColumn("pad_bytes", col("out_bytes") - col("kept_bytes"))
+      .withColumn(
+        "last_byte",
+        conv(hex(expr("substring(resized, -1, 1)")), 16, 10).cast("long")
+      )
+      .select(
+        "media_id", "width", "height", "target_w", "target_h",
+        "out_bytes", "kept_bytes", "pad_bytes", "first_byte", "last_byte"
+      )
+      .orderBy("media_id")
+  }
+
   /** The declared query: payload attach -> batched decode -> metadata
     * aggregation. The aggregation shape (group by derived meta) is what a
     * real feature-extraction pipeline feeds into dedup/quality filters.
@@ -143,7 +191,8 @@ object Multimodal {
 object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
-    "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d))
+    "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
+    "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d))
   )
 
   /** The stub decoder is pure arithmetic over payload bytes, so the oracle
@@ -163,6 +212,34 @@ object MultimodalOps {
            CAST(max(64 + n % 64) AS INTEGER) AS max_width,
            CAST(max(64 + f % 64) AS INTEGER) AS max_height
          FROM meta GROUP BY 1, 2 ORDER BY format, n_frames""",
+    "m3_resize_plan" ->
+      """WITH meta AS (
+           SELECT doc_id AS media_id, text,
+             strlen(text) AS n_bytes,
+             ascii(substr(text, 1, 1)) AS first_byte,
+             CAST(64 + strlen(text) % 64 AS INTEGER) AS width,
+             CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS height
+           FROM documents
+         ), dims AS (
+           SELECT *,
+             CAST(width * 64 // greatest(width, height) AS INTEGER)
+               AS target_w,
+             CAST(height * 64 // greatest(width, height) AS INTEGER)
+               AS target_h
+           FROM meta
+         ), sliced AS (
+           SELECT *,
+             CAST(target_w * target_h AS BIGINT) AS out_bytes,
+             substr(text, 1, CAST(least(n_bytes, target_w * target_h)
+                                  AS BIGINT)) AS resized
+           FROM dims
+         )
+         SELECT media_id, width, height, target_w, target_h, out_bytes,
+           CAST(strlen(resized) AS BIGINT) AS kept_bytes,
+           out_bytes - strlen(resized) AS pad_bytes,
+           CAST(first_byte AS BIGINT) AS first_byte,
+           CAST(ascii(substr(resized, -1, 1)) AS BIGINT) AS last_byte
+         FROM sliced ORDER BY media_id""",
     "m2_frame_sample" ->
       """WITH meta AS (
            SELECT doc_id AS media_id, text, strlen(text) AS n_bytes,
