@@ -375,7 +375,48 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Distinct-count rollup from stored sketch partials — the pattern
+    * exact COUNT DISTINCT can never have: distinct counts are
+    * non-additive, so weekly exacts cannot be built from daily exacts,
+    * but HLL sketches union losslessly. Daily (day, event_type) sketches
+    * are the STORED state (constant bytes per key); the weekly answer
+    * merges seven partials per key without touching raw events again —
+    * at 100 TB this is the difference between answering an arbitrary
+    * date-range distinct query from kilobytes of partials and re-scanning
+    * the raw log. Verified with the e5 split-column harness: the exact
+    * weekly count is hash-checked, and the MERGED-sketch estimate must
+    * sit within 15% of it (DuckDB gates its own approx the same way). */
+  private def e12SketchRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weekly = daily
+      .groupBy(
+        date_trunc("week", col("day")).cast("date").as("week_start"),
+        col("event_type")
+      )
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+    val exact = ev
+      .groupBy(
+        date_trunc("week", col("ts")).cast("date").as("week_start"),
+        col("event_type")
+      )
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact
+      .join(weekly, Seq("week_start", "event_type"))
+      .select(
+        col("week_start"),
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          lit(0.15) * greatest(col("exact_users"), lit(1L))).as("approx_ok")
+      )
+      .orderBy("week_start", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e12_sketch_rollup" -> (e12SketchRollup _),
     "e11_quantile_sketch" -> (e11QuantileSketch _),
     "e10_latest_per_key" -> (e10LatestPerKey _),
     "e9_conversion_lag" -> (e9ConversionLag _),
@@ -407,6 +448,16 @@ object EventOps {
            FROM events GROUP BY 1, 2
          )
          ORDER BY week_start, event_type""",
+    // exact weekly distinct hash-checked; the merged-partials estimate is
+    // gated against it on the Spark side, DuckDB gates its own approx —
+    // each engine verifies its own sketch against the shared exact column
+    "e12_sketch_rollup" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           event_type,
+           count(DISTINCT user_id) AS exact_users,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             <= 0.15 * greatest(count(DISTINCT user_id), 1) AS approx_ok
+         FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""",
     // exact p50/p95 hash-checked; each engine's own sketch (GK vs
     // t-digest) passes a rank gate against its own data — the sketch's
     // actual contract — instead of a cross-engine value compare
