@@ -1247,7 +1247,43 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Mixture-plan EXECUTION — the follow-through on t21: t21 computes how
+    * much each language should contribute (equal-token mixture: every
+    * language capped at the smallest language's token count); this
+    * operator actually selects the documents, by deterministic acceptance
+    * sampling — accept doc iff uniform16(doc_id) · lang_tokens <
+    * min_tokens · 2¹⁶, i.e. with probability min_tokens/lang_tokens. The
+    * uniform comes from t14's md5 hex-prefix formula, so membership is
+    * stable under corpus growth AND re-runs (t14's split-stability
+    * argument applied to mixture sampling), and the acceptance test is
+    * pure integer arithmetic — no double compare to drift cross-engine.
+    * Scale shape: one inventory aggregation, a broadcast n_langs-row
+    * join, per-row hash — the corpus itself never shuffles. */
+  private def t30MixtureExecute(s: SparkSession, d: String): DataFrame = {
+    val hex4ToU16 =
+      """((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+        | (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+        | (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+        | (instr('0123456789abcdef', substr(h, 4, 1)) - 1))""".stripMargin
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("doc_tokens"))
+    val inv = docs.groupBy("lang").agg(sum("doc_tokens").as("lang_tokens"))
+    val minTok = inv.agg(min("lang_tokens").as("min_tokens"))
+    docs
+      .join(broadcast(inv), "lang")
+      .crossJoin(broadcast(minTok))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("u16", expr(hex4ToU16).cast("long"))
+      .withColumn(
+        "accepted",
+        col("u16") * col("lang_tokens") < col("min_tokens") * lit(65536L)
+      )
+      .select("doc_id", "lang", "doc_tokens", "u16", "accepted")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t30_mixture_execute" -> (t30MixtureExecute _),
     "a16_heavy_hitters" -> (a16HeavyHitters _),
     "t29_dsir_importance" -> (t29DsirImportance _),
     "t28_cluster_repr" -> (t28ClusterRepr _),
@@ -1330,6 +1366,35 @@ object TextOps {
          SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, n_stop,
            token_entropy, reasons, reasons = 0 AS keep
          FROM flagged ORDER BY doc_id""",
+    // pure integer acceptance test (u16·lang_tokens < min_tokens·2^16)
+    // over the t14 hex-prefix uniform — no double compare anywhere
+    "t30_mixture_execute" ->
+      """WITH docs AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT) AS doc_tokens
+           FROM documents
+         ), inv AS (
+           SELECT lang, sum(doc_tokens) AS lang_tokens FROM docs GROUP BY lang
+         ), mt AS (
+           SELECT min(lang_tokens) AS min_tokens FROM inv
+         ), hashed AS (
+           SELECT d.doc_id, d.lang, d.doc_tokens, i.lang_tokens, mt.min_tokens,
+             md5(CAST(d.doc_id AS VARCHAR)) AS h
+           FROM docs d JOIN inv i USING (lang) CROSS JOIN mt
+         )
+         SELECT doc_id, lang, doc_tokens,
+           CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+                (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+                (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+                (instr('0123456789abcdef', substr(h, 4, 1)) - 1) AS BIGINT)
+             AS u16,
+           ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+            (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+            (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+            (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) * lang_tokens
+             < min_tokens * 65536 AS accepted
+         FROM hashed ORDER BY doc_id""",
     // the oracle is the EXACT heavy-hitter set (full groupBy) — equality
     // with the two-pass sketch pipeline is the Misra-Gries guarantee,
     // since the report threshold n/64 exceeds the error bound n/129
