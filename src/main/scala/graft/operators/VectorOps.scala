@@ -320,7 +320,13 @@ object VectorOps {
     * driver loop. Rounded to 6dp for cross-engine comparability. */
   private def v8EmbedQuantize(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    Tables.embeddings(s, d)
+    maxAbsQuant(Tables.embeddings(s, d)).select("vec_id", "q_csv", "cos_keep")
+  }
+
+  /** The v8 pipeline over any (vec_id, embedding) frame (see
+    * [[sqCalibrated]] for why it is factored out). */
+  private[graft] def maxAbsQuant(emb: DataFrame): DataFrame = {
+    emb
       .select(
         col("vec_id"),
         call_function("graft_quantize_int8", col("embedding")).as("q"),
@@ -342,7 +348,65 @@ object VectorOps {
       // int8 component still hash-checks, without depending on how the
       // compare harness stringifies array-typed cells
       .withColumn("q_csv", concat_ws(",", col("q").cast("array<string>")))
-      .select("vec_id", "q_csv", "cos_keep")
+      .select("vec_id", "q", "q_csv", "cos_keep")
+      .orderBy("vec_id")
+  }
+
+  /** Percentile-clipped scalar quantization — the production upgrade of
+    * v8's max-abs scaling: one outlier component stretches a max-abs
+    * scale and crushes the other 63 dims into a few codes, so serving
+    * quantizers clip each dimension at a high percentile (p99 here)
+    * before scaling. Calibration = one posexplode aggregation to 64
+    * (dim, clip) rows, collected driver-side like the IVF centroids (the
+    * same "tiny model fit" allowance) and baked into a zip_with over the
+    * vector — quantization itself is per-row codegen, no shuffle. The
+    * exact interpolated percentile is the a14/e9-proven cross-engine
+    * form, and clip-then-scale is written in the identical op order in
+    * the oracle. cos_keep is emitted like v8's so the two quantizers sit
+    * side by side in the catalog — with the honest caveat (measured in
+    * LshRecallSpec) that cosine-to-original REWARDS keeping outliers, so
+    * max-abs wins that metric; what clipping buys is code resolution on
+    * the value mass, asserted on a planted-outlier corpus where max-abs
+    * collapses every non-outlier component into codes {-1,0,1}. */
+  private def v18SqCalibrated(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    sqCalibrated(Tables.embeddings(s, d)).select("vec_id", "q_csv", "cos_keep")
+  }
+
+  /** The v18 pipeline over any (vec_id, embedding) frame — shared with the
+    * planted-outlier fidelity spec, which needs to run both quantizers on
+    * data whose outlier structure it controls. */
+  private[graft] def sqCalibrated(emb: DataFrame): DataFrame = {
+    val clips = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(percentile(abs(col("x").cast("double")), lit(0.99)).as("clip"))
+      .orderBy("dim")
+      .collect()
+      .map(r => r.getDouble(1))
+    val clipCol = typedlit(clips.toSeq)
+    val q = zip_with(
+      col("embedding"),
+      clipCol,
+      (x, c) =>
+        when(c === 0d, lit(0L)).otherwise(
+          round(greatest(least(x.cast("double"), c), -c) / c * 127).cast("long")
+        )
+    )
+    emb
+      .select(col("vec_id"), q.as("q"), col("embedding"))
+      .withColumn("qf", col("q").cast("array<float>"))
+      .withColumn(
+        "cos_keep",
+        round(
+          call_function("graft_dot", col("qf"), col("embedding")) /
+            (sqrt(call_function("graft_dot", col("qf"), col("qf"))) *
+              sqrt(call_function("graft_dot", col("embedding"), col("embedding")))),
+          6
+        )
+      )
+      .withColumn("q_csv", concat_ws(",", col("q").cast("array<string>")))
+      .select("vec_id", "q", "q_csv", "cos_keep")
       .orderBy("vec_id")
   }
 
@@ -755,6 +819,7 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "v18_sq_calibrated" -> (v18SqCalibrated _),
     "v17_knn_graph" -> (v17KnnGraph _),
     "v16_ann_filtered" -> (v16AnnFiltered _),
     "v15_range_search" -> (v15RangeSearch _),
@@ -1167,6 +1232,35 @@ object VectorOps {
        ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
+    // per-dim p99 clip via the proven exact-interpolated percentile;
+    // clip-then-scale in the identical op order as the zip_with lambda
+    "v18_sq_calibrated" ->
+      s"""WITH comp AS (
+           SELECT generate_subscripts(embedding, 1) AS dim,
+             abs(CAST(unnest(embedding) AS DOUBLE)) AS x
+           FROM embeddings
+         ), clips AS (
+           SELECT dim, quantile_cont(x, 0.99) AS clip FROM comp GROUP BY dim
+         ), cl AS (
+           SELECT list(clip ORDER BY dim) AS cl FROM clips
+         ), quant AS (
+           SELECT vec_id, embedding,
+             list_transform(range(1, 65), i ->
+               CASE WHEN cl[i] = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(round(greatest(least(CAST(embedding[i] AS DOUBLE),
+                           cl[i]), -cl[i]) / cl[i] * 127) AS BIGINT) END) AS q
+           FROM embeddings CROSS JOIN cl
+         )
+         SELECT vec_id, array_to_string(q, ',') AS q_csv,
+           round(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+           , 6) AS cos_keep
+         FROM quant ORDER BY vec_id""",
     "v17_knn_graph" -> v17Oracle,
     "v11_ann_pq" -> v11Oracle,
     "v5_simhash" -> v5Oracle,

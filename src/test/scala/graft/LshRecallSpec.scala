@@ -106,6 +106,56 @@ class LshRecallSpec extends AnyFunSuite {
       assert(recall >= 0.55, s"recall=$recall")
     }
 
+  // Quantizer fidelity is DATA-DEPENDENT and the gates say so honestly:
+  // on the driver's outlier-free synthetic vectors max-abs wins (there is
+  // no outlier to stretch its scale; clipping the top 1% only costs),
+  // so v18 carries a floor there — while on outlier-bearing vectors,
+  // which is the distribution p99 clipping exists for, clipped must WIN,
+  // asserted on a planted-outlier corpus.
+  for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    test(s"calibrated quantization holds its fidelity floor on outlier-free data ($sfDir)") {
+      def meanKeep(q: String): Double = VectorOps
+        .queries(q)(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.avg("cos_keep"))
+        .head()
+        .getDouble(0)
+      val maxAbs = meanKeep("v8_embed_quantize")
+      val clipped = meanKeep("v18_sq_calibrated")
+      info(s"mean cos_keep: max-abs=$maxAbs clipped=$clipped")
+      assert(clipped >= 0.99, s"clipped=$clipped")
+      assert(maxAbs >= 0.999, s"maxAbs=$maxAbs")
+    }
+
+  test("p99 clipping restores code resolution that max-abs loses to planted outliers") {
+    // What clipping buys is NOT cosine-to-original (an outlier carries
+    // most of the vector's energy, so max-abs — which preserves the
+    // outlier exactly — "wins" that metric by crushing everything else):
+    // it is RESOLUTION on the value mass. With a 100x outlier setting the
+    // max-abs scale, every small component lands in codes {-1, 0, 1};
+    // the per-dim p99 clip spends the code range on the mass instead.
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 100).map { i =>
+      val v = Array.fill(64)(rnd.nextFloat() * 0.2f - 0.1f)
+      v(i % 64) = 10.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def smallCompCodes(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "code")))
+      .filter(col("pos") =!= col("vec_id") % 64) // non-outlier components
+      .agg(countDistinct("code"))
+      .head()
+      .getLong(0)
+    val maxAbsCodes = smallCompCodes(VectorOps.maxAbsQuant(emb))
+    val clippedCodes = smallCompCodes(VectorOps.sqCalibrated(emb))
+    info(s"distinct codes on non-outlier components: max-abs=$maxAbsCodes clipped=$clippedCodes")
+    assert(maxAbsCodes <= 3, s"max-abs resolution unexpectedly fine: $maxAbsCodes")
+    assert(clippedCodes >= 20, s"clipped resolution too coarse: $clippedCodes")
+  }
+
   // v5 is rows-only (xxhash64); t6 is oracle-checked but keeps its recall gate
   // carry their fidelity gates at BOTH driver scale factors, including the
   // sf0.01 the driver's DuckDB compare runs at
