@@ -211,6 +211,42 @@ object RelationalOps {
       .orderBy("latest_major")
   }
 
+  /** J4's big-to-big scale path: as-of join via UNION + WINDOW. The
+    * broadcast-NL form (j4) requires a tiny build side; when BOTH sides
+    * are large (every purchase matched to the same user's latest prior
+    * click), the production plan is to union the two streams, shuffle
+    * ONCE on the join key, and carry the right side forward with a
+    * running `last(..., ignoreNulls)` over (time, side) order — no
+    * broadcast, no range-join candidate blowup, one keyed exchange total.
+    * Side ordering (click before purchase at equal timestamps) encodes
+    * the "at or before" semantics; the oracle states the same contract as
+    * a correlated max. */
+  private def j9AsofUnionWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+      .withColumn("side", when(col("event_type") === "click", 0).otherwise(1))
+      .withColumn("click_us", when(col("side") === 0, col("us")))
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("us").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_us", last(col("click_us"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("us").as("purchase_us"),
+        col("last_click_us")
+      )
+      .orderBy("event_id")
+  }
+
   /** J6: lateral cross-join with a literal array — every row counted in its
     * own group AND in 'Worldwide' (`UNNEST([country,'Worldwide'])`,
     * user_activity.sql:23-24). At 100 TB the 'Worldwide' key is the skew
@@ -687,6 +723,7 @@ object RelationalOps {
     "j1_left_join_dim" -> (j1LeftJoinDim _),
     "j2_using_multikey" -> (j2UsingMultikey _),
     "j4_asof_join" -> (j4AsofJoin _),
+    "j9_asof_union_window" -> (j9AsofUnionWindow _),
     "j6_explode_literal" -> (j6ExplodeLiteral _),
     "j6_salted_skew" -> (j6SaltedSkew _),
     "j7_explode_outer" -> (j7ExplodeOuter _),
@@ -782,6 +819,16 @@ object RelationalOps {
          SELECT week_start, o_orderpriority, n_orders, total_cents
          FROM counts JOIN money USING (week_start, o_orderpriority)
          ORDER BY week_start, o_orderpriority""",
+    // the correlated form IS the as-of contract; the Spark side reaches
+    // the same rows with one keyed shuffle and a running window instead
+    "j9_asof_union_window" ->
+      """SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           (SELECT max(epoch_us(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND epoch_us(c.ts) <= epoch_us(p.ts)) AS last_click_us
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
     "j4_asof_join" ->
       """WITH releases AS (
            SELECT CAST(t AS DATE) AS release_day,
