@@ -135,9 +135,12 @@ object Multimodal {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     withPayload(docs)
       .withColumn("n_bytes", length(col("payload")).cast("long"))
+      // coalesce(0): an empty payload has no first byte — the stub decoder
+      // (and DuckDB's ascii('')) treat that as 0, so the guard keeps the
+      // m1 contract and the oracle aligned on empty documents
       .withColumn(
         "first_byte",
-        conv(hex(expr("substring(payload, 1, 1)")), 16, 10).cast("long")
+        coalesce(conv(hex(expr("substring(payload, 1, 1)")), 16, 10).cast("long"), lit(0L))
       )
       // the m1 stub-decoder dims, as pure columns
       .withColumn("width", (lit(64) + col("n_bytes") % 64).cast("int"))
@@ -159,7 +162,7 @@ object Multimodal {
       .withColumn("pad_bytes", col("out_bytes") - col("kept_bytes"))
       .withColumn(
         "last_byte",
-        conv(hex(expr("substring(resized, -1, 1)")), 16, 10).cast("long")
+        coalesce(conv(hex(expr("substring(resized, -1, 1)")), 16, 10).cast("long"), lit(0L))
       )
       .select(
         "media_id", "width", "height", "target_w", "target_h",

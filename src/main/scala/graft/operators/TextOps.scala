@@ -44,6 +44,17 @@ object TextOps {
     (kept, droppedStats)
   }
 
+  /** SQL fragment: the first 4 hex digits of md5-hex column `h` decoded
+    * to an integer 0..65535 — written as the same explicit per-character
+    * formula the DuckDB oracles carry verbatim, so both engines decode
+    * identically (no engine-specific conv()/from_hex). Shared by the
+    * hash-split / sampling / feature-bucket family (t14/t18/t29/t30). */
+  private[operators] def hex4U16(h: String): String =
+    s"""((instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 +
+       | (instr('0123456789abcdef', substr($h, 2, 1)) - 1) * 256 +
+       | (instr('0123456789abcdef', substr($h, 3, 1)) - 1) * 16 +
+       | (instr('0123456789abcdef', substr($h, 4, 1)) - 1))""".stripMargin
+
   /** Tokens of a document (whitespace split, no empties). */
   private def toks: Column = F.wsTokens(col("text"))
 
@@ -509,10 +520,7 @@ object TextOps {
     * per-row expressions, no shuffle. */
   private def t14HashSplit(s: SparkSession, d: String): DataFrame = {
     val hex4ToBucket =
-      """((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
-        | (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
-        | (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
-        | (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100""".stripMargin
+      s"${hex4U16("h")} % 100"
     Tables.documents(s, d)
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bucket", expr(hex4ToBucket).cast("long"))
@@ -696,10 +704,7 @@ object TextOps {
       .orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val hex4ToBucket =
-      """((instr('0123456789abcdef', substr(hs, 1, 1)) - 1) * 4096 +
-        | (instr('0123456789abcdef', substr(hs, 2, 1)) - 1) * 256 +
-        | (instr('0123456789abcdef', substr(hs, 3, 1)) - 1) * 16 +
-        | (instr('0123456789abcdef', substr(hs, 4, 1)) - 1)) % 100""".stripMargin
+      s"${hex4U16("hs")} % 100"
     withBucket
       .join(broadcast(offsets), "bucket")
       .withColumn("prev_tokens", coalesce(sum("n_tokens").over(wB), lit(0L)))
@@ -956,10 +961,7 @@ object TextOps {
     * bounded; nothing is global). */
   private def t18StratifiedSample(s: SparkSession, d: String): DataFrame = {
     val hex4 =
-      """((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
-        | (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
-        | (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
-        | (instr('0123456789abcdef', substr(h, 4, 1)) - 1))""".stripMargin
+      hex4U16("h")
     val ws = Window.partitionBy("lang").orderBy(col("u").asc, col("doc_id").asc)
     val ww = Window.partitionBy("lang").orderBy(col("priority").asc, col("doc_id").asc)
     Tables.documents(s, d)
@@ -1148,10 +1150,7 @@ object TextOps {
   private def t29DsirImportance(s: SparkSession, d: String): DataFrame = {
     val B = 256
     val hex4ToBucket =
-      s"""((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
-         | (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
-         | (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
-         | (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % $B""".stripMargin
+      s"${hex4U16("h")} % $B"
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), toks.as("w"))
       .select(
@@ -1261,12 +1260,10 @@ object TextOps {
     * join, per-row hash — the corpus itself never shuffles. */
   private def t30MixtureExecute(s: SparkSession, d: String): DataFrame = {
     val hex4ToU16 =
-      """((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
-        | (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
-        | (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
-        | (instr('0123456789abcdef', substr(h, 4, 1)) - 1))""".stripMargin
+      hex4U16("h")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), size(toks).cast("long").as("doc_tokens"))
+      .cache() // read twice (inventory + join); tokenize once, not per read
     val inv = docs.groupBy("lang").agg(sum("doc_tokens").as("lang_tokens"))
     val minTok = inv.agg(min("lang_tokens").as("min_tokens"))
     docs

@@ -333,15 +333,20 @@ object VectorOps {
         col("embedding")
       )
       // dequantized cosine via the native dot on the float-cast int8 array:
-      // cos(q, x) is scale-invariant, so the scale factor drops out entirely
+      // cos(q, x) is scale-invariant, so the scale factor drops out entirely.
+      // NULL (not NaN) when q is all zeros (only possible for an all-zero
+      // embedding here): Spark's 0/0 is NaN while DuckDB's is NULL
       .withColumn("qf", col("q").cast("array<float>"))
+      .withColumn("qn2", call_function("graft_dot", col("qf"), col("qf")))
       .withColumn(
         "cos_keep",
-        round(
-          call_function("graft_dot", col("qf"), col("embedding")) /
-            (sqrt(call_function("graft_dot", col("qf"), col("qf"))) *
-              sqrt(call_function("graft_dot", col("embedding"), col("embedding")))),
-          6
+        when(col("qn2") === 0d, lit(null).cast("double")).otherwise(
+          round(
+            call_function("graft_dot", col("qf"), col("embedding")) /
+              (sqrt(col("qn2")) *
+                sqrt(call_function("graft_dot", col("embedding"), col("embedding")))),
+            6
+          )
         )
       )
       // the vector is pinned as a CSV string, not a raw array column: every
@@ -396,13 +401,24 @@ object VectorOps {
     emb
       .select(col("vec_id"), q.as("q"), col("embedding"))
       .withColumn("qf", col("q").cast("array<float>"))
+      // NULL (not NaN) on a zero denominator: unlike v8, whose scale comes
+      // from the vector itself (its max component always lands on code
+      // 127), the per-dim clips come from OTHER rows, so a valid vector
+      // can quantize to all-zero codes; Spark's 0/0 is NaN while DuckDB's
+      // is NULL — emit NULL explicitly so both engines agree
+      .withColumn(
+        "qn2",
+        call_function("graft_dot", col("qf"), col("qf"))
+      )
       .withColumn(
         "cos_keep",
-        round(
-          call_function("graft_dot", col("qf"), col("embedding")) /
-            (sqrt(call_function("graft_dot", col("qf"), col("qf"))) *
-              sqrt(call_function("graft_dot", col("embedding"), col("embedding")))),
-          6
+        when(col("qn2") === 0d, lit(null).cast("double")).otherwise(
+          round(
+            call_function("graft_dot", col("qf"), col("embedding")) /
+              (sqrt(col("qn2")) *
+                sqrt(call_function("graft_dot", col("embedding"), col("embedding")))),
+            6
+          )
         )
       )
       .withColumn("q_csv", concat_ws(",", col("q").cast("array<string>")))

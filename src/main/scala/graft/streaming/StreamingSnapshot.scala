@@ -30,17 +30,15 @@ object StreamingSnapshot {
     * micro-batch where the watermark closes it — a replayed batch always
     * carries whole weeks. Writing a hand-built subset of a week through
     * this function would replace the whole week with the subset. */
-  def writeSnapshot(batch: DataFrame, outDir: String): Unit = {
-    val spark = batch.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try batch.write.mode("overwrite").partitionBy("week_start").parquet(outDir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  def writeSnapshot(batch: DataFrame, outDir: String): Unit =
+    // writer-scoped option, NOT a session-conf toggle: a shared session
+    // can run concurrent overwrite writes, and flipping the session conf
+    // around this write would silently switch THEIR partition semantics
+    batch.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("week_start")
+      .parquet(outDir)
 
   /** Weekly (tumbling 7-day) per-event-type aggregate over the stream,
     * emitted on watermark close into the snapshot table. */
