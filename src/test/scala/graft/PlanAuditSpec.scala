@@ -124,6 +124,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("j9's union-window as-of plans with NO join operator at all") {
+    // the entire value of the union+window form is that neither side
+    // broadcasts, joins, or goes quadratic — the plan is one keyed
+    // exchange feeding a running window; any join node appearing here
+    // means the operator regressed to a pairing strategy
+    val p = plan("j9_asof_union_window")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                  "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j), s"j9 planned a $j:\n$p")
+    val keyedExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyedExchanges == 1, s"j9 grew extra keyed exchanges ($keyedExchanges):\n$p")
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
