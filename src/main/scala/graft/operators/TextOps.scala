@@ -1279,7 +1279,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Clean-corpus emission — the step AFTER decontamination detection
+    * (t10 lists the contaminated (train, eval) pairs; a release pipeline
+    * must then ship the corpus minus them): a broadcast LEFT ANTI join of
+    * the training side against the distinct contaminated ids. Anti join
+    * is also the one relational operator shape the catalog had not yet
+    * declared (the reference uses none — SURVEY §2.3). Scale: the
+    * contaminated-id set is bounded by the eval set's hit fan-out, so it
+    * broadcasts and the corpus side streams — no corpus shuffle, matching
+    * t10's plan argument end to end. */
+  private def t31AntiClean(s: SparkSession, d: String): DataFrame = {
+    val contaminated = t10Decontaminate(s, d).select("doc_id").distinct()
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t31_anti_clean" -> (t31AntiClean _),
     "t30_mixture_execute" -> (t30MixtureExecute _),
     "a16_heavy_hitters" -> (a16HeavyHitters _),
     "t29_dsir_importance" -> (t29DsirImportance _),
@@ -2168,6 +2187,43 @@ object TextOps {
          JOIN sizes se ON se.doc_id = i.eval_id
          WHERE CAST(i.inter AS DOUBLE) / (st.sz + se.sz - i.inter) > 0.8
          ORDER BY i.doc_id, i.eval_id""",
+    // t10's contamination CTEs + NOT EXISTS — the anti-join contract
+    "t31_anti_clean" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), ev AS (
+           SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0
+         ), tr AS (
+           SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0
+         ), inter AS (
+           SELECT tr.doc_id, ev.eval_id, count(*) AS inter
+           FROM tr JOIN ev USING (shingle)
+           GROUP BY 1, 2
+         ), contaminated AS (
+           SELECT DISTINCT i.doc_id
+           FROM inter i
+           JOIN sizes st ON st.doc_id = i.doc_id
+           JOIN sizes se ON se.doc_id = i.eval_id
+           WHERE CAST(i.inter AS DOUBLE) / (st.sz + se.sz - i.inter) > 0.8
+         )
+         SELECT d.doc_id,
+           CAST(len(list_filter(string_split_regex(trim(d.text), '\s+'),
+                x -> length(x) > 0)) AS BIGINT) AS n_tokens
+         FROM documents d
+         WHERE d.doc_id % 10 <> 0
+           AND NOT EXISTS (SELECT 1 FROM contaminated c
+                           WHERE c.doc_id = d.doc_id)
+         ORDER BY d.doc_id""",
     "t10_decontaminate" ->
       """WITH words AS (
            SELECT doc_id,
