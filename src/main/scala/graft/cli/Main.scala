@@ -40,9 +40,10 @@ object Main {
     s
   }
 
-  /** Valueless flags (click `is_flag` options): both spellings the reference
-    * accepts (hardware_report.py:409-414) normalize to `dry_run=true`. */
-  private val flagOpts = Set("dry_run", "dryrun")
+  /** Valueless flags (click `is_flag` options): both dry-run spellings the
+    * reference accepts (hardware_report.py:409-414) normalize to
+    * `dry_run=true`; `--list` belongs to the query subcommand. */
+  private val flagOpts = Set("dry_run", "dryrun", "list")
 
   private[graft] def parseArgs(args: Seq[String]): Map[String, String] = {
     // positional walk (not partition + grouped pairing): a flag is consumed
@@ -54,7 +55,8 @@ object Main {
       rest match {
         case Nil => acc
         case flag :: tail if flag.startsWith("--") && flagOpts(flag.drop(2)) =>
-          go(tail, acc + ("dry_run" -> "true"))
+          val key = if (flag.drop(2) == "list") "list" else "dry_run"
+          go(tail, acc + (key -> "true"))
         case key :: value :: tail if key.startsWith("--") =>
           go(tail, acc + (key.drop(2) -> value))
         case _ :: tail => go(tail, acc) // stray token (click would abort)
@@ -79,14 +81,53 @@ object Main {
         case "hardware_report" => hardwareReport(spark, opts)
         case "user_activity" => userActivity(spark, opts)
         case "annotations" => annotations(spark, opts)
+        case "query" => query(spark, opts)
         case other =>
           System.err.println(s"unknown command: $other"); sys.exit(2)
       } finally spark.stop()
     case _ =>
       System.err.println(
-        "usage: graft.cli.Main {hardware_report|user_activity|annotations} [--opt value ...]"
+        "usage: graft.cli.Main {hardware_report|user_activity|annotations|query} [--opt value ...]"
       )
       sys.exit(2)
+  }
+
+  /** Run any declared catalog query from the command line — what makes the
+    * extension surface operational without writing Scala:
+    *
+    *   query --name t3_dedup_exact --input DIR --output DIR [--format json]
+    *   query --list
+    *
+    * `--input` is a directory of the standard parquet tables; the result
+    * lands under `output/<name>` as parquet (default) or pretty JSON via
+    * the same writer the reference-artifact sinks use. */
+  def query(spark: SparkSession, opts: Map[String, String]): Unit = {
+    if (opts.contains("list")) {
+      graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
+    val name = opts.getOrElse("name", {
+      System.err.println("query requires --name <query> (or --list)")
+      sys.exit(2)
+    })
+    val fn = graft.SparkEntry.queries.getOrElse(
+      name, {
+        System.err.println(s"unknown query: $name (use --list)")
+        sys.exit(2)
+      }
+    )
+    val out = opts("output")
+    val result = fn(spark, opts("input"))
+    opts.getOrElse("format", "parquet") match {
+      case "json" =>
+        // declared-query results are aggregates, collect-safe by design
+        val rows = result.toJSON.collect().mkString("[\n", ",\n", "\n]")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/$name.json"), rows + "\n")
+      case _ =>
+        result.write.mode("overwrite").parquet(s"$out/$name")
+    }
   }
 
   /** Weekly batch loop (hardware_report.py:416-470): runWeek per window,

@@ -173,6 +173,25 @@ class CliSpec extends AnyFunSuite {
     assert(latest == archived && latest.nonEmpty)
   }
 
+  test("query subcommand runs a declared catalog query to parquet and json") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli-query").toString
+    val in = "/root/testdata/sf0.001"
+    Main.query(spark, Map("name" -> "t3_dedup_exact", "input" -> in, "output" -> tmp))
+    val parquet = spark.read.parquet(s"$tmp/t3_dedup_exact")
+    val direct = SparkEntry.queries("t3_dedup_exact")(spark, in)
+    assert(parquet.count() == direct.count() && parquet.count() > 0)
+    Main.query(
+      spark,
+      Map("name" -> "t15_corpus_profile", "input" -> in, "output" -> tmp, "format" -> "json")
+    )
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/t15_corpus_profile.json")
+    )
+    assert(json.startsWith("[") && json.contains("\"lang\""))
+    // --list is a valueless flag, like --dry_run
+    assert(graft.cli.Main.parseArgs(Seq("--list")).contains("list"))
+  }
+
   test("argv parsing: valueless --dry_run/--dryrun flags mix with k-v options") {
     // the click is_flag style the reference accepts (hardware_report.py:409-414)
     val a = graft.cli.Main.parseArgs(
