@@ -27,9 +27,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query must turn the bench RED, not faster: the old silent
+    // catch let a broken query time out at ~0s, shrink the total, and exit
+    // rc=0. Every error is recorded per query and the run exits non-zero.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       dt
@@ -40,20 +47,30 @@ object Bench {
     val twoRuns = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
-      .map { case (name, fn) => (name, fn, math.min(once(fn), once(fn))) }
+      .map { case (name, fn) => (name, fn, math.min(once(name, fn), once(name, fn))) }
     // The headline entries get a third run: best-of-2 left the slowest
     // queries exposed to one unlucky GC/JIT pause per round (the r5 bench
     // moved +8% with zero code change). A third sample on just the top-5
     // separates environment noise from plan regressions at ~5% extra cost.
     val slowNames = twoRuns.sortBy(-_._3).take(5).map(_._1).toSet
     val results = twoRuns.map { case (name, fn, best2) =>
-      name -> (if (slowNames(name)) math.min(best2, once(fn)) else best2)
+      name -> (if (slowNames(name)) math.min(best2, once(name, fn)) else best2)
     }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"errors":$errJson,"sf":"$sfDir"}"""
     // The driver parses a bounded TAIL of captured stdout, so the full
     // ~3.4 KB per-query line gets its head truncated there (BENCH_r02
     // "parsed": null). Primary channel split: the full map goes to a file,
@@ -68,5 +85,9 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jsonMap(slowest5)},"sf":"$sfDir"}"""
     spark.stop()
     println(compact)
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.size} queries threw: $errJson")
+      sys.exit(1)
+    }
   }
 }

@@ -156,6 +156,26 @@ class LshRecallSpec extends AnyFunSuite {
     assert(clippedCodes >= 20, s"clipped resolution too coarse: $clippedCodes")
   }
 
+  test("v14's hot-term drop counts are queryable and exact (not a log line)") {
+    // controlled corpus: "the" appears in 3 of 4 docs (df=3 > 4/2 → capped),
+    // "rare" in exactly half (df=2 = N/2 → kept: the cap is strict-greater)
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick fox rare"),
+      (1L, "the lazy dog"),
+      (2L, "the other text"),
+      (3L, "rare words only")
+    ).toDF("doc_id", "text")
+    val r = VectorOps.v14DroppedTerms(docs).head()
+    assert(r.getLong(0) == 1L, s"dropped_terms=${r.getLong(0)}")
+    assert(r.getLong(1) == 3L, s"dropped_postings=${r.getLong(1)}")
+    // and on the driver corpus the declared catalog query is the same frame
+    val catalog = VectorOps
+      .queries("v14b_rrf_dropped_terms")(spark, sf)
+      .head()
+    assert(catalog.getLong(0) >= 0L && catalog.getLong(1) >= catalog.getLong(0))
+  }
+
   // v5 is rows-only (xxhash64); t6 is oracle-checked but keeps its recall gate
   // carry their fidelity gates at BOTH driver scale factors, including the
   // sf0.01 the driver's DuckDB compare runs at
