@@ -120,11 +120,33 @@ object Main {
     val result = fn(spark, opts("input"))
     opts.getOrElse("format", "parquet") match {
       case "json" =>
-        // declared-query results are aggregates, collect-safe by design
-        val rows = result.toJSON.collect().mkString("[\n", ",\n", "\n]")
+        // json mode is a driver-side file writer, so it is row-capped: the
+        // catalog is NOT all aggregates (t28/t30/t31 are corpus-grain, one
+        // row per document), and an uncapped collect on those is unbounded
+        // at scale. Within the cap, stream via toLocalIterator — one
+        // partition in driver memory at a time, never the whole result.
+        val cap = opts.getOrElse("json_max_rows", "100000").toLong
+        val it = result.limit(
+          math.min(cap + 1, Int.MaxValue.toLong).toInt
+        ).toJSON.toLocalIterator()
+        val sb = new StringBuilder("[\n")
+        var n = 0L
+        while (it.hasNext && n < cap) {
+          if (n > 0) sb.append(",\n")
+          sb.append(it.next()); n += 1
+        }
+        if (it.hasNext) {
+          // thrown (not sys.exit) so the guard is testable; uncaught it
+          // still terminates the CLI non-zero
+          throw new IllegalStateException(
+            s"query $name: result exceeds --json_max_rows $cap; " +
+              "use the parquet format (distributed write) for corpus-grain results"
+          )
+        }
+        sb.append("\n]\n")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$out/$name.json"), rows + "\n")
+          java.nio.file.Paths.get(s"$out/$name.json"), sb.toString)
       case _ =>
         result.write.mode("overwrite").parquet(s"$out/$name")
     }

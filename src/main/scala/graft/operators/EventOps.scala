@@ -358,19 +358,30 @@ object EventOps {
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
         percentile_approx(col("value"), lit(0.95), lit(1000)).as("ap95")
       )
+    // The gate carries an explicit TIE-MASS term (count of rows EQUAL to
+    // the sketch's answer): both sketches bound the rank of the returned
+    // value, but count(<= v) overshoots that rank by up to v's
+    // multiplicity when the quantile lands on a heavy value — without the
+    // term, a value with multiplicity > 2%·n at the quantile would flip
+    // one engine's gate but not the other's (a data-dependent hash flake,
+    // ADVICE r6). Each engine still verifies its OWN sketch.
     ev.join(broadcast(sk), "event_type")
       .groupBy("event_type", "n", "ex50", "ex95", "ap50", "ap95")
       .agg(
         sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col("value") <= col("ap95"), 1L).otherwise(0L)).as("r95")
+        sum(when(col("value") <= col("ap95"), 1L).otherwise(0L)).as("r95"),
+        sum(when(col("value") === col("ap50"), 1L).otherwise(0L)).as("t50"),
+        sum(when(col("value") === col("ap95"), 1L).otherwise(0L)).as("t95")
       )
       .select(
         col("event_type"),
         col("n"),
         round(col("ex50"), 4).as("p50"),
         round(col("ex95"), 4).as("p95"),
-        (abs(col("r50") - lit(0.5) * col("n")) <= lit(0.02) * col("n") + 1).as("p50_ok"),
-        (abs(col("r95") - lit(0.95) * col("n")) <= lit(0.02) * col("n") + 1).as("p95_ok")
+        (abs(col("r50") - lit(0.5) * col("n")) <= lit(0.02) * col("n") + 1 + col("t50"))
+          .as("p50_ok"),
+        (abs(col("r95") - lit(0.95) * col("n")) <= lit(0.02) * col("n") + 1 + col("t95"))
+          .as("p95_ok")
       )
       .orderBy("event_type")
   }
@@ -460,7 +471,11 @@ object EventOps {
          FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""",
     // exact p50/p95 hash-checked; each engine's own sketch (GK vs
     // t-digest) passes a rank gate against its own data — the sketch's
-    // actual contract — instead of a cross-engine value compare
+    // actual contract — instead of a cross-engine value compare. The gate
+    // is widened by the tie mass at the sketch's answer (count of rows
+    // EQUAL to it), mirroring the Spark side: count(<= v) overshoots v's
+    // rank by its multiplicity, so a heavy value at the quantile must not
+    // flip one engine's boolean (data-dependent flake, ADVICE r6)
     "e11_quantile_sketch" ->
       """WITH sk AS (
            SELECT event_type, count(*) AS n,
@@ -474,9 +489,11 @@ object EventOps {
            round(s.ex50, 4) AS p50,
            round(s.ex95, 4) AS p95,
            abs(sum(CASE WHEN e.value <= s.ap50 THEN 1 ELSE 0 END)
-               - 0.5 * s.n) <= 0.02 * s.n + 1 AS p50_ok,
+               - 0.5 * s.n) <= 0.02 * s.n + 1
+               + sum(CASE WHEN e.value = s.ap50 THEN 1 ELSE 0 END) AS p50_ok,
            abs(sum(CASE WHEN e.value <= s.ap95 THEN 1 ELSE 0 END)
-               - 0.95 * s.n) <= 0.02 * s.n + 1 AS p95_ok
+               - 0.95 * s.n) <= 0.02 * s.n + 1
+               + sum(CASE WHEN e.value = s.ap95 THEN 1 ELSE 0 END) AS p95_ok
          FROM events e JOIN sk s USING (event_type)
          GROUP BY s.event_type, s.n, s.ex50, s.ex95, s.ap50, s.ap95
          ORDER BY s.event_type""",

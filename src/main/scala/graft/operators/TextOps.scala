@@ -100,14 +100,28 @@ object TextOps {
         size(filter(toks, t => t === "the" || t === "a" || t === "of"))
           .cast("long")
       )
-      .withColumn("avg_token_len", col("token_chars") / col("n_tokens"))
-      .withColumn("stopword_ratio", col("n_stopwords") / col("n_tokens"))
+      // zero-token docs: NULL, not 0/0 — Spark's double 0/0 is NaN while
+      // DuckDB's is NULL (and version-dependent), and the two engines sort
+      // NaN/NULL differently; defining the edge as NULL in BOTH engines
+      // (explicit CASE in the oracle) removes the latent hash mismatch
+      .withColumn(
+        "avg_token_len",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("token_chars") / col("n_tokens"))
+      )
+      .withColumn(
+        "stopword_ratio",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("n_stopwords") / col("n_tokens"))
+      )
       .withColumn(
         "quality",
-        round(
-          (lit(1.0) - col("stopword_ratio")) * 0.5 +
-            least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
-          6
+        when(col("n_tokens") === 0, lit(null).cast("double")).otherwise(
+          round(
+            (lit(1.0) - col("stopword_ratio")) * 0.5 +
+              least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
+            6
+          )
         )
       )
       .select(
@@ -1106,18 +1120,24 @@ object TextOps {
       )
       .select(
         col("doc_id"),
-        round(
-          (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.5 +
-            least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
-          6
+        // zero-token guard, t1's convention: NULL in both engines (Spark's
+        // 0/0 is NaN, DuckDB's NULL — and they sort differently under desc)
+        when(col("n_tokens") === 0, lit(null).cast("double")).otherwise(
+          round(
+            (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.5 +
+              least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
+            6
+          )
         ).as("quality")
       )
     // first_value over the ordered frame (unbounded preceding → current
     // row) resolves to the top-quality doc for EVERY row of the cluster —
-    // one window pass, no self-join back to a rank-1 subset
+    // one window pass, no self-join back to a rank-1 subset. NULLS LAST
+    // spelled out (and mirrored in the oracle): a whitespace-only doc must
+    // never win representative selection by a null-ordering default.
     val w = Window
       .partitionBy("cluster_id")
-      .orderBy(col("quality").desc, col("doc_id").asc)
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
     t16DedupClusters(s, d)
       .select("doc_id", "cluster_id", "cluster_size")
       .join(quality, Seq("doc_id"))
@@ -1518,17 +1538,18 @@ object TextOps {
            SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
          ), qual AS (
            SELECT doc_id,
-             round((1.0 - CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of')))
-                     AS DOUBLE) / len(w)) * 0.5
-                   + least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.5, 6)
-               AS quality
+             CASE WHEN len(w) = 0 THEN NULL
+               ELSE round((1.0 - CAST(len(list_filter(w,
+                       x -> x IN ('the', 'a', 'of'))) AS DOUBLE) / len(w)) * 0.5
+                     + least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.5, 6)
+             END AS quality
            FROM words
          ), lab AS (
            SELECT l.doc_id, l.cluster_id,
              count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
              q.quality,
              first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
-               ORDER BY q.quality DESC, l.doc_id ASC) AS repr_id
+               ORDER BY q.quality DESC NULLS LAST, l.doc_id ASC) AS repr_id
            FROM labels l JOIN qual q USING (doc_id)
          )
          SELECT doc_id, cluster_id, cluster_size, quality, repr_id,
@@ -2053,11 +2074,16 @@ object TextOps {
            FROM base
          )
          SELECT doc_id, n_tokens, n_alnum_tokens, token_chars, n_stopwords,
-           CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
-           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
-           round((1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
-                 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5, 6)
-             AS quality
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(token_chars AS DOUBLE) / n_tokens END
+             AS avg_token_len,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END
+             AS stopword_ratio,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE round((1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
+                     + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5, 6)
+             END AS quality
          FROM m ORDER BY doc_id""",
     "t2_lang_id" ->
       """WITH padded AS (

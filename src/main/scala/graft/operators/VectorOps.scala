@@ -1346,17 +1346,24 @@ object VectorOps {
                     ELSE CAST(round(greatest(least(CAST(embedding[i] AS DOUBLE),
                            cl[i]), -cl[i]) / cl[i] * 127) AS BIGINT) END) AS q
            FROM embeddings CROSS JOIN cl
+         ), qn AS (
+           SELECT vec_id, embedding, q,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))) AS qn2
+           FROM quant
          )
+         -- zero-denominator CASE spelled out (not left to the engine's
+         -- division-by-zero default, which changed across DuckDB versions):
+         -- all-zero codes => NULL, exactly what the Spark side emits
          SELECT vec_id, array_to_string(q, ',') AS q_csv,
-           round(
+           CASE WHEN qn2 = 0 THEN NULL ELSE round(
              list_sum(list_transform(range(1, 65),
                i -> CAST(q[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, 65),
-                  i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))
+             / (sqrt(qn2)
               * sqrt(list_sum(list_transform(range(1, 65),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
-           , 6) AS cos_keep
-         FROM quant ORDER BY vec_id""",
+           , 6) END AS cos_keep
+         FROM qn ORDER BY vec_id""",
     "v17_knn_graph" -> v17Oracle,
     "v11_ann_pq" -> v11Oracle,
     "v5_simhash" -> v5Oracle,
@@ -1422,17 +1429,24 @@ object VectorOps {
                     ELSE round(CAST(x AS DOUBLE) / (mx / 127.0)) END
                  AS TINYINT)) AS q
            FROM scaled
+         ), qn AS (
+           SELECT vec_id, embedding, q,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))) AS qn2
+           FROM quant
          )
+         -- zero-denominator CASE spelled out, mirroring the Spark side's
+         -- explicit NULL (reachable only for an all-zero embedding here,
+         -- but the edge must be DEFINED identically in both engines)
          SELECT vec_id, array_to_string(q, ',') AS q_csv,
-           round(
+           CASE WHEN qn2 = 0 THEN NULL ELSE round(
              list_sum(list_transform(range(1, 65),
                i -> CAST(q[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(range(1, 65),
-                  i -> CAST(q[i] AS DOUBLE) * CAST(q[i] AS DOUBLE))))
+             / (sqrt(qn2)
               * sqrt(list_sum(list_transform(range(1, 65),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
-           , 6) AS cos_keep
-         FROM quant ORDER BY vec_id""",
+           , 6) END AS cos_keep
+         FROM qn ORDER BY vec_id""",
     "v7_label_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
            round(avg(CAST(x AS DOUBLE)), 6) AS mean,

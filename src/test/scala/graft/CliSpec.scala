@@ -188,6 +188,26 @@ class CliSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$tmp/t15_corpus_profile.json")
     )
     assert(json.startsWith("[") && json.contains("\"lang\""))
+    // json mode is row-capped (corpus-grain queries are unbounded at
+    // scale): at the cap it succeeds, one under it refuses loudly
+    val n = SparkEntry.queries("t1_token_stats")(spark, in).count()
+    Main.query(
+      spark,
+      Map("name" -> "t1_token_stats", "input" -> in, "output" -> tmp,
+        "format" -> "json", "json_max_rows" -> n.toString)
+    )
+    val capped = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/t1_token_stats.json")
+    )
+    assert(capped.count(_ == '\n') == n + 2) // n rows + brackets
+    val err = intercept[IllegalStateException] {
+      Main.query(
+        spark,
+        Map("name" -> "t1_token_stats", "input" -> in, "output" -> tmp,
+          "format" -> "json", "json_max_rows" -> (n - 1).toString)
+      )
+    }
+    assert(err.getMessage.contains("json_max_rows"))
     // --list is a valueless flag, like --dry_run
     assert(graft.cli.Main.parseArgs(Seq("--list")).contains("list"))
   }

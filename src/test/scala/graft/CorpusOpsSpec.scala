@@ -33,6 +33,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-token documents are NULL-defined in t1 and never win t28 representative") {
+    // The driver corpus has no whitespace-only docs, so the 0/0 edge is
+    // exercised here: both ratio columns and quality must be NULL (the
+    // cross-engine definition — Spark's NaN vs DuckDB's NULL was a latent
+    // hash mismatch), and under desc_nulls_last a null-quality doc must
+    // lose representative selection to any real doc in its cluster.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zerotok").toString
+    Seq(
+      (0L, "   ", "en", "synthetic", 3L),
+      (1L, "solid text with the a of real tokens", "en", "synthetic", 37L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t1 = TextOps
+      .queries("t1_token_stats")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(t1(0L).getLong(1) == 0L) // n_tokens
+    assert(t1(0L).isNullAt(5) && t1(0L).isNullAt(6) && t1(0L).isNullAt(7))
+    assert(!t1(1L).isNullAt(7))
+    val t28 = TextOps
+      .queries("t28_cluster_repr")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    // both docs are singleton clusters here, but the zero-token doc's
+    // quality must be NULL and it must still be its own (only) member
+    assert(t28(0L).isNullAt(3))
+    assert(t28(0L).getBoolean(5) && t28(1L).getBoolean(5))
+  }
+
   test("t13 chunk windows: stride-48/size-64 cover every token with 16-token overlap") {
     val chunks = TextOps
       .queries("t13_chunk_windows")(spark, "/root/testdata/sf0.001")
