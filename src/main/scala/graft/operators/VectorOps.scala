@@ -874,13 +874,22 @@ object VectorOps {
     * per-list pair work constant — the standard within-cluster pairing
     * recipe. The probe side is the WHOLE corpus (not a broadcastable query
     * set), so the list join is a keyed co-partitioned join — one shuffle
-    * per side on cid; hot lists are AQE skew-split territory, and at test
-    * scale k=16 keeps everything tiny. Deterministic id-seeded build ⇒
-    * fully oracle-checked by composing v6's unrolled-Lloyd SQL with the
-    * all-nodes probe; recall vs exact brute force is gated in ScalaTest. */
+    * per side on cid; hot lists are AQE skew-split territory — PROVEN, not
+    * just asserted: AqeSkewSpec runs this exact plan on a one-hot-list
+    * fixture and pins that AQE's runtime skew split engages on the cid
+    * join. At test scale k=16 keeps everything tiny. Deterministic
+    * id-seeded build ⇒ fully oracle-checked by composing v6's
+    * unrolled-Lloyd SQL with the all-nodes probe; recall vs exact brute
+    * force is gated in ScalaTest. */
   private def v17KnnGraph(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, d)
+    knnGraph(Tables.embeddings(s, d))
+  }
+
+  /** The v17 pipeline over any (vec_id, embedding) frame — shared with the
+    * AqeSkewSpec hot-list pin, which needs the REAL plan on a fixture
+    * whose cid distribution it controls. */
+  private[graft] def knnGraph(emb: DataFrame): DataFrame = {
     val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
     val indexed = IvfAnn
       .assignTo(centArr)(emb)

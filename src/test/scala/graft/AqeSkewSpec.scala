@@ -74,6 +74,46 @@ class AqeSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("v17's cid list join: AQE splits a hot inverted list at runtime") {
+    // The open risk named at VectorOps.knnGraph: the kNN-graph list join
+    // keys both sides on cid, and a hot list (many vectors in one coarse
+    // cluster) funnels through one reducer unless AQE splits it. Fixture:
+    // seeds (vec_id 0..15) scattered, 90% of the remaining vectors in ONE
+    // tight blob => exactly one centroid captures the blob and its list
+    // holds ~1800 of 2000 vectors — the worst-case cid distribution.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def scattered() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val blobBase = Array.fill(64)(rnd.nextFloat() * 0.2f + 0.4f)
+    val emb = (0 until 2000).map { i =>
+      val v =
+        if (i < 16 || i % 10 == 9) scattered()
+        else blobBase.map(x => x + rnd.nextFloat() * 0.01f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val baseline = graft.operators.VectorOps.knnGraph(emb).count()
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      // at 100 TB the index side does not broadcast — force the shuffle join
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false"
+    ) {
+      val g = graft.operators.VectorOps.knnGraph(emb)
+      // collect() (not count()) so THIS queryExecution runs — AQE
+      // finalizes the inspected plan only when it itself executes
+      val n = g.collect().length.toLong
+      val plan = g.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"hot-list skew split did not engage:\n$plan")
+      assert(n == baseline, s"skew split changed the result: $n vs $baseline")
+    }
+  }
+
   test("j6_salted_skew pre-shuffles on (key, salt) so the hot key fans out") {
     val df = RelationalOps.queries("j6_salted_skew")(spark, "/root/testdata/sf0.001")
     df.collect()
