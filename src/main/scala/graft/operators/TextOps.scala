@@ -1249,9 +1249,15 @@ object TextOps {
     * report threshold n/64. The guarantee threshold (n/129) is strictly
     * below the report threshold, so the output is the EXACT heavy-hitter
     * set — which is why this row carries a plain (non-semi) oracle. */
-  private def a16HeavyHitters(s: SparkSession, d: String): DataFrame = {
+  private def a16HeavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHittersExact(Tables.documents(s, d).select(explode(toks).as("token")))
+
+  /** The a16 pipeline over any single-column `token` frame — shared with
+    * the streaming/batch parity gate, which needs the REAL exact-recount
+    * plan on a fixture it controls (the streaming operator's closed-window
+    * survivors must equal this set on the same multiset of tokens). */
+  private[graft] def heavyHittersExact(tokens: DataFrame): DataFrame = {
     val mg = udaf(new graft.functions.MisraGriesAggregator(128))
-    val tokens = Tables.documents(s, d).select(explode(toks).as("token"))
     val cands = tokens
       .agg(mg(col("token")).as("cands"), count(lit(1)).as("n"))
       .select(col("n"), explode(col("cands")).as("cand"))

@@ -52,6 +52,64 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("closed-window survivors == a16 exact heavy hitters on the same tokens") {
+    // The streaming/batch parity gate: on a fixture where every shard's
+    // distinct-item count fits the MG capacity (29 distinct << k=64), the
+    // sketch never decrements, so closed-window survivors carry EXACT
+    // counts — and thresholding them at the a16 report bar (cnt*64 > n)
+    // must reproduce a16HeavyHitters' exact set bit-for-bit.
+    implicit val sqlCtx = spark.sqlContext
+    val windowItems =
+      Seq.fill(100)("alpha") ++ Seq.fill(40)("beta") ++
+        Seq.fill(8)("gamma") ++ Seq.fill(5)("delta") ++
+        (1 to 25).flatMap(i => Seq.fill(3)(s"tail$i"))
+    val n = windowItems.size.toLong // 228: threshold cnt*64 > 228 => cnt >= 4
+
+    val batch = graft.operators.TextOps
+      .heavyHittersExact(windowItems.toDF("token"))
+      .as[(String, Long, Double)]
+      .collect()
+      .toSeq
+    assert(
+      batch.map(_._1).toSet == Set("alpha", "beta", "gamma", "delta"),
+      s"fixture does not separate at the threshold: $batch"
+    )
+
+    val stream = MemoryStream[Item]
+    val q = StreamingHeavyHitters
+      .heavyHitters(stream.toDS(), k = 64, shards = 4, watermark = "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("hh_parity")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(windowItems.map(Item(ts("2024-01-01 10:05:00"), _)): _*)
+      stream.addData(Item(ts("2024-01-01 13:00:00"), "later")) // close 10:00
+      q.processAllAvailable()
+      val win10 = ts("2024-01-01 10:00:00").getTime * 1000
+      val streamed = spark
+        .table("hh_parity")
+        .as[(Long, String, Long, Long)]
+        .collect()
+        .toSeq
+        .filter(_._1 == win10)
+      // shard totals: one shard_n per shard (item -> shard is the same
+      // hashCode formula the operator uses), and they partition n
+      val shardTotals = streamed
+        .groupBy(r => java.lang.Math.floorMod(r._2.hashCode, 4))
+        .map { case (_, rows) => rows.head._4 }
+      assert(shardTotals.sum == n, s"shard totals $shardTotals do not partition n=$n")
+      val survivorsAboveBar = streamed
+        .collect { case (_, item, est, _) if est * 64 > n => item -> est }
+        .toMap
+      assert(
+        survivorsAboveBar == batch.map(t => t._1 -> t._2).toMap,
+        s"streaming survivors != batch exact set:\n stream=$survivorsAboveBar\n batch=$batch"
+      )
+    } finally q.stop()
+  }
+
   test("batch mode emits each window's survivors eagerly — batch parity") {
     val items = (Seq.fill(5)(Item(ts("2024-01-01 10:05:00"), "hot")) ++
       Seq(
