@@ -96,8 +96,15 @@ object IvfAnn {
       .drop("p")
 
   /** Deterministic k-means-lite: seed with the k lowest vec_ids, run a few
-    * Lloyd iterations (assign + per-cluster mean), all as DataFrame ops. */
-  def centroids(emb: DataFrame): DataFrame = {
+    * Lloyd iterations (assign + per-cluster mean), all as DataFrame ops.
+    *
+    * `nLists` is the IVF scale knob (SCALING.md): list size ≈ n/nLists, and
+    * every consumer's probe cost is proportional to list size, so holding
+    * nLists fixed while the corpus grows makes probed work grow linearly
+    * per query (quadratic for all-nodes consumers like the v17 graph). The
+    * production rule is nLists ∝ n / target-list-size; the default stays
+    * [[k]] = 16, the geometry every declared oracle unrolls. */
+  def centroids(emb: DataFrame, nLists: Int = k): DataFrame = {
     val spark = emb.sparkSession
     // Seed ids are the seeds' own vec_ids, not a row_number: the mapping
     // vec_id -> rank over the k lowest ids is order-preserving, so every
@@ -106,7 +113,7 @@ object IvfAnn {
     // and WARN on every run if the limit were ever lifted).
     var cents = emb
       .orderBy("vec_id")
-      .limit(k)
+      .limit(nLists)
       .select(
         col("vec_id").cast("int").as("cid"),
         col("embedding").cast("array<float>").as("centroid")

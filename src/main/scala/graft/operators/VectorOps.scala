@@ -616,7 +616,16 @@ object VectorOps {
   private def v12bSemanticClustersBanded(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val cand = bandedCandidates(emb, nBands = 16, bandBits = 8).cache()
+    // Band geometry is THE scale knob (SCALING.md): background (uncorrelated)
+    // pairs collide with constant probability ≈ nBands·2^-bandBits, so with
+    // fixed geometry the candidate count grows quadratically in corpus size.
+    // Holding recall fixed, the rule is bandBits ∝ log n with nBands raised
+    // to compensate (e.g. 16×8 → 32×12 cuts background collisions ~8× while
+    // keeping the true-pair miss rate at τ=0.9 under 1%). Defaults stay
+    // 16×8 — the geometry baked into the DuckDB oracle's plane literals.
+    val nBands = s.conf.getOption("spark.graft.v12b.bands").map(_.toInt).getOrElse(16)
+    val bandBits = s.conf.getOption("spark.graft.v12b.bandBits").map(_.toInt).getOrElse(8)
+    val cand = bandedCandidates(emb, nBands = nBands, bandBits = bandBits).cache()
     val degree = cand
       .select(col("id_a").as("vec_id"))
       .union(cand.select(col("id_b").as("vec_id")))
@@ -883,14 +892,22 @@ object VectorOps {
     * force is gated in ScalaTest. */
   private def v17KnnGraph(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    knnGraph(Tables.embeddings(s, d))
+    val nLists =
+      s.conf.getOption("spark.graft.ivf.lists").map(_.toInt).getOrElse(IvfAnn.k)
+    knnGraph(Tables.embeddings(s, d), nLists)
   }
 
   /** The v17 pipeline over any (vec_id, embedding) frame — shared with the
     * AqeSkewSpec hot-list pin, which needs the REAL plan on a fixture
-    * whose cid distribution it controls. */
-  private[graft] def knnGraph(emb: DataFrame): DataFrame = {
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
+    * whose cid distribution it controls.
+    *
+    * `nLists` (conf `spark.graft.ivf.lists` on the declared query) is the
+    * scale knob: candidate pairs per node ∝ list size = n/nLists, so fixed
+    * geometry grows the pair space quadratically in n (measured 5.6× on a
+    * 10× corpus) while nLists ∝ n holds per-node work constant. Default 16
+    * keeps the oracle's unrolled-Lloyd geometry. */
+  private[graft] def knnGraph(emb: DataFrame, nLists: Int = IvfAnn.k): DataFrame = {
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb, nLists))
     val indexed = IvfAnn
       .assignTo(centArr)(emb)
       .select(

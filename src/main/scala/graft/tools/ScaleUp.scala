@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-rehearsal corpus generator: synthesizes an ~sf(R/10) dataset from
+  * a base sf dir by replicating `documents` and `embeddings` R× — the two
+  * tables behind every 100 TB-risk query (dedup, ANN, clustering) — and
+  * symlinking the rest.
+  *
+  * The replication is designed to look like MORE DATA FROM THE SAME
+  * DISTRIBUTION, not R copies of the same data (naive duplication would give
+  * every document R−1 exact near-duplicates and every vector R−1 cosine-1.0
+  * twins, exploding candidate-pair counts in a way no real corpus growth
+  * does):
+  *
+  *   - documents: replica k suffixes every whitespace token with `~k`, so
+  *     replicas occupy DISJOINT shingle/vocabulary space — within-replica
+  *     near-dup structure (the thing t4/t16/v4/v5 bill by) is preserved
+  *     exactly, cross-replica similarity is zero, and the corpus-wide dup
+  *     RATE matches the base. Token counts are unchanged; doc_id offsets by
+  *     k·10⁹; n_chars recomputed.
+  *   - embeddings: replica k applies a deterministic per-dimension sign flip
+  *     (an orthogonal transformation): within-replica dot products and norms
+  *     are preserved EXACTLY — so cluster geometry, IVF balance, and
+  *     pair-survival rates match the base — while cross-replica cosines
+  *     scramble toward 0 instead of 1.
+  *
+  * Usage: runMain graft.tools.ScaleUp <baseSfDir> <outDir> [replicas=10]
+  */
+object ScaleUp {
+  private val IdOffset = 1000000000L
+
+  def scaledDocuments(base: DataFrame, replicas: Int): DataFrame =
+    (1 until replicas)
+      .map { k =>
+        base
+          .withColumn("doc_id", col("doc_id") + lit(k * IdOffset))
+          .withColumn(
+            "text",
+            array_join(
+              transform(split(col("text"), " "), t => concat(t, lit(s"~$k"))),
+              " "
+            )
+          )
+          .withColumn("n_chars", length(col("text")))
+      }
+      .foldLeft(base)(_ unionAll _)
+
+  def scaledEmbeddings(base: DataFrame, replicas: Int): DataFrame =
+    (1 until replicas)
+      .map { k =>
+        base
+          .withColumn("vec_id", col("vec_id") + lit(k * IdOffset))
+          .withColumn(
+            "embedding",
+            transform(
+              col("embedding"),
+              (x, i) =>
+                (x * when(pmod(xxhash64(i, lit(k)), lit(2)) === 0, lit(1.0f))
+                  .otherwise(lit(-1.0f))).cast("float")
+            )
+          )
+      }
+      .foldLeft(base)(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val out = args(1)
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession
+      .builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val outPath = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(outPath)
+    scaledDocuments(spark.read.parquet(s"$base/documents.parquet"), replicas)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    scaledEmbeddings(spark.read.parquet(s"$base/embeddings.parquet"), replicas)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // the non-scaled tables ride along as symlinks so any query can run
+    val basePath = java.nio.file.Paths.get(base).toAbsolutePath
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      val link = outPath.resolve(s"$t.parquet")
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link, basePath.resolve(s"$t.parquet"))
+    }
+    println(s"[scaleup] wrote ${replicas}x documents+embeddings to $out")
+    spark.stop()
+  }
+}

@@ -109,4 +109,101 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .count()
     assert(q.count() == expected && expected > 0)
   }
+
+  test("v12b band geometry: widening bands kills the quadratic background, keeps τ=0.9 recall") {
+    // The SCALING.md knob, pinned: with fixed geometry an uncorrelated pair
+    // collides with constant probability ≈ nBands·2^-bandBits, so candidates
+    // grow quadratically in corpus size (measured 7.7× on a 10× corpus).
+    // Going 16×8 → 32×12 must (a) cut the candidate count hard and (b) lose
+    // no true τ=0.9 pair — banded+verify stays exactly the exact criterion.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 400).map(i => (i.toLong, unit()))
+    // 50 near-dup copies: tiny perturbation keeps cosine > 0.9
+    val dups = (0 until 50).map { i =>
+      val (_, v) = base(i)
+      val p = v.map(x => x + rnd.nextGaussian().toFloat * 0.02f)
+      (1000L + i, p)
+    }
+    val emb = (base ++ dups)
+      .map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(graft.operators.VectorOps.cosinePairsExact(emb, 0.9))
+    assert(exact.size >= 45, s"fixture lost its near-dup structure: ${exact.size}")
+    val candNarrow = graft.operators.VectorOps.bandedCandidates(emb, 16, 8).cache()
+    val candWide = graft.operators.VectorOps.bandedCandidates(emb, 32, 12).cache()
+    val (nNarrow, nWide) = (candNarrow.count(), candWide.count())
+    info(s"candidates: 16x8=$nNarrow 32x12=$nWide exact-pairs=${exact.size}")
+    // background: 450 vectors ≈ 101k pairs; 16×8 passes ~6%, 32×12 ~0.8%
+    assert(nWide * 3 < nNarrow, s"widening did not prune: $nNarrow -> $nWide")
+    val verifiedWide =
+      pairSet(graft.operators.VectorOps.verifyCosinePairs(candWide, emb, 0.9))
+    assert(verifiedWide == exact,
+      s"missed: ${exact -- verifiedWide}; extra: ${verifiedWide -- exact}")
+  }
+
+  test("v17 nLists scale knob: 4× more lists holds recall on a clustered corpus") {
+    // The other SCALING.md knob: with fixed nLists, v17's per-node candidate
+    // count is the list size n/nLists — linear in n, quadratic in total
+    // (measured 5.6× on a 10× corpus; nLists=64 at sf1 cut 12.5s → 4.7s).
+    // Widening is only admissible if recall survives, and on CLUSTERED data
+    // it must: a node's true neighbors share its cluster, and k-means lists
+    // track clusters whatever their count. Uniform noise would NOT pass
+    // this — same caveat as the v11/v17 gates — which is exactly the point:
+    // the knob is for real corpora, which cluster.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(50)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val emb = (0 until 4000).map { i =>
+      val c = centers(i % 50)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.15f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .cache()
+    val a = emb
+      .select(col("vec_id").as("src_id"), col("embedding").as("se"))
+      .withColumn("sn", sqrt(call_function("graft_dot", col("se"), col("se"))))
+    val b = emb
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+      .withColumn("nn", sqrt(call_function("graft_dot", col("ne"), col("ne"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id")
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    val exact = a
+      .crossJoin(b)
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("se"), col("ne")) / (col("sn") * col("nn"))
+      )
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("src_id", "nbr_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    def recall(nLists: Int): Double = {
+      val got = graft.operators.VectorOps
+        .knnGraph(emb, nLists)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val (r16, r64) = (recall(16), recall(64))
+    info(s"v17 recall on clustered corpus: nLists=16 → $r16, nLists=64 → $r64")
+    assert(r64 >= 0.9, s"widened-geometry recall collapsed: $r64")
+    assert(r64 >= r16 - 0.05, s"widening lost recall: $r16 -> $r64")
+  }
 }
