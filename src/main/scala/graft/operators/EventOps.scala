@@ -426,7 +426,52 @@ object EventOps {
       .orderBy("week_start", "event_type")
   }
 
+  /** Integer decay-weight table shared by e13 and its oracle: α = 0.9 as
+    * the exact rational 9/10, weight(lag) = 9^lag·10^(13−lag) — i.e.
+    * α^lag scaled by 10¹³ — exact Longs for lag 0..13. Single source of
+    * truth so no cross-engine pow() appears in the pipeline or the hash. */
+  private val ewmaWeights: IndexedSeq[Long] =
+    (0 to 13).map(l => (BigInt(9).pow(l) * BigInt(10).pow(13 - l)).toLong)
+
+  /** Trending score per event type — exponentially-decayed daily counts
+    * (EWMA over a 14-day horizon, α = 0.9): the "what's hot now" rollup
+    * every event pipeline publishes. The decay is computed CLOSED-FORM —
+    * score = Σ_d cnt_d·α^(D−d) — as one weighted sum over the daily count
+    * table, not a day-by-day recursive update, so there is no ordered
+    * window over the corpus and no state: one (event_type, day) keyed agg
+    * with map-side combine, a broadcast scalar max-day, a 14-entry literal
+    * weight lookup, one tiny per-type agg. At 100 TB the only full-data
+    * pass is the daily count, which any event store already maintains.
+    *
+    * All arithmetic is exact integers until the final display division:
+    * `score13` (the α-scaled score ×10¹³) anchors the cross-engine hash.
+    * Counts up to ~10⁵/day fit the Long comfortably (1.4e18 headroom); a
+    * corpus with >10⁵ events per (type, day) switches the sum to
+    * DECIMAL(38,0) — noted, not needed at any driver scale. */
+  private def e13TrendingEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val maxDay = daily.agg(max(col("day")).as("max_day"))
+    daily
+      .crossJoin(broadcast(maxDay))
+      .withColumn("lag", datediff(col("max_day"), col("day")))
+      .filter(col("lag") <= 13)
+      .withColumn("wt", element_at(typedlit(ewmaWeights), col("lag") + 1))
+      .groupBy("event_type")
+      .agg(sum(col("cnt") * col("wt")).as("score13"))
+      .withColumn("trend", round(col("score13") / lit(1e13), 6))
+      .orderBy(col("score13").desc, col("event_type"))
+  }
+
+  /** The e13 weight table as SQL literals (lag, weight). */
+  private val ewmaWeightValues: String =
+    ewmaWeights.zipWithIndex
+      .map { case (w, l) => s"($l, ${w}::BIGINT)" }
+      .mkString(", ")
+
   val queries: Map[String, Q] = Map(
+    "e13_trending_ewma" -> (e13TrendingEwma _),
     "e12_sketch_rollup" -> (e12SketchRollup _),
     "e11_quantile_sketch" -> (e11QuantileSketch _),
     "e10_latest_per_key" -> (e10LatestPerKey _),
@@ -442,6 +487,23 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact-integer decayed sum: the weight table is the same Scala value
+    // rendered as literals, so no pow() on either engine; score13 anchors
+    // the hash, trend is a display division of an exact integer
+    "e13_trending_ewma" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2
+         |), mx AS (SELECT max(day) AS max_day FROM daily),
+         |wt(lag, w) AS (VALUES $ewmaWeightValues)
+         |SELECT event_type,
+         |  CAST(sum(cnt * w) AS BIGINT) AS score13,
+         |  round(CAST(sum(cnt * w) AS BIGINT) / 1e13, 6) AS trend
+         |FROM daily, mx
+         |JOIN wt ON datediff('day', day, max_day) = wt.lag
+         |WHERE datediff('day', day, max_day) <= 13
+         |GROUP BY event_type
+         |ORDER BY score13 DESC, event_type""".stripMargin,
     // split-column semi-oracle: exact_users is checked value-for-value;
     // approx_ok compares each engine's OWN HLL estimate to the shared
     // exact count, so the sketch is verified without requiring the two

@@ -55,6 +55,31 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** ANN index-quality evaluation AS AN OPERATOR — recall@5 of the IVF
+    * probed path (v6) against the exact scan (v1) on the declared query
+    * sample, emitted as a queryable one-row-per-query DataFrame. This
+    * operationalizes what the ScalaTest recall gates check: a 100 TB
+    * pipeline monitors its index quality continuously on a sampled query
+    * set, not in a test harness. Cost shape: the exact side is the
+    * expensive one and runs only over the SAMPLE (broadcast queries ×
+    * one corpus scan — v1's plan); the probed side touches nProbe/k of
+    * the data; the comparison is a join of two k·|sample|-row frames.
+    * `n_hits` (an exact count) anchors the cross-engine hash; `recall`
+    * is a display division of it. */
+  private def v19AnnRecallEval(s: SparkSession, d: String): DataFrame = {
+    val exact = v1AnnBruteforce(s, d).select("query_id", "neighbor_id")
+    val ivf = IvfAnn
+      .query(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact
+      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / lit(5.0), 6))
+      .orderBy("query_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding-space analogue of Jaccard dedup). Pair pruning by id order;
     * all pairs scored in double precision. */
@@ -936,6 +961,7 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
     "v17_knn_graph" -> (v17KnnGraph _),
     "v16_ann_filtered" -> (v16AnnFiltered _),
@@ -1004,6 +1030,25 @@ object VectorOps {
        |), $name AS (
        |  SELECT cid, list(m ORDER BY dim) AS centroid FROM ${name}_u GROUP BY cid
        |)""".stripMargin
+
+  private val v1Oracle: String =
+    s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10
+         ), scored AS (
+           SELECT query_id, vec_id,
+             ${duckDot("qe", "embedding")}
+               / (sqrt(${duckDot("qe", "qe")})
+                * sqrt(${duckDot("embedding", "embedding")})) AS cos
+           FROM embeddings, q WHERE vec_id <> query_id
+         ), ranked AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM scored
+         )
+         SELECT query_id, rnk, vec_id AS neighbor_id FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   private val v6Oracle: String =
     s"""WITH seeds AS (
@@ -1647,24 +1692,17 @@ object VectorOps {
          SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id AS neighbor_id,
            score
          FROM sel ORDER BY query_id, rnk""",
-    "v1_ann_bruteforce" ->
-      s"""WITH q AS (
-           SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-           WHERE vec_id < 10
-         ), scored AS (
-           SELECT query_id, vec_id,
-             ${duckDot("qe", "embedding")}
-               / (sqrt(${duckDot("qe", "qe")})
-                * sqrt(${duckDot("embedding", "embedding")})) AS cos
-           FROM embeddings, q WHERE vec_id <> query_id
-         ), ranked AS (
-           SELECT query_id, vec_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, vec_id ASC) AS rnk
-           FROM scored
-         )
-         SELECT query_id, rnk, vec_id AS neighbor_id FROM ranked
-         WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "v1_ann_bruteforce" -> v1Oracle,
+    // composition of the two factored oracles: recall@5 is a left join of
+    // the exact result against the probed result — n_hits (a count) anchors
+    // the hash, recall is a display division of it
+    "v19_ann_recall_eval" ->
+      s"""SELECT e.query_id, count(i.neighbor_id) AS n_hits,
+         |  round(count(i.neighbor_id) / 5.0, 6) AS recall
+         |FROM ($v1Oracle) e
+         |LEFT JOIN ($v6Oracle) i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "v2_embed_cosine_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
