@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized differential testing of the custom Catalyst expressions: the
+  * CODEGEN path (whole-stage on) and the INTERPRETED path (codegen forced
+  * off) must both match an independently-written Scala reference on
+  * adversarial inputs — NaN, ±Infinity, −0.0, empty arrays, mismatched
+  * lengths, all-zero vectors. Codegen/eval divergence is the classic custom-
+  * expression bug class (the two implementations live in different
+  * languages inside one case class); the declared queries never feed these
+  * edges, so the unit harness does. Seeded — deterministic.
+  */
+class ExpressionPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def interpretedOff[A](body: => A): A = {
+    var out: Option[A] = None
+    withConf(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN"
+    ) { out = Some(body) }
+    out.get
+  }
+
+  private val edgeFloats: Seq[Float] = Seq(
+    Float.NaN,
+    Float.PositiveInfinity,
+    Float.NegativeInfinity,
+    -0.0f,
+    0.0f,
+    Float.MinPositiveValue,
+    Float.MaxValue,
+    -Float.MaxValue,
+    1.0f,
+    -1.0f
+  )
+
+  private val rnd = new scala.util.Random(1234)
+
+  private def randFloat(): Float =
+    rnd.nextInt(8) match {
+      case 0 => edgeFloats(rnd.nextInt(edgeFloats.size))
+      case _ => ((rnd.nextGaussian() * 10).toFloat)
+    }
+
+  private def randVec(maxLen: Int = 9): Seq[Float] =
+    Seq.fill(rnd.nextInt(maxLen + 1))(randFloat())
+
+  // ---- references: written from the documented semantics, not the code 's
+  // structure — left-to-right double accumulation over min length ----
+
+  private def refDot(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def refDist2(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  private def refQuant(a: Seq[Float]): Seq[Byte] = {
+    var mx = 0.0
+    a.foreach { v => val x = math.abs(v.toDouble); if (x > mx) mx = x }
+    val scale = mx / 127.0
+    if (scale == 0.0) Seq.fill(a.length)(0: Byte)
+    else
+      a.map { f =>
+        val d = f.toDouble / scale
+        (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toByte
+      }
+  }
+
+  // doubles that are NaN on both sides count as equal; everything else
+  // must match bit-for-bit (the oracle-parity bar the catalog holds)
+  private def sameDouble(x: Double, y: Double): Boolean =
+    (x.isNaN && y.isNaN) ||
+      java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+
+  test("graft_dot and graft_dist2: codegen == interpreted == reference on 400 adversarial pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq.tabulate(400)(i => (i, randVec(), randVec())) ++
+      Seq((400, Seq.empty[Float], Seq.empty[Float]), (401, edgeFloats, edgeFloats))
+    val df = cases
+      .toDF("id", "a", "b")
+      .withColumn("a", col("a").cast("array<float>"))
+      .withColumn("b", col("b").cast("array<float>"))
+      .select(
+        col("id"),
+        call_function("graft_dot", col("a"), col("b")).as("dot"),
+        call_function("graft_dist2", col("a"), col("b")).as("d2")
+      )
+    def run(): Map[Int, (Double, Double)] =
+      df.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val gen = run()
+    val interp = interpretedOff(run())
+    cases.foreach { case (id, a, b) =>
+      val (rd, r2) = (refDot(a, b), refDist2(a, b))
+      assert(sameDouble(gen(id)._1, rd), s"codegen dot id=$id: ${gen(id)._1} != $rd a=$a b=$b")
+      assert(sameDouble(interp(id)._1, rd), s"interp dot id=$id: ${interp(id)._1} != $rd")
+      assert(sameDouble(gen(id)._2, r2), s"codegen dist2 id=$id: ${gen(id)._2} != $r2 a=$a b=$b")
+      assert(sameDouble(interp(id)._2, r2), s"interp dist2 id=$id: ${interp(id)._2} != $r2")
+    }
+    // metamorphic: dist2 is symmetric and dist2(a,a)==0 for finite vectors
+    val finite = Seq.fill(50)(Seq.fill(6)((rnd.nextGaussian() * 3).toFloat))
+    finite.foreach { v =>
+      assert(refDist2(v, v) == 0.0)
+      assert(refDot(v, v) >= 0.0)
+    }
+  }
+
+  test("graft_quantize_int8: codegen == interpreted == reference; range and zero laws hold") {
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq.tabulate(300)(i => (i, randVec())) ++ Seq(
+      (300, Seq.empty[Float]),
+      (301, Seq(0.0f, -0.0f, 0.0f)),
+      (302, edgeFloats),
+      (303, Seq(Float.NaN, Float.NaN)),
+      (304, Seq(Float.PositiveInfinity, 1.0f, -2.5f))
+    )
+    val df = cases
+      .toDF("id", "a")
+      .withColumn("a", col("a").cast("array<float>"))
+      .select(col("id"), call_function("graft_quantize_int8", col("a")).as("q"))
+    def run(): Map[Int, Seq[Byte]] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Byte](1)).toMap
+    val gen = run()
+    val interp = interpretedOff(run())
+    cases.foreach { case (id, a) =>
+      val ref = refQuant(a)
+      assert(gen(id) == ref, s"codegen quant id=$id: ${gen(id)} != $ref a=$a")
+      assert(interp(id) == ref, s"interp quant id=$id: ${interp(id)} != $ref")
+      // range law: NaN-free finite vectors stay within [-127, 127]
+      if (a.forall(f => !f.isNaN && !f.isInfinite))
+        assert(ref.forall(q => q >= -127 && q <= 127), s"range id=$id: $ref")
+      // zero law: all-zero (or empty) vectors quantize to all zeros
+      if (a.forall(_ == 0.0f)) assert(ref.forall(_ == 0))
+    }
+  }
+
+  test("graft_pq_encode: codegen == interpreted == reference argmin with (dist2, cid) tie-break") {
+    graft.functions.GraftFunctions.register(spark)
+    val nSub = 2
+    val subDim = 4
+    val m = 5
+    val cents: Seq[Seq[Seq[Float]]] = Seq.tabulate(nSub)(s =>
+      Seq.tabulate(m)(j =>
+        // duplicate centroid (j=3 copies j=1) forces the cid tie-break
+        if (j == 3) Seq.tabulate(subDim)(i => ((s + 1) * (1 + 1) + i).toFloat)
+        else Seq.tabulate(subDim)(i => ((s + 1) * (j + 1) + i).toFloat)
+      )
+    )
+    val cids: Seq[Seq[Int]] = Seq.tabulate(nSub)(_ => Seq(9, 7, 5, 3, 1))
+    def refEncode(v: Seq[Float]): Seq[Int] =
+      (0 until nSub).map { s =>
+        var bestD = Double.PositiveInfinity
+        var bestCid = Int.MaxValue
+        (0 until m).foreach { j =>
+          var acc = 0.0
+          (0 until subDim).foreach { i =>
+            val d = v(s * subDim + i).toDouble - cents(s)(j)(i).toDouble
+            acc += d * d
+          }
+          val cid = cids(s)(j)
+          if (acc < bestD || (acc == bestD && cid < bestCid)) {
+            bestD = acc; bestCid = cid
+          }
+        }
+        bestCid
+      }
+    val cases = Seq.tabulate(300)(i =>
+      (i, Seq.fill(nSub * subDim)((rnd.nextGaussian() * 6).toFloat))
+    ) ++ Seq(
+      (300, cents(0)(1) ++ cents(1)(1)), // exactly ON the duplicated centroid
+      (301, Seq.fill(nSub * subDim)(Float.NaN)) // all-NaN: every dist NaN
+    )
+    val centsCol = typedlit(cents)
+    val cidsCol = typedlit(cids)
+    val df = cases
+      .toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+      .select(
+        col("id"),
+        call_function("graft_pq_encode", col("v"), centsCol, cidsCol).as("code")
+      )
+    def run(): Map[Int, Seq[Int]] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    val gen = run()
+    val interp = interpretedOff(run())
+    cases.foreach { case (id, v) =>
+      val ref = refEncode(v)
+      assert(gen(id) == ref, s"codegen pq id=$id: ${gen(id)} != $ref v=$v")
+      assert(interp(id) == ref, s"interp pq id=$id: ${interp(id)} != $ref")
+    }
+    // the duplicated-centroid case must pick the SMALLER cid (3, not 5… the
+    // copy of centroid j=1 sits at j=3 with cid 3 < cid 7)
+    assert(gen(300) == Seq(3, 3), s"tie-break: ${gen(300)}")
+    // all-NaN distances: nothing ever compares less — sentinel cid
+    assert(gen(301) == Seq(Int.MaxValue, Int.MaxValue), s"NaN: ${gen(301)}")
+  }
+
+  test("graft_bloom_might_contain: zero false negatives over 10k inserted keys, both paths") {
+    graft.functions.GraftFunctions.register(spark)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(10000, 0.03)
+    val inserted = (0 until 10000).map(i => rnd.nextLong()).distinct
+    inserted.foreach(bloom.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val df = inserted
+      .toDF("key")
+      .select(
+        call_function("graft_bloom_might_contain", col("key"), lit(bos.toByteArray))
+          .as("hit")
+      )
+    def misses(): Long = df.filter(!col("hit")).count()
+    assert(misses() == 0L, "codegen path produced a false negative")
+    assert(interpretedOff(misses()) == 0L, "interpreted path produced a false negative")
+  }
+}
