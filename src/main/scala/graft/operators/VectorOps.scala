@@ -549,6 +549,11 @@ object VectorOps {
         when(call_function("graft_dot", col("embedding"), plane) >= 0, lit(1L << k))
           .otherwise(lit(0L))
       }.reduce(_ + _)
+    // Pre-shuffle on the join key so the self-join's two children are the
+    // IDENTICAL exchange: ReuseExchange computes the 128-plane signature
+    // pass once and the second side reads shuffle output. At scale the
+    // (band, bh) join shuffles both sides regardless, so the repartition
+    // adds nothing — it only deduplicates the signature work.
     val banded = emb
       .select(
         col("vec_id"),
@@ -559,6 +564,7 @@ object VectorOps {
         ).as("bb")
       )
       .select(col("vec_id"), col("bb.band"), col("bb.bh"))
+      .repartition(col("band"), col("bh"))
     banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bh"))

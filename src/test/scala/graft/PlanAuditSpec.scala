@@ -100,6 +100,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"banded pair stage planned an all-pairs join:\n$p")
   }
 
+  test("v12b's candidate self-join reuses ONE signature exchange") {
+    // the banded frame is pre-shuffled on (band, bh) so the self-join's two
+    // children are the identical exchange: the 128-plane signature pass runs
+    // ONCE and the second side is a ReusedExchange. Losing the reuse doubles
+    // the signature scan — the dominant linear term of the 100 TB plan.
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val df = graft.operators.VectorOps.bandedCandidates(emb, 16, 8)
+    df.collect() // AQE finalizes reuse only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"v12b candidate stage recomputes the signature on both join sides:\n$p")
+  }
+
   test("v16's metadata predicate reaches the parquet scan as a pushed filter") {
     // filtered ANN is only "pre-filtering" if the predicate prunes the
     // scan — a Filter node above a full-table scan would read every row
