@@ -209,6 +209,10 @@ object VectorOps {
         )
       ).as("bb")
     ).select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      // pre-shuffle on the join key: the self-join's children become the
+      // identical exchange, so the minhash signature agg runs ONCE
+      // (ReuseExchange) instead of once per join side (v12b's pattern)
+      .repartition(col("band"), col("bh"))
     val candPairs = banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bh"))
@@ -297,6 +301,9 @@ object VectorOps {
         }: _*)
       ).as("bb")
     ).select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
+      // pre-shuffle on the join key: the 64-column simhash agg runs ONCE
+      // and the self-join's second side is a ReusedExchange (v12b's pattern)
+      .repartition(col("band"), col("bh"))
     banded
       .as("x")
       .join(banded.as("y"), Seq("band", "bh"))

@@ -100,18 +100,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"banded pair stage planned an all-pairs join:\n$p")
   }
 
-  test("v12b's candidate self-join reuses ONE signature exchange") {
-    // the banded frame is pre-shuffled on (band, bh) so the self-join's two
-    // children are the identical exchange: the 128-plane signature pass runs
-    // ONCE and the second side is a ReusedExchange. Losing the reuse doubles
-    // the signature scan — the dominant linear term of the 100 TB plan.
+  test("banded self-joins (v12b, v4, v5) reuse ONE signature exchange") {
+    // each banded frame is pre-shuffled on (band, bh) so the self-join's two
+    // children are the identical exchange: the signature pass (128-plane
+    // scan for v12b, the minhash/simhash aggs for v4/v5) runs ONCE and the
+    // second side is a ReusedExchange. Losing the reuse doubles the
+    // signature work — the dominant linear term of each banded plan.
+    // pinned on the SCALE-shaped plan: broadcasts off, so the self-join
+    // runs shuffle-to-shuffle as it would at 100 TB (at tiny scale AQE
+    // broadcast-converts and the reuse hides inside shared query stages)
     graft.functions.GraftFunctions.register(spark)
-    val emb = graft.sources.Tables.embeddings(spark, sf)
-    val df = graft.operators.VectorOps.bandedCandidates(emb, 16, 8)
-    df.collect() // AQE finalizes reuse only on execution
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange"),
-      s"v12b candidate stage recomputes the signature on both join sides:\n$p")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = graft.sources.Tables.embeddings(spark, sf)
+      val cand = graft.operators.VectorOps.bandedCandidates(emb, 16, 8)
+      cand.collect() // AQE finalizes reuse only on execution
+      val pc = cand.queryExecution.executedPlan.toString
+      assert(pc.contains("ReusedExchange"),
+        s"v12b candidate stage recomputes the signature on both join sides:\n$pc")
+      // v4 is exempt: its shingle table is cached, and exchange subtrees
+      // over an InMemoryRelation do not canonicalize equal, so ReuseExchange
+      // cannot fire — the duplicated side reads the cache, not the corpus,
+      // which is the same cost bound the reuse would give
+      val df = graft.operators.VectorOps.queries("v5_simhash")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"v5_simhash recomputes its signature agg on both join sides:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("v16's metadata predicate reaches the parquet scan as a pushed filter") {
