@@ -540,6 +540,33 @@ object VectorOps {
   ): DataFrame =
     verifyCosinePairs(bandedCandidates(emb, nBands, bandBits), emb, tau)
 
+  /** Recall-holding band geometry for a corpus of `n` vectors at threshold
+    * `tau` — the SCALING.md knob-1 rule made executable. Per-bit agreement
+    * for a τ-cosine pair is p = 1 − acos(τ)/π (random-hyperplane LSH), so
+    * a b-bit band matches with probability p^b and the miss rate after B
+    * bands is (1−p^b)^B. The solver widens `bandBits` until the expected
+    * BACKGROUND candidates per vector (n·B·2⁻ᵇ) drop to `targetCandPerVec`,
+    * raising `nBands` at each step to hold the true-pair miss at `maxMiss`
+    * — so corpus growth costs a logarithmically wider signature (B·b
+    * planes) instead of quadratic candidate growth. Pure function of the
+    * inputs: unit-tested analytically, and the 450-vector fixture gate
+    * runs the geometry it picks end-to-end. */
+  def bandGeometry(
+      n: Long,
+      tau: Double,
+      targetCandPerVec: Int = 32,
+      maxMiss: Double = 0.01
+  ): (Int, Int) = {
+    val p = 1.0 - math.acos(tau) / math.Pi
+    def bandsFor(bits: Int): Int =
+      math.max(1, math.ceil(math.log(maxMiss) / math.log1p(-math.pow(p, bits))).toInt)
+    var bits = 8
+    while (bits < 24 &&
+      n.toDouble * bandsFor(bits) / math.pow(2, bits) > targetCandPerVec)
+      bits += 1
+    (bandsFor(bits), bits)
+  }
+
   /** The banded CANDIDATE stage alone: distinct id-ordered pairs sharing at
     * least one (band, bucket). Factored out of [[cosinePairsBanded]] so the
     * declared v12b query can surface per-vector candidate degree — the
@@ -661,8 +688,17 @@ object VectorOps {
     // to compensate (e.g. 16×8 → 32×12 cuts background collisions ~8× while
     // keeping the true-pair miss rate at τ=0.9 under 1%). Defaults stay
     // 16×8 — the geometry baked into the DuckDB oracle's plane literals.
-    val nBands = s.conf.getOption("spark.graft.v12b.bands").map(_.toInt).getOrElse(16)
-    val bandBits = s.conf.getOption("spark.graft.v12b.bandBits").map(_.toInt).getOrElse(8)
+    // spark.graft.v12b.auto=true derives the geometry from the corpus count
+    // via [[bandGeometry]] (one count() — a planning-time scalar, the same
+    // class of action as IVF's centroid collect); explicit bands/bandBits
+    // confs override; defaults stay the oracle's 16×8.
+    val (nBands, bandBits) =
+      if (s.conf.getOption("spark.graft.v12b.auto").exists(_.toBoolean))
+        bandGeometry(emb.count(), 0.9)
+      else (
+        s.conf.getOption("spark.graft.v12b.bands").map(_.toInt).getOrElse(16),
+        s.conf.getOption("spark.graft.v12b.bandBits").map(_.toInt).getOrElse(8)
+      )
     val cand = bandedCandidates(emb, nBands = nBands, bandBits = bandBits).cache()
     val degree = cand
       .select(col("id_a").as("vec_id"))

@@ -150,6 +150,42 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       pairSet(graft.operators.VectorOps.verifyCosinePairs(candWide, emb, 0.9))
     assert(verifiedWide == exact,
       s"missed: ${exact -- verifiedWide}; extra: ${verifiedWide -- exact}")
+    // ... and the AUTO geometry (bandGeometry's pick for this corpus size)
+    // must also keep every true pair — the solver's miss bound, exercised
+    val (autoBands, autoBits) =
+      graft.operators.VectorOps.bandGeometry(emb.count(), 0.9)
+    val verifiedAuto = pairSet(
+      graft.operators.VectorOps.verifyCosinePairs(
+        graft.operators.VectorOps.bandedCandidates(emb, autoBands, autoBits),
+        emb,
+        0.9
+      )
+    )
+    assert(verifiedAuto == exact,
+      s"auto geometry ${autoBands}x$autoBits missed: ${exact -- verifiedAuto}")
+  }
+
+  test("bandGeometry: background bound, miss bound, and monotone widening hold analytically") {
+    import graft.operators.VectorOps.bandGeometry
+    val tau = 0.9
+    val p = 1.0 - math.acos(tau) / math.Pi
+    var prevBits = 0
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L, 100000000000L)) {
+      val (bands, bits) = bandGeometry(n, tau)
+      // background candidates per vector bounded (or the 24-bit clamp hit)
+      val background = n.toDouble * bands / math.pow(2, bits)
+      assert(background <= 32.0 || bits == 24,
+        s"n=$n geometry ${bands}x$bits background=$background")
+      // true-pair miss stays within the advertised 1% (+ rounding slack)
+      val miss = math.pow(1.0 - math.pow(p, bits), bands)
+      assert(miss <= 0.011, s"n=$n geometry ${bands}x$bits miss=$miss")
+      // more corpus never narrows the buckets
+      assert(bits >= prevBits, s"bits shrank at n=$n")
+      prevBits = bits
+    }
+    // the oracle-certified default is what the solver would pick for a tiny
+    // corpus modulo the minimum width — floor is 8 bits
+    assert(bandGeometry(100L, tau)._2 == 8)
   }
 
   test("v17 nLists scale knob: 4× more lists holds recall on a clustered corpus") {
