@@ -964,11 +964,26 @@ object VectorOps {
     * id-seeded build ⇒ fully oracle-checked by composing v6's
     * unrolled-Lloyd SQL with the all-nodes probe; recall vs exact brute
     * force is gated in ScalaTest. */
+  /** SCALING.md knob-2 rule, executable: lists sized so the average
+    * inverted list holds ~`targetListSize` vectors — per-node candidate
+    * work stays constant as the corpus grows (nProbe lists × targetList).
+    * Floor at the oracle-certified 16; the 4096 cap keeps the collected
+    * centroid table a driver-side scalar (4096 × 64 floats ≈ 1 MB). */
+  def ivfListsFor(n: Long, targetListSize: Int = 256): Int =
+    math.min(4096L, math.max(IvfAnn.k.toLong, n / targetListSize)).toInt
+
   private def v17KnnGraph(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    // spark.graft.ivf.auto=true sizes the list count from the corpus count
+    // (one planning-time count(), v12b.auto's convention); explicit
+    // spark.graft.ivf.lists overrides; default stays the oracle's 16.
     val nLists =
-      s.conf.getOption("spark.graft.ivf.lists").map(_.toInt).getOrElse(IvfAnn.k)
-    knnGraph(Tables.embeddings(s, d), nLists)
+      if (s.conf.getOption("spark.graft.ivf.auto").exists(_.toBoolean))
+        ivfListsFor(emb.count())
+      else
+        s.conf.getOption("spark.graft.ivf.lists").map(_.toInt).getOrElse(IvfAnn.k)
+    knnGraph(emb, nLists)
   }
 
   /** The v17 pipeline over any (vec_id, embedding) frame — shared with the

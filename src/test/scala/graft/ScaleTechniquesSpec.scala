@@ -241,5 +241,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     info(s"v17 recall on clustered corpus: nLists=16 → $r16, nLists=64 → $r64")
     assert(r64 >= 0.9, s"widened-geometry recall collapsed: $r64")
     assert(r64 >= r16 - 0.05, s"widening lost recall: $r16 -> $r64")
+    // the auto-sizing rule: constant target list size, floored at the
+    // oracle's 16, capped where the centroid table stops being a scalar
+    import graft.operators.VectorOps.ivfListsFor
+    assert(ivfListsFor(2000) == 16) // small corpus keeps the default
+    assert(ivfListsFor(20000) == 78)
+    assert(ivfListsFor(100000000L) == 4096) // driver-side centroid cap
+    // below the centroid cap (4096·256 ≈ 1M) the average list tracks 256
+    for (n <- Seq(10000L, 100000L, 1000000L))
+      assert(math.abs(n.toDouble / ivfListsFor(n) - 256) <= 256,
+        s"list size drifted from target at n=$n")
   }
 }
