@@ -70,4 +70,40 @@ class StreamingSessionizeSpec extends AnyFunSuite {
       (2L, us("2024-01-01 09:00:00"), us("2024-01-01 09:00:00"), 1L)
     ))
   }
+
+  test("streaming sessionization == the declared e2 operator on the real events table") {
+    // Cross-module parity on REAL data, not a hand-picked fixture: the
+    // flatMapGroupsWithState sessionizer (batch mode) aggregated to e2's
+    // per-user shape must equal the oracle-checked e2 window pipeline
+    // row-for-row. Both implement the 30-minute gap rule; parity columns
+    // are ordering-insensitive (gap splits depend on time values only),
+    // so equal-timestamp tie-breaks cannot flake the comparison.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables
+      .events(spark, sf)
+      .select(col("user_id"), col("ts"))
+      .as[graft.streaming.StreamingSessionize.SessionEvent]
+    val streamed = graft.streaming.StreamingSessionize
+      .sessionize(events)
+      .toDF()
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        sum(col("session_end_us") - col("session_start_us")).as("total_span_us"),
+        max("n_events").as("max_session_events")
+      )
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val batch = graft.operators.EventOps
+      .queries("e2_sessionize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming/batch sessionization diverged: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
 }
