@@ -1323,7 +1323,84 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source document capping — bound any one source's (domain's)
+    * contribution to the corpus at K documents, keeping its top-K by
+    * quality (the CCNet/FineWeb-style domain-balancing step: without it a
+    * handful of boilerplate-heavy domains dominate a web corpus). Quality
+    * is t1's formula (shared with t28), ties break on doc_id, and the
+    * zero-token NULL edge sorts last on both engines — the t28 window
+    * convention.
+    *
+    * Scale shape: one keyed shuffle on source + rank-then-filter, which
+    * Spark 4 plans as the partial/final WindowGroupLimit pair (pinned in
+    * PlanAuditSpec): every map-side partition keeps at most K rows per
+    * source BEFORE the shuffle, so a source with a billion documents
+    * contributes K rows per input partition to the exchange, not a
+    * billion — the property that makes a per-domain cap runnable against
+    * a web-scale corpus with hot domains. */
+  private def t32SourceCaps(s: SparkSession, d: String): DataFrame = {
+    val K = 10
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(filter(col("w"), t => t === "the" || t === "a" || t === "of"))
+          .cast("long").as("n_stop")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        when(col("n_tokens") === 0, lit(null).cast("double")).otherwise(
+          round(
+            (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.5 +
+              least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
+            6
+          )
+        ).as("quality")
+      )
+    val w = Window
+      .partitionBy("source")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(
+        col("source"),
+        col("rn").cast("long").as("rnk"),
+        col("doc_id"),
+        col("quality")
+      )
+      .orderBy("source", "rnk")
+  }
+
+  /** Cross-split near-duplicate leakage audit — after t14 assigns
+    * train/valid/test and t4 finds near-dup pairs, the question every
+    * release pipeline must answer: do any near-duplicates STRADDLE a
+    * split boundary? (A test document with a train near-twin is benchmark
+    * leakage that exact-hash checks miss.) Emits each t4 pair whose
+    * members land in different splits, with both split labels.
+    *
+    * Scale shape: adds ZERO joins and zero shuffles to t4 — the split is
+    * a pure function of doc_id (t14's md5 formula), so both labels are
+    * per-row expressions computed directly on the bounded pair set. */
+  private def t33SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    def toSplit(bucket: Column): Column =
+      when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    jaccardPairs(s, d)
+      .withColumn("ha", md5(col("doc_a").cast("string")))
+      .withColumn("hb", md5(col("doc_b").cast("string")))
+      .withColumn("split_a", toSplit(expr(s"${hex4U16("ha")} % 100").cast("long")))
+      .withColumn("split_b", toSplit(expr(s"${hex4U16("hb")} % 100").cast("long")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t32_source_caps" -> (t32SourceCaps _),
+    "t33_split_leakage" -> (t33SplitLeakage _),
     "t31_anti_clean" -> (t31AntiClean _),
     "t30_mixture_execute" -> (t30MixtureExecute _),
     "a16_heavy_hitters" -> (a16HeavyHitters _),
@@ -1359,6 +1436,89 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t32_source_caps" ->
+      """WITH base AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS toks
+           FROM documents
+         ), m AS (
+           SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of')))
+               AS BIGINT) AS n_stop
+           FROM base
+         ), q AS (
+           SELECT doc_id, source,
+             CASE WHEN n_tokens = 0 THEN NULL
+                  ELSE round((1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+                       + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5, 6)
+             END AS quality
+           FROM m
+         ), r AS (
+           SELECT source, doc_id, quality,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC NULLS LAST, doc_id) AS BIGINT) AS rnk
+           FROM q
+         )
+         SELECT source, rnk, doc_id, quality FROM r
+         WHERE rnk <= 10 ORDER BY source, rnk""",
+    // t4's pair CTEs verbatim + the t14 split formula applied to each pair
+    // member as a pure expression (no join, mirroring the Spark plan)
+    "t33_split_leakage" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), pairs AS (
+           SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
+         ), labeled AS (
+           SELECT doc_a, doc_b, jaccard,
+             CASE WHEN ((strpos('0123456789abcdef', substr(ha, 1, 1)) - 1) * 4096 +
+                        (strpos('0123456789abcdef', substr(ha, 2, 1)) - 1) * 256 +
+                        (strpos('0123456789abcdef', substr(ha, 3, 1)) - 1) * 16 +
+                        (strpos('0123456789abcdef', substr(ha, 4, 1)) - 1)) % 100 < 80
+                  THEN 'train'
+                  WHEN ((strpos('0123456789abcdef', substr(ha, 1, 1)) - 1) * 4096 +
+                        (strpos('0123456789abcdef', substr(ha, 2, 1)) - 1) * 256 +
+                        (strpos('0123456789abcdef', substr(ha, 3, 1)) - 1) * 16 +
+                        (strpos('0123456789abcdef', substr(ha, 4, 1)) - 1)) % 100 < 90
+                  THEN 'valid' ELSE 'test' END AS split_a,
+             CASE WHEN ((strpos('0123456789abcdef', substr(hb, 1, 1)) - 1) * 4096 +
+                        (strpos('0123456789abcdef', substr(hb, 2, 1)) - 1) * 256 +
+                        (strpos('0123456789abcdef', substr(hb, 3, 1)) - 1) * 16 +
+                        (strpos('0123456789abcdef', substr(hb, 4, 1)) - 1)) % 100 < 80
+                  THEN 'train'
+                  WHEN ((strpos('0123456789abcdef', substr(hb, 1, 1)) - 1) * 4096 +
+                        (strpos('0123456789abcdef', substr(hb, 2, 1)) - 1) * 256 +
+                        (strpos('0123456789abcdef', substr(hb, 3, 1)) - 1) * 16 +
+                        (strpos('0123456789abcdef', substr(hb, 4, 1)) - 1)) % 100 < 90
+                  THEN 'valid' ELSE 'test' END AS split_b
+           FROM (SELECT doc_a, doc_b, jaccard,
+                   md5(CAST(doc_a AS VARCHAR)) AS ha,
+                   md5(CAST(doc_b AS VARCHAR)) AS hb
+                 FROM pairs)
+         )
+         SELECT doc_a, doc_b, jaccard, split_a, split_b FROM labeled
+         WHERE split_a <> split_b ORDER BY doc_a, doc_b""",
     // entropy sum integer-scaled per distinct count (round(ln(n)*1e6) AS
     // BIGINT) so aggregation order can't move it; final entropy rounded
     // to 6dp on both sides and the keep gate compares the rounded value

@@ -120,6 +120,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spam(2L) < 0.2) // natural sentence stays under the keep bar
   }
 
+  test("t32 caps every source at K and keeps each source's best quality") {
+    val kept = TextOps
+      .queries("t32_source_caps")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(kept.nonEmpty)
+    val bySource = kept.groupBy(_._1)
+    // every source present, none over the cap, ranks dense from 1
+    assert(bySource.size == 20)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"$src over cap")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("t33 is exactly the t4 pairs whose members straddle a t14 split") {
+    val splits = TextOps
+      .queries("t14_hash_split")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    val pairs = TextOps
+      .queries("t4_dedup_ngram_jaccard")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.filter { case (a, b) => splits(a) != splits(b) }.toSet
+    val leaked = TextOps
+      .queries("t33_split_leakage")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+    assert(leaked.map(t => (t._1, t._2)).toSet == expected)
+    // and the labels it reports agree with t14's, per member
+    leaked.foreach { case (a, b, sa, sb) =>
+      assert(sa == splits(a) && sb == splits(b) && sa != sb)
+    }
+  }
+
   test("t14 split is a pure function of doc_id and lands near 80/10/10") {
     val bySf = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { dir =>
       TextOps
