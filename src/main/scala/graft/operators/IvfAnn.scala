@@ -245,4 +245,49 @@ object IvfAnn {
       .select(col("qid").as("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Incremental index upsert (v20) — t23's incremental-dedup contract
+    * applied to the vector index: when a new embedding batch arrives, a
+    * serving index is NOT refit (that would invalidate every stored list
+    * assignment and force a full rebuild); the increment is assigned to
+    * the EXISTING centroids and appended to their lists. Output is the
+    * index-maintenance ledger: per list, its size before, the arrivals,
+    * its size after, and the growth ratio — the signal an index operator
+    * watches to decide when drift has earned a refit.
+    *
+    * Fixture split: vec_id % 10 == 0 is the arriving batch; the rest is
+    * the corpus the index was built on.
+    *
+    * Scale shape: the fit sees only the existing corpus (one bounded
+    * centroid collect, the IVF contract); BOTH assignment passes are the
+    * shuffle-free codegen argmin over broadcast centroids, so the
+    * increment never shuffles and the ledger aggregates straight to k
+    * rows. At 100 TB the old_size column comes from the persisted index's
+    * list metadata ([[VectorIndexStore]]) instead of the rescan this
+    * test-scale form runs — the increment-side plan (the part that runs
+    * per batch) is identical. */
+  def upsert(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val existing = emb.filter(col("vec_id") % 10 =!= 0)
+    val increment = emb.filter(col("vec_id") % 10 === 0)
+    val centArr = collectCents(centroids(existing))
+    val oldSizes = assignTo(centArr)(existing)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("old_size"))
+    val added = assignTo(centArr)(increment)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("added"))
+    oldSizes
+      .join(added, Seq("cid"), "left")
+      .withColumn("added", coalesce(col("added"), lit(0L)))
+      .select(
+        col("cid").cast("long").as("cid"),
+        col("old_size"),
+        col("added"),
+        (col("old_size") + col("added")).as("new_size"),
+        round(col("added") / col("old_size"), 6).as("growth")
+      )
+      .orderBy("cid")
+  }
 }

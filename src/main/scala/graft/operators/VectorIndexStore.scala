@@ -115,4 +115,31 @@ object VectorIndexStore {
       .select(col("qid").as("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rnk")
   }
+
+  /** Append an arriving batch to a persisted index WITHOUT refit —
+    * [[IvfAnn.upsert]]'s contract made durable. The increment is assigned
+    * to the STORED centroids (collected from the table, not refit),
+    * quantized like the resident rows, and appended to its list
+    * partitions; the centroid table and every existing assignment are
+    * untouched, so earlier probes stay valid and new rows become servable
+    * by the very next probe.
+    *
+    * Scale shape: one k-row centroid read + the shuffle-free codegen
+    * argmin over the increment; the append writes only the partitions the
+    * arrivals land in. The resident 100 TB of lists are never read. */
+  def upsert(spark: SparkSession, table: String, increment: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val centArr = IvfAnn.collectCents(spark.table(s"${table}_centroids"))
+    IvfAnn
+      .assignTo(centArr)(increment)
+      .withColumn(
+        "qf",
+        call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
+      )
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
+      .write
+      .partitionBy("cid")
+      .mode("append")
+      .saveAsTable(table)
+  }
 }

@@ -1041,6 +1041,7 @@ object VectorOps {
     "v4_minhash_lsh" -> (v4MinhashLsh _),
     "v5_simhash" -> (v5Simhash _),
     "v6_ann_ivf" -> ((s: SparkSession, d: String) => IvfAnn.query(s, d)),
+    "v20_index_upsert" -> ((s: SparkSession, d: String) => IvfAnn.upsert(s, d)),
     "v7_label_centroids" -> (v7LabelCentroids _),
     "v8_embed_quantize" -> (v8EmbedQuantize _),
     "v9_ann_quantized" -> (v9AnnQuantized _),
@@ -1075,13 +1076,13 @@ object VectorOps {
       |            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))
       |               * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))))""".stripMargin
 
-  private def ivfAssign(cents: String, name: String): String =
+  private def ivfAssign(cents: String, name: String, src: String = "embeddings"): String =
     s"""$name AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
-       |    FROM embeddings e CROSS JOIN $cents c
+       |    FROM $src e CROSS JOIN $cents c
        |  ) WHERE rn = 1
        |)""".stripMargin
 
@@ -1160,6 +1161,29 @@ object VectorOps {
 
   /** Exact double dot product in index order — bit-identical to graft_dot
     * (float operands promoted to double, accumulated left-to-right). */
+  // v20: the v6 fit CTEs restricted to the existing corpus (vec_id%10<>0),
+  // then one assignment pass per side against the final centroids,
+  // aggregated to the per-list upsert ledger
+  private val v20Oracle: String =
+    s"""WITH existing AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+       |), increment AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+       |), seeds AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       |  FROM existing ORDER BY vec_id LIMIT 16
+       |), ${ivfAssign("seeds", "assign0", "existing")}, ${ivfUpdate("assign0", "cents1")},
+       |${ivfAssign("cents1", "assign1", "existing")}, ${ivfUpdate("assign1", "cents2")},
+       |${ivfAssign("cents2", "assignE", "existing")},
+       |${ivfAssign("cents2", "assignI", "increment")},
+       |old AS (SELECT cid, count(*) AS old_size FROM assignE GROUP BY cid),
+       |arr AS (SELECT cid, count(*) AS added FROM assignI GROUP BY cid)
+       |SELECT CAST(o.cid AS BIGINT) AS cid, old_size,
+       |  COALESCE(added, 0) AS added,
+       |  old_size + COALESCE(added, 0) AS new_size,
+       |  round(CAST(COALESCE(added, 0) AS DOUBLE) / old_size, 6) AS growth
+       |FROM old o LEFT JOIN arr USING (cid) ORDER BY cid""".stripMargin
+
   private def duckDot(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
@@ -1506,6 +1530,7 @@ object VectorOps {
     "v4_minhash_lsh" -> v4Oracle,
     "v10_ann_ivf_quantized" -> v10Oracle,
     "v6_ann_ivf" -> v6Oracle,
+    "v20_index_upsert" -> v20Oracle,
     "v9_ann_quantized" ->
       """WITH scaled AS (
            SELECT vec_id, embedding,

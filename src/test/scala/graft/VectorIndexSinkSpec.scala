@@ -53,4 +53,74 @@ class VectorIndexSinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ivf_index_t_centroids")
     }
   }
+
+  test("store upsert appends arrivals to their lists; table matches v20's ledger") {
+    val emb = Tables.embeddings(spark, sf)
+    val existing = emb.filter(col("vec_id") % 10 =!= 0)
+    val increment = emb.filter(col("vec_id") % 10 === 0)
+    VectorIndexStore.write(existing, "ivf_upsert_t")
+    try {
+      val centsBefore = spark
+        .table("ivf_upsert_t_centroids")
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1))
+        .sortBy(_._1)
+        .toSeq
+      VectorIndexStore.upsert(spark, "ivf_upsert_t", increment)
+      // the durable store after an upsert IS v20's declared ledger: the
+      // per-list row counts equal new_size exactly (cross-module parity
+      // between the sink and the oracle-checked query)
+      val stored = spark
+        .table("ivf_upsert_t")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0).toLong -> r.getLong(1))
+        .toMap
+      val ledger = IvfAnn
+        .upsert(spark, sf)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(3))
+        .toMap
+      assert(stored == ledger)
+      // refit never happened: the persisted centroids are byte-identical
+      val centsAfter = spark
+        .table("ivf_upsert_t_centroids")
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1))
+        .sortBy(_._1)
+        .toSeq
+      assert(centsAfter == centsBefore)
+      // arrivals are servable by the next probe (increment ids appear
+      // among the neighbors — deterministic on this fixture)
+      val res = VectorIndexStore
+        .probe(spark, "ivf_upsert_t", emb.filter(col("vec_id") < 10))
+        .collect()
+      assert(res.length == 50)
+      assert(res.exists(_.getLong(2) % 10 == 0), "no upserted row was ever served")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_upsert_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_upsert_t_centroids")
+    }
+  }
+
+  test("v20 upsert ledger conserves both sides and never invents a list") {
+    val emb = Tables.embeddings(spark, sf)
+    val nExisting = emb.filter(col("vec_id") % 10 =!= 0).count()
+    val nIncrement = emb.filter(col("vec_id") % 10 === 0).count()
+    val rows = IvfAnn
+      .upsert(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every existing vector is in exactly one list, every arrival lands in
+    // exactly one EXISTING list (an upsert must never mint a new cid), and
+    // the after-count is the arithmetic of the other two columns
+    assert(rows.map(_._2).sum == nExisting)
+    assert(rows.map(_._3).sum == nIncrement)
+    rows.foreach { case (cid, old, add, nw) =>
+      assert(nw == old + add, s"list $cid ledger broken")
+      assert(old >= 1, s"list $cid has no existing members — not an upsert target")
+    }
+    assert(rows.length <= IvfAnn.k)
+  }
 }
