@@ -68,9 +68,36 @@ object VectorIndexStore {
     * stored table instead of an inline full-index rebuild. Output is
     * bit-identical to [[IvfAnn.queryQuantized]] on the same data (the
     * build is deterministic; the spec asserts equality). */
-  def probe(spark: SparkSession, table: String, queries: DataFrame): DataFrame = {
+  def probe(spark: SparkSession, table: String, queries: DataFrame): DataFrame =
+    probeIndex(spark, s"${table}_centroids", spark.table(table), queries)
+
+  /** Serving view while streamed arrivals sit in a delta directory
+    * awaiting compaction ([[graft.streaming.StreamingIndexUpsert]]): the
+    * probe scans base ∪ delta, and BOTH sides prune on cid — the delta's
+    * (epoch, cid) layout keeps the list id a partition column, so unprobed
+    * lists stay unopened in either store. */
+  def probeWithDelta(
+      spark: SparkSession,
+      table: String,
+      deltaDir: String,
+      queries: DataFrame
+  ): DataFrame = {
+    // project both stores to the serving columns before the union: the
+    // base may carry extra payload columns the arrivals never had
+    val serving = Seq("vec_id", "embedding", "qf", "qn", "cid").map(col)
+    val base = spark.table(table).select(serving: _*)
+    val delta = spark.read.parquet(deltaDir).select(serving: _*)
+    probeIndex(spark, s"${table}_centroids", base.unionByName(delta), queries)
+  }
+
+  private def probeIndex(
+      spark: SparkSession,
+      centroidTable: String,
+      indexRows: DataFrame,
+      queries: DataFrame
+  ): DataFrame = {
     GraftFunctions.register(spark)
-    val centArr = IvfAnn.collectCents(spark.table(s"${table}_centroids"))
+    val centArr = IvfAnn.collectCents(spark.table(centroidTable))
     val q = queries
       .withColumn(
         "query_qf",
@@ -91,7 +118,7 @@ object VectorIndexStore {
     // collect of a handful of ints, which is what turns the probe into a
     // partition-pruning literal the scan can use
     val probedCids = probes.select("cid").distinct().collect().map(_.getInt(0)).sorted
-    val index = spark.table(table).filter(col("cid").isin(probedCids.map(Integer.valueOf): _*))
+    val index = indexRows.filter(col("cid").isin(probedCids.map(Integer.valueOf): _*))
     val wc = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
     val wr = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probes)
@@ -141,5 +168,33 @@ object VectorIndexStore {
       .partitionBy("cid")
       .mode("append")
       .saveAsTable(table)
+  }
+
+  /** Idempotent delta writer for CONTINUOUS maintenance
+    * ([[graft.streaming.StreamingIndexUpsert]] wires it to a stream):
+    * assign `batch` to `table`'s stored centroids and (re)write its
+    * (epoch, cid) partitions in `deltaDir`. Dynamic partition overwrite +
+    * one epoch per micro-batch makes a checkpoint replay REPLACE its own
+    * partitions instead of duplicating rows — the append-sink analogue of
+    * [[graft.streaming.StreamingSnapshot.writeSnapshot]]'s truncate
+    * argument. Keeping cid a partition column means
+    * [[probeWithDelta]] prunes unprobed lists in the delta too. */
+  def writeDelta(batch: DataFrame, table: String, deltaDir: String, epoch: Long): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val centArr = IvfAnn.collectCents(spark.table(s"${table}_centroids"))
+    IvfAnn
+      .assignTo(centArr)(batch)
+      .withColumn(
+        "qf",
+        call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
+      )
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
+      .withColumn("epoch", lit(epoch))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "cid")
+      .parquet(deltaDir)
   }
 }
