@@ -197,4 +197,26 @@ object VectorIndexStore {
       .partitionBy("epoch", "cid")
       .parquet(deltaDir)
   }
+
+  /** Fold the delta into the base index and clear it — compaction, run
+    * when the delta's size has grown past its read-amplification budget
+    * (v20's ledger is the signal). Compaction MOVES rows; it never
+    * re-assigns them (centroids untouched), so probe results are
+    * identical before and after — a refit is the separate, rarer event
+    * that drift schedules. Payload columns the arrivals never carried
+    * (the base keeps its input schema) are null-filled: serving reads
+    * only (vec_id, embedding, qf, qn, cid). */
+  def compact(spark: SparkSession, table: String, deltaDir: String): Unit = {
+    val base = spark.table(table)
+    val delta = spark.read.parquet(deltaDir).drop("epoch")
+    val aligned = delta.select(
+      base.columns.toIndexedSeq.map { c =>
+        if (delta.columns.contains(c)) col(c)
+        else lit(null).cast(base.schema(c).dataType).as(c)
+      }: _*
+    )
+    aligned.write.partitionBy("cid").mode("append").saveAsTable(table)
+    val p = new org.apache.hadoop.fs.Path(deltaDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }

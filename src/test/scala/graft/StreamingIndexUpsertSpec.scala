@@ -103,6 +103,22 @@ class StreamingIndexUpsertSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(3))
         .toMap
       assert(combined == ledger)
+
+      // compaction folds the delta into the base without changing a
+      // single probe answer, and clears the delta
+      VectorIndexStore.compact(spark, "ivf_stream_t", deltaDir)
+      assert(!new java.io.File(deltaDir).exists())
+      val compacted =
+        VectorIndexStore.probe(spark, "ivf_stream_t", queries).collect().toSeq
+      assert(compacted == batched)
+      val baseCounts = spark
+        .table("ivf_stream_t")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0).toLong -> r.getLong(1))
+        .toMap
+      assert(baseCounts == ledger)
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivf_stream_t")
       spark.sql("DROP TABLE IF EXISTS ivf_stream_t_centroids")
