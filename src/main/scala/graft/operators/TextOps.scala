@@ -184,7 +184,21 @@ object TextOps {
   /** t4's pair pipeline WITHOUT the final global sort — consumers that
     * re-aggregate (t16's edge build) take this form so the cache boundary
     * doesn't materialize a range-partitioned exchange nobody needs. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsOn(Tables.documents(s, d), None)
+
+  /** The pair pipeline over an arbitrary documents frame, optionally
+    * carrying a per-document LABEL column through the shingle generator.
+    * The label rides the Generate as a materialized attribute, so its
+    * defining expression runs ONCE PER DOCUMENT and the candidate join
+    * prunes on a plain attribute compare (`a.label != b.label`) — an
+    * EARLY candidate cut. Computing the label after the pairs instead
+    * lets Catalyst push the whole defining expression into the self-join
+    * condition, where it re-evaluates per candidate COMPARISON (t33's
+    * md5-derived split label cost 2 md5+hex decodes per probed candidate
+    * that way — measured 2× the whole query). With `label = None` this
+    * is operator-for-operator t4's pipeline. */
+  private def jaccardPairsOn(docs: DataFrame, label: Option[String]): DataFrame = {
     // Shingles carry a 64-bit fingerprint for the join/agg key — shuffling
     // longs, not strings; collision odds are ~n^2/2^65 (negligible even at
     // 100 TB shingle counts).
@@ -192,7 +206,11 @@ object TextOps {
     // build side (tokenize, shingle, dedupe, size, prefix-rank) is
     // shuffle-free and pipelines straight into the joins. Cached for its
     // four consumers.
-    val shSized = shingleRows(Tables.documents(s, d)).cache()
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val keep = Seq("doc_id") ++ label
+    val shSized = docs
+      .selectExpr(keep :+ "graft_shingles(text) AS (shingle, sz, rn)": _*)
+      .cache()
     val sh = shSized.select("doc_id", "shingle")
     val sizes = shSized
       .filter(col("rn") === 1)
@@ -207,23 +225,28 @@ object TextOps {
     // result is exactly the naive all-pairs join at ~1% of its candidates.
     val prefixes = shSized
       .filter(col("rn") <= col("sz") - expr("(4 * sz + 4) div 5") + 1)
-      .select(col("doc_id"), col("shingle"), col("sz"))
+      .select((keep ++ Seq("shingle", "sz")).map(col): _*)
+    val basePred =
+      col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")) * 5 >= greatest(col("a.sz"), col("b.sz")) * 4
+    val pred = label.fold(basePred)(l => basePred && col(s"a.$l") =!= col(s"b.$l"))
+    val labelOut = label.toSeq.flatMap(l =>
+      Seq(col(s"a.$l").as(s"${l}_a"), col(s"b.$l").as(s"${l}_b"))
+    )
     val candPairs = prefixes
       .as("a")
       .join(prefixes.as("b"), "shingle")
-      .filter(
-        col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.sz"), col("b.sz")) * 5 >= greatest(col("a.sz"), col("b.sz")) * 4
-      )
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .filter(pred)
+      .select(Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++ labelOut: _*)
       .distinct()
+    val groupCols = Seq("doc_a", "doc_b") ++ label.toSeq.flatMap(l => Seq(s"${l}_a", s"${l}_b"))
     val inter = candPairs
       .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
       .join(
         sh.as("b"),
         col("b.doc_id") === col("doc_b") && col("a.shingle") === col("b.shingle")
       )
-      .groupBy("doc_a", "doc_b")
+      .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -231,7 +254,7 @@ object TextOps {
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jaccard", col("inter") / col("union_sz"))
       .filter(col("jaccard") > 0.8)
-      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+      .select((Seq("doc_a", "doc_b", "inter", "union_sz", "jaccard") ++ groupCols.drop(2)).map(col): _*)
   }
 
   /** Content-defined fingerprinting: md5 full-document fingerprint plus a
@@ -1388,12 +1411,10 @@ object TextOps {
   private def t33SplitLeakage(s: SparkSession, d: String): DataFrame = {
     def toSplit(bucket: Column): Column =
       when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
-    jaccardPairs(s, d)
-      .withColumn("ha", md5(col("doc_a").cast("string")))
-      .withColumn("hb", md5(col("doc_b").cast("string")))
-      .withColumn("split_a", toSplit(expr(s"${hex4U16("ha")} % 100").cast("long")))
-      .withColumn("split_b", toSplit(expr(s"${hex4U16("hb")} % 100").cast("long")))
-      .filter(col("split_a") =!= col("split_b"))
+    val labeled = Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("split", toSplit(expr(s"${hex4U16("h")} % 100").cast("long")))
+    jaccardPairsOn(labeled, Some("split"))
       .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
       .orderBy("doc_a", "doc_b")
   }

@@ -56,6 +56,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("w2_top_n").contains("TakeOrderedAndProject"), "w2 regressed to a global sort")
   }
 
+  test("t33's split labels ride the shingle generator, never re-evaluated per candidate") {
+    // the candidate self-join must compare precomputed label ATTRIBUTES;
+    // an md5 inside any join condition means the label's defining
+    // expression was pushed into the hot comparison loop and re-runs per
+    // probed candidate (2 md5+hex decodes per compare — measured 2× the
+    // whole query before the generator-ride fix)
+    val joins = plan("t33_split_leakage").linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty)
+    joins.foreach(l => assert(!l.contains("md5"), s"label expr leaked into a join: $l"))
+  }
+
   test("v14's fuse avoids sort-merge everywhere and keeps the cosine arm broadcast") {
     // the two most expensive joins in the hybrid-retrieval plan: the
     // full-outer rank fuse must ride the (sort-free) shuffled hash join,
