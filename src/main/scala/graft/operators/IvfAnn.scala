@@ -278,15 +278,22 @@ object IvfAnn {
     val added = assignTo(centArr)(increment)
       .groupBy("cid")
       .agg(count(lit(1)).as("added"))
+    // FULL outer: a list can be all-arrivals (its residents migrated away
+    // in the fit's last Lloyd pass) — a left join would silently drop its
+    // arrivals from the ledger and break conservation. Growth over an
+    // empty list is NULL (defined identically in the oracle), not ∞.
     oldSizes
-      .join(added, Seq("cid"), "left")
+      .join(added, Seq("cid"), "full")
       .withColumn("added", coalesce(col("added"), lit(0L)))
+      .withColumn("old_size", coalesce(col("old_size"), lit(0L)))
       .select(
         col("cid").cast("long").as("cid"),
         col("old_size"),
         col("added"),
         (col("old_size") + col("added")).as("new_size"),
-        round(col("added") / col("old_size"), 6).as("growth")
+        when(col("old_size") === 0, lit(null).cast("double"))
+          .otherwise(round(col("added") / col("old_size"), 6))
+          .as("growth")
       )
       .orderBy("cid")
   }

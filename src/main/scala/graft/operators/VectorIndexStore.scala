@@ -143,6 +143,17 @@ object VectorIndexStore {
       .orderBy("query_id", "rnk")
   }
 
+  /** Project `df` onto `base`'s schema, null-filling payload columns the
+    * arrivals never carried — serving reads only (vec_id, embedding, qf,
+    * qn, cid), so extra base columns are metadata a batch needn't have. */
+  private def alignTo(base: DataFrame, df: DataFrame): DataFrame =
+    df.select(
+      base.columns.toIndexedSeq.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(base.schema(c).dataType).as(c)
+      }: _*
+    )
+
   /** Append an arriving batch to a persisted index WITHOUT refit —
     * [[IvfAnn.upsert]]'s contract made durable. The increment is assigned
     * to the STORED centroids (collected from the table, not refit),
@@ -157,14 +168,14 @@ object VectorIndexStore {
   def upsert(spark: SparkSession, table: String, increment: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val centArr = IvfAnn.collectCents(spark.table(s"${table}_centroids"))
-    IvfAnn
+    val indexed = IvfAnn
       .assignTo(centArr)(increment)
       .withColumn(
         "qf",
         call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
       )
       .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
-      .write
+    alignTo(spark.table(table), indexed).write
       .partitionBy("cid")
       .mode("append")
       .saveAsTable(table)
@@ -209,13 +220,7 @@ object VectorIndexStore {
   def compact(spark: SparkSession, table: String, deltaDir: String): Unit = {
     val base = spark.table(table)
     val delta = spark.read.parquet(deltaDir).drop("epoch")
-    val aligned = delta.select(
-      base.columns.toIndexedSeq.map { c =>
-        if (delta.columns.contains(c)) col(c)
-        else lit(null).cast(base.schema(c).dataType).as(c)
-      }: _*
-    )
-    aligned.write.partitionBy("cid").mode("append").saveAsTable(table)
+    alignTo(base, delta).write.partitionBy("cid").mode("append").saveAsTable(table)
     val p = new org.apache.hadoop.fs.Path(deltaDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }

@@ -1178,11 +1178,16 @@ object VectorOps {
        |${ivfAssign("cents2", "assignI", "increment")},
        |old AS (SELECT cid, count(*) AS old_size FROM assignE GROUP BY cid),
        |arr AS (SELECT cid, count(*) AS added FROM assignI GROUP BY cid)
-       |SELECT CAST(o.cid AS BIGINT) AS cid, old_size,
+       |-- FULL outer + NULL growth on empty lists, mirroring the Spark
+       |-- side: an all-arrivals list must stay in the ledger
+       |SELECT CAST(cid AS BIGINT) AS cid,
+       |  COALESCE(old_size, 0) AS old_size,
        |  COALESCE(added, 0) AS added,
-       |  old_size + COALESCE(added, 0) AS new_size,
-       |  round(CAST(COALESCE(added, 0) AS DOUBLE) / old_size, 6) AS growth
-       |FROM old o LEFT JOIN arr USING (cid) ORDER BY cid""".stripMargin
+       |  COALESCE(old_size, 0) + COALESCE(added, 0) AS new_size,
+       |  CASE WHEN COALESCE(old_size, 0) = 0 THEN NULL
+       |       ELSE round(CAST(COALESCE(added, 0) AS DOUBLE)
+       |                  / COALESCE(old_size, 0), 6) END AS growth
+       |FROM old FULL OUTER JOIN arr USING (cid) ORDER BY cid""".stripMargin
 
   private def duckDot(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65),

