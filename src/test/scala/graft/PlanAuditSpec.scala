@@ -20,11 +20,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // never acceptable; the intentional all-pairs baselines (v1/v2) and
     // the literal-table probes must all ride BroadcastNestedLoopJoin,
     // where the small side is broadcast by design.
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+    // Same sweep (plans are expensive to build — one pass serves both
+    // pins): no join CONDITION may carry a hash/regex expression. Catalyst
+    // happily substitutes a derived column's defining expression into a
+    // join condition, where it re-evaluates per COMPARISON — t33's split
+    // label cost 2 md5s per probed candidate that way (2× the query)
+    // until it was moved to ride the shingle generator.
+    val (cartesian, hashJoins) = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
-      if (p.contains("CartesianProduct")) Some(name) else None
-    }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+      val cart = if (p.contains("CartesianProduct")) Some(name) else None
+      val hash = p.linesIterator
+        .filter(_.contains("Join"))
+        .find(l => l.contains("md5") || l.contains("regexp") || l.contains("sha2"))
+        .map(l => s"$name: ${l.trim.take(160)}")
+      Seq(cart.map(Left(_)), hash.map(Right(_))).flatten
+    }.partitionMap(identity)
+    assert(cartesian.isEmpty, s"cartesian products in: $cartesian")
+    assert(hashJoins.isEmpty, s"hash/regex exprs inside join conditions:\n${hashJoins.mkString("\n")}")
   }
 
   test("IVF probe joins build on the broadcast probe side, never shuffling the index") {
