@@ -63,6 +63,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     // quality must be NULL and it must still be its own (only) member
     assert(t28(0L).isNullAt(3))
     assert(t28(0L).getBoolean(5) && t28(1L).getBoolean(5))
+    // t32 shares the same quality window: under desc_nulls_last the
+    // zero-token doc must rank BEHIND every real doc of its source
+    val t32 = TextOps
+      .queries("t32_source_caps")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(t32.length == 2)
+    val byId = t32.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 1L && byId(1L)._3.nonEmpty) // real doc ranks first
+    assert(byId(0L)._2 == 2L && byId(0L)._3.isEmpty)  // null quality ranks last
   }
 
   test("t13 chunk windows: stride-48/size-64 cover every token with 16-token overlap") {
