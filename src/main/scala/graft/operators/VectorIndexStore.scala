@@ -216,7 +216,15 @@ object VectorIndexStore {
     * identical before and after — a refit is the separate, rarer event
     * that drift schedules. Payload columns the arrivals never carried
     * (the base keeps its input schema) are null-filled: serving reads
-    * only (vec_id, embedding, qf, qn, cid). */
+    * only (vec_id, embedding, qf, qn, cid).
+    *
+    * Crash boundary, stated honestly: append-then-delete is two steps —
+    * a crash between them leaves rows in BOTH stores, and re-running
+    * compact would double them. Unlike the streaming delta (whose epoch
+    * layout makes replay idempotent), compaction wants a transactional
+    * table commit; on plain parquet, run it from a single maintenance
+    * job and verify the ledger (v20 new_size vs base counts) before
+    * deleting a delta by hand. */
   def compact(spark: SparkSession, table: String, deltaDir: String): Unit = {
     val base = spark.table(table)
     val delta = spark.read.parquet(deltaDir).drop("epoch")
