@@ -58,6 +58,22 @@ object TextOps {
   /** Tokens of a document (whitespace split, no empties). */
   private def toks: Column = F.wsTokens(col("text"))
 
+  /** The composite quality formula — ONE definition for every consumer
+    * (t1 scoring, t7's gate, t28 representative ranking, t32 capping):
+    * half non-stopword purity, half length saturation at 100 tokens.
+    * Raw form; 0/0 on a zero-token doc is the caller's edge to define. */
+  private def qualityExpr(nTokens: Column, nStop: Column): Column =
+    (lit(1.0) - nStop / nTokens) * 0.5 + least(lit(1.0), nTokens / 100.0) * 0.5
+
+  /** The ranking/reporting convention over [[qualityExpr]]: rounded to
+    * 6dp and NULL on zero tokens in BOTH engines (Spark's double 0/0 is
+    * NaN, DuckDB's NULL — and they sort differently under desc, so the
+    * edge must be defined identically; oracles carry the matching CASE).
+    * t7's gate deliberately stays on the raw form its oracle compares. */
+  private def qualityScore(nTokens: Column, nStop: Column): Column =
+    when(nTokens === 0, lit(null).cast("double"))
+      .otherwise(round(qualityExpr(nTokens, nStop), 6))
+
   /** Distinct hashed 3-word shingles per document with per-doc size and
     * ascending-hash rank: (doc_id, shingle: long, sz: int, rn: int).
     *
@@ -114,16 +130,7 @@ object TextOps {
         when(col("n_tokens") === 0, lit(null).cast("double"))
           .otherwise(col("n_stopwords") / col("n_tokens"))
       )
-      .withColumn(
-        "quality",
-        when(col("n_tokens") === 0, lit(null).cast("double")).otherwise(
-          round(
-            (lit(1.0) - col("stopword_ratio")) * 0.5 +
-              least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
-            6
-          )
-        )
-      )
+      .withColumn("quality", qualityScore(col("n_tokens"), col("n_stopwords")))
       .select(
         "doc_id", "n_tokens", "n_alnum_tokens", "token_chars",
         "n_stopwords", "avg_token_len", "stopword_ratio", "quality"
@@ -428,11 +435,7 @@ object TextOps {
         "n_stopwords",
         size(filter(toks, t => t === "the" || t === "a" || t === "of")).cast("long")
       )
-      .withColumn(
-        "quality",
-        (lit(1.0) - col("n_stopwords") / col("n_tokens")) * 0.5 +
-          least(lit(1.0), col("n_tokens") / 100.0) * 0.5
-      )
+      .withColumn("quality", qualityExpr(col("n_tokens"), col("n_stopwords")))
     val qualityPass = docs.filter(col("quality") >= 0.75)
     val canon = qualityPass
       .withColumn(
@@ -1143,15 +1146,7 @@ object TextOps {
       )
       .select(
         col("doc_id"),
-        // zero-token guard, t1's convention: NULL in both engines (Spark's
-        // 0/0 is NaN, DuckDB's NULL — and they sort differently under desc)
-        when(col("n_tokens") === 0, lit(null).cast("double")).otherwise(
-          round(
-            (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.5 +
-              least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
-            6
-          )
-        ).as("quality")
+        qualityScore(col("n_tokens"), col("n_stop")).as("quality")
       )
     // first_value over the ordered frame (unbounded preceding → current
     // row) resolves to the top-quality doc for EVERY row of the cluster —
@@ -1375,13 +1370,7 @@ object TextOps {
       .select(
         col("doc_id"),
         col("source"),
-        when(col("n_tokens") === 0, lit(null).cast("double")).otherwise(
-          round(
-            (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.5 +
-              least(lit(1.0), col("n_tokens") / 100.0) * 0.5,
-            6
-          )
-        ).as("quality")
+        qualityScore(col("n_tokens"), col("n_stop")).as("quality")
       )
     val w = Window
       .partitionBy("source")
@@ -1406,8 +1395,13 @@ object TextOps {
     * members land in different splits, with both split labels.
     *
     * Scale shape: adds ZERO joins and zero shuffles to t4 — the split is
-    * a pure function of doc_id (t14's md5 formula), so both labels are
-    * per-row expressions computed directly on the bounded pair set. */
+    * a pure function of doc_id (t14's md5 formula), computed ONCE PER
+    * DOCUMENT and carried through the shingle generator as an attribute
+    * ([[jaccardPairsOn]]), so the candidate join prunes cross-split pairs
+    * early on a plain column compare. Do NOT move the label expressions
+    * after the pair stage: Catalyst pushes them into the self-join
+    * condition, re-evaluating 2 md5s per candidate comparison (measured
+    * 2× the whole query; pinned against in PlanAuditSpec). */
   private def t33SplitLeakage(s: SparkSession, d: String): DataFrame = {
     def toSplit(bucket: Column): Column =
       when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")

@@ -86,8 +86,17 @@ object VectorIndexStore {
     // base may carry extra payload columns the arrivals never had
     val serving = Seq("vec_id", "embedding", "qf", "qn", "cid").map(col)
     val base = spark.table(table).select(serving: _*)
-    val delta = spark.read.parquet(deltaDir).select(serving: _*)
-    probeIndex(spark, s"${table}_centroids", base.unionByName(delta), queries)
+    // a missing or empty delta is a NORMAL lifecycle state (before the
+    // first micro-batch; right after compact clears it) — serve the base
+    // alone rather than failing schema inference on nothing
+    val root = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasDelta = fs.exists(root) &&
+      fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+    val index =
+      if (hasDelta) base.unionByName(spark.read.parquet(deltaDir).select(serving: _*))
+      else base
+    probeIndex(spark, s"${table}_centroids", index, queries)
   }
 
   private def probeIndex(
@@ -162,9 +171,16 @@ object VectorIndexStore {
     * untouched, so earlier probes stay valid and new rows become servable
     * by the very next probe.
     *
+    * Retry-safe: arrivals whose vec_id already sits in a touched list are
+    * dropped by an anti-join before the append, so a re-delivered batch
+    * (orchestrator retry, duplicate arrival file) is a no-op instead of
+    * seating the same neighbor twice in probe windows.
+    *
     * Scale shape: one k-row centroid read + the shuffle-free codegen
-    * argmin over the increment; the append writes only the partitions the
-    * arrivals land in. The resident 100 TB of lists are never read. */
+    * argmin over the increment; the append — and the retry guard's read —
+    * touch only the ≤k list partitions the arrivals land in (partition
+    * pruning on the collected arrival cids). The rest of the resident
+    * 100 TB of lists is never read. */
   def upsert(spark: SparkSession, table: String, increment: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val centArr = IvfAnn.collectCents(spark.table(s"${table}_centroids"))
@@ -175,10 +191,18 @@ object VectorIndexStore {
         call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
       )
       .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
-    alignTo(spark.table(table), indexed).write
+      .cache() // read twice: arrival-cid collect + the guarded append
+    val touchedCids = indexed.select("cid").distinct().collect().map(_.getInt(0))
+    val residents = spark
+      .table(table)
+      .filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
+      .select("vec_id")
+    val fresh = indexed.join(residents, Seq("vec_id"), "left_anti")
+    alignTo(spark.table(table), fresh).write
       .partitionBy("cid")
       .mode("append")
       .saveAsTable(table)
+    indexed.unpersist()
   }
 
   /** Idempotent delta writer for CONTINUOUS maintenance
@@ -218,18 +242,32 @@ object VectorIndexStore {
     * (the base keeps its input schema) are null-filled: serving reads
     * only (vec_id, embedding, qf, qn, cid).
     *
-    * Crash boundary, stated honestly: append-then-delete is two steps —
-    * a crash between them leaves rows in BOTH stores, and re-running
-    * compact would double them. Unlike the streaming delta (whose epoch
-    * layout makes replay idempotent), compaction wants a transactional
-    * table commit; on plain parquet, run it from a single maintenance
-    * job and verify the ledger (v20 new_size vs base counts) before
-    * deleting a delta by hand. */
+    * Safe against a LIVE writer: the epochs to fold are snapshotted
+    * FIRST, only those epochs' rows are appended, and only those epoch
+    * directories are deleted — a micro-batch landing a new epoch while
+    * compaction runs is untouched and simply waits for the next compact.
+    *
+    * Crash boundary, stated honestly: append-then-delete is still two
+    * steps — a crash between them leaves the folded epochs in BOTH
+    * stores, and re-running compact would double them. A transactional
+    * table commit is the real fix; on plain parquet, run compact from a
+    * single maintenance job and verify the ledger (v20 new_size vs base
+    * counts) before re-running after a crash. */
   def compact(spark: SparkSession, table: String, deltaDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val epochDirs = fs
+      .listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+    if (epochDirs.isEmpty) return
+    val epochs = epochDirs.map(_.getPath.getName.stripPrefix("epoch=").toLong)
     val base = spark.table(table)
-    val delta = spark.read.parquet(deltaDir).drop("epoch")
-    alignTo(base, delta).write.partitionBy("cid").mode("append").saveAsTable(table)
-    val p = new org.apache.hadoop.fs.Path(deltaDir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val folded = spark.read
+      .parquet(deltaDir)
+      .filter(col("epoch").isin(epochs.map(java.lang.Long.valueOf): _*))
+      .drop("epoch")
+    alignTo(base, folded).write.partitionBy("cid").mode("append").saveAsTable(table)
+    epochDirs.foreach(s => fs.delete(s.getPath, true))
   }
 }

@@ -209,9 +209,14 @@ object VectorOps {
         )
       ).as("bb")
     ).select(col("doc_id"), col("bb.band"), col("bb.bh"))
-      // pre-shuffle on the join key: the self-join's children become the
-      // identical exchange, so the minhash signature agg runs ONCE
-      // (ReuseExchange) instead of once per join side (v12b's pattern)
+      // pre-shuffle on the join key so the self-join runs
+      // shuffle-to-shuffle with no extra exchange per side. NOTE: unlike
+      // v12b/v5, ReuseExchange can NOT deduplicate the signature agg here
+      // — the shingle input is cached, and exchange subtrees over an
+      // InMemoryRelation do not canonicalize equal (the PlanAuditSpec
+      // reuse pin exempts v4 for exactly this). The duplicated side reads
+      // the CACHE, not the corpus, which is the same cost bound the reuse
+      // would give.
       .repartition(col("band"), col("bh"))
     val candPairs = banded
       .as("x")
@@ -692,13 +697,17 @@ object VectorOps {
     // via [[bandGeometry]] (one count() — a planning-time scalar, the same
     // class of action as IVF's centroid collect); explicit bands/bandBits
     // confs override; defaults stay the oracle's 16×8.
+    // precedence matches the contract above: explicit confs PIN a
+    // geometry even when auto is on (the repro/debug case), auto solves
+    // when nothing is pinned, defaults are the oracle's literals
+    val explicitBands = s.conf.getOption("spark.graft.v12b.bands").map(_.toInt)
+    val explicitBits = s.conf.getOption("spark.graft.v12b.bandBits").map(_.toInt)
     val (nBands, bandBits) =
-      if (s.conf.getOption("spark.graft.v12b.auto").exists(_.toBoolean))
-        bandGeometry(emb.count(), 0.9)
-      else (
-        s.conf.getOption("spark.graft.v12b.bands").map(_.toInt).getOrElse(16),
-        s.conf.getOption("spark.graft.v12b.bandBits").map(_.toInt).getOrElse(8)
-      )
+      if ((explicitBands.isEmpty || explicitBits.isEmpty) &&
+          s.conf.getOption("spark.graft.v12b.auto").exists(_.toBoolean)) {
+        val (ab, abb) = bandGeometry(emb.count(), 0.9)
+        (explicitBands.getOrElse(ab), explicitBits.getOrElse(abb))
+      } else (explicitBands.getOrElse(16), explicitBits.getOrElse(8))
     val cand = bandedCandidates(emb, nBands = nBands, bandBits = bandBits).cache()
     val degree = cand
       .select(col("id_a").as("vec_id"))
@@ -978,11 +987,16 @@ object VectorOps {
     // spark.graft.ivf.auto=true sizes the list count from the corpus count
     // (one planning-time count(), v12b.auto's convention); explicit
     // spark.graft.ivf.lists overrides; default stays the oracle's 16.
-    val nLists =
-      if (s.conf.getOption("spark.graft.ivf.auto").exists(_.toBoolean))
-        ivfListsFor(emb.count())
-      else
-        s.conf.getOption("spark.graft.ivf.lists").map(_.toInt).getOrElse(IvfAnn.k)
+    // explicit spark.graft.ivf.lists PINS the count even when auto is on
+    // (matching the v12b precedence); auto solves otherwise
+    val nLists = s.conf
+      .getOption("spark.graft.ivf.lists")
+      .map(_.toInt)
+      .getOrElse(
+        if (s.conf.getOption("spark.graft.ivf.auto").exists(_.toBoolean))
+          ivfListsFor(emb.count())
+        else IvfAnn.k
+      )
     knnGraph(emb, nLists)
   }
 

@@ -105,12 +105,19 @@ class StreamingIndexUpsertSpec extends AnyFunSuite {
       assert(combined == ledger)
 
       // compaction folds the delta into the base without changing a
-      // single probe answer, and clears the delta
+      // single probe answer, and clears the folded epochs (ONLY those —
+      // a concurrent writer's new epoch must survive, so the root stays)
       VectorIndexStore.compact(spark, "ivf_stream_t", deltaDir)
-      assert(!new java.io.File(deltaDir).exists())
+      val leftover = Option(new java.io.File(deltaDir).listFiles()).toSeq.flatten
+      assert(!leftover.exists(_.getName.startsWith("epoch=")), s"epochs survived: ${leftover.toList}")
       val compacted =
         VectorIndexStore.probe(spark, "ivf_stream_t", queries).collect().toSeq
       assert(compacted == batched)
+      // the empty-delta state is a normal lifecycle point: the base∪delta
+      // probe must keep serving (base-only fallback), identically
+      val postCompact =
+        VectorIndexStore.probeWithDelta(spark, "ivf_stream_t", deltaDir, queries).collect().toSeq
+      assert(postCompact == batched)
       val baseCounts = spark
         .table("ivf_stream_t")
         .groupBy("cid")

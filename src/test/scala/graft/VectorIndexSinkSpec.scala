@@ -83,6 +83,17 @@ class VectorIndexSinkSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(3))
         .toMap
       assert(stored == ledger)
+      // retry safety: re-delivering the same batch is a no-op (the
+      // anti-join guard drops already-seated vec_ids)
+      VectorIndexStore.upsert(spark, "ivf_upsert_t", increment)
+      val retried = spark
+        .table("ivf_upsert_t")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getInt(0).toLong -> r.getLong(1))
+        .toMap
+      assert(retried == stored, "a retried upsert duplicated rows")
       // refit never happened: the persisted centroids are byte-identical
       val centsAfter = spark
         .table("ivf_upsert_t_centroids")
