@@ -204,8 +204,18 @@ object TextOps {
     * condition, where it re-evaluates per candidate COMPARISON (t33's
     * md5-derived split label cost 2 md5+hex decodes per probed candidate
     * that way — measured 2× the whole query). With `label = None` this
-    * is operator-for-operator t4's pipeline. */
-  private def jaccardPairsOn(docs: DataFrame, label: Option[String]): DataFrame = {
+    * is operator-for-operator t4's pipeline.
+    *
+    * `pruneSameLabel` controls what the label MEANS: true (t33) makes it
+    * a blocking predicate — same-label pairs are cut before verification;
+    * false (t35) merely carries it, so downstream can aggregate over ALL
+    * pairs (including the same-label diagonal) without joining back to
+    * the corpus for the attribute. */
+  private def jaccardPairsOn(
+      docs: DataFrame,
+      label: Option[String],
+      pruneSameLabel: Boolean = true
+  ): DataFrame = {
     // Shingles carry a 64-bit fingerprint for the join/agg key — shuffling
     // longs, not strings; collision odds are ~n^2/2^65 (negligible even at
     // 100 TB shingle counts).
@@ -236,7 +246,10 @@ object TextOps {
     val basePred =
       col("a.doc_id") < col("b.doc_id") &&
         least(col("a.sz"), col("b.sz")) * 5 >= greatest(col("a.sz"), col("b.sz")) * 4
-    val pred = label.fold(basePred)(l => basePred && col(s"a.$l") =!= col(s"b.$l"))
+    val pred =
+      if (pruneSameLabel)
+        label.fold(basePred)(l => basePred && col(s"a.$l") =!= col(s"b.$l"))
+      else basePred
     val labelOut = label.toSeq.flatMap(l =>
       Seq(col(s"a.$l").as(s"${l}_a"), col(s"b.$l").as(s"${l}_b"))
     )
@@ -1413,7 +1426,61 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** BPE first-merge statistics — the pair-counting step a byte-pair-
+    * encoding tokenizer trainer runs each round: weight of every adjacent
+    * character pair inside a word, summed over the corpus, top-K merge
+    * candidates with a deterministic tiebreak (weight desc, pair asc).
+    *
+    * Scale shape: the classic BPE trick — pair counting runs over the
+    * word-frequency VOCAB, not the corpus. The corpus is touched by
+    * exactly one count shuffle (map-side combine bounds exchange rows by
+    * distinct-words-per-partition, and vocab grows ~sublinearly in corpus
+    * size by Heaps' law), then the char-pair explode + weighted sum run
+    * over vocab-sized input. Top-K is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  private def t34BpeMergeStats(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).as("pair"),
+        col("n")
+      )
+      .groupBy("pair")
+      .agg(sum("n").as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc)
+      .limit(50)
+  }
+
+  /** Cross-source near-duplicate overlap matrix — for every source pair
+    * (including the same-source diagonal), how many near-dup pairs (t4's
+    * exact Jaccard > 0.8) connect them. The provenance question behind
+    * mixture design: which sources mirror each other's content, and how
+    * much of a source's weight is another source in disguise.
+    *
+    * Scale shape: t35 adds ZERO joins to t4 — source rides the shingle
+    * generator as an attribute ([[jaccardPairsOn]] with pruning OFF, so
+    * the diagonal survives), and the matrix is one count shuffle over the
+    * already-bounded pair set onto at most |sources|² keys. The
+    * least/greatest canonicalization is a per-row expression. */
+  private def t35SourceOverlap(s: SparkSession, d: String): DataFrame =
+    jaccardPairsOn(Tables.documents(s, d), Some("source"), pruneSameLabel = false)
+      .select(
+        least(col("source_a"), col("source_b")).as("src_a"),
+        greatest(col("source_a"), col("source_b")).as("src_b")
+      )
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+
   val queries: Map[String, Q] = Map(
+    "t34_bpe_merge_stats" -> (t34BpeMergeStats _),
+    "t35_source_overlap" -> (t35SourceOverlap _),
     "t32_source_caps" -> (t32SourceCaps _),
     "t33_split_leakage" -> (t33SplitLeakage _),
     "t31_anti_clean" -> (t31AntiClean _),
@@ -1451,6 +1518,54 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "t34_bpe_merge_stats" ->
+      """WITH base AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> length(x) > 0) AS toks
+           FROM documents
+         ), words AS (
+           SELECT unnest(toks) AS w FROM base
+         ), vocab AS (
+           SELECT w, count(*) AS n FROM words GROUP BY w
+         ), pairs AS (
+           SELECT unnest(list_transform(range(1, length(w)),
+                                        i -> substr(w, i, 2))) AS pair, n
+           FROM vocab WHERE length(w) >= 2
+         )
+         SELECT pair, CAST(sum(n) AS BIGINT) AS weight
+         FROM pairs GROUP BY pair
+         ORDER BY weight DESC, pair LIMIT 50""",
+    // t4's pair CTEs verbatim, source carried per member, canonicalized
+    // with least/greatest so the matrix is order-free (diagonal included)
+    "t35_source_overlap" ->
+      """WITH words AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.source) AS sa, any_value(b.source) AS sb,
+             count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), pairs AS (
+           SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b
+           FROM inter
+           JOIN sizes za ON za.doc_id = doc_a
+           JOIN sizes zb ON zb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) > 0.8
+         )
+         SELECT src_a, src_b, count(*) AS n_pairs
+         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
     "t32_source_caps" ->
       """WITH base AS (
            SELECT doc_id, source,

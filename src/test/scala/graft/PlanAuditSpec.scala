@@ -66,6 +66,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // the GLOBAL top-n plans as the even cheaper TakeOrderedAndProject
     // (per-partition heap + merge — no global sort ever materializes)
     assert(plan("w2_top_n").contains("TakeOrderedAndProject"), "w2 regressed to a global sort")
+    // t34's merge-candidate top-K is the same contract: limit+order over
+    // the pair aggregate must never materialize a range-partitioned sort
+    assert(plan("t34_bpe_merge_stats").contains("TakeOrderedAndProject"),
+      "t34 regressed to a global sort")
   }
 
   test("t33's split labels ride the shingle generator, never re-evaluated per candidate") {
