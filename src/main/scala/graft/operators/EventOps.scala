@@ -39,24 +39,8 @@ object EventOps {
     * lag + running sum of boundary flags — all integer/μs arithmetic so the
     * oracle matches exactly. Partitioned by user: shuffles once on user_id,
     * scales linearly with users. */
-  private def e2Sessionize(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val gapUs = 30L * 60 * 1000000
-    val sessions = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
-      .withColumn(
-        "new_session",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
-          .otherwise(0L)
-      )
-      .withColumn(
-        "session_id",
-        sum("new_session").over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-      )
-    sessions
+  private def e2Sessionize(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -70,6 +54,77 @@ object EventOps {
         max("n_events").as("max_session_events")
       )
       .orderBy("user_id")
+
+  /** The shared sessionization frame: every event with its per-user
+    * session_id (30-min-gap sessions, e2's definition — windowed lag +
+    * running boundary-flag sum, all integer/μs arithmetic). Consumers:
+    * e2's per-user rollup, j10's session intervals. */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L)
+      )
+      .withColumn(
+        "session_id",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+  }
+
+  /** Interval-overlap join (range × range) — concurrent-session pairs:
+    * for every pair of DIFFERENT users, how many of their session pairs
+    * overlap in time. The one join shape the catalog's as-of family
+    * (j4/j5/j9: point-in-range) does not cover; the sessions-vs-sessions
+    * form is the "who was online simultaneously" audit.
+    *
+    * Scale shape: the canonical BINNED interval join. Each session
+    * explodes to the fixed-width time buckets it covers (1-day buckets;
+    * session length is gap-bounded so the fan-out is 1–2 buckets per
+    * session), the self-join runs as an EQUI-join on bucket — never the
+    * quadratic theta-join a naive overlap predicate plans as
+    * (BroadcastNestedLoopJoin) — and each overlapping pair is emitted
+    * exactly once WITHOUT a distinct: only the bucket containing
+    * max(start_a, start_b) reports it (that bucket is provably covered by
+    * both intervals, and is unique per pair). Per-bucket cost is the true
+    * concurrency density; the bucket width is the tuning knob. */
+  private def j10IntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val bucketUs = 86400L * 1000000 // 1 day
+    val iv = sessionized(s, d)
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+    // cached for its two self-join consumers (v4's pattern): the session
+    // build — scan + two windows — runs once, not once per join side
+    val binned = iv.select(
+      col("user_id"),
+      col("s_us"),
+      col("e_us"),
+      explode(
+        sequence(
+          expr(s"s_us div ${bucketUs}L"),
+          expr(s"e_us div ${bucketUs}L")
+        )
+      ).as("bucket")
+    ).cache()
+    binned
+      .as("a")
+      .join(
+        binned.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.user_id") < col("b.user_id") &&
+          col("a.s_us") <= col("b.e_us") && col("b.s_us") <= col("a.e_us") &&
+          col("a.bucket") ===
+            expr(s"greatest(a.s_us, b.s_us) div ${bucketUs}L")
+      )
+      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("user_a", "user_b")
   }
 
   /** JSON property extraction from the `props` column (S4-adjacent: JSON
@@ -481,6 +536,7 @@ object EventOps {
     "e6_retention_cohorts" -> (e6RetentionCohorts _),
     "e1_weekly_activity" -> (e1WeeklyActivity _),
     "e2_sessionize" -> (e2Sessionize _),
+    "j10_interval_overlap" -> (j10IntervalOverlap _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_funnel" -> (e4Funnel _),
     "e5_approx_distinct" -> (e5ApproxDistinct _)
@@ -706,6 +762,35 @@ object EventOps {
            CAST(sum(span_us) AS BIGINT) AS total_span_us,
            max(n_events) AS max_session_events
          FROM per_session GROUP BY user_id ORDER BY user_id""",
+    // e2's session CTEs verbatim + the naive overlap self-join the binned
+    // equi-join must exactly reproduce (count at session-pair grain)
+    "j10_interval_overlap" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+         ), flagged AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ), sessioned AS (
+           SELECT user_id, us,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM flagged
+         ), iv AS (
+           SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+           FROM sessioned GROUP BY user_id, session_id
+         )
+         SELECT a.user_id AS user_a, b.user_id AS user_b,
+           count(*) AS n_overlaps
+         FROM iv a JOIN iv b
+           ON a.user_id < b.user_id
+          AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "e3_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          count(*) AS n_events,

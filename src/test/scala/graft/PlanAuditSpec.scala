@@ -72,6 +72,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "t34 regressed to a global sort")
   }
 
+  test("j10's interval overlap joins on the bucket key, never a nested loop") {
+    // a naive range-overlap predicate has no equi-key and plans as
+    // BroadcastNestedLoopJoin — quadratic row-pair work. The binning
+    // rewrite must keep an equi-join on bucket.
+    val p = plan("j10_interval_overlap")
+    assert(!p.contains("NestedLoop"), s"j10 regressed to a nested-loop join:\n$p")
+    assert(p.contains("Join"), "j10 lost its join entirely")
+  }
+
   test("t33's split labels ride the shingle generator, never re-evaluated per candidate") {
     // the candidate self-join must compare precomputed label ATTRIBUTES;
     // an md5 inside any join condition means the label's defining
