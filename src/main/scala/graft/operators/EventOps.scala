@@ -95,12 +95,24 @@ object EventOps {
     * both intervals, and is unique per pair). Per-bucket cost is the true
     * concurrency density; the bucket width is the tuning knob. */
   private def j10IntervalOverlap(s: SparkSession, d: String): DataFrame = {
-    val bucketUs = 86400L * 1000000 // 1 day
     val iv = sessionized(s, d)
       .groupBy("user_id", "session_id")
       .agg(min("us").as("s_us"), max("us").as("e_us"))
-    // cached for its two self-join consumers (v4's pattern): the session
-    // build — scan + two windows — runs once, not once per join side
+    intervalOverlapPairs(iv, 86400L * 1000000) // 1-day buckets
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("user_a", "user_b")
+  }
+
+  /** The binned-join pair stage over an arbitrary interval frame
+    * (user_id, s_us, e_us) — factored so IntervalJoinSpec can certify
+    * binned == naive on adversarial intervals (multi-bucket spans,
+    * touching endpoints, zero length) that real session data never
+    * produces. Emits one row per overlapping interval pair with both
+    * endpoint sets. */
+  private[graft] def intervalOverlapPairs(iv: DataFrame, bucketUs: Long): DataFrame = {
+    // cached for its two self-join consumers (v4's pattern): the interval
+    // build upstream runs once, not once per join side
     val binned = iv.select(
       col("user_id"),
       col("s_us"),
@@ -122,9 +134,14 @@ object EventOps {
           col("a.bucket") ===
             expr(s"greatest(a.s_us, b.s_us) div ${bucketUs}L")
       )
-      .groupBy(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"))
-      .agg(count(lit(1)).as("n_overlaps"))
-      .orderBy("user_a", "user_b")
+      .select(
+        col("a.user_id").as("user_a"),
+        col("a.s_us").as("s_a"),
+        col("a.e_us").as("e_a"),
+        col("b.user_id").as("user_b"),
+        col("b.s_us").as("s_b"),
+        col("b.e_us").as("e_b")
+      )
   }
 
   /** JSON property extraction from the `props` column (S4-adjacent: JSON
