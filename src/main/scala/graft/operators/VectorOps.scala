@@ -1038,7 +1038,85 @@ object VectorOps {
       .orderBy("vec_id", "rnk")
   }
 
+  /** v21 — the k-means FIT itself as a declared, per-vector-certified
+    * output: the final Lloyd assignment (vec_id → cid) for the whole
+    * corpus plus each cluster's population. Every IVF consumer
+    * (v6/v10/v16/v17/v20, the index store) runs on this fit but is
+    * certified only through the probe lens — the top-k survivors a query
+    * happens to touch. This row hash-checks every individual assignment
+    * against the unrolled-Lloyd DuckDB oracle, so a drifted centroid or a
+    * flipped near-tie ANYWHERE in the corpus turns the row red: the
+    * training-stage certificate the serving-stage rows assume.
+    *
+    * At 100 TB: identical code path to the index build — bounded model
+    * fit (k×64-float centroid table collected to the driver), shuffle-free
+    * codegen argmin assignment while the scan streams, and ONE keyed
+    * shuffle on cid for the population window. Corpus-grain output. */
+  private def v21KmeansFit(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
+    val wc = Window.partitionBy("cid")
+    IvfAnn
+      .assignTo(centArr)(emb)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .withColumn("cluster_n", count(lit(1)).over(wc))
+      .orderBy("vec_id")
+  }
+
+  /** v22 — PageRank-style centrality over the v17 k-NN graph (the
+    * graph-curation signal: which documents sit at the semantic core of
+    * the corpus vs its periphery). Three power iterations, damping 0.85,
+    * over the directed kNN edge set with per-node out-degree.
+    *
+    * All arithmetic is INTEGER-SCALED (ranks are BIGINT units of 1e-12):
+    * floating-point summation order differs between Spark's partial aggs
+    * and DuckDB's, so a double-typed rank would hash-flake at round()
+    * boundaries — integer contributions (per-edge floor division, then an
+    * exact BIGINT sum) are reorder-proof by construction, the same trick
+    * the t27 entropy and e7 rolling windows use. Mass ≤ 1e12 and factors
+    * ≤ 85 keep every intermediate < 2^63.
+    *
+    * At 100 TB: the edge list is built once (cached here; persisted
+    * storage in production) partitioned by src, and each iteration is the
+    * Pregel shape — one keyed join of the rank vector on src, one keyed
+    * re-aggregation on dst. Nothing is ever collected; iteration count is
+    * fixed (3), so the lineage is bounded without checkpointing. */
+  private def v22GraphPagerank(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val n = emb.count() // planning-time scalar, ivf.auto's convention
+    val scale = 1000000000000L
+    val r0 = scale / n
+    val base = 15L * r0 / 100L
+    val edges = knnGraph(emb)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one shuffle on src builds both deg and the join; cached because the
+    // rank loop re-reads it every iteration (disk-persisted at scale)
+    val edgesD = edges.join(deg, "src").cache()
+    val verts = emb.select(col("vec_id"))
+    var ranks = verts.withColumn("pr", lit(r0))
+    (1 to 3).foreach { _ =>
+      val summed = edgesD
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+        .withColumnRenamed("dst", "vec_id")
+      ranks = verts
+        .join(summed, Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          (lit(base) + expr("(85 * coalesce(s, bigint(0))) div 100")).as("pr")
+        )
+    }
+    ranks.orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v21_kmeans_fit" -> (v21KmeansFit _),
+    "v22_graph_pagerank" -> (v22GraphPagerank _),
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
     "v17_knn_graph" -> (v17KnnGraph _),
@@ -1332,6 +1410,69 @@ object VectorOps {
        |SELECT src_id AS vec_id, rnk, nbr_id AS neighbor_id
        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
+  /** v21: the v6 fit CTEs, then the full-corpus final assignment with a
+    * per-cluster population window — every vector's cid is in the hash. */
+  private val v21Oracle: String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+       |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+       |${ivfAssign("cents2", "indexed")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+       |  count(*) OVER (PARTITION BY cid) AS cluster_n
+       |FROM indexed ORDER BY vec_id""".stripMargin
+
+  /** One integer PageRank iteration as a CTE: per-edge floor-divided
+    * contribution, exact BIGINT sum per destination, damped with `//` —
+    * the same truncating integer ops the Spark side runs, so the result
+    * is bit-identical regardless of either engine's summation order. */
+  private def prIter(prev: String, name: String): String =
+    s"""$name AS (
+       |  SELECT v.vec_id,
+       |    (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+       |      + (85 * COALESCE(s.s, 0)) // 100 AS pr
+       |  FROM verts v LEFT JOIN (
+       |    SELECT k.dst AS vec_id, sum(r.pr // d.outdeg) AS s
+       |    FROM knn k JOIN deg d USING (src) JOIN $prev r ON r.vec_id = k.src
+       |    GROUP BY k.dst
+       |  ) s USING (vec_id)
+       |)""".stripMargin
+
+  /** v22: the v17 edge CTEs, then 3 unrolled integer power iterations. */
+  private val v22Oracle: String =
+    s"""WITH seeds AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+       |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+       |${ivfAssign("cents2", "indexed")},
+       |probes AS (
+       |  SELECT src_id, qe, cid FROM (
+       |    SELECT e.vec_id AS src_id, e.embedding AS qe, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents2 c
+       |  ) WHERE rn <= 4
+       |), edges AS (
+       |  SELECT p.src_id, i.vec_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY p.src_id
+       |      ORDER BY ${duckDot("p.qe", "i.embedding")}
+       |            / (sqrt(${duckDot("p.qe", "p.qe")})
+       |             * sqrt(${duckDot("i.embedding", "i.embedding")})) DESC,
+       |        i.vec_id ASC) AS rnk
+       |  FROM probes p JOIN indexed i USING (cid)
+       |  WHERE i.vec_id <> p.src_id
+       |), knn AS (
+       |  SELECT src_id AS src, nbr_id AS dst FROM edges WHERE rnk <= 3
+       |), deg AS (SELECT src, count(*) AS outdeg FROM knn GROUP BY src),
+       |verts AS (SELECT vec_id FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |r0 AS (
+       |  SELECT vec_id, 1000000000000 // (SELECT n FROM nn) AS pr FROM verts
+       |), ${prIter("r0", "r1")}, ${prIter("r1", "r2")}, ${prIter("r2", "r3")}
+       |SELECT vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
+
   /** v4 SEMI-oracle. The banding stage uses xxhash64 (not reproducible in
     * DuckDB), but the VERIFICATION stage is exact Jaccard on candidates —
     * and the emitted pair set equals the exact t4 pair set whenever no
@@ -1543,6 +1684,8 @@ object VectorOps {
            , 6) END AS cos_keep
          FROM qn ORDER BY vec_id""",
     "v17_knn_graph" -> v17Oracle,
+    "v21_kmeans_fit" -> v21Oracle,
+    "v22_graph_pagerank" -> v22Oracle,
     "v11_ann_pq" -> v11Oracle,
     "v5_simhash" -> v5Oracle,
     "v3_ann_lsh" -> v3Oracle,

@@ -64,4 +64,39 @@ class GraphOpsSpec extends AnyFunSuite {
       .toMap
     assert(got.size == 60 && got.values.forall(_ == 0L))
   }
+
+  test("v22 integer-scaled pagerank tracks the double recurrence within 1e-6") {
+    // the BIGINT scaling exists for cross-engine hash determinism, not to
+    // change semantics: each per-edge floor loses < 1e-12 of mass, so
+    // after 3 damped iterations the scaled ranks must sit on top of the
+    // exact double-precision recurrence
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val edges = graft.operators.VectorOps
+      .knnGraph(emb)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val verts = emb.select("vec_id").collect().map(_.getLong(0))
+    val n = verts.length
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    var rank = verts.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      edges.foreach { case (s0, d0) => contrib(d0) += rank(s0) / outdeg(s0) }
+      rank = verts.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
+    }
+    val got = SparkEntry
+      .queries("v22_graph_pagerank")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.keySet == verts.toSet, "vertex set mismatch")
+    verts.foreach { v =>
+      assert(
+        math.abs(got(v) / 1e12 - rank(v)) < 1e-6,
+        s"node $v: scaled=${got(v) / 1e12} exact=${rank(v)}"
+      )
+    }
+  }
 }

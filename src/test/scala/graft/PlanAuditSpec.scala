@@ -209,6 +209,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keyedExchanges == 1, s"j9 grew extra keyed exchanges ($keyedExchanges):\n$p")
   }
 
+  test("v21's fit assignment plans join-free: codegen argmin, one keyed window") {
+    // the whole-corpus assignment must stay the shuffle-free codegen
+    // argmin (graft_pq_encode against the collected centroid literal) —
+    // any join node here means the assignment regressed to the old
+    // crossJoin-the-centroids shape that shuffles |corpus|×k rows
+    val p = plan("v21_kmeans_fit")
+    assert(!p.contains("Join"), s"v21 assignment grew a join:\n$p")
+    assert(
+      p.contains("Exchange hashpartitioning(cid"),
+      s"v21 population window lost its cid keying:\n$p"
+    )
+  }
+
+  test("v22's edge list is built once and cached across rank iterations") {
+    // three power iterations re-read the kNN edges; without the cache the
+    // whole IVF fit + probe + rank pipeline (the most expensive subplan
+    // in the catalog) would replay per iteration
+    val p = plan("v22_graph_pagerank")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"v22 edges not cached:\n$p")
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
