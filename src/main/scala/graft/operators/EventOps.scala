@@ -542,7 +542,44 @@ object EventOps {
       .map { case (w, l) => s"($l, ${w}::BIGINT)" }
       .mkString(", ")
 
+  /** e14 — EXACT distinct rollup from STORED mergeable partials: e12's
+    * pattern (daily per-key state merged into weekly answers without
+    * rescanning raw events) with the error bar removed. HLL is only
+    * needed when the id SET is too big to carry; for integer id domains
+    * a paged bitmap ([[graft.functions.Bitmap64]]) carries the exact set
+    * in O(touched-pages) bytes — OR is lossless union, popcount is the
+    * answer, and the result is plain-oracle-checkable (no split-column
+    * semi-oracle, no rank gate: the count IS count(DISTINCT)).
+    *
+    * At 100 TB: daily (day, event_type) bitmaps are the stored state —
+    * kilobytes per key for clustered id spaces — and any date-range
+    * distinct query is answered by OR-ing partials. Both stages are
+    * keyed aggs with map-side combine (each executor ships one bitmap
+    * per group, never rows); nothing driver-side. The e12 trade in
+    * reverse: choose HLL when ids are unbounded/sparse, the bitmap when
+    * exactness matters and ids are dense — this catalog now carries
+    * both, certified. */
+  private def e14BitmapRollup(s: SparkSession, d: String): DataFrame = {
+    val build = udaf(new graft.functions.BitmapBuildAggregator)
+    val mergeCount = udaf(new graft.functions.BitmapMergeCountAggregator)
+    val daily = Tables
+      .events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(build(col("user_id")).as("bm"))
+    daily
+      .groupBy(
+        date_trunc("week", col("day")).cast("date").as("week_start"),
+        col("event_type")
+      )
+      .agg(
+        mergeCount(col("bm")).as("exact_users"),
+        count(lit(1)).as("n_daily_partials")
+      )
+      .orderBy("week_start", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e14_bitmap_rollup" -> (e14BitmapRollup _),
     "e13_trending_ewma" -> (e13TrendingEwma _),
     "e12_sketch_rollup" -> (e12SketchRollup _),
     "e11_quantile_sketch" -> (e11QuantileSketch _),
@@ -560,6 +597,14 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the whole point of the bitmap partial: the merged answer is EXACT,
+    // so the oracle is plain count(DISTINCT) — no semi-oracle machinery
+    "e14_bitmap_rollup" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_daily_partials
+         FROM events GROUP BY 1, 2 ORDER BY week_start, event_type""",
     // exact-integer decayed sum: the weight table is the same Scala value
     // rendered as literals, so no pow() on either engine; score13 anchors
     // the hash, trend is a display division of an exact integer

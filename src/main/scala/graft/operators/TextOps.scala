@@ -1478,7 +1478,61 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("src_a", "src_b")
 
+  /** t36 — corpus snapshot diff: the incremental-pipeline primitive that
+    * turns "re-run everything" into "process what moved". Two snapshot
+    * views of `documents` (prior = doc_id%13≠0; current = doc_id%7≠0 with
+    * every doc_id%11=0 text revised — deterministic stand-ins for two
+    * crawl dates) are content-hashed and full-outer-joined on doc_id;
+    * each doc classifies as added / removed / changed / unchanged, and
+    * the report aggregates per (source, status) with char volume.
+    *
+    * Scale shape: hashes are computed scan-side (one md5 per row, inside
+    * codegen, NEVER in the join condition — the t33 lesson, swept by
+    * PlanAuditSpec), the FOJ is one co-partitioned shuffle per side on
+    * doc_id, and the report is a keyed agg onto |sources|×4 keys with
+    * map-side combine. No broadcast anywhere: both snapshots are
+    * corpus-sized, which is exactly when snapshot diffing matters. */
+  private def t36CorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prior = docs
+      .filter(col("doc_id") % 13 =!= 0)
+      .select(
+        col("doc_id"),
+        col("source").as("source_a"),
+        md5(col("text")).as("h_a"),
+        col("n_chars").as("chars_a")
+      )
+    val current = docs
+      .filter(col("doc_id") % 7 =!= 0)
+      .withColumn(
+        "text2",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))
+      )
+      .select(
+        col("doc_id"),
+        col("source").as("source_b"),
+        md5(col("text2")).as("h_b"),
+        col("n_chars").as("chars_b")
+      )
+    prior
+      .join(current, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source_b"), col("source_a")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged")
+          .as("status"),
+        coalesce(col("chars_b"), col("chars_a")).as("chars")
+      )
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("n_chars"))
+      .orderBy("source", "status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t36_corpus_diff" -> (t36CorpusDiff _),
     "t34_bpe_merge_stats" -> (t34BpeMergeStats _),
     "t35_source_overlap" -> (t35SourceOverlap _),
     "t32_source_caps" -> (t32SourceCaps _),
@@ -1537,6 +1591,26 @@ object TextOps {
          ORDER BY weight DESC, pair LIMIT 50""",
     // t4's pair CTEs verbatim, source carried per member, canonicalized
     // with least/greatest so the matrix is order-free (diagonal included)
+    "t36_corpus_diff" ->
+      """WITH prior AS (
+           SELECT doc_id, source, md5(text) AS h, n_chars
+           FROM documents WHERE doc_id % 13 <> 0
+         ), curr AS (
+           SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 11 = 0
+                      THEN text || ' [rev2]' ELSE text END) AS h,
+             n_chars
+           FROM documents WHERE doc_id % 7 <> 0
+         )
+         SELECT COALESCE(c.source, p.source) AS source,
+           CASE WHEN p.h IS NULL THEN 'added'
+                WHEN c.h IS NULL THEN 'removed'
+                WHEN p.h <> c.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs,
+           sum(COALESCE(c.n_chars, p.n_chars)) AS n_chars
+         FROM prior p FULL OUTER JOIN curr c USING (doc_id)
+         GROUP BY 1, 2 ORDER BY source, status""",
     "t35_source_overlap" ->
       """WITH words AS (
            SELECT doc_id, source,
