@@ -192,16 +192,108 @@ object Multimodal {
 
 /** Declared-query wiring for the multimodal surface. */
 object MultimodalOps {
+
+  /** m4 — chunk-fingerprint media dedup: the backup/rsync-style binary
+    * near-duplicate detector. Each payload splits into fixed 64-byte
+    * chunks; chunk hashes are the blocking key (t4's shingle recipe on
+    * bytes instead of words — fixed-size chunking as the deterministic
+    * stand-in for content-defined chunking, which only moves the
+    * boundaries); pairs sharing ≥ 50% of the smaller side's chunk SET are
+    * emitted with their containment ratio. Exact duplicates fall out as
+    * ratio = 1.0; partial overlap (shared prefix, embedded copy) shows as
+    * fractional — the signal a media pipeline stores per asset.
+    *
+    * Scale shape (all t4/t5 machinery): chunk df-cap via
+    * [[graft.operators.TextOps.stopFingerprints]] drops degenerate
+    * chunks shared by > 32 assets (boilerplate headers — the byte
+    * analogue of stopwords), so candidate pairs are bounded per chunk;
+    * one keyed join on the chunk hash, one pair-count shuffle. Payload
+    * bytes are read once in the scan stage; only 16-byte hashes travel. */
+  def chunkDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val chunkSize = 64
+    val dfCap = 32
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val chunks = Multimodal
+      .withPayload(docs)
+      .select(
+        col("media_id"),
+        col("payload"),
+        explode(
+          sequence(
+            lit(0),
+            expr(s"greatest((length(payload) + ${chunkSize - 1}) div $chunkSize, 1)") - 1
+          )
+        ).as("i")
+      )
+      .select(
+        col("media_id"),
+        md5(expr(s"substring(payload, i * $chunkSize + 1, $chunkSize)")).as("h")
+      )
+      .distinct()
+    val sizes = chunks.groupBy("media_id").agg(count(lit(1)).as("nch"))
+    val (rare, _) = graft.operators.TextOps.stopFingerprints(
+      chunks.select(col("media_id").as("doc_id"), col("h").as("fp")),
+      dfCap
+    )
+    val blocked = chunks.join(rare.withColumnRenamed("fp", "h"), "h")
+    val pairs = blocked
+      .select(col("h"), col("media_id").as("id_a"))
+      .join(blocked.select(col("h"), col("media_id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("media_id").as("id_a"), col("nch").as("nch_a")), "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("nch").as("nch_b")), "id_b")
+      .withColumn(
+        "ratio",
+        round(col("shared").cast("double") / least(col("nch_a"), col("nch_b")), 6)
+      )
+      .filter(
+        col("shared").cast("double") / least(col("nch_a"), col("nch_b")) >= 0.5
+      )
+      .select("id_a", "id_b", "shared", "ratio")
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
-    "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d))
+    "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d)),
+    "m4_chunk_dedup" -> ((s, d) => chunkDedupQuery(s, d))
   )
 
   /** The stub decoder is pure arithmetic over payload bytes, so the oracle
     * reproduces it in SQL (strlen = UTF-8 byte count in DuckDB; the corpus
     * is ASCII so ascii(first char) == first byte). */
   val oracles: Map[String, String] = Map(
+    // the payload is the UTF-8 text bytes (ASCII corpus), so substr on
+    // text == the binary chunk slice and md5 agrees byte-for-byte; the
+    // CAST to DOUBLE keeps DuckDB's decimal arithmetic out of the ratio
+    "m4_chunk_dedup" ->
+      """WITH chunks AS (
+           SELECT DISTINCT doc_id AS media_id,
+             md5(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS h
+           FROM documents,
+             unnest(range(0, greatest((strlen(text) + 63) // 64, 1)))
+               AS t(i)
+         ), sizes AS (
+           SELECT media_id, count(*) AS nch FROM chunks GROUP BY media_id
+         ), dfc AS (SELECT h, count(*) AS c FROM chunks GROUP BY h),
+         rare AS (SELECT h FROM dfc WHERE c <= 32),
+         pairs AS (
+           SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+           FROM chunks a JOIN rare USING (h) JOIN chunks b USING (h)
+           WHERE a.media_id < b.media_id
+           GROUP BY 1, 2
+         )
+         SELECT id_a, id_b, shared,
+           round(CAST(shared AS DOUBLE) / least(sa.nch, sb.nch), 6) AS ratio
+         FROM pairs
+         JOIN sizes sa ON sa.media_id = id_a
+         JOIN sizes sb ON sb.media_id = id_b
+         WHERE CAST(shared AS DOUBLE) / least(sa.nch, sb.nch) >= 0.5
+         ORDER BY id_a, id_b""",
     "m1_multimodal_meta" ->
       """WITH meta AS (
            SELECT doc_id, strlen(text) AS n, ascii(substr(text, 1, 1)) AS f

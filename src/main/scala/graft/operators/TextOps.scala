@@ -1531,7 +1531,50 @@ object TextOps {
       .orderBy("source", "status")
   }
 
+  /** t37 — vocabulary growth profile (the Heaps-law curve): cumulative
+    * token count vs cumulative DISTINCT type count over ten corpus
+    * prefixes in doc_id order — the tokenizer-sizing input ("how fast
+    * does the vocabulary still grow?") and the dataset-freshness signal
+    * (a flattening curve means new data is stale rephrasings).
+    *
+    * The exact cumulative distinct is computed WITHOUT any triangular
+    * self-join over tokens: a type counts for prefix b iff its FIRST
+    * occurrence bucket ≤ b, so one token-keyed min-bucket agg turns the
+    * cumulative-distinct series into a 10-row histogram, and the running
+    * sums are a broadcast theta-join over those 10 rows. At 100 TB the
+    * corpus is touched by exactly two keyed aggs (per-bucket token
+    * counts; per-type min bucket — both map-side combined); everything
+    * after is driver-scale. The bucket split is a pure doc_id expression
+    * against a planning-time max(doc_id) scalar (v22's convention). */
+  private def t37VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val tokens = docs
+      .withColumn("bucket", expr(s"doc_id * 10 div ${maxId + 1}"))
+      .select(col("bucket"), explode(toks).as("tok"))
+    val perBucket = tokens.groupBy("bucket").agg(count(lit(1)).as("n_tok"))
+    val newTypes = tokens
+      .groupBy("tok")
+      .agg(min("bucket").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_new"))
+    val spine = perBucket.select(col("bucket").as("b"))
+    val cumTok = spine
+      .join(broadcast(perBucket), col("bucket") <= col("b"))
+      .groupBy("b")
+      .agg(sum("n_tok").as("cum_tokens"))
+    val cumTyp = spine
+      .join(broadcast(newTypes), col("bucket") <= col("b"))
+      .groupBy("b")
+      .agg(sum("n_new").as("cum_types"))
+    cumTok
+      .join(cumTyp, "b")
+      .select(col("b").as("bucket"), col("cum_tokens"), col("cum_types"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t37_vocab_growth" -> (t37VocabGrowth _),
     "t36_corpus_diff" -> (t36CorpusDiff _),
     "t34_bpe_merge_stats" -> (t34BpeMergeStats _),
     "t35_source_overlap" -> (t35SourceOverlap _),
@@ -1591,6 +1634,28 @@ object TextOps {
          ORDER BY weight DESC, pair LIMIT 50""",
     // t4's pair CTEs verbatim, source carried per member, canonicalized
     // with least/greatest so the matrix is order-free (diagonal included)
+    // the cumulative-distinct identity (type counts for prefix b iff
+    // min-bucket ≤ b) reproduced verbatim; DuckDB runs the running sums
+    // as windows — the 10-row terminal stage where that is free
+    "t37_vocab_growth" ->
+      """WITH tok AS (
+           SELECT doc_id * 10 // ((SELECT max(doc_id) + 1 FROM documents))
+               AS bucket,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS tok
+           FROM documents
+         ), per AS (
+           SELECT bucket, count(*) AS n_tok FROM tok GROUP BY bucket
+         ), firstb AS (
+           SELECT tok, min(bucket) AS bucket FROM tok GROUP BY tok
+         ), newt AS (
+           SELECT bucket, count(*) AS n_new FROM firstb GROUP BY bucket
+         )
+         SELECT p.bucket,
+           sum(p.n_tok) OVER (ORDER BY p.bucket) AS cum_tokens,
+           sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.bucket) AS cum_types
+         FROM per p LEFT JOIN newt n USING (bucket)
+         ORDER BY p.bucket""",
     "t36_corpus_diff" ->
       """WITH prior AS (
            SELECT doc_id, source, md5(text) AS h, n_chars

@@ -231,6 +231,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"v22 edges not cached:\n$p")
   }
 
+  test("t36's snapshot diff is one co-partitioned full-outer merge join") {
+    // both snapshots are corpus-sized by definition, so the only
+    // acceptable plan is SMJ FullOuter over keyed exchanges — a nested
+    // loop (or any broadcast of a snapshot) dies at scale
+    val p = plan("t36_corpus_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"t36 lost its full-outer merge join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"t36 planned a nested loop:\n$p")
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
