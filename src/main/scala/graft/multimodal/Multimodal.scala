@@ -210,11 +210,20 @@ object MultimodalOps {
     * one keyed join on the chunk hash, one pair-count shuffle. Payload
     * bytes are read once in the scan stage; only 16-byte hashes travel. */
   def chunkDedupQuery(spark: SparkSession, dir: String): DataFrame = {
-    val chunkSize = 64
-    val dfCap = 32
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val chunks = Multimodal
-      .withPayload(docs)
+    chunkPairs(Multimodal.withPayload(docs))
+  }
+
+  /** The m4 pipeline over any (media_id, payload) frame — factored out so
+    * specs can feed adversarial fixtures (embedded copies, chunk-aligned
+    * prefixes) the planted corpus never produces. */
+  private[graft] def chunkPairs(
+      media: DataFrame,
+      chunkSize: Int = 64,
+      dfCap: Int = 32,
+      minRatio: Double = 0.5
+  ): DataFrame = {
+    val chunks = media
       .select(
         col("media_id"),
         col("payload"),
@@ -250,7 +259,7 @@ object MultimodalOps {
         round(col("shared").cast("double") / least(col("nch_a"), col("nch_b")), 6)
       )
       .filter(
-        col("shared").cast("double") / least(col("nch_a"), col("nch_b")) >= 0.5
+        col("shared").cast("double") / least(col("nch_a"), col("nch_b")) >= minRatio
       )
       .select("id_a", "id_b", "shared", "ratio")
       .orderBy("id_a", "id_b")

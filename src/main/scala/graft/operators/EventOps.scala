@@ -578,7 +578,43 @@ object EventOps {
       .orderBy("week_start", "event_type")
   }
 
+  /** e15 — exact SLIDING-window distinct from the e14 partials: trailing
+    * 7-day active users per day, computed by replicating each day's
+    * BITMAP across the ≤7 window rows it contributes to and OR-merging
+    * per window. e7 computes the same answer by replicating the
+    * (user, day) STREAM 7× before a countDistinct — row-grain work 7×
+    * the corpus. Here the 7× replication applies to one kilobyte-scale
+    * partial per day: at 100 TB the raw events are touched once (the
+    * daily bitmap build e14 already stores), and every sliding window
+    * after that is partial-merge work independent of corpus size — the
+    * thing neither counts (non-additive) nor row replication (7× scans)
+    * can give. Exactness is what the bitmap buys over HLL unions.
+    *
+    * Answer parity with e7's wau_7d column is the oracle (same trailing
+    * window, same hi-edge clip), plus n_partials = merged days. */
+  private def e15SlidingDistinct(s: SparkSession, d: String): DataFrame = {
+    val build = udaf(new graft.functions.BitmapBuildAggregator)
+    val mergeCount = udaf(new graft.functions.BitmapMergeCountAggregator)
+    val daily = Tables
+      .events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(build(col("user_id")).as("bm"))
+    val hi = daily.agg(max("day").as("hi"))
+    daily
+      .select(col("day"), col("bm"), explode(sequence(lit(0), lit(6))).as("o"))
+      .withColumn("as_of", date_add(col("day"), col("o")))
+      .crossJoin(broadcast(hi))
+      .filter(col("as_of") <= col("hi"))
+      .groupBy("as_of")
+      .agg(
+        mergeCount(col("bm")).as("wau_7d"),
+        count(lit(1)).as("n_partials")
+      )
+      .orderBy("as_of")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e15_sliding_distinct" -> (e15SlidingDistinct _),
     "e14_bitmap_rollup" -> (e14BitmapRollup _),
     "e13_trending_ewma" -> (e13TrendingEwma _),
     "e12_sketch_rollup" -> (e12SketchRollup _),
@@ -732,6 +768,23 @@ object EventOps {
                      / sqrt((n * sumsq - s * s) / (n * (n - 1))), 6)
            END) > 2.0, false) AS is_anomaly
          FROM win ORDER BY event_type, day""",
+    // e7's trailing window reproduced at the DAY grain: the distinct
+    // count is over users, the partial count over contributing days
+    "e15_sliding_distinct" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         ), b AS (
+           SELECT max(day) AS hi FROM ud
+         ), fan AS (
+           SELECT user_id, day, day + CAST(o AS INTEGER) AS as_of
+           FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+         )
+         SELECT as_of,
+           count(DISTINCT user_id) AS wau_7d,
+           count(DISTINCT day) AS n_partials
+         FROM fan CROSS JOIN b
+         WHERE as_of <= hi
+         GROUP BY as_of ORDER BY as_of""",
     "e7_rolling_active" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

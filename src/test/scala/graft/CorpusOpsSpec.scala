@@ -272,4 +272,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     val n = TextOps.queries("t10_decontaminate")(spark, sf).count()
     assert(n > 0)
   }
+
+  test("t37 cumulative type counts equal brute-force prefix distincts") {
+    // the min-first-bucket identity vs the definition it replaces:
+    // distinct types over every doc_id prefix, computed naively
+    val sf = "/root/testdata/sf0.001"
+    val got = TextOps
+      .queries("t37_vocab_growth")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.sources.Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val maxId = docs.map(_._1).max
+    def bucket(id: Long) = id * 10 / (maxId + 1)
+    def tokens(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    got.foreach { case (b, cumTok, cumTyp) =>
+      val prefix = docs.filter(d => bucket(d._1) <= b)
+      val toks = prefix.flatMap(d => tokens(d._2))
+      assert(cumTok == toks.length.toLong, s"bucket $b token count")
+      assert(cumTyp == toks.distinct.length.toLong, s"bucket $b type count")
+    }
+    assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+  }
 }

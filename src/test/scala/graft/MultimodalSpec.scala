@@ -72,4 +72,35 @@ class MultimodalSpec extends AnyFunSuite {
     // the scan feeding decode() must read doc_id + text only
     assert(!plan.contains("lang") && !plan.contains("source"))
   }
+
+  test("m4 chunk dedup finds exact copies, embedded copies, and ignores disjoint blobs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // chunk-aligned fixtures (chunkSize=8 for readability):
+    //  1,2: exact copies                      -> ratio 1.0
+    //  3:   blob 1 embedded at a chunk boundary inside noise
+    //       -> containment 1.0 on the smaller side
+    //  4:   shares exactly half its chunks with 3's noise  -> ratio 0.5
+    //  5:   disjoint                          -> no pair
+    val b1 = "AAAAAAAABBBBBBBB" // chunks {A8, B8}
+    val noise = "CCCCCCCCDDDDDDDD"
+    val media = Seq(
+      (1L, b1),
+      (2L, b1),
+      (3L, b1 + noise), // {A8, B8, C8, D8}
+      (4L, noise),      // {C8, D8} -> vs 3: shared 2, least nch 2 -> 1.0
+      (5L, "EEEEEEEEFFFFFFFF")
+    ).toDF("media_id", "payload_s")
+      .select(col("media_id"), col("payload_s").cast("binary").as("payload"))
+    val got = graft.multimodal.MultimodalOps
+      .chunkPairs(media, chunkSize = 8, dfCap = 32, minRatio = 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got((1L, 2L)) == ((2L, 1.0)), "exact copy pair")
+    assert(got((1L, 3L)) == ((2L, 1.0)), "embedded copy containment")
+    assert(got((2L, 3L)) == ((2L, 1.0)))
+    assert(got((3L, 4L)) == ((2L, 1.0)), "suffix containment")
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "disjoint blob paired")
+  }
 }
