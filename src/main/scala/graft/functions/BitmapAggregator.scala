@@ -95,6 +95,85 @@ object Bitmap64 {
     }
     n
   }
+
+  /** |A ∩ B| directly on two SERIALIZED bitmaps: pages are sorted by
+    * index in the canonical form, so a single merge walk ANDs matching
+    * pages with zero deserialization or allocation — the shape the
+    * codegen path calls per row. AND-with-self is cardinality. */
+  def andCountBytes(a: Array[Byte], b: Array[Byte]): Long = {
+    require(
+      a.length % PageBytes == 0 && b.length % PageBytes == 0,
+      s"corrupt bitmap partial: ${a.length}/${b.length} bytes"
+    )
+    val ba = ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val (na, nb) = (a.length / PageBytes, b.length / PageBytes)
+    var (i, j) = (0, 0)
+    var n = 0L
+    while (i < na && j < nb) {
+      val pa = ba.getLong(i * PageBytes)
+      val pb = bb.getLong(j * PageBytes)
+      if (pa < pb) i += 1
+      else if (pb < pa) j += 1
+      else {
+        var w = 0
+        while (w < WordsPerPage) {
+          n += java.lang.Long.bitCount(
+            ba.getLong(i * PageBytes + 8 + w * 8) &
+              bb.getLong(j * PageBytes + 8 + w * 8)
+          )
+          w += 1
+        }
+        i += 1; j += 1
+      }
+    }
+    n
+  }
+}
+
+/** `graft_bitmap_and_count(bitmap, bitmap) -> bigint` — exact |A ∩ B|
+  * over two serialized [[Bitmap64]] partials as a native expression:
+  * intersections are the set operation unions (e14/e15) can't express,
+  * and they unlock retention/overlap analytics directly on stored
+  * partials. Codegen emits one static call into the merge-walk above —
+  * no boxing, no per-row driver logic; evaluated on partial-grain rows
+  * (weeks × weeks), never the raw stream. */
+case class BitmapAndCount(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression
+) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_and_count expects two binary arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})"
+      )
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_bitmap_and_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    Bitmap64.andCountBytes(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"${ev.value} = graft.functions.Bitmap64.andCountBytes($a, $b);"
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): BitmapAndCount = copy(left = newLeft, right = newRight)
 }
 
 /** Stage-1 aggregator: raw ids → serialized bitmap partial (the STORED

@@ -334,6 +334,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => MmrSelect(exprs(0), 8, 0.7),
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_and_count",
+      (exprs: Seq[Expression]) => BitmapAndCount(exprs(0), exprs(1)),
+      "built-in"
+    )
   }
 }
 

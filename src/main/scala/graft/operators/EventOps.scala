@@ -613,7 +613,42 @@ object EventOps {
       .orderBy("as_of")
   }
 
+  /** e16 — cohort retention from bitmap INTERSECTIONS: for every ordered
+    * week pair, how many of week_a's actives are still active in week_b.
+    * Completes the partial-set algebra: e14 unions partials (rollup),
+    * e15 slides the union, e16 intersects — |A∩B| is the operation a
+    * count or an HLL sketch fundamentally cannot answer from stored
+    * state (inclusion-exclusion on HLLs compounds error), and the reason
+    * to store SETS rather than numbers.
+    *
+    * The intersection runs in the native `graft_bitmap_and_count`
+    * expression (one codegen'd merge walk over the two canonical
+    * serialized forms — AND-with-self doubles as cardinality, so n_a
+    * needs no second aggregator). At 100 TB the raw stream is touched
+    * once by the weekly bitmap build; the pair frame is |weeks|² rows of
+    * kilobyte partials — driver-scale work over stored state. */
+  private def e16CohortRetention(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val build = udaf(new graft.functions.BitmapBuildAggregator)
+    val weekly = Tables
+      .events(s, d)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(build(col("user_id")).as("bm"))
+    val a = weekly.select(col("week").as("week_a"), col("bm").as("bm_a"))
+    val b = weekly.select(col("week").as("week_b"), col("bm").as("bm_b"))
+    a.join(broadcast(b), col("week_a") <= col("week_b"))
+      .select(
+        col("week_a"),
+        col("week_b"),
+        call_function("graft_bitmap_and_count", col("bm_a"), col("bm_a")).as("n_a"),
+        call_function("graft_bitmap_and_count", col("bm_a"), col("bm_b")).as("n_both")
+      )
+      .withColumn("retention", round(col("n_both").cast("double") / col("n_a"), 6))
+      .orderBy("week_a", "week_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e16_cohort_retention" -> (e16CohortRetention _),
     "e15_sliding_distinct" -> (e15SlidingDistinct _),
     "e14_bitmap_rollup" -> (e14BitmapRollup _),
     "e13_trending_ewma" -> (e13TrendingEwma _),
@@ -768,6 +803,31 @@ object EventOps {
                      / sqrt((n * sumsq - s * s) / (n * (n - 1))), 6)
            END) > 2.0, false) AS is_anomaly
          FROM win ORDER BY event_type, day""",
+    // ordered week pairs from the spine LEFT JOIN the co-active counts,
+    // so a pair with zero common users still appears (bitmap AND = 0)
+    "e16_cohort_retention" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events
+         ), na AS (SELECT week, count(*) AS n_a FROM uw GROUP BY week),
+         pairs AS (
+           SELECT a.week AS week_a, b.week AS week_b
+           FROM na a JOIN na b ON a.week <= b.week
+         ), co AS (
+           SELECT x.week AS week_a, y.week AS week_b, count(*) AS n_both
+           FROM uw x JOIN uw y
+             ON x.user_id = y.user_id AND x.week <= y.week
+           GROUP BY 1, 2
+         )
+         SELECT p.week_a, p.week_b, na.n_a,
+           COALESCE(co.n_both, 0) AS n_both,
+           round(CAST(COALESCE(co.n_both, 0) AS DOUBLE) / na.n_a, 6)
+             AS retention
+         FROM pairs p
+         JOIN na ON na.week = p.week_a
+         LEFT JOIN co ON co.week_a = p.week_a AND co.week_b = p.week_b
+         ORDER BY p.week_a, p.week_b""",
     // e7's trailing window reproduced at the DAY grain: the distinct
     // count is over users, the partial count over contributing days
     "e15_sliding_distinct" ->

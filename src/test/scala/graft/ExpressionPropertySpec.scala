@@ -239,4 +239,38 @@ class ExpressionPropertySpec extends AnyFunSuite {
     assert(misses() == 0L, "codegen path produced a false negative")
     assert(interpretedOff(misses()) == 0L, "interpreted path produced a false negative")
   }
+
+  test("graft_bitmap_and_count: codegen == interpreted == reference intersections") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.Bitmap64
+    val r = new scala.util.Random(23)
+    // adversarial shapes: overlapping clusters, disjoint far pages,
+    // page-boundary ids, one empty bitmap, self-intersection
+    def randSet(): Set[Long] =
+      (Seq.fill(r.nextInt(200))(r.nextInt(9000).toLong) ++
+        Seq.fill(r.nextInt(20))(r.nextLong(1L << 40)) ++
+        Seq(4095L, 4096L).filter(_ => r.nextBoolean())).toSet
+    val cases = Seq.tabulate(100)(i => (i, randSet(), randSet())) ++
+      Seq((100, Set.empty[Long], randSet()), (101, Set.empty[Long], Set.empty[Long]))
+    def bytes(s: Set[Long]) =
+      Bitmap64.serialize(s.foldLeft(Map.empty: Bitmap64.Pages)(Bitmap64.add))
+    val df = cases
+      .map { case (id, a, b) => (id, bytes(a), bytes(b)) }
+      .toDF("id", "a", "b")
+      .select(
+        col("id"),
+        call_function("graft_bitmap_and_count", col("a"), col("b")).as("n"),
+        call_function("graft_bitmap_and_count", col("a"), col("a")).as("card")
+      )
+    def run(): Map[Int, (Long, Long)] =
+      df.collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val gen = run()
+    val interp = interpretedOff(run())
+    cases.foreach { case (id, a, b) =>
+      val expected = (a & b).size.toLong
+      assert(gen(id)._1 == expected, s"codegen id=$id: ${gen(id)._1} != $expected")
+      assert(interp(id)._1 == expected, s"interp id=$id")
+      assert(gen(id)._2 == a.size.toLong, s"self-AND cardinality id=$id")
+    }
+  }
 }
