@@ -951,7 +951,20 @@ object TextOps {
       .select(col("doc_id").as("eval_id"), col("shingle"), col("sz").as("sz_e"))
       .cache()
     val bloom = ev.stat.bloomFilter("shingle", math.max(ev.count(), 1L), 0.01)
-    sh.filter(col("doc_id") % 10 =!= 0)
+    bloomDecontaminatePairs(sh.filter(col("doc_id") % 10 =!= 0), ev, bloom)
+  }
+
+  /** The t19 verify stage over any corpus-side shingle rows — factored so
+    * the streaming form ([[graft.streaming.StreamingDecontaminate]]) can
+    * run the IDENTICAL plan per micro-batch against the once-built eval
+    * cache + bloom. `ev` must be the cached eval shingle rows; `bloom`
+    * the filter fitted on them. */
+  private[graft] def bloomDecontaminatePairs(
+      corpusSh: DataFrame,
+      ev: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter
+  ): DataFrame =
+    corpusSh
       .filter(graft.functions.BloomMightContainLong(bloom, col("shingle")))
       .join(broadcast(ev), "shingle")
       .groupBy("doc_id", "eval_id")
@@ -964,7 +977,6 @@ object TextOps {
       .filter(col("jaccard") > 0.8)
       .select("doc_id", "eval_id", "inter", "jaccard")
       .orderBy("doc_id", "eval_id")
-  }
 
   /** TF-IDF top terms per document — the classic term-weighting pass
     * (keyword extraction / near-dup feature vectors / relevance scoring).
