@@ -20,23 +20,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw nanosecond long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-    * TimestampType with integer division — `div`, not `/`: epoch-nanos
-    * (~1.7e18) exceed double's 53-bit mantissa, so float division would
-    * corrupt timestamps. Floor(ns/1000) matches how engines with native
-    * nanos truncate to micros.
+  /** `events.ts` has shipped in two physical shapes across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as a raw nanosecond long via
+    * `spark.sql.legacy.parquet.nanosAsLong` and floor-divide to micros;
+    * `div`, not `/`, because epoch-nanos ~1.7e18 exceed double's 53-bit
+    * mantissa) and plain timestamp[us] without timezone (read as
+    * TIMESTAMP_NTZ). Normalize BOTH to TimestampType: all sessions here run
+    * with `spark.sql.session.timeZone=UTC`, so the NTZ wall clock maps to
+    * the same epoch micros DuckDB's `epoch_us(ts)` reports — the oracle
+    * contract every events query depends on.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn(
-        "ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")
-        )
-      )
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
