@@ -1585,7 +1585,147 @@ object TextOps {
       .orderBy("bucket")
   }
 
+  /** t38 — per-document contamination SCORE: the fraction of a training
+    * document's distinct shingles that appear anywhere in the eval set,
+    * with a clean/partial/contaminated verdict. Refines the family:
+    * t10 scores doc-PAIR Jaccard (which eval doc leaked), t19 answers a
+    * boolean membership probe (is any shingle shared), t38 grades each
+    * TRAINING doc on a continuous scale — the n-gram-overlap
+    * decontamination rule the GPT-3/PaLM data cards describe, where docs
+    * above a high overlap bar are dropped and mid-range ones get
+    * spot-review rather than a hard yes/no.
+    *
+    * 100 TB shape: the eval shingle set is small by definition (eval
+    * suites, not corpora) → broadcast; training shingles stream out of
+    * the pipelined Generate and meet it in a broadcast LEFT join (hit
+    * marker, no fanout — both sides of the join key are per-doc
+    * DISTINCT), then ONE doc_id-keyed agg with map-side combine. The
+    * corpus is never shuffled on content, only on its own primary grain.
+    */
+  private def t38ContaminationScore(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, d))
+    val ev = sh
+      .filter(col("doc_id") % 10 === 0)
+      .select("shingle")
+      .distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(ev), Seq("shingle"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hits"))
+      .withColumn("overlap", col("n_hits") / col("n_shingles"))
+      .withColumn(
+        "verdict",
+        when(col("overlap") >= 0.8, "contaminated")
+          .when(col("overlap") >= 0.2, "partial")
+          .otherwise("clean")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Candidate vocabulary sizes for t39's coverage curve. Tiny here
+    * because the synthetic corpus has a tiny type inventory; production
+    * sizing uses the same frontier at 8k..256k — the heap bound below
+    * scales with max(sizes), not the corpus. */
+  private val t39Sizes = Seq(1, 2, 4, 8, 16, 32, 64)
+
+  /** t39 — vocabulary COVERAGE curve: token coverage achieved by keeping
+    * only the top-K most frequent types, for each candidate vocab size K
+    * — the Zipf-side tokenizer-sizing input ("what fraction of running
+    * tokens does a K-entry vocab explain?"), complementing t37's
+    * Heaps-side curve ("how fast do new types keep arriving?"). The knee
+    * of this curve is where BPE vocab budgets are set.
+    *
+    * The exact frontier WITHOUT a global sort: the corpus is touched by
+    * one vocab keyed agg (map-side combined; vocab is corpus-sublinear by
+    * Heaps' law), and the top-max(K) frequency boundary is selected by
+    * orderBy+limit, which plans as TakeOrderedAndProject — per-partition
+    * bounded heaps, merge at the driver, no exchange-wide sort (pinned,
+    * PlanAuditSpec). Running sums then run on that ≤64-row terminal
+    * frame where a window is free (t37's convention). The grand total is
+    * a planning-time broadcast scalar. Ties break on (count desc, token)
+    * so the K-boundary is deterministic in both engines. */
+  private def t39VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables
+      .documents(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum("n")).head.getLong(0)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    vocab
+      .orderBy(col("n").desc, col("tok"))
+      .limit(t39Sizes.max)
+      .withColumn("vocab_size", row_number().over(w))
+      .withColumn(
+        "cum_tokens",
+        sum("n").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .filter(col("vocab_size").isin(t39Sizes: _*))
+      .select(
+        col("vocab_size"),
+        col("cum_tokens"),
+        (col("cum_tokens") / lit(total.toDouble)).as("coverage")
+      )
+      .orderBy("vocab_size")
+  }
+
+  /** t40 — perplexity-BUCKET mixing (CCNet's head/middle/tail split):
+    * per language, documents are terciled by their t20 LM score and the
+    * corpus report shows what each bucket holds — the curation split
+    * where "head" feeds pretraining, "middle" gets a second look, and
+    * "tail" is dropped or down-weighted.
+    *
+    * The tercile boundaries are EXACT but never sort the corpus: scores
+    * bin at 2dp into a BOUNDED per-language histogram (a few hundred
+    * bins), boundaries come from integer running sums over that
+    * histogram (windows over bins, not documents — the t37 terminal-
+    * frame rule), and the bin→bucket map broadcasts back onto the
+    * corpus. Whole bins share a bucket, so ties at a boundary land
+    * deterministically on the bin, not on row order — the semantics that
+    * make the split reproducible across engines and partitionings.
+    * Thresholds use the integer identity cum ≤ ceil(k·n/3) ⇔
+    * 3·cum ≤ k·n + 2 — no division anywhere. Binning keys off the
+    * hash-certified ROUNDED t20 score, so both engines bin identically.
+    * Corpus-scale work: t20's aggs + one doc_id-keyed lang join + one
+    * (lang, bin)-keyed histogram agg + a broadcast bucket-map join. */
+  private def t40PerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = t20BigramLm(s, d).select("doc_id", "n_bigrams", "avg_logp")
+    val docs = Tables.documents(s, d).select("doc_id", "lang")
+    val binned = scored
+      .join(docs, "doc_id")
+      .withColumn("bin", floor(col("avg_logp") * 100).cast("long"))
+    val hist = binned.groupBy("lang", "bin").agg(count(lit(1)).as("n_bin"))
+    val wDesc = Window
+      .partitionBy("lang")
+      .orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = hist
+      .withColumn("cum_ge", sum("n_bin").over(wDesc))
+      .withColumn("n_lang", sum("n_bin").over(Window.partitionBy("lang")))
+      .withColumn(
+        "bucket",
+        when(col("cum_ge") * 3 <= col("n_lang") + 2, "head")
+          .when(col("cum_ge") * 3 <= col("n_lang") * 2 + 2, "middle")
+          .otherwise("tail")
+      )
+      .select("lang", "bin", "bucket")
+    binned
+      .join(broadcast(bounds), Seq("lang", "bin"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        min("avg_logp").as("min_logp"),
+        max("avg_logp").as("max_logp")
+      )
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t40_perplexity_buckets" -> (t40PerplexityBuckets _),
+    "t38_contamination_score" -> (t38ContaminationScore _),
+    "t39_vocab_coverage" -> (t39VocabCoverage _),
     "t37_vocab_growth" -> (t37VocabGrowth _),
     "t36_corpus_diff" -> (t36CorpusDiff _),
     "t34_bpe_merge_stats" -> (t34BpeMergeStats _),
@@ -1627,6 +1767,112 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // t20's model CTEs verbatim; boundaries from integer running sums
+    // over the (lang, bin) histogram with the same ceil identity
+    // (3·cum ≤ k·n + 2); whole bins share a bucket so boundary ties are
+    // bin-deterministic in both engines
+    "t40_perplexity_buckets" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), grams AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS g
+           FROM words WHERE len(w) >= 2
+         ), bi AS (
+           SELECT g, count(*) AS c_bi FROM grams GROUP BY g
+         ), ctx AS (
+           SELECT split_part(g, ' ', 1) AS c, sum(c_bi) AS c_ctx
+           FROM bi GROUP BY 1
+         ), model AS (
+           SELECT g, c_bi, c_ctx
+           FROM bi JOIN ctx ON split_part(bi.g, ' ', 1) = ctx.c
+         ), scored AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(ln(CAST(c_bi AS DOUBLE) / c_ctx)), 6) AS avg_logp
+           FROM grams JOIN model USING (g)
+           GROUP BY doc_id
+         ), binned AS (
+           SELECT s.doc_id, s.n_bigrams, s.avg_logp, d.lang,
+             CAST(floor(s.avg_logp * 100) AS BIGINT) AS bin
+           FROM scored s JOIN documents d USING (doc_id)
+         ), hist AS (
+           SELECT lang, bin, count(*) AS n_bin FROM binned GROUP BY lang, bin
+         ), bounds AS (
+           SELECT lang, bin,
+             CASE WHEN 3 * cum_ge <= n_lang + 2 THEN 'head'
+                  WHEN 3 * cum_ge <= 2 * n_lang + 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM (
+             SELECT lang, bin,
+               sum(n_bin) OVER (PARTITION BY lang ORDER BY bin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ge,
+               sum(n_bin) OVER (PARTITION BY lang) AS n_lang
+             FROM hist)
+         )
+         SELECT b.lang, bo.bucket, count(*) AS n_docs,
+           CAST(sum(b.n_bigrams) AS BIGINT) AS n_bigrams,
+           min(b.avg_logp) AS min_logp, max(b.avg_logp) AS max_logp
+         FROM binned b JOIN bounds bo ON b.lang = bo.lang AND b.bin = bo.bin
+         GROUP BY 1, 2 ORDER BY b.lang, bo.bucket""",
+    // t10's shingle CTEs verbatim; the LEFT join keeps zero-hit docs and
+    // count(ev.shingle) counts non-null matches only — both sides of the
+    // join are per-doc DISTINCT so the join never fans out
+    "t38_contamination_score" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), ev AS (
+           SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+         ), tr AS (
+           SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0
+         ), scored AS (
+           SELECT tr.doc_id,
+             count(*) AS n_shingles,
+             count(ev.shingle) AS n_hits
+           FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+           GROUP BY tr.doc_id
+         )
+         SELECT doc_id, n_shingles, n_hits,
+           CAST(n_hits AS DOUBLE) / n_shingles AS overlap,
+           CASE WHEN CAST(n_hits AS DOUBLE) / n_shingles >= 0.8
+                  THEN 'contaminated'
+                WHEN CAST(n_hits AS DOUBLE) / n_shingles >= 0.2
+                  THEN 'partial'
+                ELSE 'clean' END AS verdict
+         FROM scored ORDER BY doc_id""",
+    // same (count desc, token) tie-break; DuckDB runs the running sum as
+    // a window over the whole vocab — the terminal-frame shortcut Spark
+    // takes via TakeOrderedAndProject is plan shape, not semantics
+    "t39_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0)) AS tok
+           FROM documents
+         ), vocab AS (
+           SELECT tok, count(*) AS n FROM tok GROUP BY tok
+         ), ranked AS (
+           SELECT
+             row_number() OVER (ORDER BY n DESC, tok) AS vocab_size,
+             sum(n) OVER (ORDER BY n DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM vocab
+         ), total AS (SELECT sum(n) AS t FROM vocab)
+         SELECT vocab_size, CAST(cum AS BIGINT) AS cum_tokens,
+           CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS coverage
+         FROM ranked, total
+         WHERE vocab_size IN (1, 2, 4, 8, 16, 32, 64)
+         ORDER BY vocab_size""",
     "t34_bpe_merge_stats" ->
       """WITH base AS (
            SELECT list_filter(string_split_regex(trim(text), '\s+'),

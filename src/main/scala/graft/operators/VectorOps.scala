@@ -80,6 +80,92 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** Sweep values for v23 — the nProbe candidates a serving team would
+    * choose between (the declared v6 default sits in the middle). */
+  private val v23Probes = Seq(1, 2, 4, 8)
+
+  /** v23 — IVF TUNING sweep: the recall/cost frontier over nProbe values
+    * in ONE pass, per sweep point (n_probe, n_candidates, n_hits,
+    * recall). v19 monitors the recall of the deployed config; v23 is the
+    * operator that PICKS the config — "which nProbe buys which recall at
+    * which scan cost" — rerun whenever the corpus distribution drifts.
+    *
+    * One pass, not |sweep| queries: candidates are fetched ONCE at
+    * max(nProbe) with their probe RANK kept (posexplode of the sorted
+    * centroid-distance slice), and each candidate replays into every
+    * sweep point with n_probe >= its rank (bounded ≤|sweep|× fanout of
+    * the already-probe-bounded candidate set — never a corpus rescan).
+    * The exact reference side is v1's plan over the broadcast query
+    * sample only. The index side never shuffles (broadcast probes, v6's
+    * contract); per-point top-5 is a (qid, n_probe)-partitioned window
+    * over probe-bounded groups. Integer n_candidates/n_hits anchor the
+    * cross-engine hash; recall is a display division. */
+  private def v23ProbeSweep(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
+    val indexed = IvfAnn.assignTo(centArr)(emb)
+    val queries = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probed = queries
+      .select(
+        col("*"),
+        posexplode(
+          slice(
+            array_sort(array(IvfAnn.distStructs(centArr, col("qe")): _*)),
+            1,
+            v23Probes.max
+          )
+        ).as(Seq("pos", "p"))
+      )
+      .withColumn("cid", col("p.cid"))
+      .withColumn("probe_rank", col("pos") + 1)
+      .drop("p", "pos")
+    val cand = broadcast(probed)
+      .join(indexed, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("embedding")) /
+          (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
+            sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+      )
+    val sweep = cand.withColumn(
+      "n_probe",
+      explode(filter(typedlit(v23Probes), p => p >= col("probe_rank")))
+    )
+    val nCand = sweep
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_candidates"))
+    val w = Window.partitionBy("qid", "n_probe").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = v1AnnBruteforce(s, d)
+      .select(
+        col("query_id").as("qid"),
+        col("neighbor_id").as("vec_id"),
+        lit(1L).as("hit")
+      )
+    val nHits = sweep
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .join(exact, Seq("qid", "vec_id"), "left")
+      .groupBy("n_probe")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+    // recall denominator is the DECLARED sample (10 queries x top-5), a
+    // fixed constant in both engines — deriving it from surviving qids
+    // would silently shrink the denominator for a query whose probed
+    // lists contain nothing but itself
+    nCand
+      .join(nHits, Seq("n_probe"))
+      .select(
+        col("n_probe"),
+        col("n_candidates"),
+        col("n_hits"),
+        (col("n_hits") / lit(50.0)).as("recall")
+      )
+      .orderBy("n_probe")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (the
     * embedding-space analogue of Jaccard dedup). Pair pruning by id order;
     * all pairs scored in double precision. */
@@ -1115,6 +1201,7 @@ object VectorOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "v23_probe_sweep" -> (v23ProbeSweep _),
     "v21_kmeans_fit" -> (v21KmeansFit _),
     "v22_graph_pagerank" -> (v22GraphPagerank _),
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
@@ -1944,6 +2031,57 @@ object VectorOps {
            score
          FROM sel ORDER BY query_id, rnk""",
     "v1_ann_bruteforce" -> v1Oracle,
+    // v6's index CTEs with probes widened to max(sweep) and the probe
+    // RANK kept; each candidate replays into every sweep point with
+    // n_probe >= its rank; the exact side is v1's construction verbatim.
+    // Integer n_candidates/n_hits anchor the hash; the denominator is the
+    // declared 10x5 sample as a literal in both engines.
+    "v23_probe_sweep" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+         |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+         |${ivfAssign("cents2", "indexed")},
+         |probes AS (
+         |  SELECT qid, qe, cid, rn AS probe_rank FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents2 c
+         |    WHERE e.vec_id < 10
+         |  ) WHERE rn <= 8
+         |), sweep AS (
+         |  SELECT p.qid, p.qe, p.cid, s.n_probe
+         |  FROM probes p
+         |  JOIN (VALUES (1), (2), (4), (8)) s(n_probe)
+         |    ON s.n_probe >= p.probe_rank
+         |), cand AS (
+         |  SELECT sweep.qid, sweep.n_probe, i.vec_id,
+         |    ${duckDot("qe", "embedding")}
+         |      / (sqrt(${duckDot("qe", "qe")})
+         |       * sqrt(${duckDot("embedding", "embedding")})) AS cos
+         |  FROM sweep JOIN indexed i USING (cid)
+         |  WHERE i.vec_id <> sweep.qid
+         |), ncand AS (
+         |  SELECT n_probe, count(*) AS n_candidates FROM cand GROUP BY n_probe
+         |), top AS (
+         |  SELECT qid, n_probe, vec_id FROM (
+         |    SELECT qid, n_probe, vec_id,
+         |      row_number() OVER (PARTITION BY qid, n_probe
+         |                         ORDER BY cos DESC, vec_id ASC) AS rnk
+         |    FROM cand
+         |  ) WHERE rnk <= 5
+         |), hits AS (
+         |  SELECT t.n_probe, count(e.neighbor_id) AS n_hits
+         |  FROM top t LEFT JOIN ($v1Oracle) e
+         |    ON e.query_id = t.qid AND e.neighbor_id = t.vec_id
+         |  GROUP BY t.n_probe
+         |)
+         |SELECT n.n_probe, n.n_candidates, h.n_hits,
+         |  CAST(h.n_hits AS DOUBLE) / 50.0 AS recall
+         |FROM ncand n JOIN hits h USING (n_probe)
+         |ORDER BY n_probe""".stripMargin,
     // composition of the two factored oracles: recall@5 is a left join of
     // the exact result against the probed result — n_hits (a count) anchors
     // the hash, recall is a display division of it

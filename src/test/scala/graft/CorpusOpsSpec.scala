@@ -297,4 +297,88 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     assert(got.nonEmpty && got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
   }
+
+  test("t38 grades a verbatim eval copy contaminated and disjoint text clean") {
+    // doc_id 10 is eval (id % 10 == 0); 11 copies it verbatim → every
+    // shingle hits → overlap 1.0; 12 shares no vocabulary → overlap 0.0.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t38").toString
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (10L, evalText, "en", "eval", 8L),
+      (11L, evalText, "en", "train", 8L),
+      (12L, "one two three four five six seven eight", "en", "train", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps
+      .queries("t38_contamination_score")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getString(4)))
+      .toMap
+    assert(got.keySet == Set(11L, 12L)) // eval docs are not scored
+    assert(got(11L) == ((1.0, "contaminated")))
+    assert(got(12L) == ((0.0, "clean")))
+  }
+
+  test("t39 coverage is a monotone curve ending at 1.0 when the vocab fits") {
+    val rows = TextOps
+      .queries("t39_vocab_coverage")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // frontier sizes ascend and cumulative counts/coverage never decrease
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._2 >= a._2 && b._3 >= a._3
+      case _ => true
+    })
+    assert(rows.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    // differential: recompute every frontier point exactly in the driver
+    // from raw token counts with the same (count desc, token) tie-break
+    val counts = graft.sources.Tables
+      .documents(spark, sf)
+      .select("text")
+      .collect()
+      .flatMap(_.getString(0).trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity)
+      .map { case (t, o) => (t, o.length.toLong) }
+      .toSeq
+      .sortBy { case (t, n) => (-n, t) }
+    val total = counts.map(_._2).sum
+    rows.foreach { case (k, cum, cov) =>
+      val expect = counts.take(k).map(_._2).sum
+      assert(cum == expect, s"cum_tokens at K=$k")
+      assert(cov == expect.toDouble / total.toDouble, s"coverage at K=$k")
+    }
+    // rows exist exactly for the candidate sizes the vocab can fill
+    val want = Seq(1, 2, 4, 8, 16, 32, 64).filter(_ <= counts.size)
+    assert(rows.map(_._1).toSeq == want)
+  }
+
+  test("t40 buckets partition each language with strictly ordered score ranges") {
+    val rows = TextOps
+      .queries("t40_perplexity_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, bs) =>
+      val m = bs.map(b => b._2 -> b).toMap
+      // score ranges are disjoint and ordered head > middle > tail:
+      // whole bins share a bucket, so min(head) must clear max(middle)
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail")))
+        if (m.contains(hi) && m.contains(lo))
+          assert(m(hi)._4 > m(lo)._5, s"$lang: $hi overlaps $lo")
+      // buckets partition the scored docs of the language
+      val scored = TextOps
+        .queries("t20_bigram_lm")(spark, sf)
+        .join(
+          graft.sources.Tables.documents(spark, sf).select("doc_id", "lang"),
+          "doc_id"
+        )
+        .filter(col("lang") === lang)
+        .count()
+      assert(bs.map(_._3).sum == scored, s"$lang: bucket counts don't partition")
+    }
+  }
 }

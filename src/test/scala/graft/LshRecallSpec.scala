@@ -246,4 +246,26 @@ class LshRecallSpec extends AnyFunSuite {
       assert(sim.nonEmpty)
     }
   }
+
+  for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    test(s"v23 sweep is a monotone frontier agreeing with v19 at the deployed config ($sfDir)") {
+      val rows = VectorOps
+        .queries("v23_probe_sweep")(spark, sfDir)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+      // widening the probe set can only add candidates and hits
+      assert(rows.sliding(2).forall {
+        case Array(a, b) => b._2 > a._2 && b._3 >= a._3
+        case _ => true
+      })
+      // the sweep point at the deployed nProbe=4 must reproduce v19's
+      // monitoring total exactly — two operators, one truth
+      val v19Hits = VectorOps
+        .queries("v19_ann_recall_eval")(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum("n_hits"))
+        .head
+        .getLong(0)
+      assert(rows.find(_._1 == 4).get._3 == v19Hits)
+    }
 }

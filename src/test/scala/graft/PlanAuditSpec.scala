@@ -70,6 +70,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // the pair aggregate must never materialize a range-partitioned sort
     assert(plan("t34_bpe_merge_stats").contains("TakeOrderedAndProject"),
       "t34 regressed to a global sort")
+    // t39's vocab-frequency frontier: the only corpus-scale stage is the
+    // vocab agg; the top-max(K) boundary must heap-select, never sort the
+    // whole vocab across the cluster
+    assert(plan("t39_vocab_coverage").contains("TakeOrderedAndProject"),
+      "t39 regressed to a global vocab sort")
   }
 
   test("j10's interval overlap joins on the bucket key, never a nested loop") {
