@@ -239,12 +239,25 @@ object MultimodalOps {
         md5(expr(s"substring(payload, i * $chunkSize + 1, $chunkSize)")).as("h")
       )
       .distinct()
-    val sizes = chunks.groupBy("media_id").agg(count(lit(1)).as("nch"))
+    containmentPairs(chunks, dfCap, minRatio)
+  }
+
+  /** The shared containment stage of the media-dedup family (m4 chunks,
+    * m5 frames): given a distinct (media_id, h) fingerprint set, emit
+    * pairs whose shared-fingerprint count covers ≥ minRatio of the
+    * SMALLER side's set. One df-capped keyed hash join + one pair-count
+    * shuffle; only hashes travel. */
+  private[graft] def containmentPairs(
+      hashes: DataFrame,
+      dfCap: Int,
+      minRatio: Double
+  ): DataFrame = {
+    val sizes = hashes.groupBy("media_id").agg(count(lit(1)).as("nch"))
     val (rare, _) = graft.operators.TextOps.stopFingerprints(
-      chunks.select(col("media_id").as("doc_id"), col("h").as("fp")),
+      hashes.select(col("media_id").as("doc_id"), col("h").as("fp")),
       dfCap
     )
-    val blocked = chunks.join(rare.withColumnRenamed("fp", "h"), "h")
+    val blocked = hashes.join(rare.withColumnRenamed("fp", "h"), "h")
     val pairs = blocked
       .select(col("h"), col("media_id").as("id_a"))
       .join(blocked.select(col("h"), col("media_id").as("id_b")), "h")
@@ -265,11 +278,50 @@ object MultimodalOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** m5 — SAMPLED-frame dedup: the video-grain sibling of m4. Media
+    * decompose on a fixed 32-byte frame raster and only every 2ND frame
+    * is hashed — the sampling trade that makes video dedup affordable at
+    * scale (hash/shuffle work halves; a change confined to an unsampled
+    * frame is invisible, demonstrated in the spec). Pairs sharing ≥ half
+    * the smaller side's SAMPLED-frame hash set are emitted: re-encoded
+    * copies land at ratio 1.0, embedded/prefix clips as fractional
+    * containment. m4 hashes every chunk (exhaustive, byte-grain); m5 is
+    * the subsampled raster a frame pipeline runs when per-asset runtime
+    * is hours of video, not kilobytes of text.
+    *
+    * Scale shape: frame slicing is codegen substring on the binary
+    * column (payload read once scan-side), only the sampled hashes
+    * travel, and the pair stage is the shared df-capped containment
+    * join. A real decoder swaps its frame raster into the slicing
+    * expression without touching the pair machinery. */
+  def frameDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val frameSize = 32
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val frames = Multimodal
+      .withPayload(docs)
+      .withColumn(
+        "n_frames",
+        expr(s"greatest((length(payload) + ${frameSize - 1}) div $frameSize, 1)")
+      )
+      .select(
+        col("media_id"),
+        col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("frame_idx")
+      )
+      .select(
+        col("media_id"),
+        md5(expr(s"substring(payload, CAST(frame_idx * $frameSize + 1 AS INT), $frameSize)")).as("h")
+      )
+      .distinct()
+    containmentPairs(frames, dfCap = 32, minRatio = 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d)),
-    "m4_chunk_dedup" -> ((s, d) => chunkDedupQuery(s, d))
+    "m4_chunk_dedup" -> ((s, d) => chunkDedupQuery(s, d)),
+    "m5_frame_dedup" -> ((s, d) => frameDedupQuery(s, d))
   )
 
   /** The stub decoder is pure arithmetic over payload bytes, so the oracle
@@ -293,6 +345,33 @@ object MultimodalOps {
          pairs AS (
            SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
            FROM chunks a JOIN rare USING (h) JOIN chunks b USING (h)
+           WHERE a.media_id < b.media_id
+           GROUP BY 1, 2
+         )
+         SELECT id_a, id_b, shared,
+           round(CAST(shared AS DOUBLE) / least(sa.nch, sb.nch), 6) AS ratio
+         FROM pairs
+         JOIN sizes sa ON sa.media_id = id_a
+         JOIN sizes sb ON sb.media_id = id_b
+         WHERE CAST(shared AS DOUBLE) / least(sa.nch, sb.nch) >= 0.5
+         ORDER BY id_a, id_b""",
+    // fixed 32-byte frame raster, stride-2 sampling, m4's containment
+    "m5_frame_dedup" ->
+      """WITH meta AS (
+           SELECT doc_id AS media_id, text,
+             greatest((strlen(text) + 31) // 32, 1) AS n_frames
+           FROM documents
+         ), frames AS (
+           SELECT DISTINCT media_id,
+             md5(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS h
+           FROM meta, unnest(range(0, n_frames, 2)) AS t(frame_idx)
+         ), sizes AS (
+           SELECT media_id, count(*) AS nch FROM frames GROUP BY media_id
+         ), dfc AS (SELECT h, count(*) AS c FROM frames GROUP BY h),
+         rare AS (SELECT h FROM dfc WHERE c <= 32),
+         pairs AS (
+           SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+           FROM frames a JOIN rare USING (h) JOIN frames b USING (h)
            WHERE a.media_id < b.media_id
            GROUP BY 1, 2
          )

@@ -103,4 +103,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got((3L, 4L)) == ((2L, 1.0)), "suffix containment")
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "disjoint blob paired")
   }
+
+  test("m5 frame dedup pairs media by sampled-frame overlap, blind to unsampled frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 128-byte payloads on the 32-byte raster: 4 frames, SAMPLED idx {0, 2}
+    // -> byte ranges [0,32) and [64,96).
+    // Media 2 copies 1 exactly -> 2/2 sampled frames shared, ratio 1.0.
+    // Media 3 differs inside sampled frame 2 (byte 70) -> 1/2 = 0.5.
+    // Media 4 differs inside UNSAMPLED frame 1 (byte 40) -> still 2/2: the
+    // stride trades that blindness for 2x less hash work, by design.
+    // Media 5 is disjoint -> no pair.
+    // Period-94 content so no two 32-byte frames collide.
+    val base = (0 until 128).map(i => (33 + i % 94).toChar).mkString
+    val m3 = base.updated(70, ' ')
+    val m4 = base.updated(40, ' ')
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, m3), (4L, m4),
+      (5L, base.reverse)
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-m5").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.multimodal.MultimodalOps
+      .queries("m5_frame_dedup")(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got((1L, 2L)) == ((2L, 1.0)), "exact copy at frame grain")
+    assert(got((1L, 3L)) == ((1L, 0.5)), "one sampled frame changed")
+    assert(got((1L, 4L)) == ((2L, 1.0)), "unsampled-frame change is invisible")
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "disjoint media paired")
+  }
 }
