@@ -647,7 +647,45 @@ object EventOps {
       .orderBy("week_a", "week_b")
   }
 
+  /** e17 — DAU/MAU stickiness from the stored daily bitmap partials: the
+    * classic engagement ratio ("what fraction of the monthly audience
+    * shows up on a given day"), computed EXACTLY from e14's persisted
+    * state. DAU is one popcount of the day's own bitmap; MAU is e15's
+    * sliding-union pattern widened to 28 days; stickiness is their
+    * display ratio. The 28× replication applies to kilobyte bitmaps, not
+    * the raw (user, day) stream — raw events are touched once by the
+    * daily build, everything after is partial-merge work independent of
+    * corpus size, and unlike HLL state the bitmap union is exact at
+    * every window width. Integer dau/mau anchor the cross-engine hash. */
+  private def e17Stickiness(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val build = udaf(new graft.functions.BitmapBuildAggregator)
+    val mergeCount = udaf(new graft.functions.BitmapMergeCountAggregator)
+    val daily = Tables
+      .events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(build(col("user_id")).as("bm"))
+    val dau = daily.select(
+      col("day").as("as_of"),
+      call_function("graft_bitmap_and_count", col("bm"), col("bm")).as("dau")
+    )
+    val hi = daily.agg(max("day").as("hi"))
+    val mau = daily
+      .select(col("day"), col("bm"), explode(sequence(lit(0), lit(27))).as("o"))
+      .withColumn("as_of", date_add(col("day"), col("o")))
+      .crossJoin(broadcast(hi))
+      .filter(col("as_of") <= col("hi"))
+      .groupBy("as_of")
+      .agg(mergeCount(col("bm")).as("mau"), count(lit(1)).as("n_partials"))
+    dau
+      .join(mau, "as_of")
+      .withColumn("stickiness", round(col("dau").cast("double") / col("mau"), 6))
+      .select("as_of", "dau", "mau", "n_partials", "stickiness")
+      .orderBy("as_of")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e17_stickiness" -> (e17Stickiness _),
     "e16_cohort_retention" -> (e16CohortRetention _),
     "e15_sliding_distinct" -> (e15SlidingDistinct _),
     "e14_bitmap_rollup" -> (e14BitmapRollup _),
@@ -803,6 +841,25 @@ object EventOps {
                      / sqrt((n * sumsq - s * s) / (n * (n - 1))), 6)
            END) > 2.0, false) AS is_anomaly
          FROM win ORDER BY event_type, day""",
+    // exact trailing-28 window at (user, day) grain; n_partials counts
+    // the DISTINCT days contributing bitmaps to each window — the same
+    // observability column e15 carries
+    "e17_stickiness" ->
+      """WITH base AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+         ), days AS (SELECT DISTINCT day FROM base),
+         dau AS (SELECT day, count(*) AS dau FROM base GROUP BY day),
+         mau AS (
+           SELECT d.day AS as_of, count(DISTINCT b.user_id) AS mau,
+             count(DISTINCT b.day) AS n_partials
+           FROM days d JOIN base b
+             ON b.day <= d.day AND b.day >= d.day - 27
+           GROUP BY d.day
+         )
+         SELECT m.as_of, u.dau, m.mau, m.n_partials,
+           round(CAST(u.dau AS DOUBLE) / m.mau, 6) AS stickiness
+         FROM mau m JOIN dau u ON u.day = m.as_of
+         ORDER BY m.as_of""",
     // ordered week pairs from the spine LEFT JOIN the co-active counts,
     // so a pair with zero common users still appears (bitmap AND = 0)
     "e16_cohort_retention" ->

@@ -148,7 +148,7 @@ object VectorOps {
     val nHits = sweep
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
-      .join(exact, Seq("qid", "vec_id"), "left")
+      .join(broadcast(exact), Seq("qid", "vec_id"), "left")
       .groupBy("n_probe")
       .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
     // recall denominator is the DECLARED sample (10 queries x top-5), a
@@ -156,7 +156,7 @@ object VectorOps {
     // would silently shrink the denominator for a query whose probed
     // lists contain nothing but itself
     nCand
-      .join(nHits, Seq("n_probe"))
+      .join(broadcast(nHits), Seq("n_probe"))
       .select(
         col("n_probe"),
         col("n_candidates"),

@@ -47,6 +47,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast-side joins in the newest corpus operators never shuffle the corpus") {
+    // t38: the eval shingle set meets the training stream in a broadcast
+    // join — a sort-merge here would shuffle every corpus shingle on
+    // content, the exact cost the operator exists to avoid. v23 inherits
+    // v6's broadcast-probe contract end to end.
+    for (q <- Seq("t38_contamination_score", "v23_probe_sweep")) {
+      assert(!plan(q).contains("SortMergeJoin"), s"$q shuffles its corpus side")
+    }
+    // t40's corpus-grain joins (doc_id lang join, t20's gram-keyed model)
+    // are legitimately sort-merge; the pin is that the bin→bucket map —
+    // a bounded histogram — broadcasts back onto the corpus instead of
+    // adding another corpus shuffle
+    assert(plan("t40_perplexity_buckets").contains("BroadcastHashJoin"),
+      "t40's bucket map stopped broadcasting")
+  }
+
   test("post-aggregation metric assemblies plan with zero sort-merge joins") {
     // bounded (week, country/nation) keyspace -> every assembly join
     // must be a broadcast hash join regardless of fact-table size
