@@ -49,11 +49,16 @@ object TextOps {
     * formula the DuckDB oracles carry verbatim, so both engines decode
     * identically (no engine-specific conv()/from_hex). Shared by the
     * hash-split / sampling / feature-bucket family (t14/t18/t29/t30). */
-  private[operators] def hex4U16(h: String): String =
-    s"""((instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 4096 +
-       | (instr('0123456789abcdef', substr($h, 2, 1)) - 1) * 256 +
-       | (instr('0123456789abcdef', substr($h, 3, 1)) - 1) * 16 +
-       | (instr('0123456789abcdef', substr($h, 4, 1)) - 1))""".stripMargin
+  private[operators] def hex4U16(h: String): String = hex4U16From(h, 1)
+
+  /** Same decode starting at hex digit `start` (1-based) — lets callers
+    * assemble wider integers from consecutive md5 prefixes (t41 builds a
+    * 32-bit shingle key from digits 1-8). */
+  private[operators] def hex4U16From(h: String, start: Int): String =
+    s"""((instr('0123456789abcdef', substr($h, $start, 1)) - 1) * 4096 +
+       | (instr('0123456789abcdef', substr($h, ${start + 1}, 1)) - 1) * 256 +
+       | (instr('0123456789abcdef', substr($h, ${start + 2}, 1)) - 1) * 16 +
+       | (instr('0123456789abcdef', substr($h, ${start + 3}, 1)) - 1))""".stripMargin
 
   /** Tokens of a document (whitespace split, no empties). */
   private def toks: Column = F.wsTokens(col("text"))
@@ -1722,7 +1727,120 @@ object TextOps {
       .orderBy("lang", "bucket")
   }
 
+  /** t41's MinHash family: h_i(x) = (a_i·x + b_i) mod p over the 32-bit
+    * md5-prefix shingle key. Fixed literals shared with the oracle SQL;
+    * a_i·x stays under 2^63 (a ≤ 1.2e9, x < 2^32). */
+  private val t41P = 2147483647L
+  private val t41A =
+    Seq(1103515245L, 1299721L, 214013L, 69069L, 1664525L, 22695477L, 48271L, 16807L)
+  private val t41B =
+    Seq(12345L, 54321L, 2531011L, 362437L, 1013904223L, 177861L, 907633385L, 913L)
+
+  /** t41 — incremental near-dup dedup against a persisted MINHASH index:
+    * the production text-dedup component t23 approximates at exact-hash
+    * grain. The stored index is CONSTANT bytes per document — 4 banded
+    * signature keys, not O(length) fingerprint postings — which is what
+    * makes a persisted dedup index affordable when the corpus is 100 TB
+    * and the index must live in fast storage. Arriving documents
+    * (doc_id % 4 == 0, t23's split) compute signatures scan-side, probe
+    * the index by band key, and only band-colliding candidates pay the
+    * exact Jaccard verify; arrivals are also checked against EARLIER
+    * arrivals in the same batch (the case a naive index probe misses:
+    * two copies arriving together would both pass as unique). Verdicts:
+    * dup_index (matches the served corpus), dup_batch (matches an
+    * earlier arrival), unique. Best match = highest verified Jaccard,
+    * ties to the smaller matched id.
+    *
+    * Everything is SQL-reproducible by construction (md5-prefix shingle
+    * keys — the v5/t6 convention — and literal hash families), so unlike
+    * v4's xxhash64 banding this LSH pipeline is fully oracle-checked:
+    * candidates, verify, and verdicts all reproduce bit-for-bit. */
+  private def t41MinhashIndexDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = docs
+      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(F.wordShingles(col("w"), 3)).as("g"))
+      .withColumn("h", md5(col("g")))
+      .withColumn(
+        "x",
+        expr(
+          s"CAST((${hex4U16From("h", 1)}) AS BIGINT) * 65536 + (${hex4U16From("h", 5)})"
+        )
+      )
+    // minhash is duplicate-insensitive, so signatures skip the distinct;
+    // the Jaccard verify below works on the distinct shingle-hash sets
+    val minExprs = t41A.indices.map { i =>
+      min(expr(s"(x * ${t41A(i)} + ${t41B(i)}) % $t41P")).as(s"m$i")
+    }
+    val sig = sh
+      .groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(
+        col("doc_id"),
+        explode(
+          array((0 until 4).map { j =>
+            struct(
+              lit(j).as("band"),
+              (col(s"m${2 * j}") * t41P + col(s"m${2 * j + 1}")).as("bkey")
+            )
+          }: _*)
+        ).as("b")
+      )
+      .select(col("doc_id"), col("b.band"), col("b.bkey"))
+    val index = sig
+      .filter(col("doc_id") % 4 =!= 0)
+      .select(col("band"), col("bkey"), col("doc_id").as("old_id"))
+    val probe = sig.filter(col("doc_id") % 4 === 0)
+    val candIdx = probe
+      .join(index, Seq("band", "bkey"))
+      .select(col("doc_id").as("new_id"), col("old_id").as("match_id"))
+      .distinct()
+    val candBatch = probe
+      .join(
+        probe.select(col("band"), col("bkey"), col("doc_id").as("match_id")),
+        Seq("band", "bkey")
+      )
+      .filter(col("doc_id") > col("match_id"))
+      .select(col("doc_id").as("new_id"), col("match_id"))
+      .distinct()
+    val cand = candIdx
+      .withColumn("from_index", lit(true))
+      .unionByName(candBatch.withColumn("from_index", lit(false)))
+    // exact verify on the candidate-bounded pair set only
+    val post = sh.select(col("doc_id"), col("h")).distinct()
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(post.select(col("doc_id").as("new_id"), col("h")), "new_id")
+      .join(post.select(col("doc_id").as("match_id"), col("h")), Seq("match_id", "h"))
+      .groupBy("new_id", "match_id", "from_index")
+      .agg(count(lit(1)).as("inter"))
+    val wBest = Window
+      .partitionBy("new_id")
+      .orderBy(col("jaccard").desc, col("match_id").asc)
+    val best = inter
+      .join(sizes.select(col("doc_id").as("new_id"), col("sz").as("sz_n")), "new_id")
+      .join(sizes.select(col("doc_id").as("match_id"), col("sz").as("sz_m")), "match_id")
+      .withColumn("jaccard", col("inter") / (col("sz_n") + col("sz_m") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(
+        col("new_id").as("doc_id"),
+        col("match_id").as("dup_of"),
+        round(col("jaccard"), 6).as("jaccard"),
+        when(col("from_index"), "dup_index").otherwise("dup_batch").as("status")
+      )
+    docs
+      .filter(col("doc_id") % 4 === 0)
+      .select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .withColumn("status", coalesce(col("status"), lit("unique")))
+      .select("doc_id", "status", "dup_of", "jaccard")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t41_minhash_index_dedup" -> (t41MinhashIndexDedup _),
     "t40_perplexity_buckets" -> (t40PerplexityBuckets _),
     "t38_contamination_score" -> (t38ContaminationScore _),
     "t39_vocab_coverage" -> (t39VocabCoverage _),
@@ -1767,6 +1885,81 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the full LSH pipeline reproduced: md5-prefix 32-bit keys, the same
+    // literal hash family, banded candidates (index + earlier-arrival),
+    // exact Jaccard verify, best-match selection. UNION ALL is safe: an
+    // index match (id%4<>0) can never equal a batch match (id%4=0).
+    "t41_minhash_index_dedup" -> {
+      val mins = t41A.indices.map { i =>
+        s"min((x * ${t41A(i)} + ${t41B(i)}) % $t41P) AS m$i"
+      }.mkString(",\n             ")
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |                x -> length(x) > 0) AS w
+         |  FROM documents
+         |), gr AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 1),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM words WHERE len(w) >= 3
+         |), hashed AS (
+         |  SELECT doc_id, md5(g) AS h FROM gr
+         |), keyed AS (
+         |  SELECT doc_id, h,
+         |    CAST((${hex4U16From("h", 1)}) AS BIGINT) * 65536
+         |      + (${hex4U16From("h", 5)}) AS x
+         |  FROM hashed
+         |), sig AS (
+         |  SELECT doc_id,
+         |             $mins
+         |  FROM keyed GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, b.band,
+         |    CASE b.band WHEN 0 THEN m0 * $t41P + m1
+         |                WHEN 1 THEN m2 * $t41P + m3
+         |                WHEN 2 THEN m4 * $t41P + m5
+         |                ELSE m6 * $t41P + m7 END AS bkey
+         |  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+         |), cand AS (
+         |  SELECT DISTINCT p.doc_id AS new_id, i.doc_id AS match_id,
+         |    TRUE AS from_index
+         |  FROM bands p JOIN bands i ON p.band = i.band AND p.bkey = i.bkey
+         |  WHERE p.doc_id % 4 = 0 AND i.doc_id % 4 <> 0
+         |  UNION ALL
+         |  SELECT DISTINCT a.doc_id, b2.doc_id, FALSE
+         |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bkey = b2.bkey
+         |  WHERE a.doc_id % 4 = 0 AND b2.doc_id % 4 = 0 AND a.doc_id > b2.doc_id
+         |), post AS (SELECT DISTINCT doc_id, h FROM hashed),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.new_id, c.match_id, c.from_index, count(*) AS inter
+         |  FROM cand c
+         |  JOIN post pn ON pn.doc_id = c.new_id
+         |  JOIN post pm ON pm.doc_id = c.match_id AND pm.h = pn.h
+         |  GROUP BY 1, 2, 3
+         |), scored AS (
+         |  SELECT i.new_id, i.match_id, i.from_index,
+         |    CAST(i.inter AS DOUBLE) / (sn.sz + sm.sz - i.inter) AS j
+         |  FROM inter i
+         |  JOIN sizes sn ON sn.doc_id = i.new_id
+         |  JOIN sizes sm ON sm.doc_id = i.match_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (sn.sz + sm.sz - i.inter) >= 0.5
+         |), best AS (
+         |  SELECT new_id, match_id, j, from_index,
+         |    row_number() OVER (PARTITION BY new_id
+         |                       ORDER BY j DESC, match_id ASC) AS rn
+         |  FROM scored
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN b.new_id IS NULL THEN 'unique'
+         |       WHEN b.from_index THEN 'dup_index'
+         |       ELSE 'dup_batch' END AS status,
+         |  b.match_id AS dup_of, round(b.j, 6) AS jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+         |LEFT JOIN best b ON b.new_id = d.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // t20's model CTEs verbatim; boundaries from integer running sums
     // over the (lang, bin) histogram with the same ceil identity
     // (3·cum ≤ k·n + 2); whole bins share a bucket so boundary ties are

@@ -355,6 +355,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == want)
   }
 
+  test("t41 separates index dups, in-batch dups, and uniques on planted arrivals") {
+    // ids % 4 != 0 are the served index; % 4 == 0 arrive as a batch.
+    //  4 copies index doc 1 verbatim        -> dup_index of 1, jaccard 1.0
+    //  8+12 copy EACH OTHER (new content)   -> 8 unique (first arrival),
+    //                                          12 dup_batch of 8
+    //  16 shares nothing                    -> unique
+    // Exact copies guarantee signature-band collisions, so the spec can
+    // never flake on the probabilistic banding recall.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t41").toString
+    val idxText = "the quick brown fox jumps over the lazy dog again and again today"
+    val newText = "completely different content words here for the batch duplicate pair test case"
+    Seq(
+      (1L, idxText, "en", "idx", 1L),
+      (2L, "unrelated filler index document with several plain words inside", "en", "idx", 1L),
+      (4L, idxText, "en", "new", 1L),
+      (8L, newText, "en", "new", 1L),
+      (12L, newText, "en", "new", 1L),
+      (16L, "zebra quartz vivid jackdaws my sphinx of black wow love glum", "en", "new", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps
+      .queries("t41_minhash_index_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(got.keySet == Set(4L, 8L, 12L, 16L))
+    assert(got(4L) == (("dup_index", 1L)))
+    assert(got(8L) == (("unique", -1L)))
+    assert(got(12L) == (("dup_batch", 8L)))
+    assert(got(16L) == (("unique", -1L)))
+  }
+
   test("t40 buckets partition each language with strictly ordered score ranges") {
     val rows = TextOps
       .queries("t40_perplexity_buckets")(spark, sf)
