@@ -1755,9 +1755,10 @@ object TextOps {
     * keys — the v5/t6 convention — and literal hash families), so unlike
     * v4's xxhash64 banding this LSH pipeline is fully oracle-checked:
     * candidates, verify, and verdicts all reproduce bit-for-bit. */
-  private def t41MinhashIndexDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val sh = docs
+  /** (doc_id, h, x): md5 shingle hash + 32-bit key per shingle — the
+    * shared scan stage of the t41 family. */
+  private[graft] def minhashKeyed(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
       .select(col("doc_id"), explode(F.wordShingles(col("w"), 3)).as("g"))
       .withColumn("h", md5(col("g")))
@@ -1767,12 +1768,15 @@ object TextOps {
           s"CAST((${hex4U16From("h", 1)}) AS BIGINT) * 65536 + (${hex4U16From("h", 5)})"
         )
       )
-    // minhash is duplicate-insensitive, so signatures skip the distinct;
-    // the Jaccard verify below works on the distinct shingle-hash sets
+
+  /** (doc_id, band, bkey): the banded MinHash signature — 4 constant-size
+    * rows per document, the ONLY thing the persisted index stores.
+    * minhash is duplicate-insensitive, so signatures skip the distinct. */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val minExprs = t41A.indices.map { i =>
       min(expr(s"(x * ${t41A(i)} + ${t41B(i)}) % $t41P")).as(s"m$i")
     }
-    val sig = sh
+    minhashKeyed(docs)
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
       .select(
@@ -1787,12 +1791,24 @@ object TextOps {
         ).as("b")
       )
       .select(col("doc_id"), col("b.band"), col("b.bkey"))
-    val index = sig
-      .filter(col("doc_id") % 4 =!= 0)
-      .select(col("band"), col("bkey"), col("doc_id").as("old_id"))
-    val probe = sig.filter(col("doc_id") % 4 === 0)
+  }
+
+  /** The t41 verdict engine, factored so the streaming form
+    * ([[graft.streaming.StreamingMinhashDedup]]) runs the identical
+    * plan per micro-batch: arrivals probe `indexBands` (the persisted
+    * signature index: old_id, band, bkey) and each other; band-colliding
+    * candidates pay the exact Jaccard verify against shingle sets drawn
+    * from `corpus` (the "fetch originals" side — at scale a point read,
+    * here a frame). One row per arrival: dup_index / dup_batch / unique
+    * with the best verified match. */
+  private[graft] def minhashVerdicts(
+      arrivals: DataFrame,
+      indexBands: DataFrame,
+      corpus: DataFrame
+  ): DataFrame = {
+    val probe = minhashBands(arrivals)
     val candIdx = probe
-      .join(index, Seq("band", "bkey"))
+      .join(indexBands, Seq("band", "bkey"))
       .select(col("doc_id").as("new_id"), col("old_id").as("match_id"))
       .distinct()
     val candBatch = probe
@@ -1807,7 +1823,7 @@ object TextOps {
       .withColumn("from_index", lit(true))
       .unionByName(candBatch.withColumn("from_index", lit(false)))
     // exact verify on the candidate-bounded pair set only
-    val post = sh.select(col("doc_id"), col("h")).distinct()
+    val post = minhashKeyed(corpus).select(col("doc_id"), col("h")).distinct()
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(post.select(col("doc_id").as("new_id"), col("h")), "new_id")
@@ -1830,13 +1846,22 @@ object TextOps {
         round(col("jaccard"), 6).as("jaccard"),
         when(col("from_index"), "dup_index").otherwise("dup_batch").as("status")
       )
-    docs
-      .filter(col("doc_id") % 4 === 0)
+    arrivals
       .select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .withColumn("status", coalesce(col("status"), lit("unique")))
       .select("doc_id", "status", "dup_of", "jaccard")
       .orderBy("doc_id")
+  }
+
+  private def t41MinhashIndexDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    minhashVerdicts(
+      docs.filter(col("doc_id") % 4 === 0),
+      minhashBands(docs.filter(col("doc_id") % 4 =!= 0))
+        .select(col("doc_id").as("old_id"), col("band"), col("bkey")),
+      docs
+    )
   }
 
   val queries: Map[String, Q] = Map(

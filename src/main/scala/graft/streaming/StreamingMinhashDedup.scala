@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.TextOps
+
+/** Continuous near-dup dedup against a PERSISTED MinHash signature index —
+  * the streaming form of t41, the way a production ingestion pipeline
+  * actually runs dedup: documents arrive, are screened against everything
+  * already accepted, and their own signatures join the index for the next
+  * batch to probe.
+  *
+  * Per micro-batch: read the band index (4 constant-size rows per indexed
+  * doc — the whole point of signature indexes: the probe side reads
+  * kilobytes per million docs, never postings), run the IDENTICAL batch
+  * verdict plan ([[TextOps.minhashVerdicts]] — band-collision candidates,
+  * exact Jaccard verify, best match), emit verdicts, then append the
+  * batch's signatures under its own epoch partition.
+  *
+  * ALL arrival signatures are appended, dup or not: matching a duplicate's
+  * signature is still a correct dup verdict (its content IS corpus
+  * content), and it keeps single-batch and multi-batch runs finding the
+  * same matches. The one semantic shift across batch boundaries is the
+  * LABEL: a match against an earlier micro-batch reports dup_index (it is
+  * in the index now) where one-shot t41 would say dup_batch — the
+  * (doc_id, dup_of, jaccard) triple is batching-invariant, asserted in
+  * the parity spec.
+  *
+  * Replay idempotence is layout, not luck (the [[StreamingIndexUpsert]]
+  * argument): epoch = micro-batch id under dynamic partition overwrite,
+  * so a checkpoint-replayed batch REPLACES its own partition instead of
+  * double-appending its signatures.
+  */
+object StreamingMinhashDedup {
+
+  /** The stored index as (old_id, band, bkey); empty-but-typed before the
+    * first epoch lands. */
+  def readIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+      spark.read.parquet(dir).select(col("doc_id").as("old_id"), col("band"), col("bkey"))
+    else
+      Seq.empty[(Long, Int, Long)].toDF("old_id", "band", "bkey")
+  }
+
+  /** Append one batch's signatures under its epoch (replayed epochs
+    * replace themselves). */
+  def appendEpoch(batchDocs: DataFrame, dir: String, epoch: Long): Unit =
+    TextOps
+      .minhashBands(batchDocs)
+      .withColumn("epoch", lit(epoch))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch")
+      .parquet(dir)
+
+  /** Wire a (doc_id, text) stream through the screen. `corpus` is the
+    * verify-side source of originals (at scale a point-read service; the
+    * index itself never stores text). `onBatch` receives each batch's
+    * verdict frame. */
+  def run(
+      docs: DataFrame,
+      indexDir: String,
+      corpus: DataFrame,
+      checkpoint: String,
+      onBatch: (DataFrame, Long) => Unit
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.persist()
+        try {
+          val verdicts =
+            TextOps.minhashVerdicts(b, readIndex(b.sparkSession, indexDir), corpus)
+          onBatch(verdicts, id)
+          appendEpoch(b, indexDir, id)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+}

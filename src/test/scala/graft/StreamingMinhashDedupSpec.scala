@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingMinhashDedup
+
+class StreamingMinhashDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("streamed arrivals reproduce t41's matches regardless of batching") {
+    // Arrivals (doc_id % 4 == 0) stream in TWO micro-batches against an
+    // index pre-seeded from the served corpus (% 4 != 0). The
+    // (doc_id, dup_of, jaccard) triples must equal one-shot t41
+    // bit-for-bit; only the label may shift dup_batch -> dup_index when
+    // the match landed in an earlier micro-batch (it IS in the index by
+    // then — the documented cross-batch semantics).
+    val docs = graft.sources.Tables
+      .documents(spark, sf)
+      .select("doc_id", "text")
+    val indexDir = tmp("graft-smd-idx")
+    // seed the served-corpus signatures as their own epoch
+    StreamingMinhashDedup.appendEpoch(docs.filter($"doc_id" % 4 =!= 0), indexDir, -1L)
+
+    val arrivals = docs.filter($"doc_id" % 4 === 0).as[(Long, String)].collect().toSeq
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long], Option[Double])]()
+    val q = StreamingMinhashDedup.run(
+      stream.toDF().toDF("doc_id", "text"),
+      indexDir,
+      docs,
+      tmp("graft-smd-ckpt"),
+      (v, _) =>
+        got ++= v.collect().map { r =>
+          (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+        }
+    )
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = graft.operators.TextOps
+      .queries("t41_minhash_index_dedup")(spark, sf)
+      .collect()
+      .map { r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      }
+      .toSeq
+    assert(batch.exists(_._2 != "unique"), "fixture produced no dups at all")
+    val gotById = got.sortBy(_._1)
+    val batchById = batch.sortBy(_._1)
+    assert(gotById.map(x => (x._1, x._3, x._4)) == batchById.map(x => (x._1, x._3, x._4)),
+      "matches diverged between streaming and one-shot t41")
+    // labels agree except the documented cross-batch dup_batch->dup_index shift
+    gotById.zip(batchById).foreach { case (g, b) =>
+      assert(
+        g._2 == b._2 || (g._2 == "dup_index" && b._2 == "dup_batch"),
+        s"doc ${g._1}: streaming says ${g._2}, batch says ${b._2}"
+      )
+    }
+  }
+
+  test("a replayed epoch replaces its own signatures instead of double-appending") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val dir = tmp("graft-smd-replay")
+    StreamingMinhashDedup.appendEpoch(docs, dir, 7L)
+    val once = spark.read.parquet(dir).count()
+    StreamingMinhashDedup.appendEpoch(docs, dir, 7L) // checkpoint replay
+    val twice = spark.read.parquet(dir).count()
+    assert(once == twice, s"replay grew the index: $once -> $twice")
+    assert(once == 2 * 4, "4 band rows per doc expected")
+    // and a different epoch APPENDS rather than replacing
+    StreamingMinhashDedup.appendEpoch(docs.withColumn("doc_id", col("doc_id") + 10), dir, 8L)
+    assert(spark.read.parquet(dir).count() == 2 * once)
+  }
+}
