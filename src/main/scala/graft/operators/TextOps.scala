@@ -1793,6 +1793,14 @@ object TextOps {
       .select(col("doc_id"), col("b.band"), col("b.bkey"))
   }
 
+  /** Per-(band, bkey) bucket cap for t41's candidate joins — the same
+    * df-cap discipline as t4/t5/m4: a degenerate bucket shared by K docs
+    * would square into K² candidate pairs, so buckets past the cap are
+    * dropped PER BAND (a true near-dup pair still has 3 other bands to
+    * collide in; an exact-dup flood that saturates all 4 bands is the
+    * upstream exact-dedup stage's job, not the near-dup index's). */
+  private[graft] val t41BucketCap = 64L
+
   /** The t41 verdict engine, factored so the streaming form
     * ([[graft.streaming.StreamingMinhashDedup]]) runs the identical
     * plan per micro-batch: arrivals probe `indexBands` (the persisted
@@ -1800,15 +1808,26 @@ object TextOps {
     * candidates pay the exact Jaccard verify against shingle sets drawn
     * from `corpus` (the "fetch originals" side — at scale a point read,
     * here a frame). One row per arrival: dup_index / dup_batch / unique
-    * with the best verified match. */
+    * with the best verified match. Hot buckets are capped on BOTH probe
+    * sides ([[t41BucketCap]]). */
   private[graft] def minhashVerdicts(
       arrivals: DataFrame,
       indexBands: DataFrame,
       corpus: DataFrame
   ): DataFrame = {
-    val probe = minhashBands(arrivals)
+    def capped(bands: DataFrame): DataFrame =
+      bands.join(
+        bands
+          .groupBy("band", "bkey")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > t41BucketCap)
+          .select("band", "bkey"),
+        Seq("band", "bkey"),
+        "left_anti"
+      )
+    val probe = capped(minhashBands(arrivals))
     val candIdx = probe
-      .join(indexBands, Seq("band", "bkey"))
+      .join(capped(indexBands), Seq("band", "bkey"))
       .select(col("doc_id").as("new_id"), col("old_id").as("match_id"))
       .distinct()
     val candBatch = probe
@@ -1946,15 +1965,27 @@ object TextOps {
          |                WHEN 2 THEN m4 * $t41P + m5
          |                ELSE m6 * $t41P + m7 END AS bkey
          |  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+         |), pidx AS (
+         |  SELECT * FROM bands WHERE doc_id % 4 <> 0
+         |), pprobe AS (
+         |  SELECT * FROM bands WHERE doc_id % 4 = 0
+         |), idxc AS (
+         |  SELECT i.* FROM pidx i ANTI JOIN (
+         |    SELECT band, bkey FROM pidx GROUP BY 1, 2 HAVING count(*) > 64
+         |  ) h USING (band, bkey)
+         |), probec AS (
+         |  SELECT p.* FROM pprobe p ANTI JOIN (
+         |    SELECT band, bkey FROM pprobe GROUP BY 1, 2 HAVING count(*) > 64
+         |  ) h USING (band, bkey)
          |), cand AS (
          |  SELECT DISTINCT p.doc_id AS new_id, i.doc_id AS match_id,
          |    TRUE AS from_index
-         |  FROM bands p JOIN bands i ON p.band = i.band AND p.bkey = i.bkey
-         |  WHERE p.doc_id % 4 = 0 AND i.doc_id % 4 <> 0
+         |  FROM probec p JOIN idxc i ON p.band = i.band AND p.bkey = i.bkey
          |  UNION ALL
          |  SELECT DISTINCT a.doc_id, b2.doc_id, FALSE
-         |  FROM bands a JOIN bands b2 ON a.band = b2.band AND a.bkey = b2.bkey
-         |  WHERE a.doc_id % 4 = 0 AND b2.doc_id % 4 = 0 AND a.doc_id > b2.doc_id
+         |  FROM probec a JOIN probec b2
+         |    ON a.band = b2.band AND a.bkey = b2.bkey
+         |  WHERE a.doc_id > b2.doc_id
          |), post AS (SELECT DISTINCT doc_id, h FROM hashed),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
          |inter AS (

@@ -389,6 +389,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(16L) == (("unique", -1L)))
   }
 
+  test("t41's bucket cap suppresses a degenerate flood without losing small clusters") {
+    // 100 identical arrivals saturate every band bucket past the cap
+    // (df=100 > 64) -> their pair candidates are dropped and the flood
+    // reports unique with BOUNDED work (no 100² candidate join) — the
+    // exact-dup flood is upstream t3's job. A small 2-doc cluster in the
+    // same batch (df=2) must still match.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t41cap").toString
+    val flood = "same words repeated in every flooded arrival document here"
+    val pair = "a distinct small near duplicate cluster of exactly two docs"
+    val rows =
+      (1 to 100).map(i => (i * 4L, flood, "en", "new", 1L)) ++ Seq(
+        (404L, pair, "en", "new", 1L),
+        (408L, pair, "en", "new", 1L),
+        (1L, "unrelated index content sitting in the served corpus", "en", "idx", 1L)
+      )
+    rows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps
+      .queries("t41_minhash_index_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    (1 to 100).foreach(i => assert(got(i * 4L) == "unique", s"flood doc ${i * 4} not suppressed"))
+    assert(got(404L) == "unique")
+    assert(got(408L) == "dup_batch", "small cluster lost to the cap")
+  }
+
   test("t40 buckets partition each language with strictly ordered score ranges") {
     val rows = TextOps
       .queries("t40_perplexity_buckets")(spark, sf)
