@@ -1883,7 +1883,40 @@ object TextOps {
     )
   }
 
+  /** t42 — corpus duplication-rate profile: what fraction of all 3-gram
+    * shingle occurrences are inter-document repeats, per source and
+    * corpus-wide (the RefinedWeb-style health metric that tells you how
+    * much dedup headroom a source has BEFORE running the expensive pair
+    * stages — and, tracked over ingests, whether a source is drifting
+    * toward syndicated/mirrored content).
+    *
+    * One rollup agg over the shingle Generate: the corpus is touched
+    * once; `source` rides the Generate as a per-document attribute
+    * (t35's mechanism); the exact COUNT DISTINCT is one shingle-keyed
+    * shuffle with map-side partial distinct — the profile query you run
+    * per ingest, not per query (the e5 HLL pattern is the documented
+    * cheap-estimate alternative). Integer counts anchor the hash. */
+  private def t42DupRateProfile(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables
+      .documents(s, d)
+      .selectExpr("doc_id", "source", "graft_shingles(text) AS (shingle, sz, rn)")
+      .rollup("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_shingles"),
+        countDistinct("shingle").as("n_distinct")
+      )
+      .withColumn("source", coalesce(col("source"), lit("ALL")))
+      .withColumn(
+        "dup_rate",
+        round(lit(1.0) - col("n_distinct") / col("n_shingles"), 6)
+      )
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t42_dup_rate_profile" -> (t42DupRateProfile _),
     "t41_minhash_index_dedup" -> (t41MinhashIndexDedup _),
     "t40_perplexity_buckets" -> (t40PerplexityBuckets _),
     "t38_contamination_score" -> (t38ContaminationScore _),
@@ -1929,6 +1962,29 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-doc DISTINCT string shingles stand in for the hash rows (the
+    // t4/t10 equivalence: distinct-of-string == distinct-of-hash);
+    // ROLLUP supplies the corpus-wide row, COALESCE names it
+    "t42_dup_rate_profile" ->
+      """WITH words AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         )
+         SELECT COALESCE(source, 'ALL') AS source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_shingles,
+           count(DISTINCT shingle) AS n_distinct,
+           round(CAST(1 AS DOUBLE)
+                 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+         FROM sh GROUP BY ROLLUP(source) ORDER BY 1""",
     // the full LSH pipeline reproduced: md5-prefix 32-bit keys, the same
     // literal hash family, banded candidates (index + earlier-arrival),
     // exact Jaccard verify, best-match selection. UNION ALL is safe: an
