@@ -1772,11 +1772,18 @@ object TextOps {
   /** (doc_id, band, bkey): the banded MinHash signature — 4 constant-size
     * rows per document, the ONLY thing the persisted index stores.
     * minhash is duplicate-insensitive, so signatures skip the distinct. */
-  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame): DataFrame =
+    bandsFromKeyed(minhashKeyed(docs))
+
+  /** [[minhashBands]] over an already-computed keyed frame — lets one
+    * shingle scan feed index bands, probe bands, AND the verify postings
+    * (the t19 lesson: a shared input evaluated three times is real
+    * per-run waste, cache it once at the caller). */
+  private[graft] def bandsFromKeyed(keyed: DataFrame): DataFrame = {
     val minExprs = t41A.indices.map { i =>
       min(expr(s"(x * ${t41A(i)} + ${t41B(i)}) % $t41P")).as(s"m$i")
     }
-    minhashKeyed(docs)
+    keyed
       .groupBy("doc_id")
       .agg(minExprs.head, minExprs.tail: _*)
       .select(
@@ -1814,6 +1821,24 @@ object TextOps {
       arrivals: DataFrame,
       indexBands: DataFrame,
       corpus: DataFrame
+  ): DataFrame =
+    minhashVerdictsFromKeyed(
+      arrivals,
+      minhashKeyed(arrivals),
+      indexBands,
+      minhashKeyed(corpus)
+    )
+
+  /** [[minhashVerdicts]] over pre-computed keyed frames — the form the
+    * batch entry uses to run ONE shingle scan for all three consumers.
+    * `arrivals` stays a parameter because it is the output SPINE: an
+    * arrival with fewer than 3 words has no keyed rows but must still
+    * report `unique`. */
+  private[graft] def minhashVerdictsFromKeyed(
+      arrivals: DataFrame,
+      arrivalKeyed: DataFrame,
+      indexBands: DataFrame,
+      corpusKeyed: DataFrame
   ): DataFrame = {
     def capped(bands: DataFrame): DataFrame =
       bands.join(
@@ -1825,7 +1850,7 @@ object TextOps {
         Seq("band", "bkey"),
         "left_anti"
       )
-    val probe = capped(minhashBands(arrivals))
+    val probe = capped(bandsFromKeyed(arrivalKeyed))
     val candIdx = probe
       .join(capped(indexBands), Seq("band", "bkey"))
       .select(col("doc_id").as("new_id"), col("old_id").as("match_id"))
@@ -1842,7 +1867,7 @@ object TextOps {
       .withColumn("from_index", lit(true))
       .unionByName(candBatch.withColumn("from_index", lit(false)))
     // exact verify on the candidate-bounded pair set only
-    val post = minhashKeyed(corpus).select(col("doc_id"), col("h")).distinct()
+    val post = corpusKeyed.select(col("doc_id"), col("h")).distinct()
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(post.select(col("doc_id").as("new_id"), col("h")), "new_id")
@@ -1875,11 +1900,19 @@ object TextOps {
 
   private def t41MinhashIndexDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    minhashVerdicts(
+    // The keyed scan feeds index bands, probe bands, and the verify
+    // postings. Deliberately NOT cached: unlike t19's small eval side,
+    // this is the full corpus exploded to shingle grain, and measured at
+    // sf0.1/sf1 the memory-store materialization costs MORE than letting
+    // whole-stage codegen re-run the cheap Generate+md5 scan per consumer
+    // (3.84s cached vs 2.56s recomputed at sf0.1; 15.5 vs 12.4 at sf1).
+    val keyed = minhashKeyed(docs)
+    minhashVerdictsFromKeyed(
       docs.filter(col("doc_id") % 4 === 0),
-      minhashBands(docs.filter(col("doc_id") % 4 =!= 0))
+      keyed.filter(col("doc_id") % 4 === 0),
+      bandsFromKeyed(keyed.filter(col("doc_id") % 4 =!= 0))
         .select(col("doc_id").as("old_id"), col("band"), col("bkey")),
-      docs
+      keyed
     )
   }
 
