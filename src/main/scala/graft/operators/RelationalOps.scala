@@ -679,6 +679,27 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  /** a17 — UNPIVOT (melt): the inverse reshaping of a15's pivot — wide
+    * metric columns back to (key, metric, value) long form, the shape
+    * exports and metric stores consume. Plans as a per-row Expand (one
+    * output row per value column), pure codegen, ZERO shuffles — the
+    * reshape is free at any scale; only the upstream a15 aggregation
+    * pays. NULL cells (a pivot combo with no input rows) are dropped
+    * explicitly on BOTH engines, pinning the one semantic edge where
+    * pivot∘unpivot is not the identity. */
+  private def a17Unpivot(s: SparkSession, d: String): DataFrame = {
+    a15Pivot(s, d)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("cents_f"), col("cents_o"), col("cents_p")),
+        "status",
+        "cents"
+      )
+      .filter(col("cents").isNotNull)
+      .withColumn("status", upper(substring(col("status"), 7, 1)))
+      .orderBy("o_orderpriority", "status")
+  }
+
   // ------------------------------------------------------- W: windows, sorts
 
   /** W1 (frame spec): per-partition running sum over an exact ordering. */
@@ -744,7 +765,8 @@ object RelationalOps {
     "w1_running_sum" -> (w1RunningSum _),
     "w2_top_n" -> (w2TopN _),
     "w4_ntile_bins" -> (w4NtileBins _),
-    "a15_pivot" -> (a15Pivot _)
+    "a15_pivot" -> (a15Pivot _),
+    "a17_unpivot" -> (a17Unpivot _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -974,6 +996,29 @@ object RelationalOps {
               THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
            AS cents_p
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // a15's pivot CTE unpivoted by explicit UNION ALL (engine-neutral
+    // melt); NULL cells dropped on both sides — the documented edge
+    "a17_unpivot" ->
+      """WITH piv AS (
+           SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+               AS cents_f,
+             CAST(sum(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+               AS cents_o,
+             CAST(sum(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+               AS cents_p
+           FROM orders GROUP BY o_orderpriority
+         )
+         SELECT o_orderpriority, 'F' AS status, cents_f AS cents
+         FROM piv WHERE cents_f IS NOT NULL
+         UNION ALL
+         SELECT o_orderpriority, 'O', cents_o FROM piv WHERE cents_o IS NOT NULL
+         UNION ALL
+         SELECT o_orderpriority, 'P', cents_p FROM piv WHERE cents_p IS NOT NULL
+         ORDER BY o_orderpriority, status""",
     "w4_ntile_bins" ->
       """WITH b AS (
            SELECT c_nationkey, c_custkey,
