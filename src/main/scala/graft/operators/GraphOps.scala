@@ -48,7 +48,14 @@ object GraphOps {
   def seedLabels(edges: DataFrame): DataFrame =
     edges.groupBy("id").agg(least(col("id"), min("nbr")).as("lbl"))
 
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges)._1
+
+  /** [[connectedComponents]] plus the round count it took — the
+    * convergence-speed contract (pointer-jumping turns long chains from
+    * O(diameter) into ~8 + O(log n) rounds) is assertable, not just
+    * logged. */
+  def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
     def lblSum(df: DataFrame): Long = {
       val v = df.agg(sum("lbl")).first().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
@@ -86,7 +93,7 @@ object GraphOps {
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
     log.warn(s"connectedComponents converged in $rounds rounds")
-    labels
+    (labels, rounds)
   }
 
   /** Both edge directions from a one-directional pair table, via a single

@@ -211,6 +211,44 @@ object RelationalOps {
       .orderBy("latest_major")
   }
 
+  /** J5: the annotations release spine (annotations.py:34-72), run through
+    * the REAL [[graft.annotations.Annotations.versionReleaseDays]] code
+    * path — weekly date spine, channel filter, `build.date <= day` range
+    * join (broadcast NL: the build side is one row per release), MAX major
+    * version per day, MIN day per version. The buildhub frame is
+    * synthesized from `orders` in buildhub's nested shape
+    * (build.target.{channel,version}, build.build.date) so the query is
+    * oracle-checkable on driver testdata: ~1/3 of orders become release
+    * builds whose build day advances ~25 days per major version, giving a
+    * multi-row version staircase like the real release calendar. */
+  private def j5AnnotationsSpine(s: SparkSession, d: String): DataFrame = {
+    val buildhub = Tables.orders(s, d)
+      .select(
+        struct(
+          struct(
+            when(col("o_orderkey") % 3 === 0, lit("release"))
+              .otherwise(lit("beta")).as("channel"),
+            concat(
+              (lit(60) + col("o_orderkey") % 20).cast("string"),
+              lit(".0."),
+              (col("o_custkey") % 10).cast("string")
+            ).as("version")
+          ).as("target"),
+          struct(
+            date_format(
+              date_add(
+                lit(java.sql.Date.valueOf("2018-12-01")),
+                ((col("o_orderkey") % 20) * 25 + col("o_custkey") % 20).cast("int")
+              ),
+              "yyyy-MM-dd"
+            ).as("date")
+          ).as("build")
+        ).as("build")
+      )
+    graft.annotations.Annotations
+      .versionReleaseDays(s, buildhub, java.sql.Date.valueOf("2020-06-30"))
+  }
+
   /** J4's big-to-big scale path: as-of join via UNION + WINDOW. The
     * broadcast-NL form (j4) requires a tiny build side; when BOTH sides
     * are large (every purchase matched to the same user's latest prior
@@ -744,6 +782,7 @@ object RelationalOps {
     "j1_left_join_dim" -> (j1LeftJoinDim _),
     "j2_using_multikey" -> (j2UsingMultikey _),
     "j4_asof_join" -> (j4AsofJoin _),
+    "j5_annotations_spine" -> (j5AnnotationsSpine _),
     "j9_asof_union_window" -> (j9AsofUnionWindow _),
     "j6_explode_literal" -> (j6ExplodeLiteral _),
     "j6_salted_skew" -> (j6SaltedSkew _),
@@ -865,6 +904,28 @@ object RelationalOps {
          )
          SELECT latest_major, count(*) AS n_orders FROM per_order
          GROUP BY latest_major ORDER BY latest_major""",
+    // the annotations spine verbatim: weekly days, release-channel builds
+    // synthesized from orders (same arithmetic as the Spark side), as-of
+    // range join, MAX per day, MIN day per version
+    "j5_annotations_spine" ->
+      """WITH builds AS (
+           SELECT DATE '2018-12-01'
+                    + CAST((o_orderkey % 20) * 25 + o_custkey % 20 AS INTEGER)
+                    AS build_day,
+                  60 + o_orderkey % 20 AS v
+           FROM orders WHERE o_orderkey % 3 = 0
+         ), bf AS (
+           SELECT * FROM builds WHERE build_day >= DATE '2018-10-31'
+         ), days AS (
+           SELECT CAST(t AS DATE) AS day
+           FROM generate_series(DATE '2018-12-31', DATE '2020-06-30',
+                                INTERVAL 7 DAY) AS g(t)
+         ), perday AS (
+           SELECT day, max(v) AS version
+           FROM days JOIN bf ON build_day <= day GROUP BY day
+         )
+         SELECT version, min(CAST(day AS VARCHAR)) AS day
+         FROM perday GROUP BY version ORDER BY day DESC""",
     "j6_explode_literal" ->
       """SELECT nation_group, count(*) AS n_customers,
          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents

@@ -1668,7 +1668,9 @@ object TextOps {
       )
       .filter(col("vocab_size").isin(t39Sizes: _*))
       .select(
-        col("vocab_size"),
+        // long, matching the oracle's int64 — row_number is int32 and the
+        // width difference is a TYPE-DRIFT flag in tools/compare.py
+        col("vocab_size").cast("long").as("vocab_size"),
         col("cum_tokens"),
         (col("cum_tokens") / lit(total.toDouble)).as("coverage")
       )
@@ -1851,8 +1853,14 @@ object TextOps {
         "left_anti"
       )
     val probe = capped(bandsFromKeyed(arrivalKeyed))
+    // self-pair guard: on a checkpoint-replayed micro-batch (index append
+    // committed, checkpoint not) an arrival finds its OWN signatures in
+    // the index and would self-match at jaccard 1.0 — verdicts must be
+    // replay-idempotent, so a doc is never its own index match. No-op for
+    // batch t41 (disjoint %4 split).
     val candIdx = probe
       .join(capped(indexBands), Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("old_id"))
       .select(col("doc_id").as("new_id"), col("old_id").as("match_id"))
       .distinct()
     val candBatch = probe
@@ -2232,7 +2240,11 @@ object TextOps {
     // with least/greatest so the matrix is order-free (diagonal included)
     // the cumulative-distinct identity (type counts for prefix b iff
     // min-bucket ≤ b) reproduced verbatim; DuckDB runs the running sums
-    // as windows — the 10-row terminal stage where that is free
+    // as windows — the 10-row terminal stage where that is free.
+    // CAST(... AS BIGINT): DuckDB SUM over an integer column is HUGEINT,
+    // which arrow-exports as decimal128(38,0) and hash-diverges from
+    // Spark's int64 in the driver's canonicalization (r7 red row) even
+    // though the values are equal — every summed output must be BIGINT
     "t37_vocab_growth" ->
       """WITH tok AS (
            SELECT doc_id * 10 // ((SELECT max(doc_id) + 1 FROM documents))
@@ -2248,8 +2260,10 @@ object TextOps {
            SELECT bucket, count(*) AS n_new FROM firstb GROUP BY bucket
          )
          SELECT p.bucket,
-           sum(p.n_tok) OVER (ORDER BY p.bucket) AS cum_tokens,
-           sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.bucket) AS cum_types
+           CAST(sum(p.n_tok) OVER (ORDER BY p.bucket) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.bucket) AS BIGINT)
+             AS cum_types
          FROM per p LEFT JOIN newt n USING (bucket)
          ORDER BY p.bucket""",
     "t36_corpus_diff" ->
@@ -2269,7 +2283,7 @@ object TextOps {
                 WHEN p.h <> c.h THEN 'changed'
                 ELSE 'unchanged' END AS status,
            count(*) AS n_docs,
-           sum(COALESCE(c.n_chars, p.n_chars)) AS n_chars
+           CAST(sum(COALESCE(c.n_chars, p.n_chars)) AS BIGINT) AS n_chars
          FROM prior p FULL OUTER JOIN curr c USING (doc_id)
          GROUP BY 1, 2 ORDER BY source, status""",
     "t35_source_overlap" ->

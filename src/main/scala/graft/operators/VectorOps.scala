@@ -794,6 +794,17 @@ object VectorOps {
         val (ab, abb) = bandGeometry(emb.count(), 0.9)
         (explicitBands.getOrElse(ab), explicitBits.getOrElse(abb))
       } else (explicitBands.getOrElse(16), explicitBits.getOrElse(8))
+    semanticClustersBandedAt(emb, nBands, bandBits)
+  }
+
+  /** v12b's post-geometry body — banded candidates, per-vector degree,
+    * exact verify at τ=0.9, connected components — shared with v12c so
+    * both declared queries certify the IDENTICAL plan modulo geometry. */
+  private def semanticClustersBandedAt(
+      emb: DataFrame,
+      nBands: Int,
+      bandBits: Int
+  ): DataFrame = {
     val cand = bandedCandidates(emb, nBands = nBands, bandBits = bandBits).cache()
     val degree = cand
       .select(col("id_a").as("vec_id"))
@@ -814,6 +825,23 @@ object VectorOps {
       .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
       .select("vec_id", "n_cand", "cluster_id", "cluster_size", "is_canonical")
       .orderBy("vec_id")
+  }
+
+  /** v12c — v12b under the AUTO-SOLVED band geometry: what
+    * `spark.graft.v12b.auto=true` runs, declared as its own query so the
+    * solver's pick (not the hand-baked 16×8) is itself hash-certified.
+    * Geometry = [[bandGeometry]](corpus count, τ=0.9) — one planning-time
+    * count(); the DuckDB oracle re-runs the SAME solver arithmetic in SQL
+    * over count(*) and draws its planes from a literal table sized for the
+    * solver's pick at any verify scale up to ~13k vectors (bandBits ≤ 14 —
+    * regenerate [[v12cPlaneValues]] wider if verify ever outgrows it). At
+    * the driver's sf0.01 (500 vectors) the solver picks 14×8; at sf0.1,
+    * 33×13 — both certified by the same adaptive oracle. */
+  private def v12cSemanticClustersAuto(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val (nBands, bandBits) = bandGeometry(emb.count(), 0.9)
+    semanticClustersBandedAt(emb, nBands, bandBits)
   }
 
   /** MMR diversity re-rank — the serving-side step AFTER ANN retrieval:
@@ -1214,6 +1242,7 @@ object VectorOps {
     "v13_mmr_rerank" -> (v13MmrRerank _),
     "v12_semantic_clusters" -> (v12SemanticClusters _),
     "v12b_semantic_clusters_banded" -> (v12bSemanticClustersBanded _),
+    "v12c_semantic_clusters_auto" -> (v12cSemanticClustersAuto _),
     "v1_ann_bruteforce" -> (v1AnnBruteforce _),
     "v2_embed_cosine_dedup" -> (v2EmbedCosineDedup _),
     "v3_ann_lsh" -> (v3AnnLsh _),
@@ -1526,7 +1555,10 @@ object VectorOps {
        |  ) s USING (vec_id)
        |)""".stripMargin
 
-  /** v22: the v17 edge CTEs, then 3 unrolled integer power iterations. */
+  /** v22: the v17 edge CTEs, then 3 unrolled integer power iterations.
+    * The final CAST(pr AS BIGINT) matters: prIter's SUM makes pr HUGEINT,
+    * which arrow-exports as decimal128 and hash-diverged from Spark's
+    * int64 in the driver's r7 canonicalization despite equal values. */
   private val v22Oracle: String =
     s"""WITH seeds AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
@@ -1558,7 +1590,8 @@ object VectorOps {
        |r0 AS (
        |  SELECT vec_id, 1000000000000 // (SELECT n FROM nn) AS pr FROM verts
        |), ${prIter("r0", "r1")}, ${prIter("r1", "r2")}, ${prIter("r2", "r3")}
-       |SELECT vec_id, pr FROM r3 ORDER BY vec_id""".stripMargin
+       |SELECT vec_id, CAST(pr AS BIGINT) AS pr FROM r3
+       |ORDER BY vec_id""".stripMargin
 
   /** v4 SEMI-oracle. The banding stage uses xxhash64 (not reproducible in
     * DuckDB), but the VERIFICATION stage is exact Jaccard on candidates —
@@ -1900,7 +1933,9 @@ object VectorOps {
          FROM scored WHERE cos >= 0.3
          GROUP BY query_id ORDER BY query_id""",
     // the hot-term cap's own audit: same tokenize→tf→df pipeline, counting
-    // what df>N/2 removes from the dictionary and the posting lists
+    // what df>N/2 removes from the dictionary and the posting lists.
+    // CAST AS BIGINT: SUM(BIGINT) is HUGEINT in DuckDB → decimal128 over
+    // arrow → driver hash mismatch (r7 red row); values themselves equal
     "v14b_rrf_dropped_terms" ->
       """WITH toksq AS (
            SELECT doc_id,
@@ -1915,7 +1950,7 @@ object VectorOps {
            SELECT count(*) AS n_docs FROM documents
          )
          SELECT count(*) AS dropped_terms,
-           coalesce(sum(df), 0) AS dropped_postings
+           CAST(coalesce(sum(df), 0) AS BIGINT) AS dropped_postings
          FROM dft CROSS JOIN n WHERE df > n_docs // 2""",
     "v14_hybrid_rrf" ->
       s"""WITH toksq AS (
@@ -2116,6 +2151,72 @@ object VectorOps {
          |  SELECT vec_id, j // 8 AS band,
          |    CAST(sum(bit * (1 << (j % 8))) AS BIGINT) AS bh
          |  FROM bits GROUP BY vec_id, band
+         |), cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bands x JOIN bands y USING (band, bh)
+         |  WHERE x.vec_id < y.vec_id
+         |), degree AS (
+         |  SELECT vec_id, count(*) AS n_cand FROM (
+         |    SELECT id_a AS vec_id FROM cand
+         |    UNION ALL
+         |    SELECT id_b AS vec_id FROM cand
+         |  ) GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT cand.id_a, cand.id_b
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.id_a
+         |  JOIN embeddings b ON b.vec_id = cand.id_b
+         |  WHERE ${duckDot("a.embedding", "b.embedding")}
+         |      / (sqrt(${duckDot("a.embedding", "a.embedding")})
+         |       * sqrt(${duckDot("b.embedding", "b.embedding")})) > 0.9
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |), reach(vec_id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.vec_id = e.dst
+         |), labels AS (
+         |  SELECT vec_id, min(lbl) AS cluster_id FROM reach GROUP BY vec_id
+         |)
+         |SELECT l.vec_id, coalesce(d.n_cand, 0) AS n_cand, l.cluster_id,
+         |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+         |  l.vec_id = l.cluster_id AS is_canonical
+         |FROM labels l LEFT JOIN degree d ON d.vec_id = l.vec_id
+         |ORDER BY l.vec_id""".stripMargin,
+    // v12b under the AUTO-SOLVED geometry: the oracle re-runs bandGeometry's
+    // arithmetic in SQL over count(*) (ln/acos/power on doubles — the same
+    // formula, so the pick agrees with Scala's), takes planes [0, bands*bits)
+    // from a 532-plane literal table (bits <= 14, enough for any verify
+    // corpus up to ~13.9k vectors; sf0.01 picks 14x8, sf0.1 picks 33x13),
+    // then the v12b pipeline verbatim with the band width a column instead
+    // of a baked literal
+    "v12c_semantic_clusters_auto" ->
+      s"""WITH RECURSIVE planes(j, plane) AS (VALUES
+         |${planeValues(532)}
+         |), nn AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+         |), geo AS (
+         |  SELECT bits, greatest(1, CAST(ceil(
+         |      ln(0.01) / ln(1 - power(1 - acos(0.9) / pi(), bits))
+         |    ) AS INTEGER)) AS bands
+         |  FROM (SELECT unnest(range(8, 25)) AS bits)
+         |), pick AS (
+         |  SELECT bits, bands FROM geo, nn
+         |  WHERE n * bands / power(2, bits) <= 32 OR bits = 24
+         |  ORDER BY bits LIMIT 1
+         |), bits_t AS (
+         |  SELECT e.vec_id, p.j,
+         |    CASE WHEN list_sum(list_transform(range(1, 65),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN planes p, pick
+         |  WHERE p.j < pick.bands * pick.bits
+         |), bands AS (
+         |  SELECT vec_id, j // bits AS band,
+         |    CAST(sum(bit * (1 << (j % bits))) AS BIGINT) AS bh
+         |  FROM bits_t, pick GROUP BY vec_id, j // bits
          |), cand AS (
          |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
          |  FROM bands x JOIN bands y USING (band, bh)

@@ -35,10 +35,15 @@ import graft.operators.TextOps
 object StreamingMinhashDedup {
 
   /** The stored index as (old_id, band, bkey); empty-but-typed before the
-    * first epoch lands. */
+    * first epoch lands. Existence is probed through the session's Hadoop
+    * FileSystem, not java.nio — indexDir may be HDFS/S3, where a local
+    * Files.exists would always take the empty branch and silently ignore
+    * every persisted signature. */
   def readIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path))
       spark.read.parquet(dir).select(col("doc_id").as("old_id"), col("band"), col("bkey"))
     else
       Seq.empty[(Long, Int, Long)].toDF("old_id", "band", "bkey")
@@ -72,8 +77,16 @@ object StreamingMinhashDedup {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val b = batch.persist()
         try {
+          // verify-side postings must cover the arrivals themselves:
+          // `corpus` is the match-side source of originals, but a streamed
+          // doc absent from it would lose its own sizes/intersection rows
+          // and silently report `unique`. Union the batch in (the keyed
+          // stage distincts on (doc_id, h), so overlap is harmless).
+          val verifySide = corpus
+            .select("doc_id", "text")
+            .unionByName(b.select("doc_id", "text"))
           val verdicts =
-            TextOps.minhashVerdicts(b, readIndex(b.sparkSession, indexDir), corpus)
+            TextOps.minhashVerdicts(b, readIndex(b.sparkSession, indexDir), verifySide)
           onBatch(verdicts, id)
           appendEpoch(b, indexDir, id)
         } finally { b.unpersist(); () }

@@ -324,7 +324,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val rows = TextOps
       .queries("t39_vocab_coverage")(spark, sf)
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.nonEmpty)
     // frontier sizes ascend and cumulative counts/coverage never decrease
     assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
@@ -346,12 +346,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       .sortBy { case (t, n) => (-n, t) }
     val total = counts.map(_._2).sum
     rows.foreach { case (k, cum, cov) =>
-      val expect = counts.take(k).map(_._2).sum
+      val expect = counts.take(k.toInt).map(_._2).sum
       assert(cum == expect, s"cum_tokens at K=$k")
       assert(cov == expect.toDouble / total.toDouble, s"coverage at K=$k")
     }
     // rows exist exactly for the candidate sizes the vocab can fill
-    val want = Seq(1, 2, 4, 8, 16, 32, 64).filter(_ <= counts.size)
+    val want = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L).filter(_ <= counts.size)
     assert(rows.map(_._1).toSeq == want)
   }
 

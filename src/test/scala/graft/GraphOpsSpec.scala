@@ -65,6 +65,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.size == 60 && got.values.forall(_ == 0L))
   }
 
+  test("adversarial diameter: a 1200-node path needs pointer-jumping and gets it") {
+    import spark.implicits._
+    // plain min-label propagation moves the min ONE hop per round — a
+    // 1200-node path would need ~1200 rounds and trip the 64-round cap.
+    // Pointer-jumping (engaged after round 8) composes label lookups, so
+    // the covered radius roughly doubles per round: convergence must land
+    // within ~8 + log2(n) rounds. Two disjoint chains prove labels don't
+    // bleed across components while shortcutting.
+    val chainA = (0L until 1199L).map(i => (i, i + 1))
+    val chainB = (2000L until 2999L).map(i => (i, i + 1))
+    val pairs = (chainA ++ chainB).toDF("a", "b")
+    val (labels, rounds) = GraphOps.connectedComponentsWithRounds(
+      GraphOps.bidirectional(pairs, "a", "b").cache()
+    )
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds < 20, s"pointer-jumping should converge in <20 rounds, took $rounds")
+    assert(got.size == 1200 + 1000)
+    (0L to 1199L).foreach(i => assert(got(i) == 0L, s"chain A node $i"))
+    (2000L to 2999L).foreach(i => assert(got(i) == 2000L, s"chain B node $i"))
+  }
+
   test("v22 integer-scaled pagerank tracks the double recurrence within 1e-6") {
     // the BIGINT scaling exists for cross-engine hash determinism, not to
     // change semantics: each per-edge floor loses < 1e-12 of mass, so

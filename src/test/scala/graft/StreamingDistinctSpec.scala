@@ -47,6 +47,42 @@ class StreamingDistinctSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late ids past the watermark don't change a closed window's count — and are counted as drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[IdEvent]
+    val q = StreamingDistinct
+      .distinctPerWindow(stream.toDS(), shards = 4, watermark = "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sd_late_test")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData((1L to 10L).map(i => IdEvent(ts("2024-01-01 10:05:00"), "k", i)): _*)
+      q.processAllAvailable()
+      // close the [10:00, 11:00) window
+      stream.addData(IdEvent(ts("2024-01-01 13:00:00"), "k", 999L))
+      q.processAllAvailable()
+      val closed = spark.table("sd_late_test").as[(Long, String, Int, Long)].collect()
+        .filter(_._1 == ts("2024-01-01 10:00:00").getTime * 1000)
+      assert(closed.map(_._4).sum == 10L, "closed window should hold exactly ids 1..10")
+
+      // a NEW id aimed at the closed window, hours behind the watermark:
+      // the exact count must not change (no re-emission, no mutation),
+      // and the drop must register in the metric — deliberate, counted
+      stream.addData(IdEvent(ts("2024-01-01 10:06:00"), "k", 888L))
+      q.processAllAvailable()
+      val after = spark.table("sd_late_test").as[(Long, String, Int, Long)].collect()
+        .filter(_._1 == ts("2024-01-01 10:00:00").getTime * 1000)
+      assert(after.toSeq.sorted == closed.toSeq.sorted,
+        "late id must not alter the closed window's emitted counts")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L,
+        s"late-id drop must surface in numRowsDroppedByWatermark, saw $dropped")
+    } finally q.stop()
+  }
+
   test("streaming shard sums == e14's weekly exact distinct on the real events table") {
     // Cross-module parity on REAL data: batch-mode flatMapGroupsWithState
     // bitmap state, summed across id shards and rolled up from hourly

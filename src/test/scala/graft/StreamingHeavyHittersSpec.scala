@@ -52,6 +52,41 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late hot item past the watermark can't inflate a closed window — drop is counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Item]
+    val q = StreamingHeavyHitters
+      .heavyHitters(stream.toDS(), k = 4, shards = 2, watermark = "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("hh_late_test")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(Seq.fill(6)(Item(ts("2024-01-01 10:05:00"), "hot")): _*)
+      q.processAllAvailable()
+      stream.addData(Item(ts("2024-01-01 13:00:00"), "later"))
+      q.processAllAvailable()
+      val closed = spark.table("hh_late_test").as[(Long, String, Long, Long)].collect()
+        .filter(_._1 == ts("2024-01-01 10:00:00").getTime * 1000)
+      assert(closed.exists(_._2 == "hot"), "closed window should report the hot item")
+
+      // 6 more "hot" occurrences aimed at the closed window, behind the
+      // watermark: the emitted estimate must stand (no double emission,
+      // no count inflation) and the 6 drops must be metric-visible
+      stream.addData(Seq.fill(6)(Item(ts("2024-01-01 10:06:00"), "hot")): _*)
+      q.processAllAvailable()
+      val after = spark.table("hh_late_test").as[(Long, String, Long, Long)].collect()
+        .filter(_._1 == ts("2024-01-01 10:00:00").getTime * 1000)
+      assert(after.toSeq.sorted == closed.toSeq.sorted,
+        "late items must not re-emit or inflate a closed window's survivors")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 6L,
+        s"all 6 late rows must be counted in numRowsDroppedByWatermark, saw $dropped")
+    } finally q.stop()
+  }
+
   test("closed-window survivors == a16 exact heavy hitters on the same tokens") {
     // The streaming/batch parity gate: on a fixture where every shard's
     // distinct-item count fits the MG capacity (29 distinct << k=64), the

@@ -76,6 +76,56 @@ class StreamingMinhashDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("a replayed batch that already appended its signatures does not self-match") {
+    // The replay hole the self-pair guard closes: appendEpoch commits,
+    // the checkpoint does NOT, and the micro-batch re-runs — every
+    // replayed arrival now finds its own signatures in the index. The
+    // verdicts must be identical to the first run (replay idempotence),
+    // not dup_index-of-itself at jaccard 1.0.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val dir = tmp("graft-smd-selfmatch")
+    StreamingMinhashDedup.appendEpoch(docs, dir, 0L) // commit before replay
+    val verdicts = graft.operators.TextOps
+      .minhashVerdicts(docs, StreamingMinhashDedup.readIndex(spark, dir), docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+      .sortBy(_._1)
+    assert(verdicts == Seq((1L, "unique"), (2L, "unique")),
+      s"replayed arrivals self-matched against their own signatures: $verdicts")
+  }
+
+  test("arrivals absent from the corpus frame still verify (postings from the batch)") {
+    // the verify side must carry the arrivals' own postings: a streamed
+    // doc missing from `corpus` would lose its sizes/intersection rows
+    // and silently report unique even when it IS a near-dup of an
+    // indexed doc
+    val indexed = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val dir = tmp("graft-smd-absent")
+    StreamingMinhashDedup.appendEpoch(indexed, dir, 0L)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = StreamingMinhashDedup.run(
+      stream.toDF().toDF("doc_id", "text"),
+      dir,
+      indexed, // corpus frame does NOT contain the arrival
+      tmp("graft-smd-absent-ckpt"),
+      (v, _) => got ++= v.collect().map(r => (r.getLong(0), r.getString(1)))
+    )
+    try {
+      stream.addData((99L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSeq == Seq((99L, "dup_index")),
+      s"arrival outside the corpus frame must still verify against the index: $got")
+  }
+
   test("a replayed epoch replaces its own signatures instead of double-appending") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -50,6 +50,52 @@ class StreamingSessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late data past the watermark is dropped deliberately and COUNTED") {
+    // The parity gates run on cleanly closed windows; this fixture proves
+    // the out-of-order contract: an event behind the watermark must not
+    // mutate emitted sessions (replay determinism), and the drop must be
+    // OBSERVABLE in the query's numRowsDroppedByWatermark metric — the
+    // no-silent-caps convention applied to time instead of cardinality.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val q = StreamingSessionize
+      .sessionize(stream.toDS(), watermark = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sessions_late_test")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(
+        SessionEvent(1L, ts("2024-01-01 10:00:00")),
+        SessionEvent(1L, ts("2024-01-01 10:05:00"))
+      )
+      q.processAllAvailable()
+      // advance the watermark far past user 1's session and time it out
+      stream.addData(SessionEvent(2L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      stream.addData(SessionEvent(2L, ts("2024-01-01 15:01:00")))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_late_test")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L)
+      assert(closed.length == 1 && closed.head._4 == 2L,
+        "user 1's session should be closed by the watermark timeout")
+
+      // a late event INSIDE the closed session's range: watermark is
+      // ~14:50, the event is hours behind it
+      stream.addData(SessionEvent(1L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      val after = spark.table("sessions_late_test")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 == 1L)
+      assert(after.toSeq == closed.toSeq,
+        "a late event must not re-open or re-emit a closed session")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L,
+        s"the late event's drop must surface in numRowsDroppedByWatermark, saw $dropped")
+    } finally q.stop()
+  }
+
   test("batch mode emits the trailing open session — output equals batch sessionization") {
     // user 1: two sessions (30-min gap rule); user 2: one single-event session
     val events = Seq(
