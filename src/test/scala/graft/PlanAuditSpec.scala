@@ -69,6 +69,18 @@ class PlanAuditSpec extends AnyFunSuite {
     for (q <- Seq("j3_weekly_metrics", "ua_full_pipeline")) {
       assert(!plan(q).contains("SortMergeJoin"), s"$q regressed to sort-merge")
     }
+    // ua_full's 8-way assembly, pinned by SHAPE after the r7 bench scare
+    // (2.45 s vs r6's 1.95 s): an A/B at both commits found bit-identical
+    // physical plans and overlapping timing bands (HEAD 2.15-2.71,
+    // r6 1.83-2.80 over 9 idle runs) — environment noise, not regression.
+    // These bounds catch the real failure modes: a metric CTE losing its
+    // broadcast (join count drops, exchange count rises) or a new
+    // corpus-grain shuffle sneaking into the assembly.
+    val ua = plan("ua_full_pipeline")
+    val exchanges = ua.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val bhj = ua.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(exchanges <= 22, s"ua_full assembly grew extra shuffles ($exchanges)")
+    assert(bhj >= 25, s"ua_full assembly lost broadcast joins ($bhj)")
   }
 
   test("rank-then-filter queries keep Spark 4's WindowGroupLimit pushdown engaged") {
