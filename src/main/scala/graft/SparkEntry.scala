@@ -14,10 +14,13 @@ import graft.multimodal.MultimodalOps
   *   - [[TextOps]]        dedup/text-analysis over `documents`
   *   - [[VectorOps]]      ANN + LSH/MinHash/SimHash over `embeddings`
   *
-  * Every query with SQL-expressible semantics has a DuckDB oracle in
-  * [[oracleSql]]; the two remaining rows-only queries (v5 SimHash on
-  * xxhash64, e5 on an HLL sketch) are engine-specific by construction and
-  * verified against their exact counterparts in ScalaTest.
+  * EVERY declared query has a DuckDB oracle in [[oracleSql]] — zero
+  * rows-only entries (since round 6; the sketch queries verify through
+  * split-column semi-oracles, v5 through the md5-prefix hash). Oracle
+  * authoring rule from the round-7 postmortem: any aggregate over an
+  * integer column must be CAST AS BIGINT in the SQL — DuckDB's SUM
+  * returns HUGEINT, which hash-diverges from Spark's int64 through the
+  * driver's arrow canonicalization even when the values are equal.
   */
 object SparkEntry {
 

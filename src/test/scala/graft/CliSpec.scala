@@ -106,6 +106,58 @@ class CliSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Path.of(s"$tmp/out/annotations_hardware.json")))
   }
 
+  test("annotations webusage artifact matches a byte-level golden (S4/W2/F16)") {
+    // full-file golden of the merged static+computed annotations JSON,
+    // assembled here from string literals ONLY (no JsonWriter, no
+    // Annotations code): locks key sorting, 2-space indent, static-entry
+    // precedence, and the default-annotation fan-out on the annotations
+    // path the same way the hwsurvey goldens lock the hardware path
+    val tmp = Files.createTempDirectory("graft-ann-golden").toString
+    val schema = StructType(Seq(StructField("build", StructType(Seq(
+      StructField("target", StructType(Seq(
+        StructField("version", StringType), StructField("channel", StringType)))),
+      StructField("build", StructType(Seq(StructField("date", TimestampType)))))))))
+    val rows = Seq(
+      Row(Row(Row("71.0", "release"), Row(java.sql.Timestamp.valueOf("2018-12-03 10:00:00"))))
+    )
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/buildhub")
+    Main.annotations(
+      spark,
+      Map(
+        "buildhub" -> s"$tmp/buildhub",
+        "date_to" -> "2019-01-14",
+        "output" -> s"$tmp/out"
+      )
+    )
+    def entry(date: String, kvs: (String, String)*): String =
+      s"""    {
+         |      "annotation": {
+         |${kvs.map { case (k, v) => s"""        "$k": "$v"""" }.mkString(",\n")}
+         |      },
+         |      "date": "$date"
+         |    }""".stripMargin
+    val defaults = Seq(
+      entry("2017-11-14", "pct_TP" -> "FF57", "pct_addon" -> "legacy addons disabled"),
+      entry("2019-05-05", "pct_addon" -> "data deleted (addons outage)")
+    )
+    val staticWw = entry("2019-01-01", "pct_addon" -> "example static annotation")
+    def country(name: String, entries: Seq[String]): String =
+      s"""  "$name": [
+         |${entries.mkString(",\n")}
+         |  ]""".stripMargin
+    // sort_keys=True ordering; Worldwide's static entry precedes defaults
+    val golden = (Seq(
+      "Brazil", "China", "France", "Germany", "India", "Indonesia",
+      "Italy", "Poland", "Russia", "United States"
+    ).map(c => country(c, defaults)) :+
+      country("Worldwide", staticWw +: defaults))
+      .mkString("{\n", ",\n", "\n}")
+    val wu = Files.readString(java.nio.file.Path.of(s"$tmp/out/annotations_webusage.json"))
+    assert(wu == golden,
+      s"webusage annotations drifted from the golden:\n--- got ---\n$wu\n--- want ---\n$golden")
+  }
+
   test("user_activity CLI: pipeline -> validation -> fxhealth/webusage JSON") {
     val tmp = Files.createTempDirectory("graft-ua").toString
     // reuse the UserActivitySpec fixture shapes, via parquet round-trip
