@@ -238,6 +238,130 @@ case class QuantizeInt8(child: Expression)
     copy(child = newChild)
 }
 
+/** The deterministic ±1 hyperplane table shared by the LSH operators
+  * (v3 signatures, v12b/v12c banding) and their DuckDB oracles —
+  * splitmix64-style bit mix on (plane, dim). ±1 is exact in every float
+  * width, so the plane side contributes no rounding on either engine.
+  * Canonical definition; `VectorOps` and the oracle literal generators
+  * both read it from here. */
+object Planes {
+  def sign(j: Int, k: Int): Float = {
+    var z = (j.toLong << 32 | k.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0f else -1.0f
+  }
+
+  /** Flattened sign matrix for planes [0, nPlanes) over `dims` dimensions —
+    * the executor-side constant [[BandHashesFloat]] loops over. */
+  def table(nPlanes: Int, dims: Int): Array[Float] =
+    Array.tabulate(nPlanes * dims)(idx => sign(idx / dims, idx % dims))
+}
+
+/** All LSH band hashes of an embedding in ONE pass —
+  * `graft_band_hashes(embedding, nBands, bandBits)` returns an
+  * array<long> of length nBands where element b packs the sign bits of
+  * planes [b·bits, (b+1)·bits) (bit k set iff dot(embedding,
+  * plane_{b·bits+k}) ≥ 0, accumulated in double, index order — the exact
+  * arithmetic of `graft_dot` against the ±1 plane literal, so results are
+  * bit-identical to the composed form and to the DuckDB oracles).
+  *
+  * Why an expression: the composed form is nBands·bandBits separate
+  * `graft_dot`-against-constant columns — at v12c's solver geometries
+  * (429 planes at sf0.1, 1054 at sf1) that is hundreds of expression-tree
+  * nodes per row and a codegen method-size hazard. Here the plane matrix
+  * is one executor-local float[] (rebuilt per executor, never serialized
+  * per row) and the whole signature is one fused loop. */
+case class BandHashesFloat(child: Expression, nBands: Int, bandBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nBands > 0 && bandBits > 0 && bandBits <= 64,
+    s"graft_band_hashes: bad geometry ${nBands}x$bandBits")
+
+  private val dims = 64
+
+  @transient private lazy val planes: Array[Float] =
+    Planes.table(nBands * bandBits, dims)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_band_hashes expects array<float>, got ${other.simpleString}"
+        )
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "graft_band_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dims)
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0L
+      var k = 0
+      while (k < bandBits) {
+        val base = (b * bandBits + k) * dims
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += a.getFloat(i).toDouble * planes(base + i).toDouble
+          i += 1
+        }
+        if (acc >= 0.0) h |= 1L << k
+        k += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val pl = ctx.addReferenceObj("graftPlanes", planes, "float[]")
+        val n = ctx.freshName("bhN")
+        val out = ctx.freshName("bhOut")
+        val b = ctx.freshName("bhB")
+        val h = ctx.freshName("bhH")
+        val k = ctx.freshName("bhK")
+        val base = ctx.freshName("bhBase")
+        val acc = ctx.freshName("bhAcc")
+        val i = ctx.freshName("bhI")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $dims);
+        long[] $out = new long[$nBands];
+        for (int $b = 0; $b < $nBands; $b++) {
+          long $h = 0L;
+          for (int $k = 0; $k < $bandBits; $k++) {
+            int $base = ($b * $bandBits + $k) * $dims;
+            double $acc = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              $acc += (double) $a.getFloat($i) * (double) $pl[$base + $i];
+            }
+            if ($acc >= 0.0) $h |= 1L << $k;
+          }
+          $out[$b] = $h;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+        """
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashesFloat =
+    copy(child = newChild)
+}
+
 /** Registration for the native functions — either per-session at runtime
   * ([[GraftFunctions.register]]) or via `spark.sql.extensions=
   * graft.functions.GraftExtensions` for cluster-wide injection.
@@ -256,6 +380,11 @@ object GraftFunctions {
   val dist2Info = new ExpressionInfo(
     classOf[DistanceSquaredFloat].getName,
     "graft_dist2"
+  )
+
+  val bandHashesInfo = new ExpressionInfo(
+    classOf[BandHashesFloat].getName,
+    "graft_band_hashes"
   )
 
   val shinglesInfo = new ExpressionInfo(
@@ -302,6 +431,18 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dist2",
       (exprs: Seq[Expression]) => DistanceSquaredFloat(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_band_hashes",
+      // geometry args must be literals — they size the plane table at
+      // plan time (matching how the DuckDB oracles bake their literals)
+      (exprs: Seq[Expression]) =>
+        BandHashesFloat(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()
+        ),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -363,6 +504,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_dist2"),
         GraftFunctions.dist2Info,
         (exprs: Seq[Expression]) => DistanceSquaredFloat(exprs(0), exprs(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_band_hashes"),
+        GraftFunctions.bandHashesInfo,
+        (exprs: Seq[Expression]) =>
+          BandHashesFloat(
+            exprs(0),
+            exprs(1).eval().asInstanceOf[Number].intValue(),
+            exprs(2).eval().asInstanceOf[Number].intValue()
+          )
       )
     )
     ext.injectFunction(

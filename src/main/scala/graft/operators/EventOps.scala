@@ -63,7 +63,7 @@ object EventOps {
     val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
     val gapUs = 30L * 60 * 1000000
     Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn(
         "new_session",
@@ -76,6 +76,71 @@ object EventOps {
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
       )
+  }
+
+  /** e18 — session PATH mining: each session's ordered event-type
+    * sequence as a path string, counted corpus-wide, top-20 by frequency
+    * (the behavioral-trajectory profile product analytics runs, and the
+    * trajectory-extraction step an agent/behavior-cloning data pipeline
+    * runs over interaction logs).
+    *
+    * Scale shape: the user-keyed session window is e2's one exchange; the
+    * path is assembled INSIDE the (user, session) aggregation via
+    * sort_array(collect_list(struct)) — per-session state, never a global
+    * sort; path counting is one more keyed agg on a far smaller frame
+    * (one row per session), and the top-20 boundary plans as
+    * TakeOrderedAndProject (heap, no global sort). Determinism: the
+    * struct sorts (us, event_id, type) with event_id unique, and the
+    * top-20 tie-break is (count desc, path asc). */
+  private def e18SessionPaths(s: SparkSession, d: String): DataFrame =
+    sessionized(s, d)
+      .groupBy("user_id", "session_id")
+      .agg(
+        concat_ws(
+          ">",
+          transform(
+            array_sort(
+              collect_list(struct(col("us"), col("event_id"), col("event_type")))
+            ),
+            e => e.getField("event_type")
+          )
+        ).as("path"),
+        count(lit(1)).as("n_events")
+      )
+      .groupBy("path")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events")
+      )
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+
+  /** e19 — first-order Markov transition profile over in-session event
+    * bigrams: P(next event type | current), exact counts plus a 6dp
+    * probability (the session-dynamics fingerprint that catches logging
+    * regressions and distribution drift between corpus snapshots).
+    *
+    * Scale shape: the bigram lag rides the SAME user-keyed window
+    * exchange the sessionizer already paid (lag over (user, session
+    * implicit via boundary flag) order); transition counting is one agg
+    * over a |types|² keyspace — constant-size output no matter the event
+    * volume. Probabilities are exact-integer ratios rounded at 6dp, the
+    * catalog's standard cross-engine float pin. */
+  private def e19MarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val prevInSession =
+      when(lag(col("session_id"), 1).over(byUser) === col("session_id"),
+        lag(col("event_type"), 1).over(byUser))
+    sessionized(s, d)
+      .withColumn("prev_type", prevInSession)
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "p",
+        round(col("n") / sum("n").over(Window.partitionBy("prev_type")), 6)
+      )
+      .orderBy("prev_type", "event_type")
   }
 
   /** Interval-overlap join (range × range) — concurrent-session pairs:
@@ -699,6 +764,8 @@ object EventOps {
     "e6_retention_cohorts" -> (e6RetentionCohorts _),
     "e1_weekly_activity" -> (e1WeeklyActivity _),
     "e2_sessionize" -> (e2Sessionize _),
+    "e18_session_paths" -> (e18SessionPaths _),
+    "e19_markov_transitions" -> (e19MarkovTransitions _),
     "j10_interval_overlap" -> (j10IntervalOverlap _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_funnel" -> (e4Funnel _),
@@ -994,6 +1061,70 @@ object EventOps {
            CAST(sum(span_us) AS BIGINT) AS total_span_us,
            max(n_events) AS max_session_events
          FROM per_session GROUP BY user_id ORDER BY user_id""",
+    // e2's session CTEs + in-session ordered path via string_agg; top-20
+    // with the (count desc, path asc) tie-break the Spark side pins
+    "e18_session_paths" ->
+      """WITH base AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+         ), flagged AS (
+           SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ), sessioned AS (
+           SELECT user_id, event_id, event_type, us,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM flagged
+         ), per_session AS (
+           SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+             count(*) AS n_events
+           FROM sessioned GROUP BY user_id, session_id
+         )
+         SELECT path, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+         FROM per_session GROUP BY path
+         ORDER BY n_sessions DESC, path ASC LIMIT 20""",
+    // same session CTEs; in-session bigram lag, exact counts, 6dp ratio
+    "e19_markov_transitions" ->
+      """WITH base AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+         ), flagged AS (
+           SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ), sessioned AS (
+           SELECT user_id, event_id, event_type, us,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM flagged
+         ), bigrams AS (
+           SELECT
+             lag(event_type) OVER w2 AS prev_type,
+             lag(session_id) OVER w2 AS prev_session,
+             session_id, event_type
+           FROM sessioned
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+         ), trans AS (
+           SELECT prev_type, event_type, count(*) AS n
+           FROM bigrams
+           WHERE prev_type IS NOT NULL AND prev_session = session_id
+           GROUP BY prev_type, event_type
+         )
+         SELECT prev_type, event_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+         FROM trans ORDER BY prev_type, event_type""",
     // e2's session CTEs verbatim + the naive overlap self-join the binned
     // equi-join must exactly reproduce (count at session-pair grain)
     "j10_interval_overlap" ->

@@ -178,16 +178,12 @@ object VectorOps {
   }
 
   /** Deterministic ±1 hyperplane table shared by the v3 implementation and
-    * its DuckDB oracle (splitmix64-style bit mix on (plane, dim)). ±1 is
-    * exact in every float width, so the plane side contributes no rounding
-    * on either engine. */
-  private def planeSign(j: Int, k: Int): Float = {
-    var z = (j.toLong << 32 | k.toLong) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 0L) 1.0f else -1.0f
-  }
+    * its DuckDB oracle — canonical definition lives in
+    * [[graft.functions.Planes]] (also the [[graft.functions.BandHashesFloat]]
+    * expression's table), kept as an alias so the oracle literal
+    * generators below read naturally. */
+  private def planeSign(j: Int, k: Int): Float =
+    graft.functions.Planes.sign(j, k)
 
   /** Random-hyperplane LSH ANN (scale path): 64 sign-hash bits from
     * deterministic ±1 hyperplanes (splitmix-seeded), banded bucket join on
@@ -197,44 +193,28 @@ object VectorOps {
   private def v3AnnLsh(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val nBits = 64
-    val dims = 64
-    // Deterministic ±1 hyperplanes materialized as LITERAL float arrays.
-    // Each bit is one native codegen graft_dot against a constant — the
-    // zip_with+aggregate HOF form this replaces was CodegenFallback and
-    // 5x+ slower (round-1 bench: 13.1 s).
-    def bit(j: Int) = {
-      val plane = typedlit((0 until dims).map(k => planeSign(j, k)))
-      when(call_function("graft_dot", col("embedding"), plane) >= 0, lit(1L))
-        .otherwise(lit(0L))
-    }
-    val sig = (0 until nBits)
-      .map(j => bit(j) * (1L << j))
-      .reduce(_ + _)
     // Norms once per row (shared by every candidate pair downstream).
     val signed = emb
-      .withColumn("sig", sig)
       .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
     // 16 bands x 4 bits: top-k neighbors here agree per bit with p ~ 0.6,
     // so a band matches with p^4 ~ 0.13 and missing ALL bands is
     // (1-p^4)^16 ~ 0.11 — measured recall ~0.9 (8 bands measured 0.64-0.70).
     // Narrow bands + many of them is the OR-amplification that makes recall
     // usable; candidates are re-ranked with the exact cosine anyway.
+    // Band b of graft_band_hashes packs sign bits of planes [4b, 4b+4) —
+    // exactly the (sig >>> 4b) & 15 slices of the former 64-bit signature
+    // column (round-1..7 form: 64 separate dot-against-literal columns);
+    // one fused pass, bit-identical bh values, same plane table as the
+    // oracle's SQL literals.
     val banded = signed
       .select(
         col("vec_id"),
         col("embedding"),
         col("nrm"),
-        explode(
-          array((0 until 16).map { b =>
-            struct(
-              lit(b).as("band"),
-              shiftrightunsigned(col("sig"), b * 4).bitwiseAND(lit(15L)).as("bh")
-            )
-          }: _*)
-        ).as("b")
+        posexplode(
+          call_function("graft_band_hashes", col("embedding"), lit(16), lit(4))
+        ).as(Seq("band", "bh"))
       )
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("b.band"), col("b.bh"))
     val queries = banded
       .filter(col("vec_id") < 10)
       .select(
@@ -667,28 +647,26 @@ object VectorOps {
       nBands: Int = 64,
       bandBits: Int = 4
   ): DataFrame = {
-    val dims = 64
-    def bandHash(b: Int): Column =
-      (0 until bandBits).map { k =>
-        val plane = typedlit((0 until dims).map(kk => planeSign(b * bandBits + k, kk)))
-        when(call_function("graft_dot", col("embedding"), plane) >= 0, lit(1L << k))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
+    // The whole signature is ONE fused native expression
+    // (graft_band_hashes: every plane dot in a single codegen loop over an
+    // executor-local plane matrix) instead of nBands·bandBits separate
+    // dot-against-literal columns — bit-identical results (same double
+    // accumulation in index order against the same ±1 planes), but the
+    // expression tree stays O(1) as the solver widens the geometry
+    // (v12c picks 1054 planes at sf1, where the composed form is a
+    // codegen method-size hazard and 429 plan nodes at sf0.1).
     // Pre-shuffle on the join key so the self-join's two children are the
-    // IDENTICAL exchange: ReuseExchange computes the 128-plane signature
-    // pass once and the second side reads shuffle output. At scale the
-    // (band, bh) join shuffles both sides regardless, so the repartition
-    // adds nothing — it only deduplicates the signature work.
+    // IDENTICAL exchange: ReuseExchange computes the signature pass once
+    // and the second side reads shuffle output. At scale the (band, bh)
+    // join shuffles both sides regardless, so the repartition adds
+    // nothing — it only deduplicates the signature work.
     val banded = emb
       .select(
         col("vec_id"),
-        explode(
-          array((0 until nBands).map { b =>
-            struct(lit(b).as("band"), bandHash(b).as("bh"))
-          }: _*)
-        ).as("bb")
+        posexplode(
+          call_function("graft_band_hashes", col("embedding"), lit(nBands), lit(bandBits))
+        ).as(Seq("band", "bh"))
       )
-      .select(col("vec_id"), col("bb.band"), col("bb.bh"))
       .repartition(col("band"), col("bh"))
     banded
       .as("x")

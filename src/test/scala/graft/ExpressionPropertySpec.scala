@@ -132,6 +132,52 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_band_hashes: codegen == interpreted == per-plane composed form") {
+    // the fused signature expression must be BIT-identical to the
+    // composed form it replaced (one graft_dot against each ±1 plane
+    // literal, bits OR-packed per band) — same double accumulation in
+    // index order, same >= 0 sign rule — on short, long, empty, and
+    // adversarial (NaN/Inf: sign of NaN-dot is well-defined false for
+    // `>= 0`) vectors, across several geometries including non-dividing
+    // dims and 64-bit bands
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq.tabulate(120)(i => (i, randVec(70))) ++
+      Seq((120, Seq.empty[Float]), (121, edgeFloats),
+        (122, Seq.fill(64)(0.0f)), (123, Seq.fill(64)(1.0f)))
+    def refBands(v: Seq[Float], nBands: Int, bits: Int): Seq[Long] =
+      (0 until nBands).map { b =>
+        (0 until bits).foldLeft(0L) { (h, k) =>
+          val j = b * bits + k
+          var acc = 0.0
+          var i = 0
+          val n = math.min(v.length, 64)
+          while (i < n) {
+            acc += v(i).toDouble * graft.functions.Planes.sign(j, i).toDouble
+            i += 1
+          }
+          if (acc >= 0.0) h | (1L << k) else h
+        }
+      }
+    for ((nBands, bits) <- Seq((16, 8), (33, 13), (1, 64), (14, 8))) {
+      val df = cases
+        .toDF("id", "v")
+        .withColumn("v", col("v").cast("array<float>"))
+        .select(
+          col("id"),
+          call_function("graft_band_hashes", col("v"), lit(nBands), lit(bits)).as("h")
+        )
+      def run(): Map[Int, Seq[Long]] =
+        df.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val gen = run()
+      val interp = interpretedOff(run())
+      cases.foreach { case (id, v) =>
+        val want = refBands(v, nBands, bits)
+        assert(gen(id) == want, s"codegen ${nBands}x$bits id=$id: ${gen(id)} != $want")
+        assert(interp(id) == want, s"interp ${nBands}x$bits id=$id")
+      }
+    }
+  }
+
   test("graft_quantize_int8: codegen == interpreted == reference; range and zero laws hold") {
     graft.functions.GraftFunctions.register(spark)
     val cases = Seq.tabulate(300)(i => (i, randVec())) ++ Seq(

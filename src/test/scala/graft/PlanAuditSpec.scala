@@ -103,6 +103,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // whole vocab across the cluster
     assert(plan("t39_vocab_coverage").contains("TakeOrderedAndProject"),
       "t39 regressed to a global vocab sort")
+    // e18's top-20 paths: same contract at the session-path grain
+    assert(plan("e18_session_paths").contains("TakeOrderedAndProject"),
+      "e18 regressed to a global path sort")
   }
 
   test("j10's interval overlap joins on the bucket key, never a nested loop") {
