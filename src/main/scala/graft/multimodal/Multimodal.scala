@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support: opaque binary payloads + typed metadata, with
@@ -316,12 +317,78 @@ object MultimodalOps {
     containmentPairs(frames, dfCap = 32, minRatio = 0.5)
   }
 
+  /** m6 — the FEATURE-EXTRACT verb of the multimodal surface (decode=m1,
+    * frame-sample=m2, resize=m3): payload → deterministic 64-dim stub
+    * embedding (64 evenly-spaced payload bytes, each float-scaled to
+    * [-1, 1] — where a real model would run, with the same signature:
+    * binary in, fixed-width float vector out), composed straight into the
+    * vector surface — brute-force cosine top-3 media neighbors per probe
+    * (v1's broadcast-probes shape, `graft_dot` scoring). The point is the
+    * COMPOSITION: media feed the same ANN machinery the embeddings table
+    * uses, end-to-end oracle-checked because the stub featurizer is pure
+    * byte arithmetic both engines can state.
+    *
+    * Scale shape: featurization is scan-side column arithmetic (no
+    * shuffle); probes broadcast (the 1/101 sample); scoring is one corpus
+    * scan; the top-3 boundary is a per-probe window over probe-bounded
+    * candidates. Swapping the stub for a real encoder moves the embedding
+    * column's producer (mapInPandas/mapPartitions batch, m1's decode
+    * pattern) without touching the retrieval plan. */
+  def featureAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = Multimodal
+      .withPayload(docs)
+      .withColumn("n", length(col("payload")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn(
+        "embedding",
+        array((0 until 64).map { i =>
+          (conv(
+            hex(expr(s"substring(payload, CAST(($i * n) DIV 64 AS INT) + 1, 1)")),
+            16, 10
+          ).cast("double") / lit(63.5) - lit(1.0)).cast("float")
+        }: _*)
+      )
+      .select(col("media_id"), col("embedding"))
+    val withNrm = emb.withColumn(
+      "nrm",
+      sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
+    )
+    val probes = withNrm
+      .filter(col("media_id") % 101 === 0)
+      .select(
+        col("media_id").as("query_id"),
+        col("embedding").as("qe"),
+        col("nrm").as("qn")
+      )
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("media_id").asc)
+    withNrm
+      .join(broadcast(probes), col("media_id") =!= col("query_id"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("nrm"))
+      )
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(
+        col("query_id"),
+        col("rnk").cast("long").as("rnk"),
+        col("media_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos")
+      )
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d)),
     "m4_chunk_dedup" -> ((s, d) => chunkDedupQuery(s, d)),
-    "m5_frame_dedup" -> ((s, d) => frameDedupQuery(s, d))
+    "m5_frame_dedup" -> ((s, d) => frameDedupQuery(s, d)),
+    "m6_feature_ann" -> ((s, d) => featureAnnQuery(s, d))
   )
 
   /** The stub decoder is pure arithmetic over payload bytes, so the oracle
@@ -423,6 +490,39 @@ object MultimodalOps {
            CAST(first_byte AS BIGINT) AS first_byte,
            CAST(ascii(substr(resized, -1, 1)) AS BIGINT) AS last_byte
          FROM sliced ORDER BY media_id""",
+    // the stub featurizer restated as byte arithmetic (ASCII corpus:
+    // ascii(substr) == payload byte), REAL cast matching the Spark float
+    // embedding, graft_dot's double index-order accumulation, row_number
+    // with the (cos desc, id asc) tie-break
+    "m6_feature_ann" ->
+      """WITH emb AS (
+           SELECT doc_id AS media_id,
+             list_transform(range(0, 64), i ->
+               CAST(CAST(ascii(substr(text,
+                      CAST((i * strlen(text)) // 64 AS BIGINT) + 1, 1))
+                    AS DOUBLE) / 63.5 - 1.0 AS REAL)) AS e
+           FROM documents WHERE strlen(text) > 0
+         ), nrmd AS (
+           SELECT media_id, e,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE)))) AS nrm
+           FROM emb
+         ), scored AS (
+           SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))
+               / (q.nrm * c.nrm) AS cos
+           FROM nrmd q JOIN nrmd c ON c.media_id <> q.media_id
+           WHERE q.media_id % 101 = 0
+         ), ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rnk
+           FROM scored
+         )
+         SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+           round(cos, 6) AS cos
+         FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""",
     "m2_frame_sample" ->
       """WITH meta AS (
            SELECT doc_id AS media_id, text, strlen(text) AS n_bytes,
