@@ -355,8 +355,12 @@ object MultimodalOps {
       "nrm",
       sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
     )
+    // FIXED probe set (≤10 at any corpus size): a probe rate that scaled
+    // with the corpus would make total scoring work n²/rate — the v1
+    // convention is a constant probe panel, so the brute-force stage is
+    // O(n) and the scale path for bigger panels is the IVF/LSH family
     val probes = withNrm
-      .filter(col("media_id") % 101 === 0)
+      .filter(col("media_id") % 101 === 0 && col("media_id") < 1010)
       .select(
         col("media_id").as("query_id"),
         col("embedding").as("qe"),
@@ -513,7 +517,7 @@ object MultimodalOps {
                i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))
                / (q.nrm * c.nrm) AS cos
            FROM nrmd q JOIN nrmd c ON c.media_id <> q.media_id
-           WHERE q.media_id % 101 = 0
+           WHERE q.media_id % 101 = 0 AND q.media_id < 1010
          ), ranked AS (
            SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id

@@ -143,6 +143,50 @@ object EventOps {
       .orderBy("prev_type", "event_type")
   }
 
+  /** e20 — SCD-style validity intervals (slowly-changing-dimension
+    * history build): each user's event stream collapsed to consecutive
+    * same-type segments with [valid_from, valid_to) interval bounds —
+    * the versioned-dimension materialization a warehouse runs to answer
+    * "what was the state AS OF time t" with a j4-style as-of join
+    * instead of replaying the event log.
+    *
+    * Scale shape: one user-keyed window exchange (lag flag + running
+    * segment id — the e2 sessionizer's mechanism pointed at value change
+    * instead of time gaps), one (user, segment) agg, and the valid_to
+    * carry is a lead over the SEGMENT frame (one row per segment, far
+    * smaller than the event grain). Open segments keep a NULL valid_to —
+    * the live row of an SCD table. */
+  private def e20ScdIntervals(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val segs = sessionized(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn(
+        "chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L)
+      )
+      .withColumn(
+        "seg_id",
+        sum("chg").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy("user_id", "seg_id")
+      .agg(
+        // all rows in a segment share the type by construction; min is
+        // the order-free way to say "the" type
+        min("event_type").as("event_type"),
+        min("us").as("valid_from_us"),
+        count(lit(1)).as("n_events")
+      )
+    segs
+      .withColumn(
+        "valid_to_us",
+        lead(col("valid_from_us"), 1)
+          .over(Window.partitionBy("user_id").orderBy("seg_id"))
+      )
+      .select("user_id", "seg_id", "event_type", "valid_from_us", "valid_to_us", "n_events")
+      .orderBy("user_id", "seg_id")
+  }
+
   /** Interval-overlap join (range × range) — concurrent-session pairs:
     * for every pair of DIFFERENT users, how many of their session pairs
     * overlap in time. The one join shape the catalog's as-of family
@@ -766,6 +810,7 @@ object EventOps {
     "e2_sessionize" -> (e2Sessionize _),
     "e18_session_paths" -> (e18SessionPaths _),
     "e19_markov_transitions" -> (e19MarkovTransitions _),
+    "e20_scd_intervals" -> (e20ScdIntervals _),
     "j10_interval_overlap" -> (j10IntervalOverlap _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_funnel" -> (e4Funnel _),
@@ -1090,6 +1135,35 @@ object EventOps {
            CAST(sum(n_events) AS BIGINT) AS n_events
          FROM per_session GROUP BY path
          ORDER BY n_sessions DESC, path ASC LIMIT 20""",
+    // same-type run-length segmentation via lag flag + running sum, the
+    // segment-grain lead carries valid_to; open segments stay NULL
+    "e20_scd_intervals" ->
+      """WITH base AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+         ), flagged AS (
+           SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ), segged AS (
+           SELECT user_id, event_type, us,
+             CAST(sum(chg) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS seg_id
+           FROM flagged
+         ), segs AS (
+           SELECT user_id, seg_id, min(event_type) AS event_type,
+             min(us) AS valid_from_us, count(*) AS n_events
+           FROM segged GROUP BY user_id, seg_id
+         )
+         SELECT user_id, seg_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg_id)
+             AS valid_to_us,
+           n_events
+         FROM segs ORDER BY user_id, seg_id""",
     // same session CTEs; in-session bigram lag, exact counts, 6dp ratio
     "e19_markov_transitions" ->
       """WITH base AS (
