@@ -768,6 +768,35 @@ object RelationalOps {
       .limit(100)
   }
 
+  /** W6: RANGE-frame window — the value-based frame kind the catalog's
+    * other windows don't exercise (w1 is a ROWS frame, w2 a global sort,
+    * a9 rank-filters): per supplier, the trailing-30-DAY revenue as of
+    * each ship day. RANGE frames bound by the ORDER value, so a day with
+    * no shipments contributes nothing and gaps shrink the window — the
+    * semantics a calendar-trailing metric actually needs (a ROWS frame
+    * would count back 30 ROWS regardless of their dates). Day numbers are
+    * integer epoch-day offsets so both engines frame on exact integers;
+    * daily pre-aggregation keeps the frame one-row-per-day. */
+  private def w6RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.lineitem(s, d)
+      .filter(col("l_suppkey") <= 10)
+      .groupBy(
+        col("l_suppkey"),
+        datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+          .cast("long")
+          .as("day_num")
+      )
+      .agg(sum(F.cents(col("l_extendedprice"))).as("day_cents"))
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy("day_num")
+      .rangeBetween(-29, Window.currentRow)
+    daily
+      .withColumn("trailing30_cents", sum("day_cents").over(w))
+      .select("l_suppkey", "day_num", "day_cents", "trailing30_cents")
+      .orderBy("l_suppkey", "day_num")
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
@@ -803,6 +832,7 @@ object RelationalOps {
     "a11_bucket_collapse" -> (a11BucketCollapse _),
     "w1_running_sum" -> (w1RunningSum _),
     "w2_top_n" -> (w2TopN _),
+    "w6_range_frame" -> (w6RangeFrame _),
     "w4_ntile_bins" -> (w4NtileBins _),
     "a15_pivot" -> (a15Pivot _),
     "a17_unpivot" -> (a17Unpivot _)
@@ -1181,6 +1211,24 @@ object RelationalOps {
     "w2_top_n" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
            AS total_cents
-         FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 100"""
+         FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 100""",
+    // integer-day RANGE frame over pre-aggregated daily cents; every SUM
+    // wrapped BIGINT per the HUGEINT rule
+    "w6_range_frame" ->
+      """WITH daily AS (
+           SELECT l_suppkey,
+             CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                  AS BIGINT) AS day_num,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS day_cents
+           FROM lineitem WHERE l_suppkey <= 10
+           GROUP BY 1, 2
+         )
+         SELECT l_suppkey, day_num, day_cents,
+           CAST(sum(day_cents) OVER (
+             PARTITION BY l_suppkey ORDER BY day_num
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trailing30_cents
+         FROM daily ORDER BY l_suppkey, day_num"""
   )
 }
