@@ -362,6 +362,71 @@ case class BandHashesFloat(child: Expression, nBands: Int, bandBits: Int)
     copy(child = newChild)
 }
 
+/** Stub media featurizer as ONE native expression —
+  * `graft_byte_embed(payload)` returns the 64-dim float embedding whose
+  * dim i is payload byte ⌊i·n/64⌋ (unsigned) scaled to [-1, 1] by
+  * b/63.5 − 1. Bit-identical to the composed form it replaces (64
+  * separate `conv(hex(substring(...)))` columns — each a per-byte string
+  * round-trip): same double arithmetic, same float cast. An empty
+  * payload reads as all-zero bytes → all −1.0 dims (the composed form
+  * was undefined there; callers filter n > 0 either way). */
+case class ByteEmbed(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dims = 64
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_byte_embed expects binary, got ${other.simpleString}"
+        )
+    }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def prettyName: String = "graft_byte_embed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[Array[Byte]]
+    val n = a.length
+    val out = new Array[Float](dims)
+    var i = 0
+    while (i < dims) {
+      val b = if (n == 0) 0 else a((i * n) / dims) & 0xff
+      out(i) = (b.toDouble / 63.5 - 1.0).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val n = ctx.freshName("beN")
+        val out = ctx.freshName("beOut")
+        val i = ctx.freshName("beI")
+        val b = ctx.freshName("beB")
+        s"""
+        int $n = $a.length;
+        float[] $out = new float[$dims];
+        for (int $i = 0; $i < $dims; $i++) {
+          int $b = $n == 0 ? 0 : ($a[($i * $n) / $dims] & 0xff);
+          $out[$i] = (float) ((double) $b / 63.5 - 1.0);
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+        """
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): ByteEmbed =
+    copy(child = newChild)
+}
+
 /** Registration for the native functions — either per-session at runtime
   * ([[GraftFunctions.register]]) or via `spark.sql.extensions=
   * graft.functions.GraftExtensions` for cluster-wide injection.
@@ -385,6 +450,11 @@ object GraftFunctions {
   val bandHashesInfo = new ExpressionInfo(
     classOf[BandHashesFloat].getName,
     "graft_band_hashes"
+  )
+
+  val byteEmbedInfo = new ExpressionInfo(
+    classOf[ByteEmbed].getName,
+    "graft_byte_embed"
   )
 
   val shinglesInfo = new ExpressionInfo(
@@ -443,6 +513,11 @@ object GraftFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue()
         ),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_byte_embed",
+      (exprs: Seq[Expression]) => ByteEmbed(exprs(0)),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -516,6 +591,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
             exprs(1).eval().asInstanceOf[Number].intValue(),
             exprs(2).eval().asInstanceOf[Number].intValue()
           )
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_byte_embed"),
+        GraftFunctions.byteEmbedInfo,
+        (exprs: Seq[Expression]) => ByteEmbed(exprs(0))
       )
     )
     ext.injectFunction(

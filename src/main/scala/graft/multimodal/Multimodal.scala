@@ -337,19 +337,15 @@ object MultimodalOps {
   def featureAnnQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // featurization is ONE fused native expression (graft_byte_embed:
+    // all 64 byte reads + scaling in a single codegen loop) — the
+    // composed form was 64 conv(hex(substring)) columns, each a per-byte
+    // string round-trip; bit-identical output, differential-tested in
+    // ExpressionPropertySpec
     val emb = Multimodal
       .withPayload(docs)
-      .withColumn("n", length(col("payload")).cast("long"))
-      .filter(col("n") > 0)
-      .withColumn(
-        "embedding",
-        array((0 until 64).map { i =>
-          (conv(
-            hex(expr(s"substring(payload, CAST(($i * n) DIV 64 AS INT) + 1, 1)")),
-            16, 10
-          ).cast("double") / lit(63.5) - lit(1.0)).cast("float")
-        }: _*)
-      )
+      .filter(length(col("payload")) > 0)
+      .withColumn("embedding", call_function("graft_byte_embed", col("payload")))
       .select(col("media_id"), col("embedding"))
     val withNrm = emb.withColumn(
       "nrm",

@@ -178,6 +178,40 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_byte_embed: codegen == interpreted == composed conv(hex(substring)) form") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd2 = new scala.util.Random(77)
+    // ASCII-ish strings of varied length (the corpus contract), incl. 1-char
+    val cases = Seq.tabulate(80)(i =>
+      (i, Seq.fill(1 + rnd2.nextInt(200))((32 + rnd2.nextInt(95)).toChar).mkString)
+    )
+    val base = cases.toDF("id", "s").withColumn("payload", col("s").cast("binary"))
+    def run(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Float]] =
+      df.collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val fusedDf = base.select(
+      col("id"),
+      call_function("graft_byte_embed", col("payload")).as("e")
+    )
+    val composedDf = base
+      .withColumn("n", length(col("payload")).cast("long"))
+      .select(
+        col("id"),
+        array((0 until 64).map { i =>
+          (conv(
+            hex(expr(s"substring(payload, CAST(($i * n) DIV 64 AS INT) + 1, 1)")),
+            16, 10
+          ).cast("double") / lit(63.5) - lit(1.0)).cast("float")
+        }: _*).as("e")
+      )
+    val fused = run(fusedDf)
+    val composed = run(composedDf)
+    val interp = interpretedOff(run(fusedDf))
+    cases.foreach { case (id, s) =>
+      assert(fused(id) == composed(id), s"fused != composed for id=$id '$s'")
+      assert(interp(id) == composed(id), s"interp != composed for id=$id")
+    }
+  }
+
   test("graft_quantize_int8: codegen == interpreted == reference; range and zero laws hold") {
     graft.functions.GraftFunctions.register(spark)
     val cases = Seq.tabulate(300)(i => (i, randVec())) ++ Seq(
