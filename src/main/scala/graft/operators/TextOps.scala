@@ -415,10 +415,20 @@ object TextOps {
     * broadcast offset. Identical result, no single-partition stage; the
     * oracle is the naive global-window SQL.
     */
-  private def t9TokenShards(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
-      .withColumn("bucket", expr("doc_id DIV 1000"))
+  private def t9TokenShards(s: SparkSession, d: String): DataFrame =
+    twoPhaseShards(
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    ).orderBy("doc_id")
+
+  /** The two-phase global-prefix-sum sharder over a (doc_id, n_tokens)
+    * frame — t9's scale mechanism, factored so compositions (t44) shard
+    * THEIR survivor sets with the identical plan: per-bucket totals,
+    * exclusive bucket offsets via a tiny theta self-join, in-bucket
+    * prefix sums under a PARTITIONED window + broadcast offset. No
+    * single-partition stage anywhere. */
+  private def twoPhaseShards(docTokens: DataFrame, budget: Long = 10000L): DataFrame = {
+    val base = docTokens.withColumn("bucket", expr("doc_id DIV 1000"))
     val bucketTotals = base
       .groupBy("bucket")
       .agg(sum("n_tokens").as("bucket_tokens"))
@@ -435,9 +445,8 @@ object TextOps {
       .join(broadcast(offsets), "bucket")
       .withColumn("prev_tokens", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("cum_tokens", col("bucket_offset") + col("prev_tokens") + col("n_tokens"))
-      .withColumn("shard", expr("(bucket_offset + prev_tokens) DIV 10000"))
+      .withColumn("shard", expr(s"(bucket_offset + prev_tokens) DIV $budget"))
       .select("doc_id", "n_tokens", "cum_tokens", "shard")
-      .orderBy("doc_id")
   }
 
   /** The composed training-corpus cleaning pipeline — what the individual
@@ -468,6 +477,53 @@ object TextOps {
     canon
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
+  }
+
+  /** t44 — the pipeline CAPSTONE: t7's cleaned survivors (quality gate →
+    * exact-dedup canonicalization → near-dup removal), minus the eval
+    * slice itself (doc_id % 10 == 0 is the benchmark, not corpus), minus
+    * everything t10's criterion calls contaminated by it, packed into
+    * ~10k-token training shards by the two-phase prefix-sum sharder —
+    * the end-to-end "raw corpus in, training shards out" run a user of
+    * this library would actually execute, declared as ONE oracle-checked
+    * query. Output at shard grain: doc/token counts + id range, all
+    * integer-anchored.
+    *
+    * Scale shape: every stage is a declared operator's plan (t7's blocked
+    * pair stages, t10's broadcast eval side, t9's two-phase shards) —
+    * composition adds joins on doc_id only, no new shuffle classes. */
+  private def t44CleanToShards(s: SparkSession, d: String): DataFrame = {
+    val survivors = t7CorpusDedupPipeline(s, d)
+      .filter(col("doc_id") % 10 =!= 0)
+    val sh = shingleRows(Tables.documents(s, d))
+    val ev = sh
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"), col("sz").as("sz_e"))
+    val contaminated = sh
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(ev), "shingle")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("inter"), max("sz").as("sz_t"), max("sz_e").as("sz_e"))
+      .filter(col("inter") / (col("sz_t") + col("sz_e") - col("inter")) > 0.8)
+      .select("doc_id")
+      .distinct()
+    val nTok = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val clean = survivors
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(nTok, "doc_id")
+      .select("doc_id", "n_tokens")
+    // smaller budget than t9's: the cleaned set is a fraction of the
+    // corpus and the shard GRAIN is the verification surface here
+    twoPhaseShards(clean, budget = 2000L)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc")
+      )
+      .orderBy("shard")
   }
 
   /** PII redaction — the scrub pass a training corpus runs before release:
@@ -1997,6 +2053,7 @@ object TextOps {
     "t5_fingerprint_buckets" -> (t5FingerprintBuckets _),
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
     "t7_corpus_dedup_pipeline" -> (t7CorpusDedupPipeline _),
+    "t44_clean_to_shards" -> (t44CleanToShards _),
     "t8_normalize" -> (t8Normalize _),
     "t9_token_shards" -> (t9TokenShards _),
     "t10_decontaminate" -> (t10Decontaminate _)
@@ -3100,6 +3157,82 @@ object TextOps {
          SELECT doc_id FROM canon
          WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          ORDER BY doc_id""",
+    // t7's CTEs verbatim + the t10 contamination filter + the naive
+    // global-window sharder (the two-phase Spark plan's oracle), rolled
+    // to shard grain; CASTs per the HUGEINT rule
+    "t44_clean_to_shards" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
+         ), quality AS (
+           SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS n_stopwords
+           FROM documents
+         ), quality_pass AS (
+           SELECT doc_id, text FROM quality
+           WHERE (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
+                 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 >= 0.75
+         ), canon AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+             FROM quality_pass
+           ) WHERE doc_id = canonical_id
+         ), survivors AS (
+           SELECT doc_id FROM canon
+           WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+             AND doc_id % 10 <> 0
+         ), cont_pairs AS (
+           SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS i2
+           FROM sh t JOIN sh e USING (shingle)
+           WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+           GROUP BY 1, 2
+         ), contaminated AS (
+           SELECT DISTINCT p.doc_id
+           FROM cont_pairs p
+           JOIN sizes st ON st.doc_id = p.doc_id
+           JOIN sizes se ON se.doc_id = p.eval_id
+           WHERE CAST(i2 AS DOUBLE) / (st.sz + se.sz - i2) > 0.8
+         ), clean AS (
+           SELECT s.doc_id, q.n_tokens
+           FROM survivors s JOIN quality q USING (doc_id)
+           WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ), packed AS (
+           SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+           FROM clean
+         )
+         SELECT (cum - n_tokens) // 2000 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+         FROM packed GROUP BY 1 ORDER BY shard""",
     "t1_token_stats" ->
       """WITH base AS (
            SELECT doc_id,
