@@ -88,7 +88,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // without it every partition sorts its FULL group before the filter,
     // which is the difference between top-k and global-sort cost at scale
     for (q <- Seq("a9_topk_per_group", "e10_latest_per_key", "v13_mmr_rerank",
-                  "t32_source_caps")) {
+                  "t32_source_caps", "m6_feature_ann")) {
       assert(plan(q).contains("WindowGroupLimit"), s"$q lost the group-limit pushdown")
     }
     // the GLOBAL top-n plans as the even cheaper TakeOrderedAndProject
