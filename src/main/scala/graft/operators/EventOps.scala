@@ -793,7 +793,64 @@ object EventOps {
       .orderBy("as_of")
   }
 
+  /** Growth accounting per (event_type, week): classify each active
+    * (user, week) as NEW (first-ever week for that type), RETAINED
+    * (active the immediately preceding week) or RESURRECTED (active
+    * before, but with a gap), and attribute a CHURN to week w+7 for
+    * users active at w but not at w+7 — the standard
+    * new/retained/resurrected/churned ledger whose identity
+    * `actives(w) = new + retained + resurrected` and
+    * `churned(w) = actives(w-7) - retained(w)` product analytics is
+    * built on. Churn at the horizon is NOT emitted (a user's absence
+    * after the last observed week is right-censored, not churn) — the
+    * cap is the global max week, one broadcast scalar.
+    *
+    * Scale: one distinct over (type, user, week) — the only shuffle on
+    * raw-event volume — then a per-(type, user) window over the tiny
+    * distinct frame and a final agg at (type, week) grain. Linear in
+    * events, window state bounded by weeks-per-user. quick_ratio
+    * ((new+resurrected)/churned, the growth-health headline) is 6dp
+    * display math off the integer-anchored counts. */
+  private def e21GrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables
+      .events(s, d)
+      .select(col("event_type"), col("user_id"), F.weekStart(col("ts")).as("week"))
+      .distinct()
+    val w = Window.partitionBy("event_type", "user_id").orderBy("week")
+    val lagged = uw
+      .withColumn("prev", lag("week", 1).over(w))
+      .withColumn("nxt", lead("week", 1).over(w))
+    val status = lagged
+      .groupBy("event_type", "week")
+      .agg(
+        count(when(col("prev").isNull, 1)).as("n_new"),
+        count(when(datediff(col("week"), col("prev")) === 7, 1)).as("n_retained"),
+        count(when(datediff(col("week"), col("prev")) > 7, 1)).as("n_resurrected")
+      )
+    val horizon = uw.agg(max("week").as("maxw"))
+    val churn = lagged
+      .filter(col("nxt").isNull || datediff(col("nxt"), col("week")) > 7)
+      .withColumn("week", date_add(col("week"), 7))
+      .crossJoin(broadcast(horizon))
+      .filter(col("week") <= col("maxw"))
+      .groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n_churned"))
+    status
+      .join(churn, Seq("event_type", "week"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .withColumn(
+        "quick_ratio",
+        when(
+          col("n_churned") > 0,
+          round((col("n_new") + col("n_resurrected")).cast("double") / col("n_churned"), 6)
+        )
+      )
+      .select("event_type", "week", "n_new", "n_retained", "n_resurrected", "n_churned", "quick_ratio")
+      .orderBy("event_type", "week")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e21_growth_accounting" -> (e21GrowthAccounting _),
     "e17_stickiness" -> (e17Stickiness _),
     "e16_cohort_retention" -> (e16CohortRetention _),
     "e15_sliding_distinct" -> (e15SlidingDistinct _),
@@ -818,6 +875,42 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // lag/lead over the distinct (type, user, week) frame; integer counts
+    // anchor the hash, quick_ratio is 6dp display math over them
+    "e21_growth_accounting" ->
+      """WITH uw AS (
+           SELECT DISTINCT event_type, user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events
+         ), lagged AS (
+           SELECT event_type, user_id, week,
+             lag(week) OVER w AS prev, lead(week) OVER w AS nxt
+           FROM uw
+           WINDOW w AS (PARTITION BY event_type, user_id ORDER BY week)
+         ), status AS (
+           SELECT event_type, week,
+             CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE week - prev = 7) AS BIGINT)
+               AS n_retained,
+             CAST(count(*) FILTER (WHERE week - prev > 7) AS BIGINT)
+               AS n_resurrected
+           FROM lagged GROUP BY event_type, week
+         ), horizon AS (SELECT max(week) AS maxw FROM uw
+         ), churn AS (
+           SELECT event_type, week + 7 AS week,
+             CAST(count(*) AS BIGINT) AS n_churned
+           FROM lagged, horizon
+           WHERE (nxt IS NULL OR nxt - week > 7) AND week + 7 <= maxw
+           GROUP BY event_type, week + 7
+         )
+         SELECT s.event_type, s.week, n_new, n_retained, n_resurrected,
+           coalesce(n_churned, 0) AS n_churned,
+           CASE WHEN coalesce(n_churned, 0) > 0
+                THEN round(CAST(n_new + n_resurrected AS DOUBLE) / n_churned, 6)
+           END AS quick_ratio
+         FROM status s LEFT JOIN churn c
+           ON s.event_type = c.event_type AND s.week = c.week
+         ORDER BY s.event_type, s.week""",
     // the whole point of the bitmap partial: the merged answer is EXACT,
     // so the oracle is plain count(DISTINCT) — no semi-oracle machinery
     "e14_bitmap_rollup" ->

@@ -2012,7 +2012,109 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Paragraph-level boilerplate removal (the CCNet/RefinedWeb paragraph
+    * dedup step): cut each doc into fixed-length word segments (the
+    * paragraph stand-in for this corpus — the testdata has no newlines),
+    * count each segment's DOCUMENT frequency corpus-wide, drop segments
+    * present in ≥ max(20, n_docs/25) distinct docs (a 4%-of-corpus
+    * boilerplate bar with an absolute floor, so the profile is comparable
+    * at any scale factor), and reassemble the survivors in original
+    * order. Emits the per-doc ledger (segment counts, kept tokens, md5 of
+    * the reassembled text) — the no-silent-caps convention applied to
+    * content removal.
+    *
+    * Scale: segment grain is linear in corpus tokens; the df count is one
+    * groupBy on segment text (map-side partial + AQE), and the verdict
+    * join back is co-partitioned with that agg's exchange. Reassembly is
+    * a per-doc collect_list bounded by document length — no corpus-wide
+    * sort, no driver loop. Segment length and the df bar are conf knobs
+    * (`spark.graft.t45.segLen` / `.dfPct`). */
+  private def t45ParagraphDedup(s: SparkSession, d: String): DataFrame = {
+    val segLen = s.conf.get("spark.graft.t45.segLen", "2").toInt
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+    val segs = docs
+      .withColumn(
+        "seg_idx",
+        explode(sequence(lit(0), expr(s"(size(w) - 1) DIV $segLen").cast("int")))
+      )
+      .withColumn("seg", slice(col("w"), col("seg_idx") * segLen + 1, lit(segLen)))
+      .select(
+        col("doc_id"),
+        col("seg_idx"),
+        concat_ws(" ", col("seg")).as("seg_text"),
+        size(col("seg")).as("seg_tokens")
+      )
+    val bar = docs
+      .agg(greatest(lit(20L), (count(lit(1)) / 25).cast("long")).as("min_df"))
+    val boiler = segs
+      .groupBy("seg_text")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(bar))
+      .filter(col("df") >= col("min_df"))
+      .select(col("seg_text"), lit(true).as("is_boiler"))
+    segs
+      .join(boiler, Seq("seg_text"), "left")
+      .withColumn("keep", col("is_boiler").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        count(when(!col("keep"), 1)).as("n_dropped"),
+        coalesce(sum(when(col("keep"), col("seg_tokens"))), lit(0L)).as("kept_tokens"),
+        md5(
+          concat_ws(
+            " ",
+            transform(
+              array_sort(
+                collect_list(when(col("keep"), struct(col("seg_idx"), col("seg_text"))))
+              ),
+              x => x.getField("seg_text")
+            )
+          )
+        ).as("kept_md5")
+      )
+      .select("doc_id", "n_segs", "n_dropped", "kept_tokens", "kept_md5")
+      .orderBy("doc_id")
+  }
+
+  /** Hashed linear quality classifier INFERENCE — the fasttext-style
+    * serving path every corpus filter ends with: token → hashed feature
+    * bucket (md5-prefix mod 256, the engine-neutral hashing-trick) →
+    * weight → document score = Σ weights → keep/drop label. Weights here
+    * are derived from the bucket by a fixed integer formula (a learned
+    * model would ship them as a broadcast array lookup — the plan shape
+    * is identical); keeping the whole chain integer makes the score
+    * itself the cross-engine hash anchor, not just the label.
+    *
+    * Scale: pure per-token codegen arithmetic (no join, no weight-table
+    * shuffle) then ONE doc-grain partial agg — the plan is a single
+    * WholeStageCodegen over the scan followed by a map-side-combined
+    * groupBy. Linear in corpus tokens at any scale. */
+  private def t47QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val wgt = s"(((${hex4U16("md5(tok)")} % 256) * 131) % 2001 - 1000)"
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("wgt", expr(wgt).cast("long"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("wgt")).as("score")
+      )
+      .withColumn(
+        "score_per_token",
+        round(col("score").cast("double") / col("n_tokens"), 6)
+      )
+      .withColumn("label", when(col("score") >= 0, "keep").otherwise("drop"))
+      .select("doc_id", "n_tokens", "score", "score_per_token", "label")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t47_quality_classifier" -> (t47QualityClassifier _),
+    "t45_paragraph_dedup" -> (t45ParagraphDedup _),
     "t42_dup_rate_profile" -> (t42DupRateProfile _),
     "t41_minhash_index_dedup" -> (t41MinhashIndexDedup _),
     "t40_perplexity_buckets" -> (t40PerplexityBuckets _),
@@ -2060,6 +2162,60 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same segment cut, df bar as a scalar subquery, survivors
+    // reassembled with string_agg ORDER BY seg_idx; string_agg over an
+    // all-dropped doc is NULL where Spark's concat_ws gives '' — hence
+    // the coalesce before md5
+    "t45_paragraph_dedup" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), segs AS (
+           SELECT doc_id, unnest(range(0, (len(w)-1)//2 + 1)) AS seg_idx, w
+           FROM words WHERE len(w) > 0
+         ), seg2 AS (
+           SELECT doc_id, seg_idx,
+             array_to_string(w[seg_idx*2+1 : seg_idx*2+2], ' ') AS seg_text,
+             len(w[seg_idx*2+1 : seg_idx*2+2]) AS seg_tokens
+           FROM segs
+         ), bar AS (
+           SELECT greatest(20, CAST(count(*) AS BIGINT) // 25) AS min_df
+           FROM words WHERE len(w) > 0
+         ), boiler AS (
+           SELECT seg_text FROM seg2 GROUP BY seg_text
+           HAVING count(DISTINCT doc_id) >= (SELECT min_df FROM bar)
+         )
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(count(*) FILTER (WHERE b.seg_text IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           CAST(coalesce(
+             sum(seg_tokens) FILTER (WHERE b.seg_text IS NULL), 0) AS BIGINT)
+             AS kept_tokens,
+           md5(coalesce(
+             string_agg(CASE WHEN b.seg_text IS NULL THEN s.seg_text END,
+                        ' ' ORDER BY seg_idx), '')) AS kept_md5
+         FROM seg2 s LEFT JOIN boiler b USING (seg_text)
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
+    // identical md5-prefix bucket + integer weight formula; the summed
+    // integer score anchors the hash, score_per_token is 6dp display math
+    "t47_quality_classifier" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> length(x) > 0)) AS tok
+           FROM documents
+         ), wtok AS (
+           SELECT doc_id,
+             ((${hex4U16("md5(tok)")} % 256) * 131) % 2001 - 1000 AS wgt
+           FROM toks
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wgt) AS BIGINT) AS score,
+           round(CAST(sum(wgt) AS DOUBLE) / count(*), 6) AS score_per_token,
+           CASE WHEN sum(wgt) >= 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM wtok GROUP BY doc_id ORDER BY doc_id""",
     // per-doc DISTINCT string shingles stand in for the hash rows (the
     // t4/t10 equivalence: distinct-of-string == distinct-of-hash);
     // ROLLUP supplies the corpus-wide row, COALESCE names it

@@ -1206,7 +1206,103 @@ object VectorOps {
     ranks.orderBy("vec_id")
   }
 
+  /** Binary-embedding ANN: each 64-dim vector collapses to its 64 SIGN
+    * BITS packed into two 32-bit words (two BIGINTs — bit 31 shifts never
+    * touch a sign bit, so DuckDB's overflow-checked arithmetic and
+    * Spark's agree exactly), and top-k runs on Hamming distance
+    * (`bit_count(a XOR b)`) with an id tie-break. This is the 32×
+    * compression serving trick (64 floats → 8 bytes): the scan side
+    * never touches the float arrays, so a 100 TB float corpus becomes a
+    * ~3 TB bit corpus read + pure register arithmetic per candidate.
+    * The packing is position-indexed sign extraction — zero hashing, so
+    * the DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale: probes broadcast (10 rows), candidates scan once, per-pair
+    * cost is two XOR+popcounts in codegen; the only shuffle is the
+    * per-query top-k (WindowGroupLimit-prunable). Integer hamming
+    * anchors the hash. */
+  private def v24HammingAnn(s: SparkSession, d: String): DataFrame = {
+    def packWord(lo: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+         |  (acc, i) -> acc + IF(element_at(embedding, i + $lo + 1) > 0F,
+         |                       shiftleft(1L, i), 0L))""".stripMargin
+    )
+    val packed = Tables
+      .embeddings(s, d)
+      .select(
+        col("vec_id"),
+        packWord(0).as("w0"),
+        packWord(32).as("w1")
+      )
+    val probes = packed
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1"))
+    val scored = packed
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "hamming",
+        (bit_count(col("q0").bitwiseXOR(col("w0"))) +
+          bit_count(col("q1").bitwiseXOR(col("w1")))).cast("long")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("hamming"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Matryoshka truncation evaluation: top-5 neighbor overlap between the
+    * FULL 64-dim exact cosine ranking (v1's construction verbatim) and
+    * the same ranking run on the 16- and 32-dim PREFIXES — the
+    * measurement behind serving truncated matryoshka embeddings (search
+    * on a prefix, store 2–4× less, rerank on the tail only when needed).
+    * One scored pair frame computes all three rankings; overlap counts
+    * are integers, so the hash never sees a float.
+    *
+    * Scale: each ranking is v1's broadcast-probes/scan-once shape; the
+    * dot-product work is irreducibly per-ranking (different prefix per
+    * branch), and each branch's top-k is WindowGroupLimit-pruned to ≤5
+    * rows per query per partition before its exchange, so the three
+    * branches cost three scans but only kilobytes of shuffle. The final
+    * per-query set intersect joins three 10-row frames. */
+  private def v25MatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    def pref(c: String, n: Int): Column =
+      if (n == 64) col(c) else slice(col(c), 1, n)
+    val emb = Tables.embeddings(s, d)
+    val probes = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = emb
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+    def topSet(n: Int): DataFrame = {
+      val cos = call_function("graft_dot", pref("qe", n), pref("embedding", n)) /
+        (sqrt(call_function("graft_dot", pref("qe", n), pref("qe", n))) *
+          sqrt(call_function("graft_dot", pref("embedding", n), pref("embedding", n))))
+      val w = Window.partitionBy("query_id").orderBy(cos.desc, col("vec_id").asc)
+      pairs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .groupBy("query_id")
+        .agg(sort_array(collect_list(col("vec_id"))).as(s"top$n"))
+    }
+    topSet(64)
+      .join(topSet(16), "query_id")
+      .join(topSet(32), "query_id")
+      .select(
+        col("query_id"),
+        size(array_intersect(col("top64"), col("top16"))).cast("long").as("hits16"),
+        size(array_intersect(col("top64"), col("top32"))).cast("long").as("hits32")
+      )
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v24_hamming_ann" -> (v24HammingAnn _),
+    "v25_matryoshka_recall" -> (v25MatryoshkaRecall _),
     "v23_probe_sweep" -> (v23ProbeSweep _),
     "v21_kmeans_fit" -> (v21KmeansFit _),
     "v22_graph_pagerank" -> (v22GraphPagerank _),
@@ -1377,6 +1473,12 @@ object VectorOps {
 
   private def duckDot(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+  /** duckDot over the first `n` dims — the matryoshka-prefix variant
+    * (same element-order accumulation `graft_dot` uses). */
+  private def duckDotN(a: String, b: String, n: Int): String =
+    s"""list_sum(list_transform(range(1, ${n + 1}),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
 
   private val v3Oracle: String =
@@ -1745,6 +1847,70 @@ object VectorOps {
        ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
+    // identical position-indexed sign packing (bit 31 max — no sign-bit
+    // shifts, so overflow-checked BIGINT agrees with Spark), then
+    // XOR+popcount ranking; every output column is an integer
+    "v24_hamming_ann" ->
+      """WITH packed AS (
+           SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 1] > 0
+                         THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 33] > 0
+                         THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+           FROM embeddings
+         ), probes AS (
+           SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+           FROM packed WHERE vec_id < 10
+         ), scored AS (
+           SELECT query_id, vec_id,
+             CAST(bit_count(xor(q0, w0)) + bit_count(xor(q1, w1)) AS BIGINT)
+               AS hamming
+           FROM packed, probes WHERE vec_id <> query_id
+         ), ranked AS (
+           SELECT query_id, vec_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, vec_id ASC) AS rnk
+           FROM scored
+         )
+         SELECT query_id, CAST(rnk AS BIGINT) AS rnk,
+           vec_id AS neighbor_id, hamming
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // three cosine rankings off one pair frame (full / 16-prefix /
+    // 32-prefix dots with graft_dot's accumulation order), top-5 sets
+    // intersected per query; integer hit counts anchor the hash
+    "v25_matryoshka_recall" -> {
+      def ranked(n: Int): String =
+        s"""r$n AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM (
+             SELECT query_id, vec_id,
+               ${duckDotN("qe", "ce", n)}
+                 / (sqrt(${duckDotN("qe", "qe", n)})
+                  * sqrt(${duckDotN("ce", "ce", n)})) AS cos
+             FROM pairs)
+         ), t$n AS (
+           SELECT query_id, list_sort(list(vec_id)) AS s$n
+           FROM r$n WHERE rnk <= 5 GROUP BY query_id
+         )"""
+      s"""WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10
+         ), pairs AS (
+           SELECT query_id, qe, vec_id, embedding AS ce
+           FROM embeddings, q WHERE vec_id <> query_id
+         ), ${ranked(64)}, ${ranked(16)}, ${ranked(32)}
+         SELECT query_id,
+           CAST(len(list_intersect(s64, s16)) AS BIGINT) AS hits16,
+           CAST(len(list_intersect(s64, s32)) AS BIGINT) AS hits32
+         FROM t64 JOIN t16 USING (query_id) JOIN t32 USING (query_id)
+         ORDER BY query_id"""
+    },
     // per-dim p99 clip via the proven exact-interpolated percentile;
     // clip-then-scale in the identical op order as the zip_with lambda
     "v18_sq_calibrated" ->
