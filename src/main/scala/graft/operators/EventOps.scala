@@ -807,37 +807,53 @@ object EventOps {
     *
     * Scale: one distinct over (type, user, week) — the only shuffle on
     * raw-event volume — then a per-(type, user) window over the tiny
-    * distinct frame and a final agg at (type, week) grain. Linear in
-    * events, window state bounded by weeks-per-user. quick_ratio
-    * ((new+resurrected)/churned, the growth-health headline) is 6dp
-    * display math off the integer-anchored counts. */
+    * distinct frame, which is CACHED so its three consumers (status
+    * rows, churn rows, the horizon scalar) cost one events scan, not
+    * three. Status and churn contributions union into a single
+    * (type, week) agg — which also keeps the ledger COMPLETE: a week
+    * where every user of a type churns still gets its
+    * (0, 0, 0, n_churned) row instead of vanishing from a status-side
+    * join. quick_ratio ((new+resurrected)/churned, the growth-health
+    * headline) is 6dp display math off the integer-anchored counts. */
   private def e21GrowthAccounting(s: SparkSession, d: String): DataFrame = {
-    val uw = Tables
+    val w = Window.partitionBy("event_type", "user_id").orderBy("week")
+    val lagged = Tables
       .events(s, d)
       .select(col("event_type"), col("user_id"), F.weekStart(col("ts")).as("week"))
       .distinct()
-    val w = Window.partitionBy("event_type", "user_id").orderBy("week")
-    val lagged = uw
       .withColumn("prev", lag("week", 1).over(w))
       .withColumn("nxt", lead("week", 1).over(w))
-    val status = lagged
-      .groupBy("event_type", "week")
-      .agg(
-        count(when(col("prev").isNull, 1)).as("n_new"),
-        count(when(datediff(col("week"), col("prev")) === 7, 1)).as("n_retained"),
-        count(when(datediff(col("week"), col("prev")) > 7, 1)).as("n_resurrected")
-      )
-    val horizon = uw.agg(max("week").as("maxw"))
+      .cache()
+    val horizon = lagged.agg(max("week").as("maxw"))
+    val status = lagged.select(
+      col("event_type"),
+      col("week"),
+      when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+      when(datediff(col("week"), col("prev")) === 7, 1L).otherwise(0L).as("is_ret"),
+      when(datediff(col("week"), col("prev")) > 7, 1L).otherwise(0L).as("is_res"),
+      lit(0L).as("is_churn")
+    )
     val churn = lagged
       .filter(col("nxt").isNull || datediff(col("nxt"), col("week")) > 7)
-      .withColumn("week", date_add(col("week"), 7))
+      .select(
+        col("event_type"),
+        date_add(col("week"), 7).as("week"),
+        lit(0L).as("is_new"),
+        lit(0L).as("is_ret"),
+        lit(0L).as("is_res"),
+        lit(1L).as("is_churn")
+      )
+    status
+      .unionByName(churn)
       .crossJoin(broadcast(horizon))
       .filter(col("week") <= col("maxw"))
       .groupBy("event_type", "week")
-      .agg(count(lit(1)).as("n_churned"))
-    status
-      .join(churn, Seq("event_type", "week"), "left")
-      .na.fill(0L, Seq("n_churned"))
+      .agg(
+        sum("is_new").as("n_new"),
+        sum("is_ret").as("n_retained"),
+        sum("is_res").as("n_resurrected"),
+        sum("is_churn").as("n_churned")
+      )
       .withColumn(
         "quick_ratio",
         when(
@@ -875,8 +891,10 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
-    // lag/lead over the distinct (type, user, week) frame; integer counts
-    // anchor the hash, quick_ratio is 6dp display math over them
+    // lag/lead over the distinct (type, user, week) frame; status and
+    // churn contributions UNION into one agg (complete ledger — churn-only
+    // weeks survive); integer counts anchor the hash, quick_ratio is 6dp
+    // display math over them
     "e21_growth_accounting" ->
       """WITH uw AS (
            SELECT DISTINCT event_type, user_id,
@@ -887,30 +905,30 @@ object EventOps {
              lag(week) OVER w AS prev, lead(week) OVER w AS nxt
            FROM uw
            WINDOW w AS (PARTITION BY event_type, user_id ORDER BY week)
-         ), status AS (
+         ), horizon AS (SELECT max(week) AS maxw FROM lagged
+         ), contrib AS (
            SELECT event_type, week,
-             CAST(count(*) FILTER (WHERE prev IS NULL) AS BIGINT) AS n_new,
-             CAST(count(*) FILTER (WHERE week - prev = 7) AS BIGINT)
-               AS n_retained,
-             CAST(count(*) FILTER (WHERE week - prev > 7) AS BIGINT)
-               AS n_resurrected
-           FROM lagged GROUP BY event_type, week
-         ), horizon AS (SELECT max(week) AS maxw FROM uw
-         ), churn AS (
-           SELECT event_type, week + 7 AS week,
-             CAST(count(*) AS BIGINT) AS n_churned
-           FROM lagged, horizon
-           WHERE (nxt IS NULL OR nxt - week > 7) AND week + 7 <= maxw
-           GROUP BY event_type, week + 7
+             CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN week - prev = 7 THEN 1 ELSE 0 END AS is_ret,
+             CASE WHEN week - prev > 7 THEN 1 ELSE 0 END AS is_res,
+             0 AS is_churn
+           FROM lagged
+           UNION ALL
+           SELECT event_type, week + 7, 0, 0, 0, 1
+           FROM lagged WHERE nxt IS NULL OR nxt - week > 7
          )
-         SELECT s.event_type, s.week, n_new, n_retained, n_resurrected,
-           coalesce(n_churned, 0) AS n_churned,
-           CASE WHEN coalesce(n_churned, 0) > 0
-                THEN round(CAST(n_new + n_resurrected AS DOUBLE) / n_churned, 6)
+         SELECT event_type, week,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(sum(is_ret) AS BIGINT) AS n_retained,
+           CAST(sum(is_res) AS BIGINT) AS n_resurrected,
+           CAST(sum(is_churn) AS BIGINT) AS n_churned,
+           CASE WHEN sum(is_churn) > 0
+                THEN round(CAST(sum(is_new) + sum(is_res) AS DOUBLE)
+                           / sum(is_churn), 6)
            END AS quick_ratio
-         FROM status s LEFT JOIN churn c
-           ON s.event_type = c.event_type AND s.week = c.week
-         ORDER BY s.event_type, s.week""",
+         FROM contrib, horizon WHERE week <= maxw
+         GROUP BY event_type, week
+         ORDER BY event_type, week""",
     // the whole point of the bitmap partial: the merged answer is EXACT,
     // so the oracle is plain count(DISTINCT) — no semi-oracle machinery
     "e14_bitmap_rollup" ->

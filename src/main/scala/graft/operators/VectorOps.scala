@@ -1290,8 +1290,8 @@ object VectorOps {
         .agg(sort_array(collect_list(col("vec_id"))).as(s"top$n"))
     }
     topSet(64)
-      .join(topSet(16), "query_id")
-      .join(topSet(32), "query_id")
+      .join(broadcast(topSet(16)), "query_id")
+      .join(broadcast(topSet(32)), "query_id")
       .select(
         col("query_id"),
         size(array_intersect(col("top64"), col("top16"))).cast("long").as("hits16"),

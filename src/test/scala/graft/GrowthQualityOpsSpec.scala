@@ -41,7 +41,11 @@ class GrowthQualityOpsSpec extends AnyFunSuite {
       .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2)))
       .toMap
     out.foreach { case (et, wk, nNew, nRet, nRes, _) =>
-      assert(actives((et, wk)) == nNew + nRet + nRes, s"actives identity at ($et, $wk)")
+      // churn-only weeks (no actives) legitimately carry (0, 0, 0, n)
+      assert(
+        actives.getOrElse((et, wk), 0L) == nNew + nRet + nRes,
+        s"actives identity at ($et, $wk)"
+      )
     }
     // churned(w) = actives(w-7) - retained(w), for every week after the first
     val horizon = out.map(_._2).max

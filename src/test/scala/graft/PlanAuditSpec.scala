@@ -278,6 +278,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t36 planned a nested loop:\n$p")
   }
 
+  test("the binary/matryoshka ANN rankings broadcast probes and keep group-limit pruning") {
+    // v24/v25 are v1's broadcast-probes shape: candidates must never
+    // shuffle into the pair join, and every rank<=5 must plan the
+    // partial/final WindowGroupLimit pair so only k rows per partition
+    // reach the per-query exchange
+    for (q <- Seq("v24_hamming_ann", "v25_matryoshka_recall")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q lost its broadcast probe join")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffled its candidate side")
+      assert(p.contains("WindowGroupLimit"), s"$q lost the group-limit pushdown")
+    }
+  }
+
+  test("e21's lagged activity frame is cached — status/churn/horizon share one events scan") {
+    val p = plan("e21_growth_accounting")
+    assert(p.contains("InMemoryTableScan"), "e21 lost its lagged-frame cache")
+    // the union-agg form: one final (type, week) aggregate, no status⋈churn
+    // sort-merge join anywhere
+    assert(!p.contains("SortMergeJoin"), s"e21 planned a ledger join:\n$p")
+  }
+
+  test("t47 classifier inference is one codegen pass + one doc-grain aggregate — no joins") {
+    // the hashing-trick serving path must stay join-free: weight lookup is
+    // inline arithmetic, so any Join operator means a weight table snuck in
+    val p = plan("t47_quality_classifier")
+    assert(!p.contains("Join"), s"t47 planned a join:\n$p")
+    assert(p.contains("HashAggregate"), "t47 lost its partial aggregate")
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
