@@ -2112,7 +2112,87 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** IDF-WEIGHTED Jaccard near-dedup (exact): like t4 but each shingle
+    * carries an integer rarity weight `max(1, n_docs div df)` — shared
+    * boilerplate shingles count for little, shared rare content counts
+    * for a lot, which is what catches the near-dups plain Jaccard dilutes
+    * away under common filler. All arithmetic is integer (weights, the
+    * intersection/union sums, the τ=0.7 cross-multiplied threshold), so
+    * the oracle parity is exact.
+    *
+    * The candidate stage is the WEIGHTED prefix filter (the weighted
+    * PPJoin bound): in the global shingle-hash order, doc A's prefix is
+    * the minimal head whose suffix weight drops below τ·W_A. For any
+    * pair with J_w ≥ τ the smallest common shingle must land in BOTH
+    * prefixes (if all common shingles sat in A's suffix, the intersection
+    * weight would be < τ·W_A ≤ required overlap — contradiction), so the
+    * prefix self-join has no false negatives and the naive co-shingle
+    * oracle is its exact value-level check. Weighted length filter
+    * min(W)·10 ≥ max(W)·7 prunes further (J_w ≤ min(W)/max(W)).
+    *
+    * Scale: one shingle-keyed df agg (co-partitioned with the weight
+    * join-back), two window passes over one doc-keyed exchange, then the
+    * prefix join — candidates are bounded exactly as t4's, shrunk further
+    * by weighting (heavy common shingles rank LATE in no particular
+    * order, but their weight-1 contribution rarely survives the τ bar). */
+  private def t46WeightedJaccard(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables
+      .documents(s, d)
+      .selectExpr("doc_id", "graft_shingles(text) AS (shingle, sz, rn)")
+      .select("doc_id", "shingle", "rn")
+      .cache()
+    val nDocs = sh.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // shingle rows are distinct per doc (generator contract), so count(*)
+    // IS the document frequency
+    val wgt = sh
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("shingle"), greatest(lit(1L), expr("n_docs div df")).as("wt"))
+    val byDoc = Window.partitionBy("doc_id")
+    val byRn = Window.partitionBy("doc_id").orderBy("rn")
+    val shw = sh
+      .join(wgt, "shingle")
+      .withColumn("tw", sum("wt").over(byDoc))
+      .withColumn("cumw", sum("wt").over(byRn))
+      .cache()
+    // prefix = head ranks while the weight BEFORE this shingle is still
+    // ≤ (1-τ)·W, i.e. 10·(cumw - wt) ≤ 3·W at τ = 0.7
+    val prefixes = shw
+      .filter((col("cumw") - col("wt")) * 10 <= col("tw") * 3)
+      .select("doc_id", "shingle", "tw")
+    val cand = prefixes
+      .as("a")
+      .join(prefixes.as("b"), "shingle")
+      .filter(
+        col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.tw"), col("b.tw")) * 10 >= greatest(col("a.tw"), col("b.tw")) * 7
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val full = shw.select("doc_id", "shingle", "wt")
+    val inter = cand
+      .join(full.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(
+        full.as("b"),
+        col("b.doc_id") === col("doc_b") && col("a.shingle") === col("b.shingle")
+      )
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("a.wt")).as("inter_w"))
+    val totals = shw.groupBy("doc_id").agg(max("tw").as("tw"))
+    inter
+      .join(totals.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tw", "tw_a"), "doc_a")
+      .join(totals.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tw", "tw_b"), "doc_b")
+      .withColumn("union_w", col("tw_a") + col("tw_b") - col("inter_w"))
+      .filter(col("inter_w") * 10 >= col("union_w") * 7)
+      .withColumn("wjaccard", col("inter_w") / col("union_w"))
+      .select("doc_a", "doc_b", "inter_w", "union_w", "wjaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t46_weighted_jaccard" -> (t46WeightedJaccard _),
     "t47_quality_classifier" -> (t47QualityClassifier _),
     "t45_paragraph_dedup" -> (t45ParagraphDedup _),
     "t42_dup_rate_profile" -> (t42DupRateProfile _),
@@ -2198,6 +2278,45 @@ object TextOps {
                         ' ' ORDER BY seg_idx), '')) AS kept_md5
          FROM seg2 s LEFT JOIN boiler b USING (seg_text)
          GROUP BY s.doc_id ORDER BY s.doc_id""",
+    // naive co-shingle weighted Jaccard — exact-equal to the weighted
+    // prefix-filtered path by the PPJoin bound (no false negatives);
+    // integer weights max(1, n_docs // df), integer τ cross-multiply
+    "t46_weighted_jaccard" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sh
+         ), wgt AS (
+           SELECT shingle,
+             greatest(1, (SELECT n_docs FROM n) // count(*)) AS wt
+           FROM sh GROUP BY shingle
+         ), shw AS (
+           SELECT doc_id, sh.shingle, wt FROM sh JOIN wgt USING (shingle)
+         ), totals AS (
+           SELECT doc_id, CAST(sum(wt) AS BIGINT) AS tw FROM shw
+           GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.wt) AS BIGINT) AS inter_w
+           FROM shw a JOIN shw b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT doc_a, doc_b, inter_w,
+           ta.tw + tb.tw - inter_w AS union_w,
+           CAST(inter_w AS DOUBLE) / (ta.tw + tb.tw - inter_w) AS wjaccard
+         FROM inter
+         JOIN totals ta ON ta.doc_id = doc_a
+         JOIN totals tb ON tb.doc_id = doc_b
+         WHERE inter_w * 10 >= (ta.tw + tb.tw - inter_w) * 7
+         ORDER BY doc_a, doc_b""",
     // identical md5-prefix bucket + integer weight formula; the summed
     // integer score anchors the hash, score_per_token is 6dp display math
     "t47_quality_classifier" ->

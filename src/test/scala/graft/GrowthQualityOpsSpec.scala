@@ -119,6 +119,45 @@ class GrowthQualityOpsSpec extends AnyFunSuite {
     assert(overlap.sum.toDouble / overlap.size >= 0.5, s"mean overlap ${overlap.sum.toDouble / overlap.size}")
   }
 
+  test("t46 weighted prefix filter loses no pair vs the naive co-shingle join") {
+    // the weighted PPJoin bound, asserted directly: re-rank every
+    // co-shingle pair with the same integer weights, threshold at τ=0.7,
+    // and demand set equality with the prefix-filtered operator output
+    import spark.implicits._
+    val got = TextOps
+      .queries("t46_weighted_jaccard")(spark, sf)
+      .select("doc_a", "doc_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val sh = Tables
+      .documents(spark, sf)
+      .selectExpr("doc_id", "graft_shingles(text) AS (shingle, sz, rn)")
+      .select("doc_id", "shingle")
+    val n = sh.select(countDistinct("doc_id")).as[Long].head()
+    val wgt = sh
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .select(col("shingle"), greatest(lit(1L), lit(n) / col("df") cast "long").as("wt"))
+    val shw = sh.join(wgt, "shingle")
+    val totals = shw.groupBy("doc_id").agg(sum("wt").as("tw"))
+    val naive = shw
+      .as("a")
+      .join(shw.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wt")).as("iw"))
+      .join(totals.select(col("doc_id").as("doc_a"), col("tw").as("ta")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("tw").as("tb")), "doc_b")
+      .filter(col("iw") * 10 >= (col("ta") + col("tb") - col("iw")) * 7)
+      .select("doc_a", "doc_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got == naive, s"prefix filter diverged: missing ${naive -- got}, extra ${got -- naive}")
+    assert(got.nonEmpty)
+  }
+
   test("v25 longer prefixes recover more of the exact top-5 in aggregate") {
     val rows = VectorOps
       .queries("v25_matryoshka_recall")(spark, sf)
