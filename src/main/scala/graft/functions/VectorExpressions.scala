@@ -427,6 +427,62 @@ case class ByteEmbed(child: Expression)
     copy(child = newChild)
 }
 
+/** 32 sign bits of a float vector packed into one long —
+  * `graft_sign_pack(embedding, offset)` sets bit i (0-based, bits 0..31
+  * only, so the long's sign bit is never touched and overflow-checked
+  * engines agree) iff element `offset + i` is strictly > 0. Two calls
+  * (offset 0 and 32) binarize a 64-dim embedding into the 8-byte
+  * serving form v24 scans. Bit-identical to the SQL fold
+  * `aggregate(sequence(0,31), 0L, (acc,i) -> acc + IF(elem > 0, 1L<<i,
+  * 0L))` it replaces — that higher-order function evaluates an
+  * interpreted lambda 32 times per row; this is one codegen loop over
+  * the ArrayData buffer. NaN and 0 both read as a 0 bit (Java `>`
+  * semantics, same as the SQL comparison). */
+case class SignPack(child: Expression, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_sign_pack expects array<float>, got ${other.simpleString}"
+      )
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_sign_pack"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < 32 && offset + i < n) {
+      if (a.getFloat(offset + i) > 0f) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+        int graftSpN = $a.numElements();
+        long graftSpAcc = 0L;
+        for (int graftSpI = 0; graftSpI < 32 && $offset + graftSpI < graftSpN; graftSpI++) {
+          if ($a.getFloat($offset + graftSpI) > 0f) graftSpAcc |= (1L << graftSpI);
+        }
+        ${ev.value} = graftSpAcc;
+      """
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+}
+
 /** Registration for the native functions — either per-session at runtime
   * ([[GraftFunctions.register]]) or via `spark.sql.extensions=
   * graft.functions.GraftExtensions` for cluster-wide injection.
@@ -487,7 +543,18 @@ object GraftFunctions {
     "graft_mmr"
   )
 
+  val signPackInfo = new ExpressionInfo(
+    classOf[SignPack].getName,
+    "graft_sign_pack"
+  )
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sign_pack",
+      (exprs: Seq[Expression]) =>
+        SignPack(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in"
+    )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1)),
@@ -560,6 +627,14 @@ object GraftFunctions {
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_sign_pack"),
+        GraftFunctions.signPackInfo,
+        (exprs: Seq[Expression]) =>
+          SignPack(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
     ext.injectFunction(
       (
         FunctionIdentifier("graft_dot"),

@@ -1222,17 +1222,16 @@ object VectorOps {
     * per-query top-k (WindowGroupLimit-prunable). Integer hamming
     * anchors the hash. */
   private def v24HammingAnn(s: SparkSession, d: String): DataFrame = {
-    def packWord(lo: Int): Column = expr(
-      s"""aggregate(sequence(0, 31), 0L,
-         |  (acc, i) -> acc + IF(element_at(embedding, i + $lo + 1) > 0F,
-         |                       shiftleft(1L, i), 0L))""".stripMargin
-    )
+    // graft_sign_pack: one codegen loop per word vs the SQL fold's 32
+    // interpreted lambda evaluations per row (bit-identical semantics;
+    // differential-tested in GrowthQualityOpsSpec)
+    GraftFunctions.register(s)
     val packed = Tables
       .embeddings(s, d)
       .select(
         col("vec_id"),
-        packWord(0).as("w0"),
-        packWord(32).as("w1")
+        call_function("graft_sign_pack", col("embedding"), lit(0)).as("w0"),
+        call_function("graft_sign_pack", col("embedding"), lit(32)).as("w1")
       )
     val probes = packed
       .filter(col("vec_id") < 10)

@@ -158,6 +158,37 @@ class GrowthQualityOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("graft_sign_pack matches the SQL fold bit-for-bit at both offsets on real embeddings") {
+    graft.functions.GraftFunctions.register(spark)
+    def fold(lo: Int) =
+      expr(
+        s"""aggregate(sequence(0, 31), 0L,
+           |  (acc, i) -> acc + IF(element_at(embedding, i + $lo + 1) > 0, shiftleft(1L, i), 0L))""".stripMargin
+      )
+    val diffs = Tables
+      .embeddings(spark, sf)
+      .select(
+        call_function("graft_sign_pack", col("embedding"), lit(0)).as("n0"),
+        call_function("graft_sign_pack", col("embedding"), lit(32)).as("n1"),
+        fold(0).as("f0"),
+        fold(32).as("f1")
+      )
+      .filter(col("n0") =!= col("f0") || col("n1") =!= col("f1"))
+      .count()
+    assert(diffs == 0L)
+    // short/empty arrays: missing trailing dims read as 0 bits
+    import spark.implicits._
+    val edge = Seq(Array(1.0f, -1.0f, 0.0f), Array.empty[Float])
+      .toDF("embedding")
+      .select(
+        call_function("graft_sign_pack", col("embedding"), lit(0)).as("w0"),
+        call_function("graft_sign_pack", col("embedding"), lit(32)).as("w1")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edge.toSeq == Seq((1L, 0L), (0L, 0L)))
+  }
+
   test("v25 longer prefixes recover more of the exact top-5 in aggregate") {
     val rows = VectorOps
       .queries("v25_matryoshka_recall")(spark, sf)
