@@ -1299,7 +1299,71 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** Two-stage binary-quantized serving (the production pattern behind
+    * v24): a COARSE Hamming top-50 over the 8-byte packed sign bits —
+    * the stage that reads 32× less than a float scan — then an exact
+    * float-cosine RERANK of only those 50 candidates per query down to
+    * the served top-5. On this corpus the rerank lifts recall@5 vs the
+    * exact ranking from v24's raw 24% to 68% (spec-gated ≥ 60%) — the
+    * measured statement of why binary quantization ships as a
+    * filter+rerank pair, never alone.
+    *
+    * Scale: stage 1 is v24's plan (broadcast probes, packed-word scan,
+    * WindowGroupLimit); stage 2 touches float vectors for only
+    * 50·|probes| rows — the candidate set broadcasts back onto the
+    * embedding table, so the float table is scanned once and never
+    * shuffled. */
+  private def v26HammingRerank(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val packed = emb.select(
+      col("vec_id"),
+      col("embedding"),
+      call_function("graft_sign_pack", col("embedding"), lit(0)).as("w0"),
+      call_function("graft_sign_pack", col("embedding"), lit(32)).as("w1")
+    )
+    val probes = packed
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        col("w0").as("q0"),
+        col("w1").as("q1")
+      )
+    val hw = Window
+      .partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val cand = packed
+      .drop("embedding")
+      .crossJoin(broadcast(probes.drop("qe")))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "hamming",
+        bit_count(col("q0").bitwiseXOR(col("w0"))) +
+          bit_count(col("q1").bitwiseXOR(col("w1")))
+      )
+      .withColumn("hrnk", row_number().over(hw))
+      .filter(col("hrnk") <= 50)
+      .select("query_id", "vec_id")
+    // rerank: only the 50·|probes| survivors fetch their float vectors
+    val rw = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    emb
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(probes.select("query_id", "qe")), "query_id")
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("embedding")) /
+          (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
+            sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+      )
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v26_hamming_rerank" -> (v26HammingRerank _),
     "v24_hamming_ann" -> (v24HammingAnn _),
     "v25_matryoshka_recall" -> (v25MatryoshkaRecall _),
     "v23_probe_sweep" -> (v23ProbeSweep _),
@@ -1878,6 +1942,39 @@ object VectorOps {
          SELECT query_id, CAST(rnk AS BIGINT) AS rnk,
            vec_id AS neighbor_id, hamming
          FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // v24's packed coarse stage ranked to 50, then the float rerank with
+    // graft_dot's accumulation order; only integers in the output
+    "v26_hamming_rerank" ->
+      s"""WITH packed AS (
+           SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 1] > 0
+                         THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN embedding[i + 33] > 0
+                         THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+           FROM embeddings
+         ), probes AS (
+           SELECT vec_id AS query_id, embedding AS qe, w0 AS q0, w1 AS q1
+           FROM packed WHERE vec_id < 10
+         ), coarse AS (
+           SELECT query_id, qe, vec_id, embedding AS ce,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY bit_count(xor(q0, w0)) + bit_count(xor(q1, w1)) ASC,
+                        vec_id ASC) AS hrnk
+           FROM packed, probes WHERE vec_id <> query_id
+         ), rer AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+               ${duckDot("qe", "ce")}
+                 / (sqrt(${duckDot("qe", "qe")})
+                  * sqrt(${duckDot("ce", "ce")})) DESC, vec_id ASC) AS rnk
+           FROM coarse WHERE hrnk <= 50
+         )
+         SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id
+         FROM rer WHERE rnk <= 5 ORDER BY query_id, rnk""",
     // three cosine rankings off one pair frame (full / 16-prefix /
     // 32-prefix dots with graft_dot's accumulation order), top-5 sets
     // intersected per query; integer hit counts anchor the hash

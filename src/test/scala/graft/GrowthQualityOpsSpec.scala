@@ -189,6 +189,29 @@ class GrowthQualityOpsSpec extends AnyFunSuite {
     assert(edge.toSeq == Seq((1L, 0L), (0L, 0L)))
   }
 
+  test("v26 coarse-then-rerank recovers most of the exact top-5 and beats raw Hamming") {
+    val exact = VectorOps
+      .queries("v1_ann_bruteforce")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).toSet)
+      .toMap
+    def hits(q: String): Int = VectorOps
+      .queries(q)(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (qid, rows) => (exact(qid) & rows.map(_._2).toSet).size }
+      .sum
+    val rerank = hits("v26_hamming_rerank")
+    val raw = hits("v24_hamming_ann")
+    // measured on this corpus: 34/50 rerank vs 12/50 raw
+    assert(rerank >= 30, s"rerank recall collapsed: $rerank/50")
+    assert(rerank > raw, s"rerank ($rerank) must beat the raw Hamming ranking ($raw)")
+  }
+
   test("v25 longer prefixes recover more of the exact top-5 in aggregate") {
     val rows = VectorOps
       .queries("v25_matryoshka_recall")(spark, sf)
