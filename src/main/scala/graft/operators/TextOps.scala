@@ -1530,6 +1530,57 @@ object TextOps {
       .limit(50)
   }
 
+  /** BPE merge APPLICATION — one training iteration of byte-pair
+    * encoding executed corpus-wide: take t34's top merge candidate
+    * (weight desc, pair asc — the deterministic trainer pick) and merge
+    * it into every word, reporting the per-document symbol ledger
+    * (chars tokenized, merges applied, symbols after). The merge count
+    * uses the replace-length identity: greedy left-to-right
+    * non-overlapping occurrences of a 2-char pair == length(w) −
+    * length(replace(w, pair, '·')) — both engines' `replace` is exactly
+    * that greedy scan, so the a==b run-parity corner ("aaa" merges
+    * once) is inherited, not re-implemented.
+    *
+    * Scale: the pair pick reuses t34's vocab-sized plan (corpus touched
+    * by one count shuffle); application is a single broadcast of the
+    * 1-row pair plus per-token codegen string arithmetic and a doc-grain
+    * partial agg — no corpus joins, no second shuffle beyond the ledger
+    * grain. */
+  private def t48BpeApplyMerge(s: SparkSession, d: String): DataFrame = {
+    val top = Tables
+      .documents(s, d)
+      .select(explode(toks).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+      .select(
+        explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).as("pair"),
+        col("n")
+      )
+      .groupBy("pair")
+      .agg(sum("n").as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc)
+      .limit(1)
+      .select("pair")
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .crossJoin(broadcast(top))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(length(col("w")) - length(expr("replace(w, pair, 'Z')")))
+          .cast("long")
+          .as("n_merges")
+      )
+      .withColumn("n_symbols_after", col("n_chars") - col("n_merges"))
+      .select("doc_id", "n_tokens", "n_chars", "n_merges", "n_symbols_after")
+      .orderBy("doc_id")
+  }
+
   /** Cross-source near-duplicate overlap matrix — for every source pair
     * (including the same-source diagonal), how many near-dup pairs (t4's
     * exact Jaccard > 0.8) connect them. The provenance question behind
@@ -2203,6 +2254,7 @@ object TextOps {
     "t37_vocab_growth" -> (t37VocabGrowth _),
     "t36_corpus_diff" -> (t36CorpusDiff _),
     "t34_bpe_merge_stats" -> (t34BpeMergeStats _),
+    "t48_bpe_apply_merge" -> (t48BpeApplyMerge _),
     "t35_source_overlap" -> (t35SourceOverlap _),
     "t32_source_caps" -> (t32SourceCaps _),
     "t33_split_leakage" -> (t33SplitLeakage _),
@@ -2568,6 +2620,35 @@ object TextOps {
          SELECT pair, CAST(sum(n) AS BIGINT) AS weight
          FROM pairs GROUP BY pair
          ORDER BY weight DESC, pair LIMIT 50""",
+    // t34's vocab CTEs pick the same top-1; merge counts via the
+    // replace-length identity (both engines' replace is the greedy
+    // left-to-right non-overlapping scan)
+    "t48_bpe_apply_merge" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS toks
+           FROM documents
+         ), words AS (
+           SELECT doc_id, unnest(toks) AS w FROM base
+         ), vocab AS (
+           SELECT w, count(*) AS n FROM words GROUP BY w
+         ), pairs AS (
+           SELECT unnest(list_transform(range(1, length(w)),
+                                        i -> substr(w, i, 2))) AS pair, n
+           FROM vocab WHERE length(w) >= 2
+         ), top AS (
+           SELECT pair FROM pairs GROUP BY pair
+           ORDER BY CAST(sum(n) AS BIGINT) DESC, pair LIMIT 1
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(length(w)
+                    - length(replace(w, (SELECT pair FROM top), 'Z')))
+             AS BIGINT) AS n_merges,
+           CAST(sum(length(replace(w, (SELECT pair FROM top), 'Z')))
+             AS BIGINT) AS n_symbols_after
+         FROM words GROUP BY doc_id ORDER BY doc_id""",
     // t4's pair CTEs verbatim, source carried per member, canonicalized
     // with least/greatest so the matrix is order-free (diagonal included)
     // the cumulative-distinct identity (type counts for prefix b iff
