@@ -865,7 +865,66 @@ object EventOps {
       .orderBy("event_type", "week")
   }
 
+  /** Last-touch revenue attribution — every purchase's value credited to
+    * the same user's latest PRECEDING non-purchase event within a
+    * 30-minute lookback (else 'direct'): the standard marketing-
+    * attribution rollup, and the carry-forward window (j9's
+    * last-ignoreNulls mechanism) pointed at a business rule instead of a
+    * join. Two ignoreNulls carries (type and its μs) are consistent
+    * because they null out on exactly the same rows.
+    *
+    * Scale: ONE user-keyed window pass over the event log — no
+    * purchase⋈touch self-join (the naive form is a range join per
+    * purchase) — then a |types|-row agg; the share column is a window
+    * over that constant-size frame. Integer μs bounds and fixed-point
+    * revenue anchor the hash. */
+  private def e22LastTouch(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        F.fixed4(col("value")).as("value_f4")
+      )
+    val attributed = base
+      .withColumn(
+        "touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true).over(w)
+      )
+      .withColumn(
+        "touch_us",
+        last(when(col("event_type") =!= "purchase", col("us")), ignoreNulls = true).over(w)
+      )
+      .filter(col("event_type") === "purchase")
+      .withColumn(
+        "touch",
+        when(
+          col("touch_us").isNotNull && col("us") - col("touch_us") <= 1800000000L,
+          col("touch_type")
+        ).otherwise("direct")
+      )
+    attributed
+      .groupBy("touch")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum("value_f4").as("revenue_f4")
+      )
+      .withColumn(
+        "share",
+        round(col("revenue_f4").cast("double") / sum("revenue_f4").over(Window.partitionBy()), 6)
+      )
+      .select("touch", "n_purchases", "revenue_f4", "share")
+      .orderBy("touch")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e22_last_touch" -> (e22LastTouch _),
     "e21_growth_accounting" -> (e21GrowthAccounting _),
     "e17_stickiness" -> (e17Stickiness _),
     "e16_cohort_retention" -> (e16CohortRetention _),
@@ -891,6 +950,36 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // one carry-forward window (last IGNORE NULLS twice — consistent, the
+    // carries null out on the same rows); integer μs bound + fixed-point
+    // revenue anchor the hash, share is 6dp display math
+    "e22_last_touch" ->
+      """WITH base AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CAST(round(value * 10000) AS BIGINT) AS value_f4
+           FROM events
+         ), carried AS (
+           SELECT user_id, event_type, us, value_f4,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN us END IGNORE NULLS) OVER w AS touch_us
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ), attributed AS (
+           SELECT CASE WHEN touch_us IS NOT NULL
+                            AND us - touch_us <= 1800000000
+                       THEN touch_type ELSE 'direct' END AS touch,
+             value_f4
+           FROM carried WHERE event_type = 'purchase'
+         )
+         SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(value_f4) AS BIGINT) AS revenue_f4,
+           round(CAST(sum(value_f4) AS DOUBLE)
+                 / (SELECT sum(value_f4) FROM attributed), 6) AS share
+         FROM attributed GROUP BY touch ORDER BY touch""",
     // lag/lead over the distinct (type, user, week) frame; status and
     // churn contributions UNION into one agg (complete ledger — churn-only
     // weeks survive); integer counts anchor the hash, quick_ratio is 6dp
