@@ -923,7 +923,55 @@ object EventOps {
       .orderBy("touch")
   }
 
+  /** NEAREST-event alignment join (j11) — for every `error`, the closest
+    * `click` by the same user in EITHER direction within a ±6 h
+    * tolerance: the sensor-fusion/point-in-time alignment semantics j4's
+    * backward-only as-of can't express (j4 answers "state at the time",
+    * j11 answers "which reading does this one pair with"). Nearest =
+    * the closer of the carried-forward previous candidate and the
+    * carried-backward next candidate, ties to the earlier one.
+    *
+    * Scale: the union-stream trick again — NO error×click join at any
+    * scale: both types ride one user-keyed window pass (two ignoreNulls
+    * carries over mirrored frames), so the cost is one shuffle of the
+    * filtered stream. Unmatched errors stay as NULL rows — alignment
+    * coverage is observable, not silently inner-joined away. */
+  private def j11NearestAlign(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val back = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = byUser.rowsBetween(1, Window.unboundedFollowing)
+    val tolUs = 6L * 3600 * 1000000
+    val clickUs = when(col("event_type") === "click", col("us"))
+    val picked = Tables
+      .events(s, d)
+      .filter(col("event_type").isin("error", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", last(clickUs, ignoreNulls = true).over(back))
+      .withColumn("next_us", first(clickUs, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "error")
+      .withColumn(
+        "cand",
+        when(
+          col("prev_us").isNotNull &&
+            (col("next_us").isNull || col("us") - col("prev_us") <= col("next_us") - col("us")),
+          col("prev_us")
+        ).otherwise(col("next_us"))
+      )
+      .withColumn("aligned", col("cand").isNotNull && abs(col("us") - col("cand")) <= tolUs)
+    picked
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("us"),
+        when(col("aligned"), col("cand")).as("click_us"),
+        when(col("aligned"), abs(col("us") - col("cand"))).as("delta_us"),
+        col("aligned")
+      )
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "j11_nearest_align" -> (j11NearestAlign _),
     "e22_last_touch" -> (e22LastTouch _),
     "e21_growth_accounting" -> (e21GrowthAccounting _),
     "e17_stickiness" -> (e17Stickiness _),
@@ -950,6 +998,39 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // mirrored ignoreNulls carries over one user-keyed pass; unmatched
+    // errors surface as NULL columns with aligned=false
+    "j11_nearest_align" ->
+      """WITH base AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('error', 'click')
+         ), carried AS (
+           SELECT user_id, event_id, event_type, us,
+             last_value(CASE WHEN event_type = 'click' THEN us END
+                        IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+             first_value(CASE WHEN event_type = 'click' THEN us END
+                         IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+           FROM base
+         ), picked AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NOT NULL
+                       AND (next_us IS NULL OR us - prev_us <= next_us - us)
+                  THEN prev_us ELSE next_us END AS cand
+           FROM carried WHERE event_type = 'error'
+         ), flagged AS (
+           SELECT user_id, event_id, us, cand,
+             cand IS NOT NULL AND abs(us - cand) <= 21600000000 AS aligned
+           FROM picked
+         )
+         SELECT user_id, event_id, us,
+           CASE WHEN aligned THEN cand END AS click_us,
+           CASE WHEN aligned THEN abs(us - cand) END AS delta_us,
+           aligned
+         FROM flagged ORDER BY event_id""",
     // one carry-forward window (last IGNORE NULLS twice — consistent, the
     // carries null out on the same rows); integer μs bound + fixed-point
     // revenue anchor the hash, share is 6dp display math
