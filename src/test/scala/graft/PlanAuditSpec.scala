@@ -243,6 +243,19 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains(j), s"j9 planned a $j:\n$p")
     val keyedExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(keyedExchanges == 1, s"j9 grew extra keyed exchanges ($keyedExchanges):\n$p")
+    // j11 (nearest alignment) and e22 (last-touch attribution) are the
+    // same contract: the pairing rides carry windows on ONE user-keyed
+    // exchange — a join node means the range-join regression. e22 is
+    // allowed its second exchange: the |types|-row revenue rollup
+    // (bounded keyspace, not a pairing strategy).
+    for ((q, maxEx) <- Seq("j11_nearest_align" -> 1, "e22_last_touch" -> 2)) {
+      val pq = plan(q)
+      for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"))
+        assert(!pq.contains(j), s"$q planned a $j:\n$pq")
+      val ex = pq.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex <= maxEx, s"$q grew extra keyed exchanges ($ex):\n$pq")
+    }
   }
 
   test("v21's fit assignment plans join-free: codegen argmin, one keyed window") {
