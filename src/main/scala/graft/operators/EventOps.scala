@@ -970,7 +970,62 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Engagement-inequality profile — the Lorenz curve and exact Gini of
+    * per-user event volume ("what share of activity comes from the top
+    * users"): the concentration diagnostic behind power-user and
+    * bot-skew analyses. Emitted as the activity-level HISTOGRAM with
+    * running Lorenz shares, plus an ALL row carrying the Gini.
+    *
+    * Scale: the trick is the same as t40's terciles — users are NEVER
+    * globally sorted. One user-keyed count agg, then a histogram keyed
+    * by the (bounded) distinct activity level; the Lorenz windows and
+    * the Gini's trapezoid sum run over histogram rows only. The Gini
+    * numerator Σ u_k·(2·cumE_k − e_k) is exact integer arithmetic, so
+    * the 6dp display value is a deterministic ratio of integers. */
+  private def e23EngagementGini(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("n_events", col("level") * col("n_users"))
+    // bounded frame: one row per distinct activity level
+    val w = Window.orderBy("level").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_users", sum("n_users").over(w))
+      .withColumn("cum_events", sum("n_events").over(w))
+    val tot = cum.agg(
+      max("cum_users").as("u"),
+      max("cum_events").as("e"),
+      sum(col("n_users") * (col("cum_events") * 2 - col("n_events"))).as("num")
+    )
+    val levels = cum
+      .crossJoin(broadcast(tot))
+      .select(
+        col("level"),
+        col("n_users"),
+        col("cum_users"),
+        col("cum_events"),
+        round(col("cum_users").cast("double") / col("u"), 6).as("lorenz_users"),
+        round(col("cum_events").cast("double") / col("e"), 6).as("lorenz_events"),
+        lit(null).cast("double").as("gini")
+      )
+    val all = tot.select(
+      lit(null).cast("long").as("level"),
+      col("u").as("n_users"),
+      col("u").as("cum_users"),
+      col("e").as("cum_events"),
+      lit(1.0).as("lorenz_users"),
+      lit(1.0).as("lorenz_events"),
+      round(lit(1.0) - col("num").cast("double") / (col("u").cast("double") * col("e")), 6)
+        .as("gini")
+    )
+    levels.unionByName(all).orderBy(col("level").asc_nulls_last)
+  }
+
   val queries: Map[String, Q] = Map(
+    "e23_engagement_gini" -> (e23EngagementGini _),
     "j11_nearest_align" -> (j11NearestAlign _),
     "e22_last_touch" -> (e22LastTouch _),
     "e21_growth_accounting" -> (e21GrowthAccounting _),
@@ -998,6 +1053,40 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // histogram-keyed Lorenz windows (users never sorted); the Gini
+    // trapezoid numerator is exact integer arithmetic
+    "e23_engagement_gini" ->
+      """WITH counts AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+           GROUP BY user_id
+         ), hist AS (
+           SELECT n AS level, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(n * count(*) AS BIGINT) AS n_events
+           FROM counts GROUP BY n
+         ), cum AS (
+           SELECT level, n_users, n_events,
+             CAST(sum(n_users) OVER w AS BIGINT) AS cum_users,
+             CAST(sum(n_events) OVER w AS BIGINT) AS cum_events
+           FROM hist
+           WINDOW w AS (ORDER BY level
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ), tot AS (
+           SELECT max(cum_users) AS u, max(cum_events) AS e FROM cum
+         ), g AS (
+           SELECT CAST(sum(n_users * (2 * cum_events - n_events)) AS BIGINT)
+             AS num
+           FROM cum
+         )
+         SELECT level, n_users, cum_users, cum_events,
+           round(CAST(cum_users AS DOUBLE) / u, 6) AS lorenz_users,
+           round(CAST(cum_events AS DOUBLE) / e, 6) AS lorenz_events,
+           CAST(NULL AS DOUBLE) AS gini
+         FROM cum, tot
+         UNION ALL
+         SELECT NULL, u, u, e, 1.0, 1.0,
+           round(1.0 - CAST(num AS DOUBLE) / (CAST(u AS DOUBLE) * e), 6)
+         FROM tot, g
+         ORDER BY level NULLS LAST""",
     // mirrored ignoreNulls carries over one user-keyed pass; unmatched
     // errors surface as NULL columns with aligned=false
     "j11_nearest_align" ->
