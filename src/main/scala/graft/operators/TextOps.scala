@@ -692,6 +692,57 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** TEMPERATURE-mixture plan (t49) — t21's uniform plan generalized to
+    * the τ=2 sampling multilingual training actually uses: target mass
+    * ∝ tokens^(1/2), so low-resource languages are up-weighted but not
+    * all the way to uniform. The only transcendental is sqrt, which
+    * IEEE-754 rounds correctly in BOTH engines (pow does not) — and it
+    * is floored to an integer immediately, so every downstream number is
+    * a ratio of exact integers: the min-tokens language anchors
+    * acceptance 1.0, acceptance_i = (s_i·t_m)/(t_i·s_m) by integer
+    * cross-multiplication, take_i = min(t_i, (s_i·t_m) div s_m) (the
+    * `least` guard absorbs isqrt floor wobble at tiny inventories).
+    *
+    * Scale: identical shape to t21 — one language-keyed inventory agg,
+    * two broadcast scalar frames, fixed-form expressions; the corpus
+    * never shuffles. */
+  private def t49TemperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val inv = Tables
+      .documents(s, d)
+      .groupBy("lang")
+      .agg(sum(size(toks).cast("long")).as("tokens"))
+      .withColumn("isqrt", floor(sqrt(col("tokens"))).cast("long"))
+    val anchor = inv
+      .orderBy(col("tokens").asc, col("lang").asc)
+      .limit(1)
+      .select(col("tokens").as("t_m"), col("isqrt").as("s_m"))
+    val planned = inv
+      .crossJoin(broadcast(anchor))
+      .withColumn(
+        "take_tokens",
+        least(col("tokens"), expr("(isqrt * t_m) div s_m"))
+      )
+      .withColumn(
+        "acceptance",
+        round(
+          least(
+            lit(1.0),
+            (col("isqrt") * col("t_m")).cast("double") / (col("tokens") * col("s_m"))
+          ),
+          6
+        )
+      )
+    val total = planned.agg(sum("take_tokens").as("take_total"))
+    planned
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "target_share",
+        round(col("take_tokens").cast("double") / col("take_total"), 6)
+      )
+      .select("lang", "tokens", "isqrt", "take_tokens", "acceptance", "target_share")
+      .orderBy("lang")
+  }
+
   /** Incremental near-dup dedup — the pattern that actually runs at
     * 100 TB: a NEW corpus increment (here `doc_id % 4 == 0`, ~25%) is
     * deduplicated against the EXISTING corpus's winnowed-fingerprint
@@ -2279,6 +2330,7 @@ object TextOps {
     "t19_bloom_decontaminate" -> (t19BloomDecontaminate _),
     "t20_bigram_lm" -> (t20BigramLm _),
     "t21_mixture_plan" -> (t21MixturePlan _),
+    "t49_temperature_mixture" -> (t49TemperatureMixture _),
     "t22_substring_dedup" -> (t22SubstringDedup _),
     "t23_incremental_dedup" -> (t23IncrementalDedup _),
     "t24_vocab_oov" -> (t24VocabOov _),
@@ -3080,6 +3132,34 @@ object TextOps {
            min_tokens AS take_tokens,
            round(CAST(min_tokens AS DOUBLE) / tokens, 6) AS acceptance
          FROM inv CROSS JOIN scalars ORDER BY lang""",
+    // t21's inventory + integer-floored sqrt; min-tokens language anchors
+    // acceptance 1.0; every emitted number is a ratio of exact integers
+    "t49_temperature_mixture" ->
+      """WITH inv AS (
+           SELECT lang,
+             CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0))) AS BIGINT) AS tokens
+           FROM documents GROUP BY lang
+         ), sq AS (
+           SELECT lang, tokens,
+             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt
+           FROM inv
+         ), anchor AS (
+           SELECT tokens AS t_m, isqrt AS s_m FROM sq
+           ORDER BY tokens, lang LIMIT 1
+         ), planned AS (
+           SELECT lang, tokens, isqrt,
+             least(tokens, (isqrt * t_m) // s_m) AS take_tokens,
+             round(least(1.0, CAST(isqrt * t_m AS DOUBLE) / (tokens * s_m)),
+                   6) AS acceptance
+           FROM sq, anchor
+         ), total AS (
+           SELECT CAST(sum(take_tokens) AS BIGINT) AS take_total FROM planned
+         )
+         SELECT lang, tokens, isqrt, CAST(take_tokens AS BIGINT) AS take_tokens,
+           acceptance,
+           round(CAST(take_tokens AS DOUBLE) / take_total, 6) AS target_share
+         FROM planned, total ORDER BY lang""",
     // full winnowing reproduced in SQL under the cross-engine md5-prefix
     // hash: positional 3-gram hashes, window-of-4 minima (p=1 clamped for
     // short docs), per-doc dedupe, df<=32 stop-fingerprint cap, pair join
