@@ -1024,7 +1024,38 @@ object EventOps {
     levels.unionByName(all).orderBy(col("level").asc_nulls_last)
   }
 
+  /** Inter-event cadence histogram — the distribution of per-user gaps
+    * between consecutive same-type events, bucketed at power-of-two
+    * microsecond boundaries (bucket = bit length of the gap — an
+    * integer log2 with NO floating log: `length(bin(gap))`, identical
+    * string semantics in both engines). The activity-cadence profile
+    * behind session-timeout and watermark-delay tuning: the 30-min
+    * sessionization gap and the streaming watermark are policy choices
+    * this histogram makes empirical.
+    *
+    * Scale: one user-keyed window pass for the lag, then a histogram
+    * agg onto ≤ 64·|types| keys — constant-size output at any event
+    * volume. */
+  private def e24CadenceHistogram(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_us", col("us") - col("prev"))
+      .withColumn("bucket", length(bin(col("gap_us"))).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us")
+      )
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e24_cadence_histogram" -> (e24CadenceHistogram _),
     "e23_engagement_gini" -> (e23EngagementGini _),
     "j11_nearest_align" -> (j11NearestAlign _),
     "e22_last_touch" -> (e22LastTouch _),
@@ -1053,6 +1084,26 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same lag + bit-length bucket (bin() renders identically); integer
+    // gap extremes anchor each bucket
+    "e24_cadence_histogram" ->
+      """WITH base AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+           FROM events
+         ), gaps AS (
+           SELECT event_type, us - lag(us) OVER w AS gap_us
+           FROM base
+           WINDOW w AS (PARTITION BY user_id, event_type
+                        ORDER BY us, event_id)
+         )
+         SELECT event_type,
+           CAST(length(bin(gap_us)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us
+         FROM gaps WHERE gap_us IS NOT NULL
+         GROUP BY event_type, bucket
+         ORDER BY event_type, bucket""",
     // histogram-keyed Lorenz windows (users never sorted); the Gini
     // trapezoid numerator is exact integer arithmetic
     "e23_engagement_gini" ->

@@ -743,6 +743,48 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Temperature-mixture EXECUTION (t50) — t30's deterministic
+    * acceptance sampler pointed at t49's τ=2 plan instead of the uniform
+    * one: accept doc iff u16(doc_id) · lang_tokens < take_tokens · 2¹⁶,
+    * i.e. with probability take/tokens — the md5-prefix uniform keeps
+    * membership stable under corpus growth and re-runs, and the
+    * acceptance test is pure integer arithmetic (take_tokens is t49's
+    * integer division, never a float rate).
+    *
+    * Scale: t30's shape exactly — one inventory agg, broadcast
+    * |langs|-row plan, per-row hash; the corpus never shuffles. */
+  private def t50TemperatureExecute(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("doc_tokens"))
+      .cache()
+    val inv = docs
+      .groupBy("lang")
+      .agg(sum("doc_tokens").as("tokens"))
+      .withColumn("isqrt", floor(sqrt(col("tokens"))).cast("long"))
+    val anchor = inv
+      .orderBy(col("tokens").asc, col("lang").asc)
+      .limit(1)
+      .select(col("tokens").as("t_m"), col("isqrt").as("s_m"))
+    val plan = inv
+      .crossJoin(broadcast(anchor))
+      .select(
+        col("lang"),
+        col("tokens"),
+        least(col("tokens"), expr("(isqrt * t_m) div s_m")).as("take_tokens")
+      )
+    docs
+      .join(broadcast(plan), "lang")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("u16", expr(hex4U16("h")).cast("long"))
+      .withColumn(
+        "accepted",
+        col("u16") * col("tokens") < col("take_tokens") * lit(65536L)
+      )
+      .select("doc_id", "lang", "doc_tokens", "u16", "accepted")
+      .orderBy("doc_id")
+  }
+
   /** Incremental near-dup dedup — the pattern that actually runs at
     * 100 TB: a NEW corpus increment (here `doc_id % 4 == 0`, ~25%) is
     * deduplicated against the EXISTING corpus's winnowed-fingerprint
@@ -2331,6 +2373,7 @@ object TextOps {
     "t20_bigram_lm" -> (t20BigramLm _),
     "t21_mixture_plan" -> (t21MixturePlan _),
     "t49_temperature_mixture" -> (t49TemperatureMixture _),
+    "t50_temperature_execute" -> (t50TemperatureExecute _),
     "t22_substring_dedup" -> (t22SubstringDedup _),
     "t23_incremental_dedup" -> (t23IncrementalDedup _),
     "t24_vocab_oov" -> (t24VocabOov _),
@@ -3160,6 +3203,35 @@ object TextOps {
            acceptance,
            round(CAST(take_tokens AS DOUBLE) / take_total, 6) AS target_share
          FROM planned, total ORDER BY lang""",
+    // t49's plan CTEs + t30's integer acceptance test under the
+    // md5-prefix uniform
+    "t50_temperature_execute" ->
+      s"""WITH docs AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> length(x) > 0)) AS BIGINT) AS doc_tokens
+           FROM documents
+         ), inv AS (
+           SELECT lang, CAST(sum(doc_tokens) AS BIGINT) AS tokens
+           FROM docs GROUP BY lang
+         ), sq AS (
+           SELECT lang, tokens,
+             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt
+           FROM inv
+         ), anchor AS (
+           SELECT tokens AS t_m, isqrt AS s_m FROM sq
+           ORDER BY tokens, lang LIMIT 1
+         ), plan AS (
+           SELECT lang, tokens,
+             least(tokens, (isqrt * t_m) // s_m) AS take_tokens
+           FROM sq, anchor
+         )
+         SELECT doc_id, d.lang, doc_tokens,
+           CAST(${hex4U16("md5(CAST(doc_id AS VARCHAR))")} AS BIGINT) AS u16,
+           ${hex4U16("md5(CAST(doc_id AS VARCHAR))")} * tokens
+             < take_tokens * 65536 AS accepted
+         FROM docs d JOIN plan USING (lang)
+         ORDER BY doc_id""",
     // full winnowing reproduced in SQL under the cross-engine md5-prefix
     // hash: positional 3-gram hashes, window-of-4 minima (p=1 clamped for
     // short docs), per-doc dedupe, df<=32 stop-fingerprint cap, pair join
