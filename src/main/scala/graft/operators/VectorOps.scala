@@ -1362,7 +1362,49 @@ object VectorOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** HARD-NEGATIVE mining (v27) — per anchor, the top-5 most-similar
+    * vectors with a DIFFERENT label: the contrastive-training data step
+    * (negatives that are close in embedding space but semantically
+    * wrong are the ones that teach the margin; random negatives are
+    * free but easy). v1's broadcast-probes scoring shape with the label
+    * inequality as an EARLY pair filter — at serving scale this is
+    * v16's filtered-ANN discipline pointed at training-pair generation.
+    * Output keeps the negative's label so downstream pair writers never
+    * join back. */
+  private def v27HardNegatives(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables
+      .embeddings(s, d)
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+    val anchors = emb
+      .filter(col("vec_id") < 10)
+      .select(
+        col("vec_id").as("anchor_id"),
+        col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        col("label").as("anchor_label")
+      )
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("vec_id").asc)
+    emb
+      .crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id") && col("label") =!= col("anchor_label"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("nrm"))
+      )
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(
+        col("anchor_id"),
+        col("rnk"),
+        col("vec_id").as("negative_id"),
+        col("label").cast("long").as("negative_label")
+      )
+      .orderBy("anchor_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v27_hard_negatives" -> (v27HardNegatives _),
     "v26_hamming_rerank" -> (v26HammingRerank _),
     "v24_hamming_ann" -> (v24HammingAnn _),
     "v25_matryoshka_recall" -> (v25MatryoshkaRecall _),
@@ -1942,6 +1984,28 @@ object VectorOps {
          SELECT query_id, CAST(rnk AS BIGINT) AS rnk,
            vec_id AS neighbor_id, hamming
          FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    // v1's scoring CTEs + the label-inequality pair filter; integer ids
+    // and labels anchor the hash
+    "v27_hard_negatives" ->
+      s"""WITH q AS (
+           SELECT vec_id AS anchor_id, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < 10
+         ), scored AS (
+           SELECT anchor_id, vec_id, label,
+             ${duckDot("qe", "embedding")}
+               / (sqrt(${duckDot("qe", "qe")})
+                * sqrt(${duckDot("embedding", "embedding")})) AS cos
+           FROM embeddings, q
+           WHERE vec_id <> anchor_id AND label <> ql
+         ), ranked AS (
+           SELECT anchor_id, vec_id, label,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos DESC, vec_id ASC) AS rnk
+           FROM scored
+         )
+         SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk,
+           vec_id AS negative_id, CAST(label AS BIGINT) AS negative_label
+         FROM ranked WHERE rnk <= 5 ORDER BY anchor_id, rnk""",
     // v24's packed coarse stage ranked to 50, then the float rerank with
     // graft_dot's accumulation order; only integers in the output
     "v26_hamming_rerank" ->
