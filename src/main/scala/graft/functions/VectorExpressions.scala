@@ -436,8 +436,10 @@ case class ByteEmbed(child: Expression)
   * `aggregate(sequence(0,31), 0L, (acc,i) -> acc + IF(elem > 0, 1L<<i,
   * 0L))` it replaces — that higher-order function evaluates an
   * interpreted lambda 32 times per row; this is one codegen loop over
-  * the ArrayData buffer. NaN and 0 both read as a 0 bit (Java `>`
-  * semantics, same as the SQL comparison). */
+  * the ArrayData buffer. The comparison is written `!(x <= 0)` so NaN
+  * reads as a 1 bit — matching SQL comparison semantics (both Spark's
+  * nan-safe ordering and DuckDB evaluate `NaN > 0` to TRUE), where
+  * Java's primitive `>` would silently disagree on NaN inputs. */
 case class SignPack(child: Expression, offset: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -459,7 +461,7 @@ case class SignPack(child: Expression, offset: Int)
     var acc = 0L
     var i = 0
     while (i < 32 && offset + i < n) {
-      if (a.getFloat(offset + i) > 0f) acc |= (1L << i)
+      if (!(a.getFloat(offset + i) <= 0f)) acc |= (1L << i)
       i += 1
     }
     acc
@@ -469,14 +471,19 @@ case class SignPack(child: Expression, offset: Int)
     nullSafeCodeGen(
       ctx,
       ev,
-      a => s"""
-        int graftSpN = $a.numElements();
-        long graftSpAcc = 0L;
-        for (int graftSpI = 0; graftSpI < 32 && $offset + graftSpI < graftSpN; graftSpI++) {
-          if ($a.getFloat($offset + graftSpI) > 0f) graftSpAcc |= (1L << graftSpI);
+      a => {
+        val n = ctx.freshName("graftSpN")
+        val acc = ctx.freshName("graftSpAcc")
+        val i = ctx.freshName("graftSpI")
+        s"""
+        int $n = $a.numElements();
+        long $acc = 0L;
+        for (int $i = 0; $i < 32 && $offset + $i < $n; $i++) {
+          if (!($a.getFloat($offset + $i) <= 0f)) $acc |= (1L << $i);
         }
-        ${ev.value} = graftSpAcc;
+        ${ev.value} = $acc;
       """
+      }
     )
 
   override protected def withNewChildInternal(newChild: Expression): SignPack =

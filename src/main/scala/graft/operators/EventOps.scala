@@ -995,10 +995,17 @@ object EventOps {
     val cum = hist
       .withColumn("cum_users", sum("n_users").over(w))
       .withColumn("cum_events", sum("n_events").over(w))
+    // the trapezoid numerator is bounded by U·E — beyond long range in
+    // the 1e9-users × 1e12-events regime — so it accumulates in
+    // decimal(38,0), the same domain as DuckDB's HUGEINT; the per-level
+    // cums stay long (bounded by E)
     val tot = cum.agg(
       max("cum_users").as("u"),
       max("cum_events").as("e"),
-      sum(col("n_users") * (col("cum_events") * 2 - col("n_events"))).as("num")
+      sum(
+        col("n_users").cast("decimal(38,0)") *
+          (col("cum_events") * 2 - col("n_events")).cast("decimal(38,0)")
+      ).as("num")
     )
     val levels = cum
       .crossJoin(broadcast(tot))

@@ -707,10 +707,14 @@ object TextOps {
     * two broadcast scalar frames, fixed-form expressions; the corpus
     * never shuffles. */
   private def t49TemperatureMixture(s: SparkSession, d: String): DataFrame = {
+    // a language whose docs all tokenize empty cannot anchor (isqrt 0
+    // would null every downstream division) and cannot be sampled —
+    // excluded from the plan, in both engines
     val inv = Tables
       .documents(s, d)
       .groupBy("lang")
       .agg(sum(size(toks).cast("long")).as("tokens"))
+      .filter(col("tokens") > 0)
       .withColumn("isqrt", floor(sqrt(col("tokens"))).cast("long"))
     val anchor = inv
       .orderBy(col("tokens").asc, col("lang").asc)
@@ -761,6 +765,7 @@ object TextOps {
     val inv = docs
       .groupBy("lang")
       .agg(sum("doc_tokens").as("tokens"))
+      .filter(col("tokens") > 0) // t49's zero-token anchor guard
       .withColumn("isqrt", floor(sqrt(col("tokens"))).cast("long"))
     val anchor = inv
       .orderBy(col("tokens").asc, col("lang").asc)
@@ -2167,19 +2172,22 @@ object TextOps {
     * the reassembled text) — the no-silent-caps convention applied to
     * content removal.
     *
-    * Scale: segment grain is linear in corpus tokens; the df count is one
+    * Scale: segment grain is linear in corpus tokens; the segment frame
+    * is CACHED for its three consumers (the df bar's doc count, the df
+    * agg, the verdict join side) so the corpus is scanned and exploded
+    * ONCE — e21's three-consumer discipline. The df count is one
     * groupBy on segment text (map-side partial + AQE), and the verdict
     * join back is co-partitioned with that agg's exchange. Reassembly is
     * a per-doc collect_list bounded by document length — no corpus-wide
-    * sort, no driver loop. Segment length and the df bar are conf knobs
-    * (`spark.graft.t45.segLen` / `.dfPct`). */
+    * sort, no driver loop. Segment length and the df bar are FIXED (2 /
+    * max(20, n/25)): the DuckDB oracle bakes both, so a conf knob here
+    * would un-verify the operator the moment it was turned. */
   private def t45ParagraphDedup(s: SparkSession, d: String): DataFrame = {
-    val segLen = s.conf.get("spark.graft.t45.segLen", "2").toInt
-    val docs = Tables
+    val segLen = 2
+    val segs = Tables
       .documents(s, d)
       .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
       .filter(size(col("w")) > 0)
-    val segs = docs
       .withColumn(
         "seg_idx",
         explode(sequence(lit(0), expr(s"(size(w) - 1) DIV $segLen").cast("int")))
@@ -2191,8 +2199,9 @@ object TextOps {
         concat_ws(" ", col("seg")).as("seg_text"),
         size(col("seg")).as("seg_tokens")
       )
-    val bar = docs
-      .agg(greatest(lit(20L), (count(lit(1)) / 25).cast("long")).as("min_df"))
+      .cache()
+    val bar = segs
+      .agg(greatest(lit(20L), (countDistinct(col("doc_id")) / 25).cast("long")).as("min_df"))
     val boiler = segs
       .groupBy("seg_text")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -3186,7 +3195,7 @@ object TextOps {
          ), sq AS (
            SELECT lang, tokens,
              CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt
-           FROM inv
+           FROM inv WHERE tokens > 0
          ), anchor AS (
            SELECT tokens AS t_m, isqrt AS s_m FROM sq
            ORDER BY tokens, lang LIMIT 1
@@ -3217,7 +3226,7 @@ object TextOps {
          ), sq AS (
            SELECT lang, tokens,
              CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt
-           FROM inv
+           FROM inv WHERE tokens > 0
          ), anchor AS (
            SELECT tokens AS t_m, isqrt AS s_m FROM sq
            ORDER BY tokens, lang LIMIT 1

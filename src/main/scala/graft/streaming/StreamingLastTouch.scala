@@ -66,7 +66,13 @@ object StreamingLastTouch {
             e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000,
             e.event_id,
             e.event_type,
-            math.round(e.value * 10000)
+            // HALF_UP, matching F.fixed4 / SQL round — math.round is
+            // half-toward-positive-infinity and diverges on negative
+            // half-values (refunds)
+            java.math.BigDecimal
+              .valueOf(e.value * 10000)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .longValue()
           )
         )
         .toArray

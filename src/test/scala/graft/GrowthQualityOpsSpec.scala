@@ -176,9 +176,11 @@ class GrowthQualityOpsSpec extends AnyFunSuite {
       .filter(col("n0") =!= col("f0") || col("n1") =!= col("f1"))
       .count()
     assert(diffs == 0L)
-    // short/empty arrays: missing trailing dims read as 0 bits
+    // short/empty arrays read missing dims as 0 bits; NaN reads as a 1
+    // bit (SQL ordering semantics — NaN > 0 is TRUE in both Spark's
+    // nan-safe compare and DuckDB — where Java's primitive > would say 0)
     import spark.implicits._
-    val edge = Seq(Array(1.0f, -1.0f, 0.0f), Array.empty[Float])
+    val edge = Seq(Array(1.0f, -1.0f, 0.0f), Array.empty[Float], Array(Float.NaN, -1.0f))
       .toDF("embedding")
       .select(
         call_function("graft_sign_pack", col("embedding"), lit(0)).as("w0"),
@@ -186,7 +188,20 @@ class GrowthQualityOpsSpec extends AnyFunSuite {
       )
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(edge.toSeq == Seq((1L, 0L), (0L, 0L)))
+    assert(edge.toSeq == Seq((1L, 0L), (0L, 0L), (1L, 0L)))
+    // and the fold agrees on the NaN row, pinning the cross-engine claim
+    val foldNaN = Seq(Array(Float.NaN, -1.0f))
+      .toDF("embedding")
+      .select(
+        expr(
+          """aggregate(sequence(0, 1), 0L,
+            |  (acc, i) -> acc + IF(element_at(embedding, i + 1) > 0, shiftleft(1L, i), 0L))""".stripMargin
+        ).as("f0")
+      )
+      .collect()
+      .head
+      .getLong(0)
+    assert(foldNaN == 1L)
   }
 
   test("v26 coarse-then-rerank recovers most of the exact top-5 and beats raw Hamming") {
