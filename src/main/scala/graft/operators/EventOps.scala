@@ -1061,7 +1061,53 @@ object EventOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** Bot-likeness via inter-event REGULARITY (e25) — humans are bursty,
+    * schedulers are metronomes: per (user, type), the coefficient of
+    * variation of inter-event gaps, flagged `regular` when CV < 0.5.
+    * The flag is decided ENTIRELY in integers — CV < 1/2 ⟺
+    * 4·(n·Σx² − (Σx)²) < (Σx)² over whole-second gaps — so the verdict
+    * can never drift across engines; the 6dp cv column is display math
+    * over the same exact sums.
+    *
+    * Scale: e24's one user-keyed lag pass, then a (user, type)-grain agg
+    * of three integer sums (n, Σx, Σx²) with map-side combine — the
+    * moment-sketch shape, mergeable at any partitioning. Σx² is bounded
+    * by n·(time-range in s)² — ~1e16 at a month of seconds, 6 decades
+    * inside long. */
+  private def e25BotRegularity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_s", ((col("us") - col("prev")) / 1000000L).cast("long"))
+      .groupBy("user_id", "event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum("gap_s").as("sum_s"),
+        sum(col("gap_s") * col("gap_s")).as("sumsq_s")
+      )
+      .filter(col("n_gaps") >= 3 && col("sum_s") > 0)
+      .withColumn(
+        "cv",
+        round(
+          sqrt((col("n_gaps") * col("sumsq_s") - col("sum_s") * col("sum_s")).cast("double"))
+            / col("sum_s"),
+          6
+        )
+      )
+      .withColumn(
+        "regular",
+        (col("n_gaps") * col("sumsq_s") - col("sum_s") * col("sum_s")) * 4 <
+          col("sum_s") * col("sum_s")
+      )
+      .select("user_id", "event_type", "n_gaps", "sum_s", "sumsq_s", "cv", "regular")
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e25_bot_regularity" -> (e25BotRegularity _),
     "e24_cadence_histogram" -> (e24CadenceHistogram _),
     "e23_engagement_gini" -> (e23EngagementGini _),
     "j11_nearest_align" -> (j11NearestAlign _),
@@ -1091,6 +1137,32 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same lag + whole-second gaps; the regular flag is the pure-integer
+    // cross-multiplied CV<1/2 test, cv is display math over exact sums
+    "e25_bot_regularity" ->
+      """WITH base AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+           FROM events
+         ), gaps AS (
+           SELECT user_id, event_type,
+             (us - lag(us) OVER w) // 1000000 AS gap_s
+           FROM base
+           WINDOW w AS (PARTITION BY user_id, event_type
+                        ORDER BY us, event_id)
+         ), sums AS (
+           SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_s) AS BIGINT) AS sum_s,
+             CAST(sum(gap_s * gap_s) AS BIGINT) AS sumsq_s
+           FROM gaps WHERE gap_s IS NOT NULL
+           GROUP BY user_id, event_type
+         )
+         SELECT user_id, event_type, n_gaps, sum_s, sumsq_s,
+           round(sqrt(CAST(n_gaps * sumsq_s - sum_s * sum_s AS DOUBLE))
+                 / sum_s, 6) AS cv,
+           (n_gaps * sumsq_s - sum_s * sum_s) * 4 < sum_s * sum_s AS regular
+         FROM sums WHERE n_gaps >= 3 AND sum_s > 0
+         ORDER BY user_id, event_type""",
     // same lag + bit-length bucket (bin() renders identically); integer
     // gap extremes anchor each bucket
     "e24_cadence_histogram" ->
