@@ -1106,7 +1106,42 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** User-lifetime SURVIVAL curve (e26) — for each day offset k, how many
+    * users have an observed lifetime of at least k days (lifetime =
+    * last-seen day − first-seen day), with the survival fraction. The
+    * churn-risk complement of e6's cohort view: e6 asks "did the cohort
+    * come back in week w", e26 asks "how long do users last at all" —
+    * the curve whose knee sets re-engagement timing.
+    *
+    * Scale: users are NEVER globally sorted (e23's histogram
+    * discipline) — one user-keyed min/max agg, then a histogram keyed
+    * by the BOUNDED distinct lifetime (product age caps it), and the
+    * survival tail-sums run over histogram rows via a broadcast
+    * theta-join onto the day spine (t37's terminal-frame mechanism).
+    * survival6 is an exact integer ratio — floor(1e6·alive/total) via
+    * integer div — so the curve can never drift across engines. */
+  private def e26SurvivalCurve(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables
+      .events(s, d)
+      .groupBy("user_id")
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))).cast("long").as("lifetime"))
+      .groupBy("lifetime")
+      .agg(count(lit(1)).as("n_users"))
+    val tot = hist.agg(sum("n_users").cast("long").as("n_total"), max("lifetime").as("max_life"))
+    // bounded spine (one row per day offset) × bounded histogram: the
+    // theta-join is broadcast-NLJ over terminal frames, never the corpus
+    val spine = tot.select(explode(sequence(lit(0L), col("max_life"))).as("k"), col("n_total"))
+    spine
+      .join(broadcast(hist), col("lifetime") >= col("k"))
+      .groupBy("k", "n_total")
+      .agg(sum("n_users").cast("long").as("n_alive"))
+      .withColumn("survival6", expr("(n_alive * 1000000) div n_total"))
+      .select("k", "n_alive", "n_total", "survival6")
+      .orderBy("k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e26_survival_curve" -> (e26SurvivalCurve _),
     "e25_bot_regularity" -> (e25BotRegularity _),
     "e24_cadence_histogram" -> (e24CadenceHistogram _),
     "e23_engagement_gini" -> (e23EngagementGini _),
@@ -1137,6 +1172,31 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same user-keyed lifetime histogram + spine theta-join tail sums;
+    // survival6 is the identical integer floor division in both engines
+    "e26_survival_curve" ->
+      """WITH life AS (
+           SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifetime
+           FROM events GROUP BY user_id
+         ), hist AS (
+           SELECT lifetime, CAST(count(*) AS BIGINT) AS n_users
+           FROM life GROUP BY lifetime
+         ), tot AS (
+           SELECT CAST(sum(n_users) AS BIGINT) AS n_total,
+             max(lifetime) AS max_life
+           FROM hist
+         ), spine AS (
+           SELECT unnest(range(0, max_life + 1)) AS k, n_total FROM tot
+         )
+         SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(h.n_users) AS BIGINT) AS n_alive,
+           n_total,
+           CAST((CAST(sum(h.n_users) AS BIGINT) * 1000000) // n_total
+             AS BIGINT) AS survival6
+         FROM spine JOIN hist h ON h.lifetime >= spine.k
+         GROUP BY k, n_total ORDER BY k""",
     // same lag + whole-second gaps; the regular flag is the pure-integer
     // cross-multiplied CV<1/2 test, cv is display math over exact sums
     "e25_bot_regularity" ->

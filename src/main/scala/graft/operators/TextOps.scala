@@ -2354,7 +2354,127 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-language QUANTILE NORMALIZATION of the quality score (t51) —
+    * every document's quality mapped to its within-language percentile,
+    * so one keep-threshold means the same thing in every language (a raw
+    * 0.7 is elite in one language's distribution and mediocre in
+    * another's — the cross-lingual curation bias t40 sidesteps with
+    * terciles, solved at continuous grain).
+    *
+    * Scale: the corpus is NEVER sorted (t40's histogram discipline) —
+    * quality bins at 2dp into a bounded per-language histogram, the
+    * percentile of a bin is the integer running sum of STRICTLY-lower
+    * bins (ties share the bin, so boundary ties are bin-deterministic),
+    * and the ≤101-bins-per-language map broadcasts back onto the corpus.
+    * pr6 = floor(1e6·cum_lt/(n−1)) in pure integer div. Zero-token docs
+    * (NULL quality) keep NULL pr6 through the left join — never binned,
+    * never counted in n_lang. */
+  private def t51QuantileNorm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn(
+        "n_stopwords",
+        size(filter(toks, t => t === "the" || t === "a" || t === "of")).cast("long")
+      )
+      .withColumn("quality", qualityScore(col("n_tokens"), col("n_stopwords")))
+      .withColumn("bin", floor(col("quality") * 100).cast("long"))
+      .select("doc_id", "lang", "quality", "bin")
+    val hist = docs
+      .filter(col("bin").isNotNull)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_bin"))
+    // bounded frames: ≤101 bins per language
+    val wLt = Window
+      .partitionBy("lang")
+      .orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binMap = hist
+      .withColumn("cum_lt", coalesce(sum("n_bin").over(wLt), lit(0L)))
+      .withColumn("n_lang", sum("n_bin").over(Window.partitionBy("lang")))
+      .withColumn("pr6", expr("(cum_lt * 1000000) div greatest(n_lang - 1, 1)"))
+      .select("lang", "bin", "n_lang", "pr6")
+    docs
+      .join(broadcast(binMap), Seq("lang", "bin"), "left")
+      .select("doc_id", "lang", "quality", "bin", "n_lang", "pr6")
+      .orderBy("doc_id")
+  }
+
+  /** Collocation mining (t52) — the corpus's top-20 word bigrams by Dice
+    * association with a min-support bar: the phrase/multi-word-expression
+    * detector (t20 scores documents BY the bigram model; t52 surfaces
+    * which bigrams ARE phrases — tokenizer merge hints and boilerplate
+    * catchphrases both surface here). Dice 2c_xy/(c_x+c_y) over PMI
+    * because it needs no logarithm: dice6 is one integer floor division,
+    * immune to either engine's transcendental rounding.
+    *
+    * Scale: both count tables are VOCABULARY-sized (Heaps-sublinear in
+    * the corpus); the corpus is touched by exactly two map-side-combined
+    * count aggs (unigrams, bigrams); the support bar prunes the bigram
+    * frame BEFORE its two word-keyed joins against the unigram counts;
+    * top-20 plans as TakeOrderedAndProject (per-partition heaps, no
+    * vocab-wide sort). */
+  private def t52Collocations(s: SparkSession, d: String): DataFrame = {
+    val words = Tables
+      .documents(s, d)
+      .select(col("doc_id"), F.wsTokens(col("text")).as("w"))
+    val uni = words
+      .select(explode(col("w")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("c"))
+    val bi = words
+      .select(explode(F.wordShingles(col("w"), 2)).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    bi
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .withColumn("dice6", expr("(2000000 * c_xy) div (c_x + c_y)"))
+      .orderBy(col("dice6").desc, col("g"))
+      .limit(20)
+      .select("g", "w1", "w2", "c_xy", "c_x", "c_y", "dice6")
+  }
+
+  /** Corpus FIELD-PROFILE (t53) — the "ANALYZE TABLE" primitive run per
+    * ingest: for every documents column, row/null/distinct counts and
+    * string-length extremes/total, all in one scan. The drift detector
+    * that catches a feed suddenly shipping empty texts, a new source
+    * label, or language-field cardinality jumps before any downstream
+    * operator trips on them.
+    *
+    * Scale: ONE scan + a per-row Expand (4× row fanout of (col, value)
+    * pairs, pure codegen) + one 4-key agg with map-side combine; the
+    * exact COUNT DISTINCT is the only value-keyed shuffle — at 100 TB
+    * swap it for e5's HLL column (the documented sparse-estimate trade)
+    * without touching the plan shape. */
+  private def t53FieldProfile(s: SparkSession, d: String): DataFrame = {
+    Tables
+      .documents(s, d)
+      .select(
+        expr(
+          "stack(4, 'lang', lang, 'n_chars', CAST(n_chars AS STRING), " +
+            "'source', source, 'text', text) AS (col_name, val)"
+        )
+      )
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col("val")).as("n_distinct"),
+        min(length(col("val"))).cast("long").as("len_min"),
+        max(length(col("val"))).cast("long").as("len_max"),
+        sum(coalesce(length(col("val")).cast("long"), lit(0L))).as("len_sum")
+      )
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t51_quantile_norm" -> (t51QuantileNorm _),
+    "t52_collocations" -> (t52Collocations _),
+    "t53_field_profile" -> (t53FieldProfile _),
     "t46_weighted_jaccard" -> (t46WeightedJaccard _),
     "t47_quality_classifier" -> (t47QualityClassifier _),
     "t45_paragraph_dedup" -> (t45ParagraphDedup _),
@@ -2408,6 +2528,91 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // t1's quality CTE + the same 2dp histogram; pr6 is the identical
+    // integer floor division; NULL-quality docs fall out of the LEFT join
+    "t51_quantile_norm" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS toks
+           FROM documents
+         ), q AS (
+           SELECT doc_id, lang,
+             CASE WHEN len(toks) = 0 THEN NULL
+               ELSE round((1.0 - CAST(len(list_filter(toks,
+                      x -> x IN ('the', 'a', 'of'))) AS DOUBLE) / len(toks))
+                    * 0.5
+                    + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5, 6)
+             END AS quality
+           FROM base
+         ), b AS (
+           SELECT doc_id, lang, quality,
+             CAST(floor(quality * 100) AS BIGINT) AS bin
+           FROM q
+         ), hist AS (
+           SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_bin
+           FROM b WHERE bin IS NOT NULL GROUP BY lang, bin
+         ), cm AS (
+           SELECT lang, bin,
+             CAST(coalesce(sum(n_bin) OVER (PARTITION BY lang ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_lt,
+             CAST(sum(n_bin) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+           FROM hist
+         )
+         SELECT b.doc_id, b.lang, b.quality, b.bin, cm.n_lang,
+           CAST((cm.cum_lt * 1000000) // greatest(cm.n_lang - 1, 1)
+             AS BIGINT) AS pr6
+         FROM b LEFT JOIN cm ON b.lang = cm.lang AND b.bin = cm.bin
+         ORDER BY b.doc_id""",
+    // t20's gram CTEs; dice6 is the identical integer floor division;
+    // (dice6 desc, g) is a total order so the LIMIT boundary is stable
+    "t52_collocations" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), grams AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS g
+           FROM words WHERE len(w) >= 2
+         ), bi AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS c_xy
+           FROM grams GROUP BY g HAVING count(*) >= 5
+         ), toks AS (
+           SELECT unnest(w) AS tok FROM words
+         ), uni AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+         )
+         SELECT g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+           c_xy, u1.c AS c_x, u2.c AS c_y,
+           CAST((2000000 * c_xy) // (u1.c + u2.c) AS BIGINT) AS dice6
+         FROM bi
+         JOIN uni u1 ON split_part(g, ' ', 1) = u1.tok
+         JOIN uni u2 ON split_part(g, ' ', 2) = u2.tok
+         ORDER BY dice6 DESC, g LIMIT 20""",
+    // one per-column profile each, UNION ALL — the relational reading of
+    // the Expand; count(DISTINCT) excludes NULL in both engines
+    "t53_field_profile" ->
+      """WITH p AS (
+           SELECT 'lang' AS col_name, lang AS val FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+           UNION ALL
+           SELECT 'source', source FROM documents
+           UNION ALL
+           SELECT 'text', text FROM documents
+         )
+         SELECT col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+           CAST(min(length(val)) AS BIGINT) AS len_min,
+           CAST(max(length(val)) AS BIGINT) AS len_max,
+           CAST(sum(coalesce(length(val), 0)) AS BIGINT) AS len_sum
+         FROM p GROUP BY col_name ORDER BY col_name""",
     // same segment cut, df bar as a scalar subquery, survivors
     // reassembled with string_agg ORDER BY seg_idx; string_agg over an
     // all-dropped doc is NULL where Spark's concat_ws gives '' — hence
