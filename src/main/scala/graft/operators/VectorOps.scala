@@ -1156,6 +1156,74 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** v28 — CLUSTER-BALANCED diversity sampling: assign every vector to
+    * v21's k-means clusters, keep a deterministic uniform top-10 per
+    * cluster. The diversity-preserving subset selection (DataComp /
+    * SemDeDup-adjacent): a plain uniform sample over-represents dense
+    * semantic regions, cluster-balanced sampling caps each region at the
+    * same budget — the embedding-space analogue of t32's per-source caps.
+    * Per-cluster pick order is md5(vec_id) (t14's growth-stable uniform),
+    * so membership is reproducible across runs and engines.
+    *
+    * Scale: the assignment is the shuffle-free codegen argmin over
+    * broadcast centroids (v21's scan stage); the ONLY exchange is the
+    * cid-keyed rank, planned as WindowGroupLimit — map-side partials
+    * keep ≤10 rows per cid before the shuffle, so a billion-vector
+    * cluster ships 10 rows per input partition, not a billion (t32's
+    * guarantee on the embedding side). */
+  private def v28ClusterSample(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
+    val w = Window.partitionBy("cid").orderBy("h", "vec_id")
+    IvfAnn
+      .assignTo(centArr)(emb)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("cid", "rnk", "vec_id")
+      .orderBy("cid", "rnk")
+  }
+
+  /** nDCG@5 weight per rank, scaled 1e6: round(1e6 / log2(r+1)). A
+    * LITERAL table (e13's exact-integer-weights trick) so neither
+    * engine evaluates a logarithm — the one transcendental in the nDCG
+    * definition is frozen into five shared constants. */
+  private val v29Weights = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+  /** Σ (6−r)·w_r — the ideal DCG under 5-graded relevance, a constant. */
+  private val v29Idcg: Long =
+    v29Weights.zipWithIndex.map { case (w, i) => (5 - i) * w }.sum
+
+  /** v29 — retrieval nDCG@5 evaluation: the RANK-aware index-quality
+    * metric next to v19's recall (recall says "did the right neighbors
+    * appear"; nDCG says "did they appear in the right ORDER" — an index
+    * that returns the true top-5 reversed scores recall 1.0 but
+    * nDCG 0.68). Relevance is graded by the exact rank (rel = 6 − r for
+    * the exact top-5, else 0), discounts are the literal integer weight
+    * table, so dcg_scaled is an exact integer and ndcg6 one integer
+    * floor division — no logarithm runs in either engine.
+    *
+    * Scale: v19's cost shape exactly — the exact side runs only over
+    * the broadcast query SAMPLE, the probed side touches nProbe/k of
+    * the corpus, and the comparison joins two 5·|sample|-row frames. */
+  private def v29NdcgEval(s: SparkSession, d: String): DataFrame = {
+    val exact = v1AnnBruteforce(s, d)
+      .select(col("query_id"), col("neighbor_id"), (lit(6L) - col("rnk")).as("rel"))
+    IvfAnn
+      .query(s, d)
+      .withColumn("w", element_at(typedlit(v29Weights), col("rnk").cast("int")))
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        sum(coalesce(col("rel"), lit(0L)) * col("w")).cast("long").as("dcg_scaled"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("n_overlap")
+      )
+      .withColumn("ndcg6", expr(s"(dcg_scaled * 1000000) div ${v29Idcg}L"))
+      .orderBy("query_id")
+  }
+
   /** v22 — PageRank-style centrality over the v17 k-NN graph (the
     * graph-curation signal: which documents sit at the semantic core of
     * the corpus vs its periphery). Three power iterations, damping 0.85,
@@ -1410,6 +1478,8 @@ object VectorOps {
     "v25_matryoshka_recall" -> (v25MatryoshkaRecall _),
     "v23_probe_sweep" -> (v23ProbeSweep _),
     "v21_kmeans_fit" -> (v21KmeansFit _),
+    "v28_cluster_sample" -> (v28ClusterSample _),
+    "v29_ndcg_eval" -> (v29NdcgEval _),
     "v22_graph_pagerank" -> (v22GraphPagerank _),
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
@@ -2109,6 +2179,44 @@ object VectorOps {
          FROM qn ORDER BY vec_id""",
     "v17_knn_graph" -> v17Oracle,
     "v21_kmeans_fit" -> v21Oracle,
+    // v21's fit CTEs + a per-cluster md5-ordered row_number cap — the
+    // same growth-stable uniform order (t14) in both engines
+    "v28_cluster_sample" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+         |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+         |${ivfAssign("cents2", "indexed")}
+         |SELECT CAST(cid AS BIGINT) AS cid, CAST(rnk AS BIGINT) AS rnk,
+         |  vec_id
+         |FROM (
+         |  SELECT cid, vec_id, row_number() OVER (PARTITION BY cid
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+         |  FROM indexed
+         |) WHERE rnk <= 10 ORDER BY cid, rnk""".stripMargin,
+    // composition of the factored v1 + v6 oracles with the literal
+    // integer discount weights — dcg_scaled is exact, ndcg6 is the
+    // identical floor division; no logarithm in either engine
+    "v29_ndcg_eval" ->
+      s"""WITH wts(rnk, w) AS (VALUES
+         |  (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+         |  (5, 386853)
+         |), probed AS (SELECT * FROM ($v6Oracle)),
+         |exact AS (
+         |  SELECT query_id, neighbor_id, 6 - rnk AS rel FROM ($v1Oracle)
+         |)
+         |SELECT p.query_id,
+         |  CAST(sum(COALESCE(e.rel, 0) * w.w) AS BIGINT) AS dcg_scaled,
+         |  CAST(sum(CASE WHEN e.rel IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overlap,
+         |  CAST((CAST(sum(COALESCE(e.rel, 0) * w.w) AS BIGINT) * 1000000)
+         |    // $v29Idcg AS BIGINT) AS ndcg6
+         |FROM probed p
+         |JOIN wts w ON p.rnk = w.rnk
+         |LEFT JOIN exact e
+         |  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+         |GROUP BY p.query_id ORDER BY p.query_id""".stripMargin,
     "v22_graph_pagerank" -> v22Oracle,
     "v11_ann_pq" -> v11Oracle,
     "v5_simhash" -> v5Oracle,

@@ -88,7 +88,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // without it every partition sorts its FULL group before the filter,
     // which is the difference between top-k and global-sort cost at scale
     for (q <- Seq("a9_topk_per_group", "e10_latest_per_key", "v13_mmr_rerank",
-                  "t32_source_caps", "m6_feature_ann")) {
+                  "t32_source_caps", "m6_feature_ann", "v28_cluster_sample")) {
       assert(plan(q).contains("WindowGroupLimit"), s"$q lost the group-limit pushdown")
     }
     // the GLOBAL top-n plans as the even cheaper TakeOrderedAndProject
@@ -106,6 +106,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // e18's top-20 paths: same contract at the session-path grain
     assert(plan("e18_session_paths").contains("TakeOrderedAndProject"),
       "e18 regressed to a global path sort")
+    // t52's top-20 collocations: heap-select over the vocab-sized Dice
+    // frame, never a cluster-wide sort of the bigram table
+    assert(plan("t52_collocations").contains("TakeOrderedAndProject"),
+      "t52 regressed to a global bigram sort")
   }
 
   test("j10's interval overlap joins on the bucket key, never a nested loop") {
