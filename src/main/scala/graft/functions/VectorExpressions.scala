@@ -490,6 +490,86 @@ case class SignPack(child: Expression, offset: Int)
     copy(child = newChild)
 }
 
+/** Signed random projection as ONE native expression —
+  * `graft_project(embedding, nDims)` returns the nDims-dim float vector
+  * whose dim j is the raw plane-dot Σ_i v_i·plane_j_i over the shared
+  * deterministic ±1 table ([[Planes]] — the same rows `graft_band_hashes`
+  * takes signs of, so the oracle replays it from the same literals).
+  * Double accumulation in index order, each sum cast to float (the m6
+  * REAL-cast convention) so downstream consumers reuse the float-typed
+  * `graft_dot`/`graft_dist2` natives unchanged. One codegen loop per row
+  * vs nDims interpreted lambda folds for the composed SQL form. */
+case class ProjectPlanes(child: Expression, nDims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nDims > 0 && nDims <= 512, s"graft_project: bad output dims $nDims")
+
+  private val dims = 64
+
+  @transient private lazy val planes: Array[Float] = Planes.table(nDims, dims)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_project expects array<float>, got ${other.simpleString}"
+        )
+    }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def prettyName: String = "graft_project"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dims)
+    val out = new Array[Float](nDims)
+    var j = 0
+    while (j < nDims) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * planes(j * dims + i).toDouble
+        i += 1
+      }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val pl = ctx.addReferenceObj("graftProjPlanes", planes, "float[]")
+        val n = ctx.freshName("pjN")
+        val out = ctx.freshName("pjOut")
+        val j = ctx.freshName("pjJ")
+        val acc = ctx.freshName("pjAcc")
+        val i = ctx.freshName("pjI")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $dims);
+        float[] $out = new float[$nDims];
+        for (int $j = 0; $j < $nDims; $j++) {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (double) $a.getFloat($i) * (double) $pl[$j * $dims + $i];
+          }
+          $out[$j] = (float) $acc;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+        """
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectPlanes =
+    copy(child = newChild)
+}
+
 /** Registration for the native functions — either per-session at runtime
   * ([[GraftFunctions.register]]) or via `spark.sql.extensions=
   * graft.functions.GraftExtensions` for cluster-wide injection.
@@ -553,6 +633,11 @@ object GraftFunctions {
   val signPackInfo = new ExpressionInfo(
     classOf[SignPack].getName,
     "graft_sign_pack"
+  )
+
+  val projectInfo = new ExpressionInfo(
+    classOf[ProjectPlanes].getName,
+    "graft_project"
   )
 
   def register(spark: SparkSession): Unit = {
@@ -627,6 +712,13 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bitmap_and_count",
       (exprs: Seq[Expression]) => BitmapAndCount(exprs(0), exprs(1)),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_project",
+      // nDims must be a literal — it sizes the plane table at plan time
+      (exprs: Seq[Expression]) =>
+        ProjectPlanes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in"
     )
   }
@@ -722,6 +814,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_mmr"),
         GraftFunctions.mmrInfo,
         (exprs: Seq[Expression]) => MmrSelect(exprs(0), 8, 0.7)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_project"),
+        GraftFunctions.projectInfo,
+        (exprs: Seq[Expression]) =>
+          ProjectPlanes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
       )
     )
   }

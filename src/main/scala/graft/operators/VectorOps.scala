@@ -1186,6 +1186,56 @@ object VectorOps {
       .orderBy("cid", "rnk")
   }
 
+  /** v30 — signed-random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction WITH its distortion certificate: every vector is projected
+    * 64 → 16 dims through the deterministic ±1 plane table (the v3/v12b
+    * family's planes, raw sums instead of sign bits), and the operator
+    * reports, per probe, how well pairwise squared distances survived —
+    * ratio6 = ⌊1e6·p2/(16·d2)⌋, which concentrates around 1e6 because
+    * E[p2] = 16·d2 for ±1 projections. This is the store-less/compute-4×
+    * reduction trade measured (v25 asks it of PREFIX truncation; v30 of a
+    * dense projection, which spreads signal across ALL dims instead of
+    * hoping the head dims carry it), plus the monitoring row a pipeline
+    * runs before pointing its ANN stack at the reduced vectors.
+    *
+    * Scale: the projection is ONE native codegen loop per row
+    * (`graft_project` — the fused `graft_band_hashes` lesson), scan-side,
+    * no shuffle; the eval is v1's broadcast-probes single scan with both
+    * distances in native expressions; zero-distance pairs are excluded
+    * from ratios but COUNTED (n_zero_dist — no-silent-caps). Integer
+    * min/max/sum ratios anchor the hash. */
+  private def v30JlDistortion(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables
+      .embeddings(s, d)
+      .withColumn("proj", call_function("graft_project", col("embedding"), lit(16)))
+    val probes = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("proj").as("qp"))
+    emb
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", call_function("graft_dist2", col("qe"), col("embedding")))
+      .withColumn("p2", call_function("graft_dist2", col("qp"), col("proj")))
+      .withColumn(
+        "ratio6",
+        when(col("d2") > 0, floor(col("p2") * 1000000 / (col("d2") * 16)))
+      )
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("ratio6").isNull, 1L).otherwise(0L)).as("n_zero_dist"),
+        min("ratio6").as("min_ratio6"),
+        max("ratio6").as("max_ratio6"),
+        sum("ratio6").as("sum_ratio6")
+      )
+      .withColumn(
+        "avg_ratio6",
+        expr("sum_ratio6 div greatest(n_pairs - n_zero_dist, 1)")
+      )
+      .orderBy("query_id")
+  }
+
   /** nDCG@5 weight per rank, scaled 1e6: round(1e6 / log2(r+1)). A
     * LITERAL table (e13's exact-integer-weights trick) so neither
     * engine evaluates a logarithm — the one transcendental in the nDCG
@@ -1480,6 +1530,7 @@ object VectorOps {
     "v21_kmeans_fit" -> (v21KmeansFit _),
     "v28_cluster_sample" -> (v28ClusterSample _),
     "v29_ndcg_eval" -> (v29NdcgEval _),
+    "v30_jl_distortion" -> (v30JlDistortion _),
     "v22_graph_pagerank" -> (v22GraphPagerank _),
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
@@ -2195,6 +2246,51 @@ object VectorOps {
          |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
          |  FROM indexed
          |) WHERE rnk <= 10 ORDER BY cid, rnk""".stripMargin,
+    // the plane table as literals (v3's scheme, 16 rows), per-dim sums
+    // REAL-cast to match graft_project's float output (m6's convention),
+    // both distances replayed in graft_dist2's index-order accumulation;
+    // integer ratio floors anchor the hash
+    "v30_jl_distortion" ->
+      s"""WITH planes(j, plane) AS (VALUES
+         |${planeValues(16)}
+         |), proj AS (
+         |  SELECT vec_id, list(s ORDER BY j) AS proj FROM (
+         |    SELECT e.vec_id, p.j,
+         |      CAST(list_sum(list_transform(range(1, 65),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) AS REAL)
+         |        AS s
+         |    FROM embeddings e CROSS JOIN planes p
+         |  ) GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id,
+         |    ${duckDist2("q.embedding", "e.embedding")} AS d2,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> (CAST(qp.proj[i] AS DOUBLE) - CAST(cp.proj[i] AS DOUBLE))
+         |         * (CAST(qp.proj[i] AS DOUBLE) - CAST(cp.proj[i] AS DOUBLE))))
+         |      AS p2
+         |  FROM embeddings q
+         |  JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  JOIN proj qp ON qp.vec_id = q.vec_id
+         |  JOIN proj cp ON cp.vec_id = e.vec_id
+         |  WHERE q.vec_id < 10
+         |), rated AS (
+         |  SELECT query_id,
+         |    CASE WHEN d2 > 0
+         |      THEN CAST(floor(p2 * 1000000 / (d2 * 16)) AS BIGINT) END
+         |      AS ratio6
+         |  FROM pairs
+         |)
+         |SELECT query_id,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN ratio6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero_dist,
+         |  min(ratio6) AS min_ratio6,
+         |  max(ratio6) AS max_ratio6,
+         |  CAST(sum(ratio6) AS BIGINT) AS sum_ratio6,
+         |  CAST(CAST(sum(ratio6) AS BIGINT)
+         |    // greatest(count(*) - sum(CASE WHEN ratio6 IS NULL THEN 1
+         |                ELSE 0 END), 1) AS BIGINT) AS avg_ratio6
+         |FROM rated GROUP BY query_id ORDER BY query_id""".stripMargin,
     // composition of the factored v1 + v6 oracles with the literal
     // integer discount weights — dcg_scaled is exact, ndcg6 is the
     // identical floor division; no logarithm in either engine

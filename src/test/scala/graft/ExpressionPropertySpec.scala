@@ -178,6 +178,51 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_project: codegen == interpreted == per-plane reference sums") {
+    // the fused projection must match per-plane left-to-right double
+    // accumulation over the shared Planes table, each sum cast to float —
+    // on short, empty, and adversarial (NaN/Inf) vectors, at several
+    // output widths (bit-compare via floatToRawIntBits so -0.0f/NaN
+    // representations can't false-pass)
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq.tabulate(120)(i => (i, randVec(70))) ++
+      Seq((120, Seq.empty[Float]), (121, edgeFloats),
+        (122, Seq.fill(64)(0.0f)), (123, Seq.fill(64)(1.0f)))
+    def refProj(v: Seq[Float], nDims: Int): Seq[Float] =
+      (0 until nDims).map { j =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(v.length, 64)
+        while (i < n) {
+          acc += v(i).toDouble * graft.functions.Planes.sign(j, i).toDouble
+          i += 1
+        }
+        acc.toFloat
+      }
+    // Spark's UnsafeWriter canonicalizes float NaNs (any payload →
+    // 0x7fc00000) when writing rows, so compare through floatToIntBits,
+    // which applies the same canonicalization to the reference
+    def bits(xs: Seq[Float]): Seq[Int] = xs.map(java.lang.Float.floatToIntBits)
+    for (nDims <- Seq(16, 1, 64)) {
+      val df = cases
+        .toDF("id", "v")
+        .withColumn("v", col("v").cast("array<float>"))
+        .select(
+          col("id"),
+          call_function("graft_project", col("v"), lit(nDims)).as("p")
+        )
+      def run(): Map[Int, Seq[Float]] =
+        df.collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+      val gen = run()
+      val interp = interpretedOff(run())
+      cases.foreach { case (id, v) =>
+        val want = refProj(v, nDims)
+        assert(bits(gen(id)) == bits(want), s"codegen d=$nDims id=$id: ${gen(id)} != $want")
+        assert(bits(interp(id)) == bits(want), s"interp d=$nDims id=$id")
+      }
+    }
+  }
+
   test("graft_byte_embed: codegen == interpreted == composed conv(hex(substring)) form") {
     graft.functions.GraftFunctions.register(spark)
     val rnd2 = new scala.util.Random(77)
