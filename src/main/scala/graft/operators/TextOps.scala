@@ -2354,6 +2354,57 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT dedup (t54) — pairs where the smaller
+    * document's shingle set is ≥80% contained in the larger's: the
+    * excerpt/quote/syndication case symmetric Jaccard structurally
+    * misses (a page quoted inside a 10× larger page has J ≈ |A|/|B| ≈
+    * 0.1 but containment 1.0 — t4 never surfaces it). m4's containment
+    * measure at text grain, with a `jaccard_missed` observability flag
+    * marking exactly the pairs the τ=0.8 Jaccard bar would have dropped.
+    *
+    * Both the intersection AND the sizes are over the df-capped (≤32)
+    * shingle sets — hot boilerplate is excluded from numerator and
+    * denominator alike (m4's exact semantics: boilerplate shouldn't
+    * vote for containment), which is what makes the plan ONE self-join:
+    * the blocked join already enumerates every co-occurring rare
+    * shingle per pair, so the intersection is a count agg over it — no
+    * candidate-distinct stage, no second verify expansion (a first cut
+    * verified candidates against the FULL shingle sets: the |pairs|×|doc|
+    * fanout was 59 M rows at sf0.1 and 6.4× the whole query — the
+    * count-in-the-join form removes that stage entirely). df≤32 bounds
+    * the per-shingle pair fanout; the drop is logged (t6's convention). */
+  private def t54ContainmentDedup(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, d)).cache()
+    val (rare, dropped) =
+      stopFingerprints(sh.select(col("doc_id"), col("shingle").as("fp")), stopFpDfCap)
+    val d0 = dropped.first()
+    log.warn(
+      s"t54 stop-shingle cap df<=$stopFpDfCap dropped " +
+        s"${d0.getLong(0)} hot shingles (${d0.getLong(1)} postings)"
+    )
+    val blocked = sh
+      .select("doc_id", "shingle")
+      .join(rare.withColumnRenamed("fp", "shingle"), "shingle")
+      .cache()
+    val sizes = blocked.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    blocked
+      .select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(blocked.select(col("shingle"), col("doc_id").as("doc_b")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .filter(col("inter") * 5 >= least(col("sz_a"), col("sz_b")) * 4)
+      .withColumn("contain6", expr("(inter * 1000000) div least(sz_a, sz_b)"))
+      .withColumn(
+        "jaccard_missed",
+        col("inter") * 5 < (col("sz_a") + col("sz_b") - col("inter")) * 4
+      )
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "contain6", "jaccard_missed")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-language QUANTILE NORMALIZATION of the quality score (t51) —
     * every document's quality mapped to its within-language percentile,
     * so one keep-threshold means the same thing in every language (a raw
@@ -2472,6 +2523,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t54_containment_dedup" -> (t54ContainmentDedup _),
     "t51_quantile_norm" -> (t51QuantileNorm _),
     "t52_collocations" -> (t52Collocations _),
     "t53_field_profile" -> (t53FieldProfile _),
@@ -2528,6 +2580,45 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // t42's distinct string-shingle CTE (hash↔string df bijection), the
+    // same df<=32 blocking; intersection AND sizes over the blocked
+    // sets, counted in the self-join itself; contain6 is the identical
+    // integer floor division
+    "t54_containment_dedup" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM words WHERE len(w) >= 3
+         ), rare AS (
+           SELECT g FROM sh GROUP BY g HAVING count(*) <= 32
+         ), blocked AS (
+           SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)
+         ), sizes AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM blocked
+           GROUP BY doc_id
+         ), ix AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+           FROM blocked a JOIN blocked b
+             ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY doc_a, doc_b
+         )
+         SELECT doc_a, doc_b, inter,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST((inter * 1000000) // least(sa.sz, sb.sz) AS BIGINT)
+             AS contain6,
+           inter * 5 < (sa.sz + sb.sz - inter) * 4 AS jaccard_missed
+         FROM ix
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE inter * 5 >= least(sa.sz, sb.sz) * 4
+         ORDER BY doc_a, doc_b""",
     // t1's quality CTE + the same 2dp histogram; pr6 is the identical
     // integer floor division; NULL-quality docs fall out of the LEFT join
     "t51_quantile_norm" ->
