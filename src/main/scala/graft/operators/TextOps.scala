@@ -2354,6 +2354,85 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash ESTIMATOR CALIBRATION audit (t55) — how well the t41
+    * signature family's Jaccard estimate (n_agree/8 over the 8 permuted
+    * minima) tracks the exact Jaccard, tabulated per agreement level
+    * over the banded candidate pairs: the index-quality eval for the
+    * LSH-text stack, as v19/v23/v29 are for the ANN stack. Run per
+    * ingest, it answers "is the 8-perm signature still discriminating
+    * on THIS corpus's duplicate structure, or does it need more perms"
+    * — est6 vs avg_j6 per row IS the calibration curve.
+    *
+    * Scale: t41's machinery corpus-wide — signatures are constant bytes
+    * per doc, candidates only from shared band keys with the same ≤64
+    * bucket cap (dropped buckets logged), and only candidates pay the
+    * exact-Jaccard verify (band equality ⇒ the shared minimizing key is
+    * IN the intersection, so every candidate has inter ≥ 1). Per-pair
+    * j6 is an integer ratio; per-level sums are exact BIGINTs, so the
+    * calibration row can never drift across engines. */
+  private def t55MinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val keyed = minhashKeyed(Tables.documents(s, d)).cache()
+    val minExprs = t41A.indices.map { i =>
+      min(expr(s"(x * ${t41A(i)} + ${t41B(i)}) % $t41P")).as(s"m$i")
+    }
+    val sigs = keyed.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*).cache()
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(
+        array((0 until 4).map { j =>
+          struct(
+            lit(j).as("band"),
+            (col(s"m${2 * j}") * t41P + col(s"m${2 * j + 1}")).as("bkey")
+          )
+        }: _*)
+      ).as("b")
+    ).select(col("doc_id"), col("b.band"), col("b.bkey"))
+    val bucketSizes = bands.groupBy("band", "bkey").agg(count(lit(1)).as("n"))
+    val hot = bucketSizes.filter(col("n") > t41BucketCap)
+    val h0 = hot.agg(count(lit(1)), coalesce(sum("n"), lit(0L))).first()
+    log.warn(
+      s"t55 band-bucket cap <=$t41BucketCap dropped ${h0.getLong(0)} hot buckets " +
+        s"(${h0.getLong(1)} postings)"
+    )
+    val ok = bands.join(
+      bucketSizes.filter(col("n") <= t41BucketCap).select("band", "bkey"),
+      Seq("band", "bkey")
+    )
+    val cand = ok
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(ok.select(col("band"), col("bkey"), col("doc_id").as("doc_b")), Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val post = keyed.select("doc_id", "x").distinct()
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(post.as("a"), col("a.doc_id") === col("doc_a"))
+      .join(post.as("b"), col("b.doc_id") === col("doc_b") && col("a.x") === col("b.x"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val agreeExpr = (0 until 8)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .join(sigs.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sigs.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .withColumn("n_agree", expr(s"CAST($agreeExpr AS BIGINT)"))
+      .withColumn("j6", expr("(inter * 1000000) div (sz_a + sz_b - inter)"))
+      .groupBy("n_agree")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min("j6").as("min_j6"),
+        max("j6").as("max_j6"),
+        sum("j6").as("sum_j6")
+      )
+      .withColumn("est6", expr("(n_agree * 1000000) div 8"))
+      .withColumn("avg_j6", expr("sum_j6 div n_pairs"))
+      .orderBy("n_agree")
+  }
+
   /** Asymmetric CONTAINMENT dedup (t54) — pairs where the smaller
     * document's shingle set is ≥80% contained in the larger's: the
     * excerpt/quote/syndication case symmetric Jaccard structurally
@@ -2523,6 +2602,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t55_minhash_calibration" -> (t55MinhashCalibration _),
     "t54_containment_dedup" -> (t54ContainmentDedup _),
     "t51_quantile_norm" -> (t51QuantileNorm _),
     "t52_collocations" -> (t52Collocations _),
@@ -2580,6 +2660,80 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // t41's SQL-reproducible LSH CTEs corpus-wide: md5-prefix 32-bit
+    // keys, the literal hash family, 4 band keys, the same <=64 bucket
+    // cap; per-pair j6 and per-level sums are exact integers
+    "t55_minhash_calibration" -> {
+      val mins = t41A.indices.map { i =>
+        s"min((x * ${t41A(i)} + ${t41B(i)}) % $t41P) AS m$i"
+      }.mkString(",\n             ")
+      val bandRows = (0 until 4).map { j =>
+        s"SELECT doc_id, $j AS band, m${2 * j} * $t41P + m${2 * j + 1} AS bkey FROM sigs"
+      }.mkString("\n           UNION ALL ")
+      val agree = (0 until 8)
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |                x -> length(x) > 0) AS w
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 1),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+         |  FROM words WHERE len(w) >= 3
+         |), keyed AS (
+         |  SELECT doc_id, md5(g) AS h FROM grams
+         |), xs AS (
+         |  SELECT doc_id,
+         |    CAST((${hex4U16From("h", 1)}) AS BIGINT) * 65536
+         |      + (${hex4U16From("h", 5)}) AS x
+         |  FROM keyed
+         |), sigs AS (
+         |  SELECT doc_id,
+         |             $mins
+         |  FROM xs GROUP BY doc_id
+         |), bands AS (
+         |  $bandRows
+         |), okb AS (
+         |  SELECT band, bkey FROM bands GROUP BY band, bkey
+         |  HAVING count(*) <= $t41BucketCap
+         |), bb AS (
+         |  SELECT bands.* FROM bands JOIN okb USING (band, bkey)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), post AS (
+         |  SELECT DISTINCT doc_id, x FROM xs
+         |), sizes AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM post
+         |  GROUP BY doc_id
+         |), ix AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand c
+         |  JOIN post a ON a.doc_id = c.doc_a
+         |  JOIN post b ON b.doc_id = c.doc_b AND b.x = a.x
+         |  GROUP BY c.doc_a, c.doc_b
+         |), pj AS (
+         |  SELECT CAST($agree AS BIGINT) AS n_agree,
+         |    (inter * 1000000) // (sa2.sz + sb2.sz - inter) AS j6
+         |  FROM ix
+         |  JOIN sizes sa2 ON sa2.doc_id = ix.doc_a
+         |  JOIN sizes sb2 ON sb2.doc_id = ix.doc_b
+         |  JOIN sigs sa ON sa.doc_id = ix.doc_a
+         |  JOIN sigs sb ON sb.doc_id = ix.doc_b
+         |)
+         |SELECT n_agree,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  min(j6) AS min_j6,
+         |  max(j6) AS max_j6,
+         |  CAST(sum(j6) AS BIGINT) AS sum_j6,
+         |  CAST((n_agree * 1000000) // 8 AS BIGINT) AS est6,
+         |  CAST(CAST(sum(j6) AS BIGINT) // count(*) AS BIGINT) AS avg_j6
+         |FROM pj GROUP BY n_agree ORDER BY n_agree""".stripMargin
+    },
     // t42's distinct string-shingle CTE (hash↔string df bijection), the
     // same df<=32 blocking; intersection AND sizes over the blocked
     // sets, counted in the self-join itself; contain6 is the identical
