@@ -1106,6 +1106,54 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Point-in-time SCD dimension LOOKUP (j12) — each purchase enriched
+    * with the dimension version valid AT its event time: the user's
+    * activity-mode segment (e20's consecutive-same-type runs over the
+    * NON-purchase stream — purchases are transparent to the dimension,
+    * they don't break a run). The classic warehouse "join fact to SCD-2
+    * dimension at fact time", completing the temporal-join family: J4
+    * point-as-of, j9 big-to-big as-of, j10 interval×interval, j11
+    * nearest-either-side, j12 point-in-VERSION-INTERVAL with the version
+    * attributes carried. A purchase before the user's first touch keeps
+    * NULL version with `covered=false` — lookup coverage observable.
+    *
+    * Scale: ZERO join nodes — the naive form is a purchase ⋈ interval
+    * range join; here dimension construction AND lookup ride ONE
+    * user-keyed window pass (e22's carry mechanism): run starts flagged
+    * by a type-change test against the lagged carry, then the version
+    * (type, valid_from) carries forward into each purchase row. One
+    * keyed exchange at any scale, plan-pinned join-free. */
+  private def j12ScdLookup(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cur = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val prev = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val ntype = when(col("event_type") =!= "purchase", col("event_type"))
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", last(ntype, ignoreNulls = true).over(prev))
+      .withColumn("version_type", last(ntype, ignoreNulls = true).over(cur))
+      .withColumn(
+        "srun",
+        when(
+          col("event_type") =!= "purchase" &&
+            (col("prev_type").isNull || col("prev_type") =!= col("event_type")),
+          col("us")
+        )
+      )
+      .withColumn("version_from", last(col("srun"), ignoreNulls = true).over(cur))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("us"),
+        col("version_type"),
+        col("version_from"),
+        col("version_type").isNotNull.as("covered")
+      )
+      .orderBy("event_id")
+  }
+
   /** User-lifetime SURVIVAL curve (e26) — for each day offset k, how many
     * users have an observed lifetime of at least k days (lifetime =
     * last-seen day − first-seen day), with the survival fraction. The
@@ -1141,6 +1189,7 @@ object EventOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "j12_scd_lookup" -> (j12ScdLookup _),
     "e26_survival_curve" -> (e26SurvivalCurve _),
     "e25_bot_regularity" -> (e25BotRegularity _),
     "e24_cadence_histogram" -> (e24CadenceHistogram _),
@@ -1172,6 +1221,41 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same carry windows replayed (e22's idiom) — run starts from the
+    // lagged-carry type-change test, version carried into purchase rows
+    "j12_scd_lookup" ->
+      """WITH base AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events
+         ), carried AS (
+           SELECT user_id, event_id, event_type, us,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER wp
+               AS prev_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER wc
+               AS version_type
+           FROM base
+           WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  wc AS (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ), runs AS (
+           SELECT *, CASE WHEN event_type <> 'purchase'
+                           AND (prev_type IS NULL
+                                OR prev_type <> event_type)
+                          THEN us END AS srun
+           FROM carried
+         ), vf AS (
+           SELECT *, last_value(srun IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS version_from
+           FROM runs
+         )
+         SELECT user_id, event_id, us, version_type, version_from,
+           version_type IS NOT NULL AS covered
+         FROM vf WHERE event_type = 'purchase' ORDER BY event_id""",
     // same user-keyed lifetime histogram + spine theta-join tail sums;
     // survival6 is the identical integer floor division in both engines
     "e26_survival_curve" ->

@@ -252,7 +252,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // exchange — a join node means the range-join regression. e22 is
     // allowed its second exchange: the |types|-row revenue rollup
     // (bounded keyspace, not a pairing strategy).
-    for ((q, maxEx) <- Seq("j11_nearest_align" -> 1, "e22_last_touch" -> 2)) {
+    // j12 (SCD point-in-time lookup): dimension construction AND fact
+    // lookup on the same one exchange — a join node means the
+    // purchase⋈interval range-join regression
+    for ((q, maxEx) <- Seq("j11_nearest_align" -> 1, "e22_last_touch" -> 2,
+                           "j12_scd_lookup" -> 1)) {
       val pq = plan(q)
       for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                     "BroadcastNestedLoopJoin", "CartesianProduct"))
