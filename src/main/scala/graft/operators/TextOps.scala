@@ -2354,6 +2354,80 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Snapshot DISTRIBUTION-DRIFT metric (t56) — exact total-variation
+    * distance between the per-language quality distributions of two
+    * corpus snapshots (t36's prior/current convention): t36 answers
+    * "WHICH documents moved", t56 answers "did the corpus's CHARACTER
+    * move" — the ingest-monitoring gate that catches a feed going
+    * boilerplate-heavy even when every doc_id is new. TV over PSI/KL
+    * because it needs no logarithm: with counts cross-multiplied,
+    * TV = Σ|n_a·N_b − n_b·N_a| / (2·N_a·N_b) is EXACT integer
+    * arithmetic end-to-end (the e23 trapezoid discipline; products
+    * accumulate in decimal(38,0), the HUGEINT domain, so 1e9-doc
+    * snapshots can't overflow), and tv6 one integral division.
+    *
+    * Scale: two (lang, bin)-keyed histogram aggs with map-side combine
+    * (bins bounded at ≤101/lang — t51's discipline), a full-outer merge
+    * of BOUNDED histograms, and a per-lang rollup: the corpus is
+    * touched by exactly two scans, nothing pairwise anywhere. */
+  private def t56SnapshotDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn(
+        "n_stopwords",
+        size(filter(toks, t => t === "the" || t === "a" || t === "of")).cast("long")
+      )
+      .withColumn("quality", qualityScore(col("n_tokens"), col("n_stopwords")))
+      .withColumn("bin", floor(col("quality") * 100).cast("long"))
+      .filter(col("bin").isNotNull)
+      .select("doc_id", "lang", "bin")
+    val prior = docs
+      .filter(col("doc_id") % 13 =!= 0)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_a"))
+    val current = docs
+      .filter(col("doc_id") % 7 =!= 0)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_b"))
+    val joined = prior
+      .join(current, Seq("lang", "bin"), "full_outer")
+      .select(
+        col("lang"),
+        col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b")
+      )
+    val tot = joined
+      .groupBy("lang")
+      .agg(sum("n_a").as("na"), sum("n_b").as("nb"), count(lit(1)).as("n_bins"))
+    joined
+      .join(tot, "lang")
+      .withColumn(
+        "term",
+        abs(
+          col("n_a").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)") -
+            col("n_b").cast("decimal(38,0)") * col("na").cast("decimal(38,0)")
+        )
+      )
+      .groupBy("lang")
+      .agg(
+        max("na").as("n_prior"),
+        max("nb").as("n_current"),
+        max("n_bins").as("n_bins"),
+        sum("term").as("s")
+      )
+      .withColumn(
+        "tv6",
+        expr(
+          "CAST((s * 1000000) div greatest(CAST(2 AS DECIMAL(38,0)) " +
+            "* n_prior * n_current, 1) AS BIGINT)"
+        )
+      )
+      .select("lang", "n_prior", "n_current", "n_bins", "tv6")
+      .orderBy("lang")
+  }
+
   /** MinHash ESTIMATOR CALIBRATION audit (t55) — how well the t41
     * signature family's Jaccard estimate (n_agree/8 over the 8 permuted
     * minima) tracks the exact Jaccard, tabulated per agreement level
@@ -2602,6 +2676,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t56_snapshot_drift" -> (t56SnapshotDrift _),
     "t55_minhash_calibration" -> (t55MinhashCalibration _),
     "t54_containment_dedup" -> (t54ContainmentDedup _),
     "t51_quantile_norm" -> (t51QuantileNorm _),
@@ -2660,6 +2735,52 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // t1's quality CTE + t36's snapshot filters + the same 2dp bins;
+    // the TV numerator is the identical cross-multiplied integer sum
+    // (HUGEINT in DuckDB = decimal(38,0) in Spark), tv6 one integral div
+    "t56_snapshot_drift" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS toks
+           FROM documents
+         ), q AS (
+           SELECT doc_id, lang,
+             CASE WHEN len(toks) = 0 THEN NULL
+               ELSE round((1.0 - CAST(len(list_filter(toks,
+                      x -> x IN ('the', 'a', 'of'))) AS DOUBLE) / len(toks))
+                    * 0.5
+                    + least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.5, 6)
+             END AS quality
+           FROM base
+         ), b AS (
+           SELECT doc_id, lang,
+             CAST(floor(quality * 100) AS BIGINT) AS bin
+           FROM q WHERE quality IS NOT NULL
+         ), prior AS (
+           SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_a
+           FROM b WHERE doc_id % 13 <> 0 GROUP BY lang, bin
+         ), current AS (
+           SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_b
+           FROM b WHERE doc_id % 7 <> 0 GROUP BY lang, bin
+         ), joined AS (
+           SELECT COALESCE(p.lang, c.lang) AS lang,
+             COALESCE(p.bin, c.bin) AS bin,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+           FROM prior p FULL OUTER JOIN current c
+             ON p.lang = c.lang AND p.bin = c.bin
+         ), tot AS (
+           SELECT lang, CAST(sum(n_a) AS BIGINT) AS na,
+             CAST(sum(n_b) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS n_bins
+           FROM joined GROUP BY lang
+         )
+         SELECT j.lang, max(na) AS n_prior, max(nb) AS n_current,
+           max(n_bins) AS n_bins,
+           CAST(sum(abs(n_a * nb - n_b * na)) * 1000000
+             // greatest(2 * max(na) * max(nb), 1) AS BIGINT) AS tv6
+         FROM joined j JOIN tot t ON j.lang = t.lang
+         GROUP BY j.lang ORDER BY j.lang""",
     // t41's SQL-reproducible LSH CTEs corpus-wide: md5-prefix 32-bit
     // keys, the literal hash family, 4 band keys, the same <=64 bucket
     // cap; per-pair j6 and per-level sums are exact integers
