@@ -2371,8 +2371,24 @@ object TextOps {
     * of BOUNDED histograms, and a per-lang rollup: the corpus is
     * touched by exactly two scans, nothing pairwise anywhere. */
   private def t56SnapshotDrift(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables
-      .documents(s, d)
+    val docs = qualityBinned(Tables.documents(s, d))
+    val prior = docs
+      .filter(col("doc_id") % 13 =!= 0)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_a"))
+    val current = docs
+      .filter(col("doc_id") % 7 =!= 0)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_b"))
+    tvPerLang(prior, current)
+  }
+
+  /** (doc_id, lang, bin): the 2dp quality-binned corpus — t51/t56's bin
+    * definition factored so the streaming drift monitor
+    * ([[graft.streaming.StreamingDriftMonitor]]) runs the IDENTICAL
+    * binning per micro-batch. Zero-token (NULL-quality) docs excluded. */
+  private[graft] def qualityBinned(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn(
         "n_stopwords",
@@ -2382,14 +2398,12 @@ object TextOps {
       .withColumn("bin", floor(col("quality") * 100).cast("long"))
       .filter(col("bin").isNotNull)
       .select("doc_id", "lang", "bin")
-    val prior = docs
-      .filter(col("doc_id") % 13 =!= 0)
-      .groupBy("lang", "bin")
-      .agg(count(lit(1)).as("n_a"))
-    val current = docs
-      .filter(col("doc_id") % 7 =!= 0)
-      .groupBy("lang", "bin")
-      .agg(count(lit(1)).as("n_b"))
+
+  /** Exact per-language total-variation distance between two (lang, bin,
+    * n) histograms — t56's math factored for the streaming monitor.
+    * `prior` must carry count column n_a, `current` n_b. All integer
+    * (cross-multiplied; decimal(38,0) accumulation), one integral div. */
+  private[graft] def tvPerLang(prior: DataFrame, current: DataFrame): DataFrame = {
     val joined = prior
       .join(current, Seq("lang", "bin"), "full_outer")
       .select(
