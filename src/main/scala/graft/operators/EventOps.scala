@@ -1106,6 +1106,44 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Event DEBOUNCE profile (e27) — collapse retry/double-click bursts:
+    * per (user, type), a maximal chain of events with consecutive gaps
+    * < 5 min is ONE burst, its leading edge the one "real" event; the
+    * report shows per type how much of the stream is burst echo
+    * (n_suppressed / suppression rate) and the worst burst length — the
+    * ingest-hygiene signal that separates genuine volume from client
+    * retries before any count-based metric consumes the stream.
+    *
+    * Scale: e2's sessionization mechanism at burst grain — one lag pass
+    * and one running-sum pass on the SAME (user, type)-keyed window
+    * order, and the (type, user, burst) burst-length agg is co-located
+    * with it (grouping keys ⊇ the window partition keys — no second
+    * corpus exchange); the final rollup lands on |types| keys. All
+    * integer; suppression6 one floor division. */
+  private def e27Debounce(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    val wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val gapUs = 300L * 1000000
+    Tables
+      .events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .withColumn("lead_edge", col("prev").isNull || col("us") - col("prev") >= gapUs)
+      .withColumn("burst", sum(when(col("lead_edge"), 1L).otherwise(0L)).over(wcum))
+      .groupBy("event_type", "user_id", "burst")
+      .agg(count(lit(1)).as("blen"))
+      .groupBy("event_type")
+      .agg(
+        sum("blen").cast("long").as("n_events"),
+        count(lit(1)).as("n_kept"),
+        max("blen").as("max_burst")
+      )
+      .withColumn("n_suppressed", col("n_events") - col("n_kept"))
+      .withColumn("suppression6", expr("(n_suppressed * 1000000) div n_events"))
+      .select("event_type", "n_events", "n_kept", "n_suppressed", "max_burst", "suppression6")
+      .orderBy("event_type")
+  }
+
   /** Point-in-time SCD dimension LOOKUP (j12) — each purchase enriched
     * with the dimension version valid AT its event time: the user's
     * activity-mode segment (e20's consecutive-same-type runs over the
@@ -1189,6 +1227,7 @@ object EventOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "e27_debounce" -> (e27Debounce _),
     "j12_scd_lookup" -> (j12ScdLookup _),
     "e26_survival_curve" -> (e26SurvivalCurve _),
     "e25_bot_regularity" -> (e25BotRegularity _),
@@ -1221,6 +1260,42 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same lag + running-sum burst ids; suppression6 is the identical
+    // integer floor division
+    "e27_debounce" ->
+      """WITH base AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+           FROM events
+         ), g AS (
+           SELECT user_id, event_type, event_id, us,
+             lag(us) OVER (PARTITION BY user_id, event_type
+                           ORDER BY us, event_id) AS prev
+           FROM base
+         ), f AS (
+           SELECT user_id, event_type, event_id, us,
+             CASE WHEN prev IS NULL OR us - prev >= 300000000
+                  THEN 1 ELSE 0 END AS lead_edge
+           FROM g
+         ), b AS (
+           SELECT event_type, user_id,
+             CAST(sum(lead_edge) OVER (PARTITION BY user_id, event_type
+               ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS burst
+           FROM f
+         ), bl AS (
+           SELECT event_type, user_id, burst,
+             CAST(count(*) AS BIGINT) AS blen
+           FROM b GROUP BY event_type, user_id, burst
+         )
+         SELECT event_type,
+           CAST(sum(blen) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(blen) - count(*) AS BIGINT) AS n_suppressed,
+           max(blen) AS max_burst,
+           CAST((CAST(sum(blen) - count(*) AS BIGINT) * 1000000)
+             // CAST(sum(blen) AS BIGINT) AS BIGINT) AS suppression6
+         FROM bl GROUP BY event_type ORDER BY event_type""",
     // the same carry windows replayed (e22's idiom) — run starts from the
     // lagged-carry type-change test, version carried into purchase rows
     "j12_scd_lookup" ->

@@ -266,6 +266,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e27's burst-length agg is co-located with its window exchange") {
+    // the (type, user, burst) grouping keys are a superset of the
+    // (user, type) window partitioning, so the burst agg must reuse that
+    // exchange; exchange #2 is the |types|-row rollup only
+    val p = plan("e27_debounce")
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 2, s"e27 grew a second corpus exchange ($ex):\n$p")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), s"e27 planned a $j:\n$p")
+  }
+
   test("v21's fit assignment plans join-free: codegen argmin, one keyed window") {
     // the whole-corpus assignment must stay the shuffle-free codegen
     // argmin (graft_pq_encode against the collected centroid literal) —
