@@ -2354,6 +2354,63 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Held-out LM evaluation (t57) — t20's bigram model under the
+    * train/valid discipline it skips: the model is fit ONLY on t14's
+    * train split (md5 hash split — the same growth-stable assignment the
+    * sharder uses), then the VALID split is scored against it, with
+    * out-of-vocabulary bigrams counted explicitly instead of silently
+    * dropped (no-silent-caps at the model boundary: oov6 per language is
+    * the generalization-gap signal — a model that only memorized its
+    * split scores well on in-vocab bigrams while its OOV rate explodes).
+    *
+    * Determinism at scale: the per-LANGUAGE average crosses partition
+    * boundaries, where double summation order is nondeterministic — so
+    * each model row carries an INTEGER-scaled logp6 = round(ln(p)·1e6)
+    * (t27's entropy trick at the model-table grain: one ln per VOCAB
+    * entry, never per corpus row) and the language rollup sums exact
+    * integers. Two vocab-grain aggs + one gram-keyed join; the corpus
+    * streams once per side. */
+  private def t57HeldoutPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      // t14's split formula verbatim: md5-u16 % 100; train < 80,
+      // valid ∈ [80, 90)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", expr(s"${hex4U16("h")} % 100").cast("long"))
+    val grams = (df: DataFrame) =>
+      df.select(col("doc_id"), col("lang"), F.wsTokens(col("text")).as("w"))
+        .select(col("doc_id"), col("lang"), explode(F.wordShingles(col("w"), 2)).as("g"))
+    val train = grams(docs.filter(col("bucket") < 80))
+    val valid = grams(docs.filter(col("bucket") >= 80 && col("bucket") < 90))
+    val biCounts = train
+      .groupBy("g")
+      .agg(count(lit(1)).as("c_bi"))
+      .withColumn("ctx", substring_index(col("g"), " ", 1))
+    val ctxCounts = biCounts.groupBy("ctx").agg(sum("c_bi").as("c_ctx"))
+    val model = biCounts
+      .join(ctxCounts, "ctx")
+      .withColumn(
+        "logp6",
+        expr("CAST(round(ln(CAST(c_bi AS DOUBLE) / c_ctx) * 1000000) AS BIGINT)")
+      )
+      .select("g", "logp6")
+    valid
+      .join(model, Seq("g"), "left")
+      .groupBy("lang")
+      .agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("logp6").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum("logp6").cast("long").as("sum_logp6")
+      )
+      .withColumn("oov6", expr("(n_oov * 1000000) div n_bigrams"))
+      .withColumn(
+        "avg_logp6",
+        expr("sum_logp6 div greatest(n_bigrams - n_oov, 1)")
+      )
+      .select("lang", "n_docs", "n_bigrams", "n_oov", "oov6", "sum_logp6", "avg_logp6")
+      .orderBy("lang")
+  }
+
   /** Snapshot DISTRIBUTION-DRIFT metric (t56) — exact total-variation
     * distance between the per-language quality distributions of two
     * corpus snapshots (t36's prior/current convention): t36 answers
@@ -2690,6 +2747,7 @@ object TextOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
     "t56_snapshot_drift" -> (t56SnapshotDrift _),
     "t55_minhash_calibration" -> (t55MinhashCalibration _),
     "t54_containment_dedup" -> (t54ContainmentDedup _),
@@ -2749,6 +2807,53 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // t20's gram CTEs split by t14's formula; logp6 is the identical
+    // round(ln·1e6) at model-table grain, so the language rollup sums
+    // exact integers in both engines
+    "t57_heldout_perplexity" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, text,
+         |    (${hex4U16("md5(CAST(doc_id AS VARCHAR))")}) % 100 AS bucket
+         |  FROM documents
+         |), words AS (
+         |  SELECT doc_id, lang, bucket,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |                x -> length(x) > 0) AS w
+         |  FROM docs
+         |), grams AS (
+         |  SELECT doc_id, lang, bucket,
+         |    unnest(list_transform(range(1, len(w)),
+         |           i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM words WHERE len(w) >= 2
+         |), bi AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS c_bi FROM grams
+         |  WHERE bucket < 80 GROUP BY g
+         |), ctx AS (
+         |  SELECT split_part(g, ' ', 1) AS c,
+         |    CAST(sum(c_bi) AS BIGINT) AS c_ctx
+         |  FROM bi GROUP BY c
+         |), model AS (
+         |  SELECT g,
+         |    CAST(round(ln(CAST(c_bi AS DOUBLE) / c_ctx) * 1000000)
+         |      AS BIGINT) AS logp6
+         |  FROM bi JOIN ctx ON split_part(bi.g, ' ', 1) = ctx.c
+         |), scored AS (
+         |  SELECT lang, doc_id, logp6
+         |  FROM grams LEFT JOIN model USING (g)
+         |  WHERE bucket >= 80 AND bucket < 90
+         |)
+         |SELECT lang,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN logp6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST((CAST(sum(CASE WHEN logp6 IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) * 1000000) // count(*) AS BIGINT) AS oov6,
+         |  CAST(sum(logp6) AS BIGINT) AS sum_logp6,
+         |  CAST(CAST(sum(logp6) AS BIGINT)
+         |    // greatest(count(*) - sum(CASE WHEN logp6 IS NULL THEN 1
+         |                ELSE 0 END), 1) AS BIGINT) AS avg_logp6
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
     // t1's quality CTE + t36's snapshot filters + the same 2dp bins;
     // the TV numerator is the identical cross-multiplied integer sum
     // (HUGEINT in DuckDB = decimal(38,0) in Spark), tv6 one integral div
