@@ -1106,6 +1106,51 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Per-type volume TREND fit (e28) — exact ordinary-least-squares
+    * slope of daily event counts over time: the "is this event type
+    * growing or dying" signal behind alerting thresholds and capacity
+    * planning, computed without any approximate regression library.
+    * OLS over integer (day-offset, count) pairs is CLOSED-FORM integer
+    * arithmetic: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), so with
+    * cross-terms accumulated in decimal(38,0) (the e23/t56 HUGEINT
+    * discipline — Σx·Σy at 1e4 days × 1e12 events overflows long) the
+    * 6dp slope is one integral division, truncation-toward-zero in both
+    * engines (verified for negative slopes).
+    *
+    * Scale: one (type, day)-keyed count agg with map-side combine — the
+    * only raw-volume shuffle; the moment sums aggregate the bounded
+    * (type, day) frame onto |types| keys; x anchors at the global min
+    * day (one broadcast scalar) to keep Σx² small. */
+  private def e28TrendFit(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables
+      .events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val m = daily.agg(min("day").as("d0"))
+    daily
+      .crossJoin(broadcast(m))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")
+      )
+      .withColumn(
+        "num",
+        expr("CAST(n_days AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+      )
+      .withColumn(
+        "den",
+        expr("CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+      )
+      .withColumn("slope6", expr("CAST((num * 1000000) div greatest(den, 1) AS BIGINT)"))
+      .select("event_type", "n_days", "sx", "sy", "sxy", "sxx", "slope6")
+      .orderBy("event_type")
+  }
+
   /** Event DEBOUNCE profile (e27) — collapse retry/double-click bursts:
     * per (user, type), a maximal chain of events with consecutive gaps
     * < 5 min is ONE burst, its leading edge the one "real" event; the
@@ -1227,6 +1272,7 @@ object EventOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "e28_trend_fit" -> (e28TrendFit _),
     "e27_debounce" -> (e27Debounce _),
     "j12_scd_lookup" -> (j12ScdLookup _),
     "e26_survival_curve" -> (e26SurvivalCurve _),
@@ -1260,6 +1306,33 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same daily counts + min-day offset; cross-terms in HUGEINT
+    // (= Spark's decimal(38,0)); // truncates toward zero like div
+    "e28_trend_fit" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY event_type, day
+         ), m AS (SELECT min(day) AS d0 FROM daily),
+         xy AS (
+           SELECT event_type,
+             CAST(date_diff('day', d0, day) AS BIGINT) AS x, y
+           FROM daily CROSS JOIN m
+         ), s AS (
+           SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM xy GROUP BY event_type
+         )
+         SELECT event_type, n_days, sx, sy, sxy, sxx,
+           CAST(((CAST(n_days AS HUGEINT) * sxy
+                  - CAST(sx AS HUGEINT) * sy) * 1000000)
+             // greatest(CAST(n_days AS HUGEINT) * sxx
+                  - CAST(sx AS HUGEINT) * sx, 1) AS BIGINT) AS slope6
+         FROM s ORDER BY event_type""",
     // same lag + running-sum burst ids; suppression6 is the identical
     // integer floor division
     "e27_debounce" ->
