@@ -1236,6 +1236,71 @@ object VectorOps {
       .orderBy("query_id")
   }
 
+  /** v31 — pseudo-relevance FEEDBACK retrieval (Rocchio): round 1 takes
+    * the exact top-5, round 2 re-queries with the expanded vector
+    * q' = q + mean(top-5 neighbors) — "more like what I just found", the
+    * classic recall-raising second pass (a query vector sitting at a
+    * cluster edge pulls toward the cluster core). `is_new` flags which
+    * served neighbors round 1 could not reach — the operator's own
+    * effect measurement.
+    *
+    * Determinism across engines: the expansion is an UNROLLED rank-wise
+    * sum (q + n1/5 + … + n5/5, left-associated, double arithmetic,
+    * REAL-cast — the m6/v30 convention), never an agg over neighbor rows
+    * whose partial order could differ; both rounds rank with the shared
+    * native cosine. Scale: round 1 is v1's broadcast-probe scan; the
+    * pivot/expansion touches 5·|probes| rows; round 2 is one more
+    * broadcast-probe scan — the corpus is scanned twice, never
+    * shuffled. */
+  private def v31RocchioFeedback(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val round1 = v1AnnBruteforce(s, d)
+    val pivotExprs = (1 to 5).map { r =>
+      max(when(col("rnk") === r, col("ne"))).as(s"n$r")
+    }
+    val pivoted = round1
+      .join(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        "neighbor_id"
+      )
+      .groupBy("query_id")
+      .agg(pivotExprs.head, pivotExprs.tail: _*)
+    val sumTerms = (1 to 5)
+      .map(r => s"CAST(element_at(n$r, i + 1) AS DOUBLE) / 5")
+      .mkString(" + ")
+    val expanded = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(pivoted, "query_id")
+      .withColumn(
+        "qx",
+        expr(s"transform(qe, (v, i) -> CAST(CAST(v AS DOUBLE) + $sumTerms AS FLOAT))")
+      )
+      .select("query_id", "qx")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    emb
+      .crossJoin(broadcast(expanded))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qx"), col("embedding")) /
+          (sqrt(call_function("graft_dot", col("qx"), col("qx"))) *
+            sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+      )
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"))
+      .join(
+        round1.select(col("query_id"), col("neighbor_id"), lit(1L).as("r1")),
+        Seq("query_id", "neighbor_id"),
+        "left"
+      )
+      .withColumn("is_new", col("r1").isNull)
+      .select("query_id", "rnk", "neighbor_id", "is_new")
+      .orderBy("query_id", "rnk")
+  }
+
   /** nDCG@5 weight per rank, scaled 1e6: round(1e6 / log2(r+1)). A
     * LITERAL table (e13's exact-integer-weights trick) so neither
     * engine evaluates a logarithm — the one transcendental in the nDCG
@@ -1531,6 +1596,7 @@ object VectorOps {
     "v28_cluster_sample" -> (v28ClusterSample _),
     "v29_ndcg_eval" -> (v29NdcgEval _),
     "v30_jl_distortion" -> (v30JlDistortion _),
+    "v31_rocchio_feedback" -> (v31RocchioFeedback _),
     "v22_graph_pagerank" -> (v22GraphPagerank _),
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
@@ -2246,6 +2312,49 @@ object VectorOps {
          |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
          |  FROM indexed
          |) WHERE rnk <= 10 ORDER BY cid, rnk""".stripMargin,
+    // v1's ranked CTE pivoted to 5 neighbor joins, the expansion as the
+    // SAME left-associated double sum REAL-cast per dim, round 2 ranked
+    // in graft_dot's op order; is_new from the round-1 left join
+    "v31_rocchio_feedback" ->
+      s"""WITH r1 AS (SELECT * FROM ($v1Oracle)),
+         |piv AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qe,
+         |    e1.embedding AS n1, e2.embedding AS n2, e3.embedding AS n3,
+         |    e4.embedding AS n4, e5.embedding AS n5
+         |  FROM embeddings q
+         |  JOIN r1 a1 ON a1.query_id = q.vec_id AND a1.rnk = 1
+         |  JOIN embeddings e1 ON e1.vec_id = a1.neighbor_id
+         |  JOIN r1 a2 ON a2.query_id = q.vec_id AND a2.rnk = 2
+         |  JOIN embeddings e2 ON e2.vec_id = a2.neighbor_id
+         |  JOIN r1 a3 ON a3.query_id = q.vec_id AND a3.rnk = 3
+         |  JOIN embeddings e3 ON e3.vec_id = a3.neighbor_id
+         |  JOIN r1 a4 ON a4.query_id = q.vec_id AND a4.rnk = 4
+         |  JOIN embeddings e4 ON e4.vec_id = a4.neighbor_id
+         |  JOIN r1 a5 ON a5.query_id = q.vec_id AND a5.rnk = 5
+         |  JOIN embeddings e5 ON e5.vec_id = a5.neighbor_id
+         |  WHERE q.vec_id < 10
+         |), ex AS (
+         |  SELECT query_id,
+         |    list_transform(range(1, 65), i -> CAST(CAST(qe[i] AS DOUBLE)
+         |      + CAST(n1[i] AS DOUBLE) / 5 + CAST(n2[i] AS DOUBLE) / 5
+         |      + CAST(n3[i] AS DOUBLE) / 5 + CAST(n4[i] AS DOUBLE) / 5
+         |      + CAST(n5[i] AS DOUBLE) / 5 AS REAL)) AS qx
+         |  FROM piv
+         |), ranked AS (
+         |  SELECT ex.query_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY ex.query_id
+         |      ORDER BY ${duckDot("ex.qx", "c.embedding")}
+         |            / (sqrt(${duckDot("ex.qx", "ex.qx")})
+         |             * sqrt(${duckDot("c.embedding", "c.embedding")})) DESC,
+         |        c.vec_id ASC) AS rnk
+         |  FROM ex JOIN embeddings c ON c.vec_id <> ex.query_id
+         |)
+         |SELECT r.query_id, r.rnk, r.vec_id AS neighbor_id,
+         |  (o.neighbor_id IS NULL) AS is_new
+         |FROM ranked r
+         |LEFT JOIN r1 o
+         |  ON o.query_id = r.query_id AND o.neighbor_id = r.vec_id
+         |WHERE r.rnk <= 5 ORDER BY r.query_id, r.rnk""".stripMargin,
     // the plane table as literals (v3's scheme, 16 rows), per-dim sums
     // REAL-cast to match graft_project's float output (m6's convention),
     // both distances replayed in graft_dist2's index-order accumulation;
