@@ -382,7 +382,54 @@ object MultimodalOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** m7 — SEMANTIC media dedup: the embedding-cosine near-dup family
+    * (v2/v12) pointed at media payloads — re-encoded or lightly-edited
+    * assets whose BYTES differ everywhere (so m4's chunk hashes and m5's
+    * frame hashes both miss) still land on near-similar embeddings.
+    * Featurize → exact cosine pairs at τ=0.8, with the cosine emitted
+    * per pair.
+    *
+    * Why the EXACT pair stage is the declared form here (v2's
+    * precedent): the stub featurizer's random-pair background cosine on
+    * this corpus is ~0.7 with a maximum of ~0.87 — the v12-τ=0.45
+    * situation where NO band geometry separates signal from background
+    * (a band loose enough to catch τ=0.8 pairs admits half the pair
+    * space; measured before this was declared). A REAL encoder's
+    * embeddings have near-orthogonal backgrounds, and then
+    * [[graft.operators.VectorOps.bandedCandidates]] slots in front of
+    * the verify unchanged — banding effectiveness is a property of the
+    * embedding GEOMETRY, not of the dedup operator, and the encoder swap
+    * (the m1 batched-decode pattern) is what restores it. Featurization
+    * itself is the fused `graft_byte_embed` scan stage. */
+  def semanticDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = Multimodal
+      .withPayload(docs)
+      .filter(length(col("payload")) > 0)
+      .withColumn("embedding", call_function("graft_byte_embed", col("payload")))
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val withNrm = emb.withColumn(
+      "nrm",
+      sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
+    )
+    val a = withNrm
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNrm
+      .select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+      )
+      .filter(col("cos") > 0.8)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_semantic_dedup" -> ((s, d) => semanticDedupQuery(s, d)),
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d)),
@@ -395,6 +442,30 @@ object MultimodalOps {
     * reproduces it in SQL (strlen = UTF-8 byte count in DuckDB; the corpus
     * is ASCII so ascii(first char) == first byte). */
   val oracles: Map[String, String] = Map(
+    // m6's byte-embed CTE + the exact upper-triangle cosine pair scan in
+    // graft_dot's index-order accumulation (v2's oracle shape at media
+    // grain)
+    "m7_semantic_dedup" ->
+      """WITH emb AS (
+           SELECT doc_id AS vec_id,
+             list_transform(range(0, 64), i ->
+               CAST(CAST(ascii(substr(text,
+                      CAST((i * strlen(text)) // 64 AS BIGINT) + 1, 1))
+                    AS DOUBLE) / 63.5 - 1.0 AS REAL)) AS e
+           FROM documents WHERE strlen(text) > 0
+         ), scored AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))))
+               AS cos
+           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         )
+         SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+         WHERE cos > 0.8 ORDER BY id_a, id_b""",
     // the payload is the UTF-8 text bytes (ASCII corpus), so substr on
     // text == the binary chunk slice and md5 agrees byte-for-byte; the
     // CAST to DOUBLE keeps DuckDB's decimal arithmetic out of the ratio

@@ -1724,7 +1724,7 @@ object VectorOps {
     * built from the same [[planeSign]] the implementation uses — the oracle
     * is still a static SQL string once rendered (dumped to oracle_sql.json
     * by Verify). v3 consumes planes 0..63; v12b's 16×8 banding 0..127. */
-  private def planeValues(nPlanes: Int): String = (0 until nPlanes).map { j =>
+  private[graft] def planeValues(nPlanes: Int): String = (0 until nPlanes).map { j =>
     val row = (0 until 64)
       .map(k => if (planeSign(j, k) > 0) "1" else "-1")
       .mkString("[", ",", "]")
