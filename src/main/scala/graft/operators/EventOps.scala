@@ -1106,6 +1106,40 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Native SESSION-WINDOW aggregation (w8) — e2's sessionization run
+    * through Spark's built-in `session_window` operator instead of the
+    * lag+running-sum mechanism: the engine merges overlapping
+    * [ts, ts+gap) windows in a dedicated physical operator
+    * (UpdatingSessions/MergingSessions — the same machinery Structured
+    * Streaming's session windows use), so the window-kind coverage
+    * includes the one Spark treats as a first-class aggregation mode.
+    * Semantics note vs e2: `session_window` starts a new session at
+    * gap ≥ 30 min where e2's lag test uses gap > 30 min — identical on
+    * any corpus without an exactly-30-minute gap; the oracle replays the
+    * ≥ rule.
+    *
+    * Scale: one user-keyed exchange; sessions merge inside the
+    * aggregation operator with no self-join and no second pass. */
+  private def w8SessionWindow(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    Tables
+      .events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn(
+        "span_us",
+        unix_micros(col("sw.end")) - unix_micros(col("sw.start")) - gapUs
+      )
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").cast("long").as("n_events"),
+        sum("span_us").as("total_span_us"),
+        max("n_events").as("max_session_events")
+      )
+      .orderBy("user_id")
+  }
+
   /** Per-type volume TREND fit (e28) — exact ordinary-least-squares
     * slope of daily event counts over time: the "is this event type
     * growing or dying" signal behind alerting thresholds and capacity
@@ -1272,6 +1306,7 @@ object EventOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "w8_session_window" -> (w8SessionWindow _),
     "e28_trend_fit" -> (e28TrendFit _),
     "e27_debounce" -> (e27Debounce _),
     "j12_scd_lookup" -> (j12ScdLookup _),
@@ -1306,6 +1341,35 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // session_window's >= gap rule replayed via lag + running-sum ids;
+    // span from per-session min/max us
+    "w8_session_window" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+         ), g AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ), sess AS (
+           SELECT user_id, us,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sid
+           FROM g
+         ), per AS (
+           SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+             max(us) - min(us) AS span_us
+           FROM sess GROUP BY user_id, sid
+         )
+         SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(span_us) AS BIGINT) AS total_span_us,
+           max(n_events) AS max_session_events
+         FROM per GROUP BY user_id ORDER BY user_id""",
     // same daily counts + min-day offset; cross-terms in HUGEINT
     // (= Spark's decimal(38,0)); // truncates toward zero like div
     "e28_trend_fit" ->

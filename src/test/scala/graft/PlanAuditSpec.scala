@@ -266,6 +266,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("w8 plans Spark's native session-window merge, not a join/self-pass") {
+    val p = plan("w8_session_window")
+    assert(p.contains("Session"), s"w8 lost the native session-window operator:\n$p")
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), s"w8 planned a $j:\n$p")
+  }
+
   test("e27's burst-length agg is co-located with its window exchange") {
     // the (type, user, burst) grouping keys are a superset of the
     // (user, type) window partitioning, so the burst agg must reuse that
