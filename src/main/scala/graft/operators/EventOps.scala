@@ -1106,6 +1106,45 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Abandonment analysis (e29) — the temporal ANTI-join: click
+    * (intent) events NOT followed by a purchase within 1 h, rolled up
+    * per day with the abandonment rate. The negative-space counterpart
+    * of e4's funnel (e4 counts who converted; e29 finds the intents
+    * that went nowhere and when) and of j4/j11's positive pairings —
+    * "NO matching event in the window" is the join kind none of them
+    * express.
+    *
+    * Scale: ZERO join nodes — the naive form is a cart ⋈ purchase range
+    * join under NOT EXISTS; here the NEXT purchase time rides j11's
+    * forward mirrored carry (first purchase-us in the following frame)
+    * on ONE user-keyed window pass, and abandonment is a plain
+    * per-row test (no next purchase, or next > us + 1h). Day rollup
+    * lands on bounded keys; integer counts + one floor division. */
+  private def e29Abandonment(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val fwd = byUser.rowsBetween(1, Window.unboundedFollowing)
+    val hourUs = 3600L * 1000000
+    val purchaseUs = when(col("event_type") === "purchase", col("us"))
+    Tables
+      .events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("next_purchase_us", first(purchaseUs, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "click")
+      .withColumn(
+        "abandoned",
+        col("next_purchase_us").isNull ||
+          col("next_purchase_us") - col("us") > hourUs
+      )
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_intents"),
+        sum(when(col("abandoned"), 1L).otherwise(0L)).as("n_abandoned")
+      )
+      .withColumn("abandon6", expr("(n_abandoned * 1000000) div n_intents"))
+      .orderBy("day")
+  }
+
   /** Native SESSION-WINDOW aggregation (w8) — e2's sessionization run
     * through Spark's built-in `session_window` operator instead of the
     * lag+running-sum mechanism: the engine merges overlapping
@@ -1306,6 +1345,7 @@ object EventOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "e29_abandonment" -> (e29Abandonment _),
     "w8_session_window" -> (w8SessionWindow _),
     "e28_trend_fit" -> (e28TrendFit _),
     "e27_debounce" -> (e27Debounce _),
@@ -1341,6 +1381,33 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same forward carry (e22's idiom mirrored) — abandonment is a
+    // per-row test, never a NOT EXISTS range join
+    "e29_abandonment" ->
+      """WITH base AS (
+           SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('click', 'purchase')
+         ), carried AS (
+           SELECT event_type, ts, us,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN us END IGNORE NULLS) OVER w
+               AS next_purchase_us
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         ), intents AS (
+           SELECT CAST(ts AS DATE) AS day,
+             (next_purchase_us IS NULL
+              OR next_purchase_us - us > 3600000000) AS abandoned
+           FROM carried WHERE event_type = 'click'
+         )
+         SELECT day,
+           CAST(count(*) AS BIGINT) AS n_intents,
+           CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_abandoned,
+           CAST((CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END)
+               AS BIGINT) * 1000000) // count(*) AS BIGINT) AS abandon6
+         FROM intents GROUP BY day ORDER BY day""",
     // session_window's >= gap rule replayed via lag + running-sum ids;
     // span from per-session min/max us
     "w8_session_window" ->

@@ -255,8 +255,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // j12 (SCD point-in-time lookup): dimension construction AND fact
     // lookup on the same one exchange — a join node means the
     // purchase⋈interval range-join regression
+    // e29 (abandonment): the temporal ANTI-join on the same carry —
+    // exchange #2 is the bounded day rollup
     for ((q, maxEx) <- Seq("j11_nearest_align" -> 1, "e22_last_touch" -> 2,
-                           "j12_scd_lookup" -> 1)) {
+                           "j12_scd_lookup" -> 1, "e29_abandonment" -> 2)) {
       val pq = plan(q)
       for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                     "BroadcastNestedLoopJoin", "CartesianProduct"))
