@@ -2499,6 +2499,49 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Dedup PROVENANCE audit (t59) — per document, WHICH dedup stage
+    * claims it and who superseded it: exact duplicate (t3's non-canonical
+    * copies, ref = canonical), near-duplicate (t16/t28's cluster
+    * non-representatives, ref = representative), contained excerpt
+    * (t54's smaller side), or kept. The "why was my document dropped"
+    * explainer every curation pipeline owes its data suppliers — one
+    * queryable verdict per doc with fixed precedence (exact > near >
+    * contained), so the stages' overlapping claims resolve
+    * deterministically instead of depending on run order.
+    *
+    * Scale: pure composition — every stage is a declared operator's
+    * plan (t3 one content-hash window, t28 = t4's exact-prefix pairs +
+    * CC + one quality window, t54's count-in-join containment), glued
+    * by doc_id-keyed joins; no new shuffle classes, no new pair
+    * sources. */
+  private def t59DedupProvenance(s: SparkSession, d: String): DataFrame = {
+    val exact = t3DedupExact(s, d)
+      .select(col("doc_id"), col("canonical_id"), col("is_duplicate"))
+    val near = t28ClusterRepr(s, d).select(col("doc_id"), col("repr_id"), col("is_kept"))
+    val cont = t54ContainmentDedup(s, d)
+      // the smaller side is the excerpt; equal sizes keep the earlier id
+      .select(when(col("sz_a") < col("sz_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+      .withColumn("contained", lit(true))
+    exact
+      .join(near, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn(
+        "verdict",
+        when(col("is_duplicate"), "exact_dup")
+          .when(!col("is_kept"), "near_dup")
+          .when(col("contained"), "contained")
+          .otherwise("kept")
+      )
+      .withColumn(
+        "ref_id",
+        when(col("is_duplicate"), col("canonical_id"))
+          .when(!col("is_kept"), col("repr_id"))
+      )
+      .select("doc_id", "verdict", "ref_id")
+      .orderBy("doc_id")
+  }
+
   /** MinHash ESTIMATOR CALIBRATION audit (t55) — how well the t41
     * signature family's Jaccard estimate (n_agree/8 over the 8 permuted
     * minima) tracks the exact Jaccard, tabulated per agreement level
@@ -2748,6 +2791,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
+    "t59_dedup_provenance" -> (t59DedupProvenance _),
     "t56_snapshot_drift" -> (t56SnapshotDrift _),
     "t55_minhash_calibration" -> (t55MinhashCalibration _),
     "t54_containment_dedup" -> (t54ContainmentDedup _),
@@ -2807,6 +2851,93 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // t3's fingerprint window + t28's closure/representative CTEs +
+    // t54's blocked containment, resolved by the same precedence CASE
+    "t59_dedup_provenance" ->
+      """WITH RECURSIVE words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
+         ), edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs
+         ), reach(doc_id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+         ), labels AS (
+           SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+         ), qual AS (
+           SELECT doc_id,
+             CASE WHEN len(w) = 0 THEN NULL
+               ELSE round((1.0 - CAST(len(list_filter(w,
+                       x -> x IN ('the', 'a', 'of'))) AS DOUBLE) / len(w))
+                     * 0.5
+                     + least(1.0, CAST(len(w) AS DOUBLE) / 100.0) * 0.5, 6)
+             END AS quality
+           FROM words
+         ), lab AS (
+           SELECT l.doc_id,
+             first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+               ORDER BY q.quality DESC NULLS LAST, l.doc_id ASC) AS repr_id
+           FROM labels l JOIN qual q USING (doc_id)
+         ), exg AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+           FROM documents
+         ), rare AS (
+           SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 32
+         ), blocked AS (
+           SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+         ), bsizes AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS bsz FROM blocked
+           GROUP BY doc_id
+         ), bix AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS binter
+           FROM blocked a JOIN blocked b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY doc_a, doc_b
+         ), contained AS (
+           SELECT DISTINCT CASE WHEN sa.bsz < sb.bsz THEN doc_a
+                                ELSE doc_b END AS doc_id
+           FROM bix
+           JOIN bsizes sa ON sa.doc_id = doc_a
+           JOIN bsizes sb ON sb.doc_id = doc_b
+           WHERE binter * 5 >= least(sa.bsz, sb.bsz) * 4
+         )
+         SELECT g.doc_id,
+           CASE WHEN g.canonical_id <> g.doc_id THEN 'exact_dup'
+                WHEN lab.repr_id <> g.doc_id THEN 'near_dup'
+                WHEN c.doc_id IS NOT NULL THEN 'contained'
+                ELSE 'kept' END AS verdict,
+           CASE WHEN g.canonical_id <> g.doc_id THEN g.canonical_id
+                WHEN lab.repr_id <> g.doc_id THEN lab.repr_id
+           END AS ref_id
+         FROM exg g
+         JOIN lab ON lab.doc_id = g.doc_id
+         LEFT JOIN contained c ON c.doc_id = g.doc_id
+         ORDER BY g.doc_id""",
     // t20's gram CTEs split by t14's formula; logp6 is the identical
     // round(ln·1e6) at model-table grain, so the language rollup sums
     // exact integers in both engines
