@@ -69,7 +69,7 @@ object VectorIndexStore {
     * bit-identical to [[IvfAnn.queryQuantized]] on the same data (the
     * build is deterministic; the spec asserts equality). */
   def probe(spark: SparkSession, table: String, queries: DataFrame): DataFrame =
-    probeIndex(spark, s"${table}_centroids", spark.table(table), queries)
+    probeIndex(spark, s"${table}_centroids", withoutTombstones(spark, table, spark.table(table)), queries)
 
   /** Serving view while streamed arrivals sit in a delta directory
     * awaiting compaction ([[graft.streaming.StreamingIndexUpsert]]): the
@@ -96,7 +96,113 @@ object VectorIndexStore {
     val index =
       if (hasDelta) base.unionByName(spark.read.parquet(deltaDir).select(serving: _*))
       else base
-    probeIndex(spark, s"${table}_centroids", index, queries)
+    probeIndex(spark, s"${table}_centroids", withoutTombstones(spark, table, index), queries)
+  }
+
+  /** DELETE — the index-lifecycle verb between upsert and refit:
+    * tombstone the given ids (one-column `vec_id` frame) so the very
+    * next probe neither serves them nor lets them consume top-k slots.
+    * Logical-first (the LSM discipline): the tombstone table is tiny and
+    * broadcast into an anti-join ahead of ranking, while the resident
+    * lists stay untouched until [[purge]] — deleting must never cost a
+    * 100 TB rewrite. Re-deleting an id, or deleting an unknown id, is
+    * harmless (the anti-join doesn't care about duplicates or misses).
+    *
+    * Contract note, stated honestly: a tombstone suppresses the ID —
+    * re-inserting a deleted id (upsert after delete) stays invisible
+    * until [[purge]] clears the tombstone; epoch-aware tombstones are
+    * the upgrade if delete-then-reinsert must be a live pattern. */
+  def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
+    import spark.implicits._
+    ids
+      .select(col("vec_id").cast("long"))
+      .as[Long]
+      .toDF("vec_id")
+      .write
+      .mode("append")
+      .saveAsTable(s"${table}_tombstones")
+  }
+
+  /** The serving view minus tombstoned ids — a broadcast LEFT ANTI ahead
+    * of ranking (tombstones are small by lifecycle contract; a tombstone
+    * set growing toward list size is the purge signal). No tombstone
+    * table = nothing deleted = the index as-is. */
+  private def withoutTombstones(
+      spark: SparkSession,
+      table: String,
+      index: DataFrame
+  ): DataFrame =
+    if (spark.catalog.tableExists(s"${table}_tombstones"))
+      index.join(
+        broadcast(spark.table(s"${table}_tombstones")),
+        Seq("vec_id"),
+        "left_anti"
+      )
+    else index
+
+  /** PURGE — fold the tombstones into the physical store: rewrite ONLY
+    * the list partitions that contain tombstoned rows (dynamic partition
+    * overwrite; untouched lists are never read or written), explicitly
+    * drop partitions the deletes emptied (dynamic overwrite writes
+    * nothing for an empty partition, which would leave stale files),
+    * then clear the tombstone table. Probe answers are identical before
+    * and after (the spec asserts it) — purge moves the delete from the
+    * anti-join to the storage layout, nothing more.
+    *
+    * Finding the touched lists costs one index-wide semi-join on vec_id
+    * — purge is the rare maintenance event (compact's cadence, not the
+    * probe path), and recording cid at delete time would require the
+    * caller to know assignments. Same append/delete crash boundary as
+    * [[compact]]: run from a single maintenance job. */
+  def purge(spark: SparkSession, table: String): Unit = {
+    if (!spark.catalog.tableExists(s"${table}_tombstones")) return
+    val tomb = broadcast(spark.table(s"${table}_tombstones"))
+    val base = spark.table(table)
+    val touchedCids = base
+      .join(tomb, Seq("vec_id"), "left_semi")
+      .select("cid")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+    if (touchedCids.nonEmpty) {
+      val touched = base.filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
+      // Spark refuses to overwrite a table it is reading from, so the
+      // survivors of the touched lists STAGE to a scratch dir first —
+      // sized by the touched partitions, never the index
+      val staging = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"${table}_purge_staging"
+      )
+      val sfs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched
+        .join(tomb, Seq("vec_id"), "left_anti")
+        .write
+        .mode("overwrite")
+        .parquet(staging.toString)
+      val survivors = spark.read.parquet(staging.toString)
+      val liveCids = survivors.select("cid").distinct().collect().map(_.getInt(0)).toSet
+      // insertInto (NOT saveAsTable): saveAsTable-overwrite replaces the
+      // whole table; insertInto under dynamic partition overwrite rewrites
+      // only the partitions present in `survivors`. The catalog-table
+      // insert reads the SESSION conf, not the writer option (the writer
+      // option only reaches path-based writes) — set and restore it.
+      // Position-based, so align to the table's column order explicitly.
+      val pomKey = "spark.sql.sources.partitionOverwriteMode"
+      val prevPom = spark.conf.get(pomKey, "STATIC")
+      spark.conf.set(pomKey, "dynamic")
+      try {
+        survivors
+          .select(spark.table(table).columns.toIndexedSeq.map(col): _*)
+          .write
+          .mode("overwrite")
+          .insertInto(table)
+      } finally spark.conf.set(pomKey, prevPom)
+      sfs.delete(staging, true)
+      touchedCids.filterNot(liveCids).foreach { c =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cid=$c)")
+      }
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
   }
 
   private def probeIndex(

@@ -134,4 +134,63 @@ class VectorIndexSinkSpec extends AnyFunSuite {
     }
     assert(rows.length <= IvfAnn.k)
   }
+
+  test("delete tombstones neighbors out of probes; purge makes it physical; probes agree") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    VectorIndexStore.write(emb, "ivf_del_t")
+    try {
+      val queries = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+      val before = VectorIndexStore.probe(spark, "ivf_del_t", queries).collect().toSeq
+      // tombstone every served neighbor of query 0 — replacements must
+      // fill the freed top-k slots, not shrink the answer
+      val victims = before.filter(_.getLong(0) == 0L).map(_.getLong(2))
+      assert(victims.size == 5, s"fixture must serve 5 neighbors, got $victims")
+      VectorIndexStore.delete(spark, "ivf_del_t", victims.toDF("vec_id"))
+      // re-delete + unknown id: harmless by contract
+      VectorIndexStore.delete(spark, "ivf_del_t", Seq(victims.head, 999999L).toDF("vec_id"))
+
+      val afterDelete = VectorIndexStore.probe(spark, "ivf_del_t", queries).collect().toSeq
+      val served0 = afterDelete.filter(_.getLong(0) == 0L).map(_.getLong(2))
+      assert(served0.size == 5, s"top-k slots must refill after delete: $served0")
+      assert(served0.toSet.intersect(victims.toSet).isEmpty,
+        s"tombstoned ids still served: $served0")
+
+      val rowsBefore = spark.table("ivf_del_t").count()
+      VectorIndexStore.purge(spark, "ivf_del_t")
+      assert(spark.table("ivf_del_t").count() == rowsBefore - victims.size,
+        "purge must physically remove exactly the tombstoned rows")
+      assert(!spark.catalog.tableExists("ivf_del_t_tombstones"),
+        "purge must clear the tombstone table")
+      val afterPurge = VectorIndexStore.probe(spark, "ivf_del_t", queries).collect().toSeq
+      assert(afterPurge == afterDelete,
+        "purge changed probe answers — it must only move the delete into the layout")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_del_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_del_t_tombstones")
+    }
+  }
+
+  test("purging an entire list leaves no stale rows behind the dropped partition") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    VectorIndexStore.write(emb, "ivf_empty_t")
+    try {
+      // empty one whole list: dynamic overwrite writes nothing for an
+      // empty partition, so purge must drop the partition explicitly
+      val base = spark.table("ivf_empty_t")
+      val someCid = base.select("cid").head().getInt(0)
+      val listIds = base.filter(col("cid") === someCid).select("vec_id").as[Long].collect()
+      assert(listIds.nonEmpty)
+      VectorIndexStore.delete(spark, "ivf_empty_t", listIds.toSeq.toDF("vec_id"))
+      VectorIndexStore.purge(spark, "ivf_empty_t")
+      assert(spark.table("ivf_empty_t").filter(col("cid") === someCid).count() == 0,
+        s"stale rows survived in emptied list $someCid")
+      val total = spark.table("ivf_empty_t").count()
+      assert(total == emb.count() - listIds.length, s"wrong surviving count $total")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_empty_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_empty_t_tombstones")
+    }
+  }
 }
