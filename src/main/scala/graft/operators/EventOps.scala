@@ -1106,6 +1106,49 @@ object EventOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Session-grain co-occurrence LIFT (e30) — market-basket analysis
+    * over sessions: for every event-type pair, how much more often the
+    * two types share a session than independence predicts,
+    * lift = P(a,b)/(P(a)·P(b)). The co-occurrence complement of e19's
+    * Markov profile (e19 asks "what follows what"; e30 asks "what goes
+    * TOGETHER", order-free) — the cross-sell/feature-affinity signal.
+    * lift6 is a pure integer cross-multiplication
+    * (n_ab·n_sessions·1e6) div (n_a·n_b) — no probability ever
+    * materializes as a float.
+    *
+    * Scale: rides e2's one user-keyed exchange to session ids; the
+    * distinct (session, type) frame is ≤|types| rows per session; the
+    * in-session pair self-join fans out ≤C(|types|,2) per session; the
+    * rollup lands on ≤|types|² keys. The cross-terms accumulate in
+    * decimal(38,0) (n_ab·N·1e6 overflows long at 1e9 sessions — the
+    * e23/e28 HUGEINT discipline). */
+  private def e30CooccurrenceLift(s: SparkSession, d: String): DataFrame = {
+    val st = sessionized(s, d)
+      .select(
+        concat_ws("#", col("user_id"), col("session_id")).as("sid"),
+        col("event_type")
+      )
+      .distinct()
+      .cache()
+    val nSessions = st.select("sid").distinct().count()
+    val typeCounts = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    st.as("a")
+      .join(st.as("b"), col("a.sid") === col("b.sid") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(typeCounts.select(col("event_type").as("type_a"), col("n_t").as("n_a")), "type_a")
+      .join(typeCounts.select(col("event_type").as("type_b"), col("n_t").as("n_b")), "type_b")
+      .withColumn(
+        "lift6",
+        expr(
+          s"CAST((CAST(n_ab AS DECIMAL(38,0)) * ${nSessions}L * 1000000) " +
+            "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        )
+      )
+      .select("type_a", "type_b", "n_ab", "n_a", "n_b", "lift6")
+      .orderBy("type_a", "type_b")
+  }
+
   /** Abandonment analysis (e29) — the temporal ANTI-join: click
     * (intent) events NOT followed by a purchase within 1 h, rolled up
     * per day with the abandonment rate. The negative-space counterpart
@@ -1345,6 +1388,7 @@ object EventOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "e30_cooccurrence_lift" -> (e30CooccurrenceLift _),
     "e29_abandonment" -> (e29Abandonment _),
     "w8_session_window" -> (w8SessionWindow _),
     "e28_trend_fit" -> (e28TrendFit _),
@@ -1381,6 +1425,51 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // e2's session CTEs + distinct (session, type) + in-session pair
+    // join; lift6 cross-multiplies in HUGEINT (= Spark's decimal(38,0))
+    "e30_cooccurrence_lift" ->
+      """WITH base AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events
+         ), flagged AS (
+           SELECT user_id, event_id, event_type, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ), sessioned AS (
+           SELECT user_id, event_type,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM flagged
+         ), st AS (
+           SELECT DISTINCT user_id, session_id, event_type FROM sessioned
+         ), ns AS (
+           SELECT CAST(count(DISTINCT (user_id, session_id)) AS BIGINT)
+             AS n_sessions
+           FROM st
+         ), tc AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+           FROM st GROUP BY event_type
+         ), pairs AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+           FROM st a JOIN st b
+             ON a.user_id = b.user_id AND a.session_id = b.session_id
+            AND a.event_type < b.event_type
+           GROUP BY type_a, type_b
+         )
+         SELECT type_a, type_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+           CAST((CAST(n_ab AS HUGEINT) * n_sessions * 1000000)
+             // (CAST(ta.n_t AS HUGEINT) * tb.n_t) AS BIGINT) AS lift6
+         FROM pairs
+         JOIN tc ta ON ta.event_type = type_a
+         JOIN tc tb ON tb.event_type = type_b
+         CROSS JOIN ns
+         ORDER BY type_a, type_b""",
     // the same forward carry (e22's idiom mirrored) — abandonment is a
     // per-row test, never a NOT EXISTS range join
     "e29_abandonment" ->
