@@ -1251,18 +1251,26 @@ object EventOps {
         count(lit(1)).as("n_days"),
         sum("x").as("sx"),
         sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx")
+        // the MOMENT sums themselves accumulate wide: Σx·y at 1e4 days
+        // × 1e12 events/day is ~1e20, past long BEFORE the cross-terms
+        // (a long sum would wrap silently where DuckDB's HUGEINT
+        // doesn't — the cross-engine drift the discipline exists for)
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy_w"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx_w")
       )
       .withColumn(
         "num",
-        expr("CAST(n_days AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+        expr("CAST(n_days AS DECIMAL(38,0)) * sxy_w - CAST(sx AS DECIMAL(38,0)) * sy")
       )
       .withColumn(
         "den",
-        expr("CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+        expr("CAST(n_days AS DECIMAL(38,0)) * sxx_w - CAST(sx AS DECIMAL(38,0)) * sx")
       )
       .withColumn("slope6", expr("CAST((num * 1000000) div greatest(den, 1) AS BIGINT)"))
+      // anchor columns rendered BIGINT for the hash; exact at any scale
+      // where they fit (the wide internals above never wrap either way)
+      .withColumn("sxy", expr("CAST(sxy_w AS BIGINT)"))
+      .withColumn("sxx", expr("CAST(sxx_w AS BIGINT)"))
       .select("event_type", "n_days", "sx", "sy", "sxy", "sxx", "slope6")
       .orderBy("event_type")
   }
@@ -1543,14 +1551,15 @@ object EventOps {
              CAST(count(*) AS BIGINT) AS n_days,
              CAST(sum(x) AS BIGINT) AS sx,
              CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
+             sum(CAST(x AS HUGEINT) * y) AS sxy_w,
+             sum(CAST(x AS HUGEINT) * x) AS sxx_w
            FROM xy GROUP BY event_type
          )
-         SELECT event_type, n_days, sx, sy, sxy, sxx,
-           CAST(((CAST(n_days AS HUGEINT) * sxy
+         SELECT event_type, n_days, sx, sy,
+           CAST(sxy_w AS BIGINT) AS sxy, CAST(sxx_w AS BIGINT) AS sxx,
+           CAST(((CAST(n_days AS HUGEINT) * sxy_w
                   - CAST(sx AS HUGEINT) * sy) * 1000000)
-             // greatest(CAST(n_days AS HUGEINT) * sxx
+             // greatest(CAST(n_days AS HUGEINT) * sxx_w
                   - CAST(sx AS HUGEINT) * sx, 1) AS BIGINT) AS slope6
          FROM s ORDER BY event_type""",
     // same lag + running-sum burst ids; suppression6 is the identical

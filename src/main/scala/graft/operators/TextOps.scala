@@ -2400,12 +2400,16 @@ object TextOps {
         count_distinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_bigrams"),
         sum(when(col("logp6").isNull, 1L).otherwise(0L)).as("n_oov"),
-        sum("logp6").cast("long").as("sum_logp6")
+        // WIDE accumulation (the e23/t56 discipline): ~2e7-magnitude
+        // logp6 over 1e12 bigrams is ~2e19, past long — a long sum
+        // would wrap silently where DuckDB's HUGEINT doesn't
+        sum(col("logp6").cast("decimal(38,0)")).as("sum_w")
       )
       .withColumn("oov6", expr("(n_oov * 1000000) div n_bigrams"))
+      .withColumn("sum_logp6", expr("CAST(sum_w AS BIGINT)"))
       .withColumn(
         "avg_logp6",
-        expr("sum_logp6 div greatest(n_bigrams - n_oov, 1)")
+        expr("CAST(sum_w div greatest(n_bigrams - n_oov, 1) AS BIGINT)")
       )
       .select("lang", "n_docs", "n_bigrams", "n_oov", "oov6", "sum_logp6", "avg_logp6")
       .orderBy("lang")
@@ -2490,10 +2494,17 @@ object TextOps {
       )
       .withColumn(
         "tv6",
-        expr(
-          "CAST((s * 1000000) div greatest(CAST(2 AS DECIMAL(38,0)) " +
-            "* n_prior * n_current, 1) AS BIGINT)"
-        )
+        // a language present on only ONE side is TOTAL drift by
+        // definition — the cross-multiplied formula degenerates to 0/0
+        // there (every term carries the zero total), which would read
+        // "no drift" for a complete distribution replacement
+        when(col("n_prior") === 0 || col("n_current") === 0, lit(1000000L))
+          .otherwise(
+            expr(
+              "CAST((s * 1000000) div greatest(CAST(2 AS DECIMAL(38,0)) " +
+                "* n_prior * n_current, 1) AS BIGINT)"
+            )
+          )
       )
       .select("lang", "n_prior", "n_current", "n_bins", "tv6")
       .orderBy("lang")
@@ -2981,7 +2992,7 @@ object TextOps {
          |  CAST((CAST(sum(CASE WHEN logp6 IS NULL THEN 1 ELSE 0 END)
          |      AS BIGINT) * 1000000) // count(*) AS BIGINT) AS oov6,
          |  CAST(sum(logp6) AS BIGINT) AS sum_logp6,
-         |  CAST(CAST(sum(logp6) AS BIGINT)
+         |  CAST(sum(logp6)
          |    // greatest(count(*) - sum(CASE WHEN logp6 IS NULL THEN 1
          |                ELSE 0 END), 1) AS BIGINT) AS avg_logp6
          |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
@@ -3027,8 +3038,10 @@ object TextOps {
          )
          SELECT j.lang, max(na) AS n_prior, max(nb) AS n_current,
            max(n_bins) AS n_bins,
-           CAST(sum(abs(n_a * nb - n_b * na)) * 1000000
-             // greatest(2 * max(na) * max(nb), 1) AS BIGINT) AS tv6
+           CASE WHEN max(na) = 0 OR max(nb) = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(sum(abs(n_a * nb - n_b * na)) * 1000000
+                  // greatest(2 * max(na) * max(nb), 1) AS BIGINT)
+           END AS tv6
          FROM joined j JOIN tot t ON j.lang = t.lang
          GROUP BY j.lang ORDER BY j.lang""",
     // t41's SQL-reproducible LSH CTEs corpus-wide: md5-prefix 32-bit

@@ -145,9 +145,13 @@ object VectorIndexStore {
     * overwrite; untouched lists are never read or written), explicitly
     * drop partitions the deletes emptied (dynamic overwrite writes
     * nothing for an empty partition, which would leave stale files),
-    * then clear the tombstone table. Probe answers are identical before
-    * and after (the spec asserts it) — purge moves the delete from the
-    * anti-join to the storage layout, nothing more.
+    * then retire the FOLDED tombstones. Tombstones for ids not resident
+    * in the base — still sitting in an un-compacted delta, or unknown —
+    * SURVIVE the purge and keep suppressing their rows (retiring them
+    * would resurrect a delta row in [[probeWithDelta]]); they fold at a
+    * later purge once compact moves them into the base. Probe answers
+    * are identical before and after (the spec asserts it) — purge moves
+    * the delete from the anti-join to the storage layout, nothing more.
     *
     * Finding the touched lists costs one index-wide semi-join on vec_id
     * — purge is the rare maintenance event (compact's cadence, not the
@@ -158,6 +162,17 @@ object VectorIndexStore {
     if (!spark.catalog.tableExists(s"${table}_tombstones")) return
     val tomb = broadcast(spark.table(s"${table}_tombstones"))
     val base = spark.table(table)
+    // only tombstones RESIDENT in the base can be folded here — an id
+    // still sitting in an un-compacted delta must keep its tombstone
+    // (dropping it would resurrect the row in probeWithDelta); those
+    // fold at a later purge, after compact moves them into the base
+    val foldable = base
+      .join(tomb, Seq("vec_id"), "left_semi")
+      .select("vec_id")
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSet
     val touchedCids = base
       .join(tomb, Seq("vec_id"), "left_semi")
       .select("cid")
@@ -202,7 +217,19 @@ object VectorIndexStore {
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cid=$c)")
       }
     }
+    // retire only the FOLDED tombstones; delta-only (or unknown-id)
+    // tombstones survive and keep suppressing their rows until a
+    // post-compact purge can make them physical
+    import spark.implicits._
+    val remaining = spark
+      .table(s"${table}_tombstones")
+      .select(col("vec_id"))
+      .as[Long]
+      .collect()
+      .toSet -- foldable
     spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
+    if (remaining.nonEmpty)
+      remaining.toSeq.toDF("vec_id").write.saveAsTable(s"${table}_tombstones")
   }
 
   private def probeIndex(

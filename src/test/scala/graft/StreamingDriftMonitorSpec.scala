@@ -55,10 +55,18 @@ class StreamingDriftMonitorSpec extends AnyFunSuite {
       // batch 1: all boilerplate — the drift the monitor exists to catch
       stream.addData((201L to 204L).map(i => (i, "the the the", "en")): _*)
       q.processAllAvailable()
+      // batch 2: an entirely NEW language — a complete distribution
+      // replacement must read TOTAL drift (1e6), not the degenerate 0
+      // the raw cross-multiplied formula produces when one side is empty
+      stream.addData((301L to 303L).map(i => (i, "le le le", "fr")): _*)
+      q.processAllAvailable()
       val tv0 = got(0L).head._2
       val tv1 = got(1L).head._2
       assert(tv0 == 0L, s"same-mix batch must read zero drift, got $tv0")
       assert(tv1 >= 400000L, s"boilerplate batch must read large drift, got $tv1")
+      val byLang = got(2L).toMap
+      assert(byLang("fr") == 1000000L, s"unseen language must read total drift: $byLang")
+      assert(byLang("en") == 1000000L, s"vanished language must read total drift: $byLang")
     } finally q.stop()
   }
 }

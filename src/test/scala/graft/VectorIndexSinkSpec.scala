@@ -160,8 +160,12 @@ class VectorIndexSinkSpec extends AnyFunSuite {
       VectorIndexStore.purge(spark, "ivf_del_t")
       assert(spark.table("ivf_del_t").count() == rowsBefore - victims.size,
         "purge must physically remove exactly the tombstoned rows")
-      assert(!spark.catalog.tableExists("ivf_del_t_tombstones"),
-        "purge must clear the tombstone table")
+      // the unknown id could live in a delta purge can't see — its
+      // tombstone must SURVIVE (retiring it would resurrect the row in
+      // probeWithDelta); only folded tombstones retire
+      val leftover = spark.table("ivf_del_t_tombstones").as[Long].collect().toSet
+      assert(leftover == Set(999999L),
+        s"purge must retire exactly the folded tombstones, left $leftover")
       val afterPurge = VectorIndexStore.probe(spark, "ivf_del_t", queries).collect().toSeq
       assert(afterPurge == afterDelete,
         "purge changed probe answers — it must only move the delete into the layout")
