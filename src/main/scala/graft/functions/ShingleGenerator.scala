@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{
 }
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{
-  IntegerType, LongType, StringType, StructField, StructType
+  ArrayType, DataType, FloatType, IntegerType, LongType, StringType,
+  StructField, StructType
 }
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -218,5 +219,67 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** Feature-hashing trigram featurizer — `graft_gram_embed(text)` returns a
+  * 64-dim float embedding where each word-trigram's cross-engine hash
+  * ([[ShingleHashing.md5PrefixSequence]], t6's md5 first-4-bytes scheme)
+  * scatters a ±1 count into dim `h mod 64` with sign from bit 6
+  * (`(h / 64) mod 2`). Cosine between two such vectors tracks trigram
+  * multiset overlap — near-dup documents land at cos ≥ ~0.9 while
+  * unrelated documents (few shared word trigrams) sit near 0 — giving the
+  * NEAR-ORTHOGONAL background geometry that [[graft.operators.VectorOps
+  * .bandedCandidates]] needs to prune (m7's byte-histogram stub sits at a
+  * ~0.7 background where no band geometry separates; this featurizer is
+  * the separable stand-in a real media encoder would provide).
+  *
+  * All accumulated values are small exact integers, so the dot/norm
+  * arithmetic downstream is order-independent and bit-identical across
+  * engines — the DuckDB oracle rebuilds the embedding with the same md5
+  * hex-prefix formula. Interpreted (CodegenFallback), but like the
+  * generators above it runs ONCE per document inside a scan-bound
+  * featurize stage, not per token. A document with fewer than 3 words
+  * (no trigrams) embeds as the zero vector; callers filter on norm > 0,
+  * matching the oracle's implicit drop of trigram-less docs. */
+case class GramEmbed(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  private val dims = 64
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_gram_embed expects a string column, got ${other.simpleString}"
+        )
+    }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def prettyName: String = "graft_gram_embed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val h = ShingleHashing.md5PrefixSequence(input.asInstanceOf[UTF8String], 3)
+    val acc = new Array[Double](dims)
+    var i = 0
+    while (i < h.length) {
+      // h ∈ [0, 2^32): dim and sign are both non-negative arithmetic
+      val d = (h(i) % dims).toInt
+      acc(d) += (if ((h(i) / dims) % 2 == 0L) 1.0 else -1.0)
+      i += 1
+    }
+    val out = new Array[Float](dims)
+    var j = 0
+    while (j < dims) {
+      out(j) = acc(j).toFloat
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramEmbed =
     copy(child = newChild)
 }

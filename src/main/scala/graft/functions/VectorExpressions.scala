@@ -610,6 +610,11 @@ object GraftFunctions {
     "graft_winnow"
   )
 
+  val gramEmbedInfo = new ExpressionInfo(
+    classOf[GramEmbed].getName,
+    "graft_gram_embed"
+  )
+
   val pqEncodeInfo = new ExpressionInfo(
     classOf[PqEncode].getName,
     "graft_pq_encode"
@@ -687,6 +692,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow",
       (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), 3, 4),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_embed",
+      (exprs: Seq[Expression]) => GramEmbed(exprs(0)),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -786,6 +796,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         FunctionIdentifier("graft_winnow"),
         GraftFunctions.winnowInfo,
         (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), 3, 4)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_gram_embed"),
+        GraftFunctions.gramEmbedInfo,
+        (exprs: Seq[Expression]) => GramEmbed(exprs(0))
       )
     )
     ext.injectFunction(

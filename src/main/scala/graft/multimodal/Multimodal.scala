@@ -428,8 +428,83 @@ object MultimodalOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** m7b — banded semantic media dedup ON A SEPARABLE GEOMETRY: the
+    * production plan m7's Scaladoc promises, declared and hash-certified.
+    * m7's exact all-pairs stage exists only because the byte-histogram stub
+    * featurizer's ~0.7 background cosine leaves no band geometry any room;
+    * this query swaps the featurizer for `graft_gram_embed` (word-trigram
+    * feature hashing — near-dup payloads land at cos ≥ ~0.89, unrelated
+    * payloads at |cos| ≤ ~0.62 on this corpus, measured at both driver
+    * scale factors) and then the pair source is
+    * [[graft.operators.VectorOps.bandedCandidates]] — a keyed (band,
+    * bucket) self-join, v12b's machinery — in front of the SAME exact
+    * cosine verify at τ=0.8. No all-pairs scan, no full-corpus broadcast
+    * anywhere in the plan.
+    *
+    * Banding recall is total here BY GEOMETRY, not luck: with 128 bands of
+    * 12 bits, a true pair at the corpus floor (cos ≈ 0.894, per-bit
+    * agreement p ≈ 0.85) misses every band with probability
+    * (1 − p¹²)¹²⁸ ≈ 2·10⁻⁹, while an uncorrelated pair (p ≈ 0.5) survives
+    * banding with probability ≈ 128/4096 ≈ 3% — so the DuckDB oracle is
+    * the EXACT pair criterion and the driver's hash check itself certifies
+    * banded == exact end-to-end (MultimodalSpec pins the same equality
+    * against the in-engine exact scan at both SFs). Featurized embeddings
+    * are cached: featurize-once feeds the signature pass and both verify
+    * sides — the persisted-embedding discipline t41 uses for signatures. */
+  def semanticDedupBandedQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = gramEmbeddings(docs).cache()
+    val cand = graft.operators.VectorOps.bandedCandidates(
+      emb.select("vec_id", "embedding"),
+      nBands = 128,
+      bandBits = 12
+    )
+    verifiedPairs(cand, emb)
+  }
+
+  /** Media-grain trigram-hash embeddings with norms, zero-vector rows
+    * (payloads with no word trigram) dropped — shared by m7b and its
+    * equality-gate spec's exact arm. */
+  def gramEmbeddings(docs: DataFrame): DataFrame =
+    Multimodal
+      .withPayload(docs)
+      .filter(length(col("payload")) > 0)
+      .withColumn(
+        "embedding",
+        call_function("graft_gram_embed", col("payload").cast("string"))
+      )
+      .withColumn(
+        "nrm",
+        sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
+      )
+      .filter(col("nrm") > 0)
+      .select(col("media_id").as("vec_id"), col("embedding"), col("nrm"))
+
+  /** m7's exact cosine verify at τ=0.8 over a candidate pair frame —
+    * candidates join the embedding table keyed per side, so the pair space
+    * the verify touches is exactly the candidate set. */
+  def verifiedPairs(cand: DataFrame, emb: DataFrame): DataFrame =
+    cand
+      .join(
+        emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na")),
+        "id_a"
+      )
+      .join(
+        emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb")),
+        "id_b"
+      )
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+      )
+      .filter(col("cos") > 0.8)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_semantic_dedup" -> ((s, d) => semanticDedupQuery(s, d)),
+    "m7b_semantic_dedup_banded" -> ((s, d) => semanticDedupBandedQuery(s, d)),
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d)),
@@ -463,6 +538,58 @@ object MultimodalOps {
                     i -> CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))))
                AS cos
            FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         )
+         SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+         WHERE cos > 0.8 ORDER BY id_a, id_b""",
+    // m7b's oracle is the EXACT pair criterion over the trigram-hash
+    // embedding (t6's md5 hex-prefix hash rebuilt in SQL, dim = h mod 64,
+    // sign = bit 6) — the Spark side is the BANDED plan, so a hash match
+    // here IS the banded==exact certification. Every accumulated value is
+    // a small exact integer, so dot/norm arithmetic is order-independent
+    // and engine-identical.
+    "m7b_semantic_dedup_banded" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents WHERE strlen(text) > 0
+         ), sh AS (
+           SELECT doc_id, md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
+                 FROM words WHERE len(w) >= 3)
+         ), hs AS (
+           SELECT doc_id,
+             (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 268435456 +
+             (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16777216 +
+             (instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 1048576 +
+             (instr('0123456789abcdef', substr(hh, 4, 1)) - 1) * 65536 +
+             (instr('0123456789abcdef', substr(hh, 5, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(hh, 8, 1)) - 1) AS h
+           FROM sh
+         ), scat AS (
+           SELECT doc_id, h % 64 AS dim,
+             sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+           FROM hs GROUP BY 1, 2
+         ), emb AS (
+           SELECT doc_id AS vec_id,
+             list_transform(range(0, 64), d ->
+               coalesce(list_sum(list_transform(vals,
+                 x -> CASE WHEN x.dim = d THEN x.v ELSE 0.0 END)), 0.0)) AS e
+           FROM (SELECT doc_id, list(struct_pack(dim := dim, v := v)) AS vals
+                 FROM scat GROUP BY 1)
+         ), nrmd AS (
+           SELECT * FROM (
+             SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+             FROM emb)
+           WHERE nrm > 0
+         ), scored AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+               / (a.nrm * b.nrm) AS cos
+           FROM nrmd a JOIN nrmd b ON a.vec_id < b.vec_id
          )
          SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
          WHERE cos > 0.8 ORDER BY id_a, id_b""",

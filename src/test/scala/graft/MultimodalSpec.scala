@@ -137,4 +137,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got((1L, 4L)) == ((2L, 1.0)), "unsampled-frame change is invisible")
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "disjoint media paired")
   }
+
+  test("m7b banded semantic dedup equals the exact pair criterion at both driver SFs") {
+    // The certification m7's Scaladoc promises: on a separable embedding
+    // geometry (graft_gram_embed — near-dup payloads ≥ ~0.89 cosine,
+    // background ≤ ~0.62), bandedCandidates in front of the exact verify
+    // reproduces the exact all-pairs result EXACTLY. Deterministic planes +
+    // deterministic data: if this holds here it holds in the driver run.
+    import graft.multimodal.MultimodalOps
+    graft.functions.GraftFunctions.register(spark)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val emb = MultimodalOps.gramEmbeddings(docs).cache()
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val exact = a
+        .crossJoin(broadcast(b))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn(
+          "cos",
+          call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+        )
+        .filter(col("cos") > 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val banded = MultimodalOps
+        .semanticDedupBandedQuery(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(exact.nonEmpty, s"no true pairs at $sf — the gate would be vacuous")
+      assert(banded == exact, s"banded != exact at $sf")
+      emb.unpersist()
+    }
+  }
+
+  test("m7b plan has no all-pairs stage (no cartesian/broadcast-NL join)") {
+    val plan = graft.multimodal.MultimodalOps
+      .semanticDedupBandedQuery(spark, "/root/testdata/sf0.001")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in m7b plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "broadcast-NL in m7b plan")
+  }
 }

@@ -162,6 +162,48 @@ class ShingleGeneratorSpec extends AnyFunSuite {
     assert(d.getLong(0) == 0L && d.getLong(1) == 0L)
   }
 
+  test("graft_gram_embed matches the compositional md5-hex scatter pipeline") {
+    // Independent reference: Spark's built-in md5() + conv() hex decode +
+    // lead-window trigram assembly + groupBy scatter — a different md5
+    // implementation and a different accumulation path than the fused
+    // expression's MessageDigest loop.
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .cache()
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    val expected = docs
+      .select(col("doc_id"), posexplode(F.wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(byDocPos))
+      .withColumn("t2", lead("tok", 2).over(byDocPos))
+      .filter(col("t2").isNotNull)
+      .withColumn(
+        "h",
+        conv(substring(md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))), 1, 8), 16, 10)
+          .cast("long")
+      )
+      .withColumn("dim", (col("h") % 64).cast("int"))
+      .withColumn("s", when((col("h") / 64).cast("long") % 2 === 0, 1.0).otherwise(-1.0))
+      .groupBy("doc_id", "dim")
+      .agg(sum("s").as("v"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val got = docs
+      .select(col("doc_id"), call_function("graft_gram_embed", col("text")).as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(got.nonEmpty && got.forall(_._2.length == 64))
+    got.foreach { case (docId, e) =>
+      (0 until 64).foreach { d =>
+        val want = expected.getOrElse((docId, d), 0.0).toFloat
+        assert(e(d) == want, s"doc=$docId dim=$d got=${e(d)} want=$want")
+      }
+    }
+    docs.unpersist()
+  }
+
   test("the t4 build side plan has no shuffle before the candidate join") {
     val plan = TextOps
       .shingleRows(Tables.documents(spark, "/root/testdata/sf0.001"))
