@@ -108,10 +108,15 @@ object VectorIndexStore {
     * 100 TB rewrite. Re-deleting an id, or deleting an unknown id, is
     * harmless (the anti-join doesn't care about duplicates or misses).
     *
-    * Contract note, stated honestly: a tombstone suppresses the ID —
-    * re-inserting a deleted id (upsert after delete) stays invisible
-    * until [[purge]] clears the tombstone; epoch-aware tombstones are
-    * the upgrade if delete-then-reinsert must be a live pattern. */
+    * Contract note, stated honestly: a tombstone suppresses the ID, and
+    * while it stands a re-insert of that id is DROPPED — [[upsert]] and
+    * [[writeDelta]] both anti-join arrivals against the tombstone table,
+    * so the drop is deterministic, not dependent on whether the old row
+    * is still physical. Delete-then-reinsert as a live pattern is
+    * purge-first: run [[purge]] (retires the tombstone once the old row
+    * is physically gone), then upsert — the spec pins that sequence.
+    * Epoch-aware tombstones are the upgrade if the two must interleave
+    * without an intervening purge. */
   def delete(spark: SparkSession, table: String, ids: DataFrame): Unit = {
     import spark.implicits._
     ids
@@ -146,33 +151,69 @@ object VectorIndexStore {
     * drop partitions the deletes emptied (dynamic overwrite writes
     * nothing for an empty partition, which would leave stale files),
     * then retire the FOLDED tombstones. Tombstones for ids not resident
-    * in the base — still sitting in an un-compacted delta, or unknown —
-    * SURVIVE the purge and keep suppressing their rows (retiring them
-    * would resurrect a delta row in [[probeWithDelta]]); they fold at a
-    * later purge once compact moves them into the base. Probe answers
-    * are identical before and after (the spec asserts it) — purge moves
-    * the delete from the anti-join to the storage layout, nothing more.
+    * in the base — or still sitting in one of the `deltaDirs`' un-
+    * compacted epochs (pass every registered delta dir; [[writeDelta]]'s
+    * base anti-join makes base∧delta co-residency unreachable, but purge
+    * verifies rather than assumes) — SURVIVE the purge and keep
+    * suppressing their rows (retiring them would resurrect a delta row
+    * in [[probeWithDelta]]); they fold at a later purge once compact
+    * moves them into the base. Probe answers are identical before and
+    * after (the spec asserts it) — purge moves the delete from the
+    * anti-join to the storage layout, nothing more.
     *
-    * Finding the touched lists costs one index-wide semi-join on vec_id
-    * — purge is the rare maintenance event (compact's cadence, not the
-    * probe path), and recording cid at delete time would require the
-    * caller to know assignments. Same append/delete crash boundary as
-    * [[compact]]: run from a single maintenance job. */
-  def purge(spark: SparkSession, table: String): Unit = {
+    * Everything scales by the TOMBSTONE set, never the index: the
+    * surviving-tombstone frame is (tomb ∖ base-residents) ∪ (tomb ∩
+    * delta-residents), computed as broadcast anti/semi-joins of the tiny
+    * tombstone table against id frames and STAGED to parquet before the
+    * base rewrite — no per-id driver collect anywhere in the verb, so a
+    * bulk (GDPR-style) delete purges in one pass without driver memory
+    * scaling (the bulk-delete spec runs one). The one collected value is
+    * the touched-cid list, bounded by k. Finding the touched lists costs
+    * one index-wide semi-join on vec_id — purge is the rare maintenance
+    * event (compact's cadence, not the probe path). Same append/delete
+    * crash boundary as [[compact]]: run from a single maintenance job;
+    * the tombstone rewrite itself is a single overwrite (no drop-then-
+    * create window that could lose surviving tombstones). */
+  def purge(spark: SparkSession, table: String, deltaDirs: Seq[String] = Nil): Unit = {
     if (!spark.catalog.tableExists(s"${table}_tombstones")) return
-    val tomb = broadcast(spark.table(s"${table}_tombstones"))
+    val tomb = broadcast(spark.table(s"${table}_tombstones").select("vec_id").distinct())
     val base = spark.table(table)
-    // only tombstones RESIDENT in the base can be folded here — an id
-    // still sitting in an un-compacted delta must keep its tombstone
-    // (dropping it would resurrect the row in probeWithDelta); those
-    // fold at a later purge, after compact moves them into the base
-    val foldable = base
+    // ids the rewrite below will make physically gone from the base —
+    // small (bounded by the tombstone set), NOT collected
+    val baseResident = base
       .join(tomb, Seq("vec_id"), "left_semi")
       .select("vec_id")
       .distinct()
-      .collect()
-      .map(_.getLong(0))
-      .toSet
+    // ids still present in an un-compacted delta epoch keep their
+    // tombstones regardless of base residency
+    val deltaResident = deltaDirs
+      .flatMap { dir =>
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasEpochs = fs.exists(root) &&
+          fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+        if (hasEpochs) Some(spark.read.parquet(dir).select("vec_id")) else None
+      }
+      .reduceOption(_ unionByName _)
+    // survivors = (tomb ∖ base) ∪ (tomb ∩ delta); must be STAGED before
+    // the rewrite — afterwards the re-read base no longer contains the
+    // folded ids, which would make every tombstone look unfolded
+    val survivors = {
+      val notInBase = tomb.join(baseResident, Seq("vec_id"), "left_anti")
+      deltaResident match {
+        case Some(d) =>
+          notInBase
+            .unionByName(tomb.join(d, Seq("vec_id"), "left_semi"))
+            .distinct()
+        case None => notInBase
+      }
+    }
+    val tombStaging = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"${table}_tombstone_staging"
+    )
+    val tfs = tombStaging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    survivors.write.mode("overwrite").parquet(tombStaging.toString)
     val touchedCids = base
       .join(tomb, Seq("vec_id"), "left_semi")
       .select("cid")
@@ -217,19 +258,18 @@ object VectorIndexStore {
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cid=$c)")
       }
     }
-    // retire only the FOLDED tombstones; delta-only (or unknown-id)
-    // tombstones survive and keep suppressing their rows until a
-    // post-compact purge can make them physical
-    import spark.implicits._
-    val remaining = spark
-      .table(s"${table}_tombstones")
-      .select(col("vec_id"))
-      .as[Long]
-      .collect()
-      .toSet -- foldable
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_tombstones")
-    if (remaining.nonEmpty)
-      remaining.toSeq.toDF("vec_id").write.saveAsTable(s"${table}_tombstones")
+    // retire the folded tombstones by OVERWRITING the table with the
+    // staged survivors — one writer command, not drop-then-create, so a
+    // crash cannot silently lose surviving (delta-only/unknown-id)
+    // tombstones and un-delete their rows; an empty survivor set leaves
+    // an empty table (truncate semantics), which the probe anti-join
+    // treats as nothing-deleted
+    spark.read
+      .parquet(tombStaging.toString)
+      .write
+      .mode("overwrite")
+      .saveAsTable(s"${table}_tombstones")
+    tfs.delete(tombStaging, true)
   }
 
   private def probeIndex(
@@ -307,7 +347,10 @@ object VectorIndexStore {
     * Retry-safe: arrivals whose vec_id already sits in a touched list are
     * dropped by an anti-join before the append, so a re-delivered batch
     * (orchestrator retry, duplicate arrival file) is a no-op instead of
-    * seating the same neighbor twice in probe windows.
+    * seating the same neighbor twice in probe windows. Tombstoned ids are
+    * dropped by a second (broadcast) anti-join — deterministically, not
+    * only while the old row is still physical — keeping [[delete]]'s
+    * purge-first re-insert contract honest.
     *
     * Scale shape: one k-row centroid read + the shuffle-free codegen
     * argmin over the increment; the append — and the retry guard's read —
@@ -330,13 +373,33 @@ object VectorIndexStore {
       .table(table)
       .filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
       .select("vec_id")
-    val fresh = indexed.join(residents, Seq("vec_id"), "left_anti")
+    val fresh = withoutTombstonedIds(
+      spark,
+      table,
+      indexed.join(residents, Seq("vec_id"), "left_anti")
+    )
     alignTo(spark.table(table), fresh).write
       .partitionBy("cid")
       .mode("append")
       .saveAsTable(table)
     indexed.unpersist()
   }
+
+  /** Drop rows whose vec_id is currently tombstoned — the ingest-side
+    * guard that makes the delete contract deterministic for [[upsert]]
+    * and [[writeDelta]] alike. */
+  private def withoutTombstonedIds(
+      spark: SparkSession,
+      table: String,
+      rows: DataFrame
+  ): DataFrame =
+    if (spark.catalog.tableExists(s"${table}_tombstones"))
+      rows.join(
+        broadcast(spark.table(s"${table}_tombstones")),
+        Seq("vec_id"),
+        "left_anti"
+      )
+    else rows
 
   /** Idempotent delta writer for CONTINUOUS maintenance
     * ([[graft.streaming.StreamingIndexUpsert]] wires it to a stream):
@@ -346,24 +409,39 @@ object VectorIndexStore {
     * partitions instead of duplicating rows — the append-sink analogue of
     * [[graft.streaming.StreamingSnapshot.writeSnapshot]]'s truncate
     * argument. Keeping cid a partition column means
-    * [[probeWithDelta]] prunes unprobed lists in the delta too. */
+    * [[probeWithDelta]] prunes unprobed lists in the delta too.
+    *
+    * Same ingest guards as [[upsert]], reading only the ≤k touched list
+    * partitions: arrivals already resident in the base are dropped (a
+    * base∧delta co-resident id would be served twice by
+    * [[probeWithDelta]] and double-folded by [[compact]]; it would also
+    * let [[purge]] retire a tombstone whose id still lives in the
+    * delta), and tombstoned ids are dropped per [[delete]]'s contract. */
   def writeDelta(batch: DataFrame, table: String, deltaDir: String, epoch: Long): Unit = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val centArr = IvfAnn.collectCents(spark.table(s"${table}_centroids"))
-    IvfAnn
+    val indexed = IvfAnn
       .assignTo(centArr)(batch)
       .withColumn(
         "qf",
         call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
       )
       .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
+      .cache() // read twice: arrival-cid collect + the guarded write
+    val touchedCids = indexed.select("cid").distinct().collect().map(_.getInt(0))
+    val residents = spark
+      .table(table)
+      .filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
+      .select("vec_id")
+    withoutTombstonedIds(spark, table, indexed.join(residents, Seq("vec_id"), "left_anti"))
       .withColumn("epoch", lit(epoch))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch", "cid")
       .parquet(deltaDir)
+    indexed.unpersist()
   }
 
   /** Fold the delta into the base index and clear it — compaction, run
@@ -400,7 +478,16 @@ object VectorIndexStore {
       .parquet(deltaDir)
       .filter(col("epoch").isin(epochs.map(java.lang.Long.valueOf): _*))
       .drop("epoch")
-    alignTo(base, folded).write.partitionBy("cid").mode("append").saveAsTable(table)
+    // [[writeDelta]] guards base∧delta co-residency at ingest; verify it
+    // here too (an upsert can land an id AFTER it entered the delta) so a
+    // fold can never seat the same vec_id twice in the base. The
+    // residents read prunes to the delta's own cid partitions.
+    val deltaCids = folded.select("cid").distinct().collect().map(_.getInt(0))
+    val residents = base
+      .filter(col("cid").isin(deltaCids.map(Integer.valueOf): _*))
+      .select("vec_id")
+    val fresh = folded.join(residents, Seq("vec_id"), "left_anti")
+    alignTo(base, fresh).write.partitionBy("cid").mode("append").saveAsTable(table)
     epochDirs.foreach(s => fs.delete(s.getPath, true))
   }
 }

@@ -24,6 +24,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * again. Purchases later than knownSignup+horizon are dropped on sight:
   * the signup minimum only DECREASES, which moves the window earlier,
   * never later. Once converted, state collapses to a 17-byte tombstone.
+  * Every entry is eventually RETIRED, so long-running state is bounded by
+  * in-horizon users, not all-time signups: once the watermark passes
+  * signupUs + horizon, no future purchase can qualify, and the entry —
+  * unconverted slot or converted tombstone — is removed by its timer.
+  * Caveat of retirement: a user who signs up AGAIN after their horizon
+  * expired re-enters the funnel as a fresh signup (a second "signup"
+  * row), where a single batch pass would anchor at the global minimum;
+  * for a >7-day-late re-signup this is the operational reading.
   *
   * Ordering caveat (the [[StreamingScdIntervals]] contract): the
   * "converted" row's `us` is the earliest qualifying purchase KNOWN at
@@ -74,12 +82,22 @@ object StreamingFunnel {
       val wmUs =
         if (streaming) state.getCurrentWatermarkMs() * 1000 else Long.MinValue
       if (state.hasTimedOut) {
-        // watermark passed every buffered purchase: prune; an empty,
-        // signup-less entry can never emit again — remove it
+        // watermark passed every buffered purchase: prune. An entry with
+        // nothing left that can ever emit again is REMOVED — that is
+        // signup-less empties, and (once the watermark passes
+        // signupUs + horizon) signed-up entries too, converted or not: no
+        // future in-watermark purchase can qualify (it would be beyond the
+        // horizon on sight), so both the unconverted buffer slot and the
+        // converted tombstone are dead weight. Without this, every
+        // one-time signup would leave a permanent state-store entry.
         val st = state.get
         val kept = st.pending.filter(_ >= wmUs)
-        if (st.signupUs < 0 && kept.isEmpty) state.remove()
-        else state.update(st.copy(pending = kept))
+        val horizonPassed = st.signupUs >= 0 && wmUs > st.signupUs + HorizonUs
+        if (kept.isEmpty && (st.signupUs < 0 || horizonPassed)) state.remove()
+        else {
+          state.update(st.copy(pending = kept))
+          armTimer(state, st.signupUs, kept)
+        }
         Iterator.empty
       } else {
         val sorted = rows
@@ -124,13 +142,31 @@ object StreamingFunnel {
           if (state.exists) state.remove()
         } else {
           state.update(st)
-          if (streaming && st.pending.nonEmpty)
-            // fire once the watermark retires the newest buffered purchase
-            state.setTimeoutTimestamp(st.pending.max / 1000 + 1)
+          if (streaming) armTimer(state, st.signupUs, st.pending)
         }
         out.result().iterator
       }
     }
+
+    /** Every retained state entry carries a timer that eventually retires
+      * it: buffered purchases fire when the watermark passes the newest
+      * one; a signed-up entry with nothing buffered (unconverted slot or
+      * converted tombstone) fires once the watermark passes
+      * signupUs + horizon, after which no purchase can ever qualify.
+      * Clamped above the current watermark — a timer in the past is an
+      * error, and re-arming can race a watermark that already passed the
+      * horizon. */
+    def armTimer(
+        state: GroupState[FunnelState],
+        signupUs: Long,
+        pending: List[Long]
+    ): Unit =
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(pending.max / 1000 + 1)
+      else if (signupUs >= 0)
+        state.setTimeoutTimestamp(
+          math.max((signupUs + HorizonUs) / 1000 + 1, state.getCurrentWatermarkMs() + 1)
+        )
 
     withWm
       .groupByKey(_.user_id)

@@ -100,6 +100,53 @@ class StreamingFunnelSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("signed-up state is retired once the watermark passes the 7-day horizon") {
+    // The long-running-stream bound: without horizon expiry, every
+    // one-time signup (unconverted) and every conversion tombstone is a
+    // permanent state-store entry. Drive the watermark past
+    // signup + 7 days via an unrelated user and assert the store drains
+    // to just the in-horizon entries.
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel
+      .transitions(stream.toDS(), watermark = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("funnel_expiry")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(
+        // user 10: signs up, never purchases (the leak case)
+        FunnelEvent(10L, 500L, "signup", ts("2024-01-01 00:00:00")),
+        // user 11: signs up and converts (the tombstone case)
+        FunnelEvent(11L, 501L, "signup", ts("2024-01-01 00:00:00")),
+        FunnelEvent(11L, 502L, "purchase", ts("2024-01-01 01:00:00"))
+      )
+      q.processAllAvailable()
+      def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 2L, s"expected both users in state, saw $stateRows")
+      // an unrelated user 12 days later pushes the watermark past
+      // 2024-01-08 (signup + horizon); the expiry timers fire
+      stream.addData(FunnelEvent(12L, 503L, "signup", ts("2024-01-13 00:00:00")))
+      q.processAllAvailable()
+      // one more empty-ish batch so timer emissions are fully processed
+      stream.addData(FunnelEvent(12L, 504L, "view", ts("2024-01-13 00:00:01")))
+      q.processAllAvailable()
+      assert(stateRows == 1L, s"expired entries must be removed, saw $stateRows")
+      val got = spark.table("funnel_expiry").as[(Long, Long, String)].collect().toSet
+      assert(
+        got == Set(
+          (10L, us("2024-01-01 00:00:00"), "signup"),
+          (11L, us("2024-01-01 00:00:00"), "signup"),
+          (11L, us("2024-01-01 01:00:00"), "converted"),
+          (12L, us("2024-01-13 00:00:00"), "signup")
+        ),
+        s"expiry must not change emissions, got $got"
+      )
+    } finally q.stop()
+  }
+
   test("batch mode's transition rows roll up to e4_funnel exactly") {
     val sf = "/root/testdata/sf0.001"
     val events = graft.sources.Tables
