@@ -444,4 +444,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(bs.map(_._3).sum == scored, s"$lang: bucket counts don't partition")
     }
   }
+
+  test("t59 provenance from PERSISTED stage outputs matches inline t59; audit plan has no Generate") {
+    // Production grain: the dedup stages (t3/t28/t54) persist their
+    // verdict frames once per ingest, and the provenance audit reads the
+    // STORED tables instead of recomputing three dedup pipelines from raw
+    // text. Same verdicts row-for-row, and the audit plan is three
+    // doc_id-keyed joins — no shingle Generate anywhere.
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-t59-stages").toString
+    TextOps.queries("t3_dedup_exact")(spark, sf).write.parquet(s"$dir/stage_exact")
+    TextOps.queries("t28_cluster_repr")(spark, sf).write.parquet(s"$dir/stage_near")
+    TextOps.queries("t54_containment_dedup")(spark, sf).write.parquet(s"$dir/stage_contain")
+    val stored = TextOps.provenanceVerdicts(
+      spark.read.parquet(s"$dir/stage_exact"),
+      spark.read.parquet(s"$dir/stage_near"),
+      spark.read.parquet(s"$dir/stage_contain")
+    )
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"stored-stage audit must not re-shingle:\n$plan")
+    val inline = TextOps
+      .queries("t59_dedup_provenance")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+      .toSeq
+    val got = stored
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+      .toSeq
+    assert(got.nonEmpty && got == inline, "stored-stage provenance diverged from inline t59")
+  }
 }
