@@ -45,15 +45,26 @@ object Bench {
     // optional comma-separated filter for local single-query iteration
     // (the driver never sets it — full catalog by default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_BENCH_RUNS=1 switches to one timed pass per query — for
+    // the SCALING.md decade sweeps, where a query can run minutes and the
+    // best-of-2 JIT discipline would double a multi-hour sweep for noise
+    // reduction that single-run idle measurements don't need (the driver
+    // never sets it — best-of-2 + top-5 third run by default)
+    val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
     val twoRuns = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
-      .map { case (name, fn) => (name, fn, math.min(once(name, fn), once(name, fn))) }
+      .map { case (name, fn) =>
+        val t0 = once(name, fn)
+        (name, fn, if (singleRun) t0 else math.min(t0, once(name, fn)))
+      }
     // The headline entries get a third run: best-of-2 left the slowest
     // queries exposed to one unlucky GC/JIT pause per round (the r5 bench
     // moved +8% with zero code change). A third sample on just the top-5
     // separates environment noise from plan regressions at ~5% extra cost.
-    val slowNames = twoRuns.sortBy(-_._3).take(5).map(_._1).toSet
+    val slowNames =
+      if (singleRun) Set.empty[String]
+      else twoRuns.sortBy(-_._3).take(5).map(_._1).toSet
     val results = twoRuns.map { case (name, fn, best2) =>
       name -> (if (slowNames(name)) math.min(best2, once(name, fn)) else best2)
     }

@@ -441,24 +441,44 @@ object MultimodalOps {
     * cosine verify at τ=0.8. No all-pairs scan, no full-corpus broadcast
     * anywhere in the plan.
     *
-    * Banding recall is total here BY GEOMETRY, not luck: with 128 bands of
-    * 12 bits, a true pair at the corpus floor (cos ≈ 0.894, per-bit
-    * agreement p ≈ 0.85) misses every band with probability
-    * (1 − p¹²)¹²⁸ ≈ 2·10⁻⁹, while an uncorrelated pair (p ≈ 0.5) survives
-    * banding with probability ≈ 128/4096 ≈ 3% — so the DuckDB oracle is
-    * the EXACT pair criterion and the driver's hash check itself certifies
-    * banded == exact end-to-end (MultimodalSpec pins the same equality
-    * against the in-engine exact scan at both SFs). Featurized embeddings
-    * are cached: featurize-once feeds the signature pass and both verify
-    * sides — the persisted-embedding discipline t41 uses for signatures. */
+    * Band geometry is AUTO-SOLVED from the corpus count
+    * ([[graft.operators.VectorOps.bandGeometry]] — v12c's log-widening
+    * rule; the one count() is a planning-time scalar against the cached
+    * embeddings): a FIXED geometry admits background pairs at a constant
+    * per-pair rate, which is a quadratic candidate term as the corpus
+    * grows (measured: 128×12 slopes 4.6× per 10× docs; the solver holds
+    * it ≈linear). The solver runs at design-τ 0.85 with per-pair miss
+    * 10⁻⁶ — the margin between the operator's τ=0.8 bar and the corpus's
+    * measured ≥0.89 pair floor means the EFFECTIVE miss at the floor is
+    * ≤10⁻⁹ at every solved geometry (e.g. 110×11 at n=500, 303×16 at
+    * n=5000), so the DuckDB oracle is the EXACT pair criterion and the
+    * driver's hash check itself certifies banded == exact end-to-end
+    * (MultimodalSpec pins the same equality against the in-engine exact
+    * scan at both SFs). Unlike v12b the oracle bakes NO plane literals —
+    * exactness is geometry-independent, which is what frees the solver.
+    * Featurized embeddings are cached: featurize-once feeds the count,
+    * the signature pass, and both verify sides — the persisted-embedding
+    * discipline t41 uses for signatures. */
   def semanticDedupBandedQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = gramEmbeddings(docs).cache()
-    val cand = graft.operators.VectorOps.bandedCandidates(
+    // candidate budget 256/vec, not 32: the verify is one codegen dot
+    // per candidate row, so trading a fatter (still linear) candidate
+    // stream for a narrower signature (fewer planes, fewer band rows
+    // through the exchange) is the measured optimum — the solver's
+    // bits-heavy geometries push the cost INTO the signature pass
+    val (nBands, bandBits) =
+      graft.operators.VectorOps.bandGeometry(
+        emb.count(),
+        tau = 0.85,
+        targetCandPerVec = 256,
+        maxMiss = 1e-6
+      )
+    val cand = graft.operators.VectorOps.bandedCandidateStream(
       emb.select("vec_id", "embedding"),
-      nBands = 128,
-      bandBits = 12
+      nBands = nBands,
+      bandBits = bandBits
     )
     verifiedPairs(cand, emb)
   }
@@ -482,8 +502,11 @@ object MultimodalOps {
       .select(col("media_id").as("vec_id"), col("embedding"), col("nrm"))
 
   /** m7's exact cosine verify at τ=0.8 over a candidate pair frame —
-    * candidates join the embedding table keyed per side, so the pair space
-    * the verify touches is exactly the candidate set. */
+    * candidates join the embedding table keyed per side, so the pair
+    * space the verify touches is exactly the candidate set. Accepts the
+    * RAW collision stream (multi-band duplicates included): survivors
+    * are deduped after the τ filter, where the frame is tiny — the
+    * pre-verify pair-distinct was a full candidate-stream shuffle. */
   def verifiedPairs(cand: DataFrame, emb: DataFrame): DataFrame =
     cand
       .join(
@@ -500,6 +523,7 @@ object MultimodalOps {
       )
       .filter(col("cos") > 0.8)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
       .orderBy("id_a", "id_b")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -646,6 +646,22 @@ object VectorOps {
       emb: DataFrame,
       nBands: Int = 64,
       bandBits: Int = 4
+  ): DataFrame =
+    bandedCandidateStream(emb, nBands, bandBits).distinct()
+
+  /** [[bandedCandidates]] WITHOUT the closing pair-distinct — the raw
+    * (id_a, id_b) collision stream, one row per shared (band, bucket).
+    * For a verify-then-emit consumer (m7b) the pre-verify distinct is a
+    * full shuffle of the candidate stream purchased to avoid re-verifying
+    * the ~3% of pairs that collide in more than one band — a bad trade:
+    * the verify is one codegen dot per row, so the consumer verifies the
+    * stream as-is and dedupes the SURVIVORS (tiny at any τ). v12b keeps
+    * the distinct form: its declared `n_cand` column is defined as the
+    * per-vector DISTINCT candidate degree. */
+  def bandedCandidateStream(
+      emb: DataFrame,
+      nBands: Int,
+      bandBits: Int
   ): DataFrame = {
     // The whole signature is ONE fused native expression
     // (graft_band_hashes: every plane dot in a single codegen loop over an
@@ -673,7 +689,6 @@ object VectorOps {
       .join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-      .distinct()
   }
 
   /** EXACT cosine verify restricted to a candidate pair set — candidates
