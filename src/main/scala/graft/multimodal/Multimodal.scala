@@ -400,7 +400,13 @@ object MultimodalOps {
     * the verify unchanged — banding effectiveness is a property of the
     * embedding GEOMETRY, not of the dedup operator, and the encoder swap
     * (the m1 batched-decode pattern) is what restores it. Featurization
-    * itself is the fused `graft_byte_embed` scan stage. */
+    * itself is the fused `graft_byte_embed` scan stage.
+    *
+    * That promised composition is DECLARED AND CERTIFIED as
+    * [[semanticDedupBandedQuery m7b]] (round 9): a separable featurizer
+    * (`graft_gram_embed`) + auto-solved band geometry + the same exact
+    * verify, hash-gated banded == exact at both driver SFs. m7 stays the
+    * exact baseline the m7b gate compares against. */
   def semanticDedupQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")

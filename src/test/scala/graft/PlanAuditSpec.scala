@@ -348,6 +348,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "t47 lost its partial aggregate")
   }
 
+  test("t41/t55 read the persisted signature store — no per-run signature agg in the plan") {
+    // The round-9 amortization, pinned structurally: the 8-permutation
+    // min-agg (recognizable by the t41A hash-family constant 1103515245)
+    // must never appear in the AUDIT queries' plans — signatures come from
+    // the graft_minhash_sigs parquet store. The keyed scan (md5 postings)
+    // legitimately remains for the exact verify.
+    for (q <- Seq("t41_minhash_index_dedup", "t55_minhash_calibration")) {
+      val p = plan(q)
+      assert(p.contains("graft_minhash_sigs"), s"$q no longer reads the signature store:\n$p")
+      assert(!p.contains("1103515245"), s"$q re-aggregates signatures per run:\n$p")
+    }
+  }
+
+  test("m7b plans keyed band joins only — no cartesian, no full-stream pair distinct") {
+    val p = plan("m7b_semantic_dedup_banded")
+    assert(!p.contains("CartesianProduct"), s"m7b planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"m7b planned a broadcast-NL join:\n$p")
+    // the only aggregate-distinct should sit ABOVE the cos filter (tiny
+    // survivors), so the plan's HashAggregate count stays small — the
+    // pre-verify pair-distinct form planned an extra exchange pair over
+    // the full collision stream
+    assert(p.contains("graft_band_hashes"), "m7b lost its fused signature expression")
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
