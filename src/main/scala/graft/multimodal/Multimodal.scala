@@ -532,6 +532,107 @@ object MultimodalOps {
       .distinct()
       .orderBy("id_a", "id_b")
 
+  /** Band-signature rows for a (vec_id, embedding, …) frame at a FIXED
+    * geometry — one fused `graft_band_hashes` pass (m7b's signature
+    * stage), exploded to (vec_id, band, bh). The geometry is the caller's
+    * contract: rows banded under one (nBands, bandBits) are unprobeable
+    * under another, which is why the streaming index pins it on disk
+    * ([[graft.streaming.StreamingSemanticDedup]]). */
+  def bandRows(vecs: DataFrame, nBands: Int, bandBits: Int): DataFrame =
+    vecs.select(
+      col("vec_id"),
+      posexplode(
+        call_function("graft_band_hashes", col("embedding"), lit(nBands), lit(bandBits))
+      ).as(Seq("band", "bh"))
+    )
+
+  /** The m7b verdict engine, factored so the streaming form
+    * ([[graft.streaming.StreamingSemanticDedup]]) runs the identical plan
+    * per micro-batch: arrival embeddings band-probe the persisted index
+    * AND each other, band-colliding candidates pay m7b's exact cosine
+    * verify, and each arrival reports its best verified match — one row
+    * per `spine` id: dup_index / dup_batch / unique.
+    *
+    * Same disciplines as the batch query: the RAW collision stream is
+    * verified (no pre-verify pair-distinct — the window over the tiny
+    * τ-survivor set collapses multi-band duplicates), candidates are the
+    * ONLY pair source (no all-pairs stage), and no bucket cap is applied —
+    * the caller's solver geometry bounds buckets, the argument m7b's
+    * Scaladoc makes (the minhash family's df-cap answers shingle-df
+    * degeneracy, which sign-LSH at a solved geometry does not exhibit).
+    * Match-side embeddings come from the index UNION the batch; an id
+    * resident in both (checkpoint replay) yields duplicate score rows
+    * that the best-match window collapses — cheaper than deduplicating
+    * the full index per batch. The `vec_id =!= old_id` guard keeps a
+    * replayed arrival (own signatures already committed) from
+    * self-matching at cos 1.0, mirroring minhashVerdicts. `spine` stays
+    * a parameter because it is the output frame: an arrival with no word
+    * trigram has no embedding rows but must still report `unique`. */
+  private[graft] def semanticVerdicts(
+      spine: DataFrame,
+      arrivalVecs: DataFrame,
+      indexBands: DataFrame,
+      indexVecs: DataFrame,
+      nBands: Int,
+      bandBits: Int,
+      tau: Double = 0.8
+  ): DataFrame = {
+    val aBands = bandRows(arrivalVecs, nBands, bandBits)
+    val candIdx = aBands
+      .join(indexBands, Seq("band", "bh"))
+      .filter(col("vec_id") =!= col("old_id"))
+      .select(
+        col("vec_id").as("new_id"),
+        col("old_id").as("match_id"),
+        lit(true).as("from_index")
+      )
+    val candBatch = aBands
+      .join(
+        aBands.select(col("band"), col("bh"), col("vec_id").as("match_id")),
+        Seq("band", "bh")
+      )
+      .filter(col("vec_id") > col("match_id"))
+      .select(col("vec_id").as("new_id"), col("match_id"), lit(false).as("from_index"))
+    val cand = candIdx.unionByName(candBatch)
+    val matchVecs = indexVecs
+      .select(col("old_id"), col("embedding"), col("nrm"))
+      .unionByName(
+        arrivalVecs.select(col("vec_id").as("old_id"), col("embedding"), col("nrm"))
+      )
+    val wBest = Window
+      .partitionBy("new_id")
+      .orderBy(col("cos").desc, col("match_id").asc, col("from_index").desc)
+    val best = cand
+      .join(
+        arrivalVecs
+          .select(col("vec_id").as("new_id"), col("embedding").as("ea"), col("nrm").as("na")),
+        "new_id"
+      )
+      .join(
+        matchVecs
+          .select(col("old_id").as("match_id"), col("embedding").as("eb"), col("nrm").as("nb")),
+        "match_id"
+      )
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("ea"), col("eb")) / (col("na") * col("nb"))
+      )
+      .filter(col("cos") > tau)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(
+        col("new_id").as("vec_id"),
+        when(col("from_index"), "dup_index").otherwise("dup_batch").as("status"),
+        col("match_id").as("dup_of"),
+        round(col("cos"), 6).as("cos")
+      )
+    spine
+      .select("vec_id")
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("status", coalesce(col("status"), lit("unique")))
+      .select("vec_id", "status", "dup_of", "cos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_semantic_dedup" -> ((s, d) => semanticDedupQuery(s, d)),
     "m7b_semantic_dedup_banded" -> ((s, d) => semanticDedupBandedQuery(s, d)),
