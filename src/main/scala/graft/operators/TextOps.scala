@@ -2881,7 +2881,77 @@ object TextOps {
       .orderBy("col_name")
   }
 
+  /** Cleaning-rule ablation overlap (t60) — the UpSet-style bookkeeping a
+    * corpus team reads before dropping or adding a filter: for every pair
+    * of t27's five Gopher rules, how many documents fail rule a, rule b,
+    * both, and EXACTLY the pair {a, b} (the docs only that combination
+    * catches — `docs_exact` on a diagonal row is the rule's unique
+    * contribution: what slips through if it is removed), plus the Jaccard
+    * overlap of the two fail sets (≈1 ⇒ the rules are redundant).
+    *
+    * Scale shape: per-doc rule memberships come from t27's `reasons`
+    * bitmask via a HOF filter over a 5-element literal array and the pair
+    * space is generated by two nested explodes over that per-doc array —
+    * join-FREE and ≤15 rows per failing document, so the only exchanges
+    * are t27's own and one ≤15-key aggregate. The marginals ride the
+    * matrix's diagonal (broadcast self-joins of a ≤15-row frame), never a
+    * second corpus pass. */
+  private def t60FilterOverlap(s: SparkSession, d: String): DataFrame = {
+    val rules = Seq(
+      ("len", 1L), ("tok_len", 2L), ("alpha", 4L), ("stop", 8L), ("entropy", 16L)
+    )
+    val ruleArr = array(rules.map { case (n, b) =>
+      struct(lit(n).as("rule"), lit(b).as("bit"))
+    }: _*)
+    val failed = t27GopherRules(s, d)
+      .select(col("doc_id"), col("reasons"))
+      .filter(col("reasons") =!= 0L)
+      .withColumn(
+        "rs",
+        filter(ruleArr, r => col("reasons").bitwiseAND(r("bit")) =!= 0L)
+      )
+    val pairs = failed
+      .select(col("reasons"), explode(col("rs")).as("a"), col("rs"))
+      .select(
+        col("reasons"),
+        col("a"),
+        explode(filter(col("rs"), b => b("bit") >= col("a.bit"))).as("b")
+      )
+    val m = pairs
+      .groupBy(
+        col("a.rule").as("rule_a"),
+        col("b.rule").as("rule_b"),
+        col("a.bit").as("bit_a"),
+        col("b.bit").as("bit_b")
+      )
+      .agg(
+        count(lit(1)).as("docs_both"),
+        sum(
+          when(col("reasons") === col("a.bit").bitwiseOR(col("b.bit")), 1L)
+            .otherwise(0L)
+        ).as("docs_exact")
+      )
+    val diag = m
+      .filter(col("rule_a") === col("rule_b"))
+      .select(col("bit_a").as("bit"), col("docs_both").as("docs"))
+    m.join(broadcast(diag.select(col("bit").as("bit_a"), col("docs").as("docs_a"))), "bit_a")
+      .join(broadcast(diag.select(col("bit").as("bit_b"), col("docs").as("docs_b"))), "bit_b")
+      .withColumn(
+        "jaccard",
+        round(
+          col("docs_both").cast("double") /
+            (col("docs_a") + col("docs_b") - col("docs_both")),
+          6
+        )
+      )
+      .select(
+        "rule_a", "rule_b", "docs_a", "docs_b", "docs_both", "docs_exact", "jaccard"
+      )
+      .orderBy("rule_a", "rule_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t60_filter_overlap" -> (t60FilterOverlap _),
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
     "t59_dedup_provenance" -> (t59DedupProvenance _),
     "t56_snapshot_drift" -> (t56SnapshotDrift _),
@@ -2943,6 +3013,78 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // t27's rule chain verbatim, then the pair matrix: memberships from
+    // the reasons bitmask, marginals off the diagonal; count(*) is BIGINT,
+    // the CASE sum casts through the HUGEINT rule
+    "t60_filter_overlap" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), per_row AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+               AS token_chars,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of')))
+               AS BIGINT) AS n_stop
+           FROM words
+         ), tok_counts AS (
+           SELECT doc_id, tok, count(*) AS n
+           FROM (SELECT doc_id, unnest(w) AS tok FROM words)
+           GROUP BY 1, 2
+         ), entropy AS (
+           SELECT doc_id,
+             round(ln(CAST(sum(n) AS DOUBLE))
+               - CAST(sum(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6)
+                                   AS BIGINT)) AS BIGINT)
+                 / (CAST(sum(n) AS BIGINT) * 1e6), 6) AS token_entropy
+           FROM tok_counts GROUP BY doc_id
+         ), scored AS (
+           SELECT p.doc_id, n_tokens,
+             CAST(token_chars AS DOUBLE) / n_tokens AS mean_token_len,
+             CAST(n_alpha AS DOUBLE) / n_tokens AS alpha_ratio,
+             n_stop, token_entropy
+           FROM per_row p JOIN entropy e ON e.doc_id = p.doc_id
+         ), flagged AS (
+           SELECT doc_id,
+             CAST(CASE WHEN n_tokens BETWEEN 30 AND 10000 THEN 0 ELSE 1 END
+               + CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0 ELSE 2 END
+               + CASE WHEN alpha_ratio > 0.8 THEN 0 ELSE 4 END
+               + CASE WHEN n_stop >= 2 THEN 0 ELSE 8 END
+               + CASE WHEN token_entropy >= 2.9 THEN 0 ELSE 16 END
+               AS BIGINT) AS reasons
+           FROM scored
+         ), rules AS (
+           SELECT * FROM (VALUES ('len', 1), ('tok_len', 2), ('alpha', 4),
+                                 ('stop', 8), ('entropy', 16)) AS t(rule, bit)
+         ), fails AS (
+           SELECT f.doc_id, f.reasons, r.rule, CAST(r.bit AS BIGINT) AS bit
+           FROM flagged f JOIN rules r ON (f.reasons & r.bit) != 0
+           WHERE f.reasons != 0
+         ), m AS (
+           SELECT a.rule AS rule_a, b.rule AS rule_b,
+             a.bit AS bit_a, b.bit AS bit_b,
+             count(*) AS docs_both,
+             CAST(sum(CASE WHEN a.reasons = (a.bit | b.bit) THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_exact
+           FROM fails a JOIN fails b
+             ON a.doc_id = b.doc_id AND a.bit <= b.bit
+           GROUP BY 1, 2, 3, 4
+         ), diag AS (
+           SELECT bit_a AS bit, docs_both AS docs FROM m WHERE bit_a = bit_b
+         )
+         SELECT m.rule_a, m.rule_b, da.docs AS docs_a, db.docs AS docs_b,
+           m.docs_both, m.docs_exact,
+           round(CAST(m.docs_both AS DOUBLE)
+                 / (da.docs + db.docs - m.docs_both), 6) AS jaccard
+         FROM m
+         JOIN diag da ON da.bit = m.bit_a
+         JOIN diag db ON db.bit = m.bit_b
+         ORDER BY rule_a, rule_b""",
     // t3's fingerprint window + t28's closure/representative CTEs +
     // t54's blocked containment, resolved by the same precedence CASE
     "t59_dedup_provenance" ->
