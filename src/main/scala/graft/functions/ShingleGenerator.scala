@@ -87,7 +87,7 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-private[functions] object ShingleHashing {
+private[graft] object ShingleHashing {
   /** Positional (NOT deduped) n-gram shingle hash sequence of a text —
     * exactly `xxhash64(concat_ws(' ', w_i..w_{i+n-1}))` per position. */
   def hashSequence(text: UTF8String, n: Int): Array[Long] = {
@@ -242,11 +242,11 @@ case class WinnowFingerprints(child: Expression, n: Int, w: Int)
   * featurize stage, not per token. A document with fewer than 3 words
   * (no trigrams) embeds as the zero vector; callers filter on norm > 0,
   * matching the oracle's implicit drop of trigram-less docs. */
-case class GramEmbed(child: Expression)
+case class GramEmbed(child: Expression, dims: Int = 64)
     extends UnaryExpression
     with CodegenFallback {
 
-  private val dims = 64
+  require(dims > 0, s"graft_gram_embed: dims must be positive, got $dims")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -282,4 +282,30 @@ case class GramEmbed(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): GramEmbed =
     copy(child = newChild)
+}
+
+object GramEmbed {
+  /** SQL-facing construction — `graft_gram_embed(text[, dims])`, the
+    * optional dims a foldable int literal (default 64, the m7b/m8 oracle
+    * contract; higher dims is SCALING.md's decade-exponent lever: less
+    * collision noise lifts the true-pair cosine floor, letting the band
+    * solver design at a higher τ with far fewer planes). */
+  def fromArgs(exprs: Seq[Expression]): GramEmbed = exprs match {
+    case Seq(c)    => GramEmbed(c)
+    case Seq(c, d) => GramEmbed(c, foldInt(d, "graft_gram_embed dims"))
+    case _ =>
+      throw new IllegalArgumentException(
+        s"graft_gram_embed expects 1 or 2 arguments, got ${exprs.length}"
+      )
+  }
+
+  private[functions] def foldInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null) match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long    => l.intValue()
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an int, got $other")
+    }
+  }
 }

@@ -273,13 +273,15 @@ object Planes {
   * nodes per row and a codegen method-size hazard. Here the plane matrix
   * is one executor-local float[] (rebuilt per executor, never serialized
   * per row) and the whole signature is one fused loop. */
-case class BandHashesFloat(child: Expression, nBands: Int, bandBits: Int)
+case class BandHashesFloat(
+    child: Expression,
+    nBands: Int,
+    bandBits: Int,
+    dims: Int = 64)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(nBands > 0 && bandBits > 0 && bandBits <= 64,
-    s"graft_band_hashes: bad geometry ${nBands}x$bandBits")
-
-  private val dims = 64
+  require(nBands > 0 && bandBits > 0 && bandBits <= 64 && dims > 0,
+    s"graft_band_hashes: bad geometry ${nBands}x$bandBits over $dims dims")
 
   @transient private lazy val planes: Array[Float] =
     Planes.table(nBands * bandBits, dims)
@@ -675,7 +677,9 @@ object GraftFunctions {
         BandHashesFloat(
           exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue()
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          if (exprs.length > 3) exprs(3).eval().asInstanceOf[Number].intValue()
+          else 64
         ),
       "built-in"
     )
@@ -696,7 +700,7 @@ object GraftFunctions {
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_gram_embed",
-      (exprs: Seq[Expression]) => GramEmbed(exprs(0)),
+      (exprs: Seq[Expression]) => GramEmbed.fromArgs(exprs),
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -773,7 +777,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           BandHashesFloat(
             exprs(0),
             exprs(1).eval().asInstanceOf[Number].intValue(),
-            exprs(2).eval().asInstanceOf[Number].intValue()
+            exprs(2).eval().asInstanceOf[Number].intValue(),
+            if (exprs.length > 3) exprs(3).eval().asInstanceOf[Number].intValue()
+            else 64
           )
       )
     )
@@ -802,7 +808,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (
         FunctionIdentifier("graft_gram_embed"),
         GraftFunctions.gramEmbedInfo,
-        (exprs: Seq[Expression]) => GramEmbed(exprs(0))
+        (exprs: Seq[Expression]) => GramEmbed.fromArgs(exprs)
       )
     )
     ext.injectFunction(

@@ -489,6 +489,105 @@ object MultimodalOps {
     verifiedPairs(cand, emb)
   }
 
+  /** m7c — IVF-PRUNED banded semantic media dedup: "cluster first, band
+    * within clusters", the composition SCALING.md round 9 named after
+    * measuring-and-rejecting the featurizer-dims lever. Deterministic
+    * k-means-lite coarse centroids (v6's `IvfAnn.centroids`, no RNG),
+    * every vector multi-assigned to its top-`probes` lists (the
+    * boundary-pair insurance), band signatures keyed (cid, band, bh) so
+    * collisions can only form INSIDE a list, and the same exact cosine
+    * verify over the collision stream.
+    *
+    * The band geometry is solved against a MEASURED background, not the
+    * random-sign model. `bandGeometry`'s 2⁻ᵇ per-band collision rate is
+    * correct for unstructured corpus-wide directions but wrong inside an
+    * IVF list — clustering concentrates correlated vectors, so within-
+    * list background per-bit agreement exceeds ½, and the naive solve
+    * (sized to list population under 2⁻ᵇ) exploded at sf10: 109×11
+    * geometry, measured E[p_bg^11] 2.4× the model, a 570 M-row
+    * candidate join that filled the disk (SCALING.md round 9). The fix
+    * is [[graft.operators.VectorOps.inListNeighborEpb]]: a deterministic
+    * hash-order neighbor-pair sample of the ACTUAL probed population
+    * estimates E[p_bg^b] per candidate width, and
+    * [[graft.operators.VectorOps.bandGeometryMeasured]] widens bits
+    * against that estimate while the analytic bandsFor holds the
+    * true-pair miss at 10⁻⁶ — on this corpus it lands 200×14 at both
+    * sf1 and sf10, and the sf10 run is disk-safe at cost parity with
+    * m7b. nLists follows nLists ∝ n / target-list-size (clamped
+    * [4, 256]).
+    *
+    * THE MEASURED SCALE ADJUDICATION (SCALING.md round 9): on this
+    * corpus the lever buys parity, not a win. ListBgProbe shows the
+    * stub-trigram embedding has almost no cluster structure (in-list
+    * neighbor-pair median cos 0.08 vs corpus 0.0; in-list E[p_bg^14]
+    * only 2× corpus), so the lists barely concentrate — the candidate
+    * join shrinks no further than m7b's, and multi-probe recall
+    * converges asymptotically rather than exactly (probes=3 misses 10
+    * of 25,602 sf10 pairs, probes=4 misses 1 at 1.5× the wall clock;
+    * both driver SFs are set-EQUAL at either setting, spec-gated, so
+    * the declared query stays hash-green against the shared exact
+    * criterion). The decision rule is the probe itself: IVF pruning
+    * earns its fan-out when in-list background separates from corpus
+    * background (a real encoder's clustered geometry), and the
+    * in-list/corpus E[p^b] ratio at the solved bits is the 10-minute
+    * measurement that says so per corpus. m7b remains the certified
+    * production form HERE; m7c is the declared composition pattern —
+    * measured-solve included — for corpora where the probe says yes. */
+  def semanticDedupIvfQuery(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupIvf(spark, dir, probes = 4)
+
+  private[graft] def semanticDedupIvf(
+      spark: SparkSession,
+      dir: String,
+      probes: Int
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = gramEmbeddings(docs).cache()
+    val n = emb.count()
+    // floor 32 = 8× the probe fan-out, NOT 4: with nLists ≤ probes every
+    // list is the whole corpus — probes identical full-width joins and
+    // zero pruning (measured: 9.1 s at sf0.1 vs m7b's 2.7 s). A corpus
+    // too small for ≥32 meaningful lists is a corpus where the pruning
+    // question is moot; the equality gates certify the degenerate-list
+    // edge (sf0.001: ~50 media over 32 lists) regardless.
+    val nLists = math.min(256L, math.max(32L, n / 2000L)).toInt
+    val cents = graft.operators.IvfAnn.collectCents(
+      graft.operators.IvfAnn.centroids(emb.select(col("vec_id"), col("embedding")), nLists)
+    )
+    val probed = graft.operators.IvfAnn
+      .withProbedCids(cents, "embedding", probes = probes)(
+        emb.select("vec_id", "embedding", "nrm")
+      )
+      .cache()
+    // planning-time scalars against the cached probed frame (m7b's
+    // count() discipline): measured list population + measured E[p_bg^b]
+    val listPop = math.max(1L, probed.count() / nLists)
+    val epb = graft.operators.VectorOps.inListNeighborEpb(probed)
+    val (nBands, bandBits) = graft.operators.VectorOps.bandGeometryMeasured(
+      listPop,
+      epb,
+      tau = 0.85,
+      targetCandPerVec = 256,
+      maxMiss = 1e-6
+    )
+    val banded = probed
+      .select(
+        col("cid"),
+        col("vec_id"),
+        posexplode(
+          call_function("graft_band_hashes", col("embedding"), lit(nBands), lit(bandBits))
+        ).as(Seq("band", "bh"))
+      )
+      .repartition(col("cid"), col("band"), col("bh"))
+    val cand = banded
+      .as("x")
+      .join(banded.as("y"), Seq("cid", "band", "bh"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    verifiedPairs(cand, emb)
+  }
+
   /** Media-grain trigram-hash embeddings with norms, zero-vector rows
     * (payloads with no word trigram) dropped — shared by m7b and its
     * equality-gate spec's exact arm. */
@@ -633,9 +732,66 @@ object MultimodalOps {
       .select("vec_id", "status", "dup_of", "cos")
   }
 
+  /** m8's fixed text-query panel — phrases over the corpus vocabulary,
+    * each ≥ 5 words so the trigram featurizer has signal. Literal and
+    * tiny by design: the panel is the broadcast side. */
+  private[graft] val crossModalQueries: Seq[(Long, String)] = Seq(
+    (1L, "table scan merge join order window"),
+    (2L, "stream batch window group agg spark"),
+    (3L, "customer line value query data row")
+  )
+
+  /** m8 — CROSS-MODAL retrieval: a text query searches the MEDIA corpus
+    * through the shared trigram-hash embedding space (`graft_gram_embed`
+    * featurizes both sides — the CLIP-style "shared encoder" retrieval
+    * shape, with the stub featurizer standing in for the trained
+    * two-tower encoder exactly as in m6/m7b). Top-5 media per query by
+    * exact cosine, ties broken on media id.
+    *
+    * Scale shape: the query panel is a literal broadcast frame (the ONLY
+    * crossJoin is broadcast-of-tiny, the catalog convention); the media
+    * corpus is scanned once, scoring is one fused `graft_dot` per
+    * (media, query) with |panel| queries per row; the top-5 filter is a
+    * rank-≤-k window that Spark 4 plans with partial WindowGroupLimit —
+    * every map-side partition forwards at most 5 rows per query to the
+    * final sort, so the exchange carries |panel|·5·partitions rows, not
+    * the corpus. At production the panel side is the live query batch and
+    * the scan side is m6's IVF-bucketed index; this declared form is the
+    * exact-scoring baseline the index's recall gates compare against. */
+  def crossModalSearchQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = gramEmbeddings(docs)
+    val qs = crossModalQueries
+      .toDF("qid", "qtext")
+      .withColumn("qe", call_function("graft_gram_embed", col("qtext")))
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qe"), col("qe"))))
+      .filter(col("qn") > 0)
+      .select("qid", "qe", "qn")
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id").asc)
+    media
+      .crossJoin(broadcast(qs))
+      .withColumn(
+        "c",
+        call_function("graft_dot", col("embedding"), col("qe")) / (col("nrm") * col("qn"))
+      )
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(
+        col("qid"),
+        col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("media_id"),
+        round(col("c"), 6).as("cos")
+      )
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_crossmodal_search" -> ((s, d) => crossModalSearchQuery(s, d)),
     "m7_semantic_dedup" -> ((s, d) => semanticDedupQuery(s, d)),
     "m7b_semantic_dedup_banded" -> ((s, d) => semanticDedupBandedQuery(s, d)),
+    "m7c_semantic_dedup_ivf" -> ((s, d) => semanticDedupIvfQuery(s, d)),
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d)),
@@ -647,38 +803,12 @@ object MultimodalOps {
   /** The stub decoder is pure arithmetic over payload bytes, so the oracle
     * reproduces it in SQL (strlen = UTF-8 byte count in DuckDB; the corpus
     * is ASCII so ascii(first char) == first byte). */
-  val oracles: Map[String, String] = Map(
-    // m6's byte-embed CTE + the exact upper-triangle cosine pair scan in
-    // graft_dot's index-order accumulation (v2's oracle shape at media
-    // grain)
-    "m7_semantic_dedup" ->
-      """WITH emb AS (
-           SELECT doc_id AS vec_id,
-             list_transform(range(0, 64), i ->
-               CAST(CAST(ascii(substr(text,
-                      CAST((i * strlen(text)) // 64 AS BIGINT) + 1, 1))
-                    AS DOUBLE) / 63.5 - 1.0 AS REAL)) AS e
-           FROM documents WHERE strlen(text) > 0
-         ), scored AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(range(1, 65),
-               i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(range(1, 65),
-                    i -> CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))))
-                * sqrt(list_sum(list_transform(range(1, 65),
-                    i -> CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))))
-               AS cos
-           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-         )
-         SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
-         WHERE cos > 0.8 ORDER BY id_a, id_b""",
-    // m7b's oracle is the EXACT pair criterion over the trigram-hash
-    // embedding (t6's md5 hex-prefix hash rebuilt in SQL, dim = h mod 64,
-    // sign = bit 6) — the Spark side is the BANDED plan, so a hash match
-    // here IS the banded==exact certification. Every accumulated value is
-    // a small exact integer, so dot/norm arithmetic is order-independent
-    // and engine-identical.
-    "m7b_semantic_dedup_banded" ->
+  /** The EXACT trigram-hash pair criterion in DuckDB SQL (t6's md5
+    * hex-prefix hash rebuilt, dim = h mod 64, sign = bit 6) — shared by
+    * m7b and m7c: both Spark sides are pruned plans (banded; ivf+banded),
+    * so the driver's hash match against this exact scan IS the
+    * pruned==exact certification, independent of geometry or clustering. */
+  private val exactGramPairSql: String =
       """WITH words AS (
            SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'),
@@ -723,7 +853,138 @@ object MultimodalOps {
            FROM nrmd a JOIN nrmd b ON a.vec_id < b.vec_id
          )
          SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+         WHERE cos > 0.8 ORDER BY id_a, id_b"""
+
+  val oracles: Map[String, String] = Map(
+    // m7b's trigram-hash embedding chain over BOTH sides — the media
+    // corpus and the literal query panel — then an exact cosine cross
+    // score and rank-≤-5 per query (cos DESC, media id ASC)
+    "m8_crossmodal_search" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents WHERE strlen(text) > 0
+         ), sh AS (
+           SELECT doc_id, md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
+                 FROM words WHERE len(w) >= 3)
+         ), hs AS (
+           SELECT doc_id,
+             (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 268435456 +
+             (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16777216 +
+             (instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 1048576 +
+             (instr('0123456789abcdef', substr(hh, 4, 1)) - 1) * 65536 +
+             (instr('0123456789abcdef', substr(hh, 5, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(hh, 8, 1)) - 1) AS h
+           FROM sh
+         ), scat AS (
+           SELECT doc_id, h % 64 AS dim,
+             sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+           FROM hs GROUP BY 1, 2
+         ), emb AS (
+           SELECT doc_id AS vec_id,
+             list_transform(range(0, 64), d ->
+               coalesce(list_sum(list_transform(vals,
+                 x -> CASE WHEN x.dim = d THEN x.v ELSE 0.0 END)), 0.0)) AS e
+           FROM (SELECT doc_id, list(struct_pack(dim := dim, v := v)) AS vals
+                 FROM scat GROUP BY 1)
+         ), nrmd AS (
+           SELECT * FROM (
+             SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+             FROM emb)
+           WHERE nrm > 0
+         ), q AS (
+           SELECT * FROM (VALUES
+             (1, 'table scan merge join order window'),
+             (2, 'stream batch window group agg spark'),
+             (3, 'customer line value query data row')) AS t(qid, qtext)
+         ), qwords AS (
+           SELECT qid,
+             list_filter(string_split_regex(trim(qtext), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM q
+         ), qsh AS (
+           SELECT qid, md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
+           FROM (SELECT qid, w, unnest(range(1, len(w) - 1)) AS p
+                 FROM qwords WHERE len(w) >= 3)
+         ), qhs AS (
+           SELECT qid,
+             (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 268435456 +
+             (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16777216 +
+             (instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 1048576 +
+             (instr('0123456789abcdef', substr(hh, 4, 1)) - 1) * 65536 +
+             (instr('0123456789abcdef', substr(hh, 5, 1)) - 1) * 4096 +
+             (instr('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(hh, 8, 1)) - 1) AS h
+           FROM qsh
+         ), qscat AS (
+           SELECT qid, h % 64 AS dim,
+             sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+           FROM qhs GROUP BY 1, 2
+         ), qemb AS (
+           SELECT qid,
+             list_transform(range(0, 64), d ->
+               coalesce(list_sum(list_transform(vals,
+                 x -> CASE WHEN x.dim = d THEN x.v ELSE 0.0 END)), 0.0)) AS e
+           FROM (SELECT qid, list(struct_pack(dim := dim, v := v)) AS vals
+                 FROM qscat GROUP BY 1)
+         ), qnrmd AS (
+           SELECT * FROM (
+             SELECT qid, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+             FROM qemb)
+           WHERE nrm > 0
+         ), scored AS (
+           SELECT q.qid, m.vec_id,
+             list_sum(list_transform(range(1, 65), i -> m.e[i] * q.e[i]))
+               / (m.nrm * q.nrm) AS c
+           FROM nrmd m CROSS JOIN qnrmd q
+         ), ranked AS (
+           SELECT qid, vec_id, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC)
+               AS rnk
+           FROM scored
+         )
+         SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+           vec_id AS media_id, round(c, 6) AS cos
+         FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // m6's byte-embed CTE + the exact upper-triangle cosine pair scan in
+    // graft_dot's index-order accumulation (v2's oracle shape at media
+    // grain)
+    "m7_semantic_dedup" ->
+      """WITH emb AS (
+           SELECT doc_id AS vec_id,
+             list_transform(range(0, 64), i ->
+               CAST(CAST(ascii(substr(text,
+                      CAST((i * strlen(text)) // 64 AS BIGINT) + 1, 1))
+                    AS DOUBLE) / 63.5 - 1.0 AS REAL)) AS e
+           FROM documents WHERE strlen(text) > 0
+         ), scored AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))))
+               AS cos
+           FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         )
+         SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
          WHERE cos > 0.8 ORDER BY id_a, id_b""",
+    // m7b's oracle is the EXACT pair criterion over the trigram-hash
+    // embedding (t6's md5 hex-prefix hash rebuilt in SQL, dim = h mod 64,
+    // sign = bit 6) — the Spark side is the BANDED plan, so a hash match
+    // here IS the banded==exact certification. Every accumulated value is
+    // a small exact integer, so dot/norm arithmetic is order-independent
+    // and engine-identical.
+    "m7b_semantic_dedup_banded" -> exactGramPairSql,
+    "m7c_semantic_dedup_ivf" -> exactGramPairSql,
     // the payload is the UTF-8 text bytes (ASCII corpus), so substr on
     // text == the binary chunk slice and md5 agrees byte-for-byte; the
     // CAST to DOUBLE keeps DuckDB's decimal arithmetic out of the ratio

@@ -29,7 +29,7 @@ object IvfAnn {
 
   /** Collected centroid table — k × dims floats, tiny by construction
     * (this is the ONE driver-side transfer the IVF design allows). */
-  private[operators] def collectCents(centroids: DataFrame): Array[(Int, Seq[Float])] =
+  private[graft] def collectCents(centroids: DataFrame): Array[(Int, Seq[Float])] =
     centroids
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1))
@@ -81,7 +81,7 @@ object IvfAnn {
     * [[VectorIndexStore.probe]] and the v17 k-NN graph. Pure per-row
     * expressions (array_sort over (dist2, cid) structs + slice): no
     * crossJoin, no window, no shuffle. */
-  private[operators] def withProbedCids(
+  private[graft] def withProbedCids(
       cents: Array[(Int, Seq[Float])],
       vecCol: String,
       probes: Int = nProbe

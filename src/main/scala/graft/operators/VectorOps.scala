@@ -638,6 +638,102 @@ object VectorOps {
     (bandsFor(bits), bits)
   }
 
+  /** [[bandGeometry]] with the background model MEASURED instead of
+    * assumed. The random-sign model (per-band collision 2⁻ᵇ) is correct
+    * for a whole corpus of unstructured directions but WRONG inside an
+    * IVF list: clustering concentrates correlated vectors, so the
+    * background per-bit agreement exceeds ½ and buckets explode — the
+    * round-9 sf10 finding (candidates ×2.4 over the model at the naive
+    * solve's bits, a disk-filling 570 M-row join; SCALING.md). `epb(b)`
+    * is the measured E[p_bg^b] over a neighbor-pair sample of the actual
+    * banding population ([[inListNeighborEpb]]) — the exact expected
+    * per-band collision rate — and the solver widens bits against IT,
+    * holding the true-pair miss at `maxMiss` via the same analytic
+    * bandsFor (the miss bound needs only the design-τ p₁, which is
+    * geometry-free). If no measured width meets the budget (the gap is
+    * fully compressed — e.g. lists far tighter than the signal), the
+    * least-bad width is returned; callers equality-gate the outcome, so
+    * a mis-sized geometry costs time, never pairs. */
+  def bandGeometryMeasured(
+      listPop: Long,
+      epb: Map[Int, Double],
+      tau: Double,
+      targetCandPerVec: Int = 256,
+      maxMiss: Double = 1e-6
+  ): (Int, Int) = {
+    val p1 = 1.0 - math.acos(tau) / math.Pi
+    def bandsFor(bits: Int): Int =
+      math.max(1, math.ceil(math.log(maxMiss) / math.log1p(-math.pow(p1, bits))).toInt)
+    def bg(bits: Int): Double = {
+      val m = epb.getOrElse(bits, math.pow(0.5, bits))
+      if (java.lang.Double.isNaN(m) || m <= 0.0) math.pow(0.5, bits) else m
+    }
+    def candPerVec(bits: Int): Double = listPop.toDouble * bandsFor(bits) * bg(bits)
+    val range = 8 to 24
+    range
+      .find(candPerVec(_) <= targetCandPerVec)
+      .orElse(Some(range.minBy(candPerVec)))
+      .map(b => (bandsFor(b), b))
+      .get
+  }
+
+  /** Measured within-list background for [[bandGeometryMeasured]]:
+    * E[p^b] over deterministic neighbor pairs of the banding population,
+    * where p = 1 − acos(cos)/π is a pair's per-bit sign-agreement
+    * probability. Members of each list rank by xxhash64(vec_id, cid) —
+    * hash order is unstructured, so each row paired with its next
+    * `stride` hash-neighbors is a uniform-ish sample of the list's pair
+    * space WITHOUT an all-pairs join: one cid-keyed window pass over the
+    * probed frame (≤ stride·|probed| sample rows), one agg to |bits|
+    * doubles. Deterministic inputs ⇒ a deterministic solve. */
+  def inListNeighborEpb(
+      probed: DataFrame,
+      bits: Seq[Int] = 8 to 24,
+      stride: Int = 2
+  ): Map[Int, Double] = {
+    val w = Window.partitionBy("cid").orderBy("hk")
+    val ranked = probed
+      .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      .withColumn("hk", xxhash64(col("vec_id"), col("cid")))
+    val withLeads = ranked.select(
+      col("embedding") +: col("nrm") +:
+        (1 to stride).flatMap(k =>
+          Seq(
+            lead(col("embedding"), k).over(w).as(s"eb$k"),
+            lead(col("nrm"), k).over(w).as(s"nb$k")
+          )
+        ): _*
+    )
+    val pairs = withLeads
+      .select(
+        col("embedding"),
+        col("nrm"),
+        explode(
+          array((1 to stride).map(k =>
+            struct(col(s"eb$k").as("eb"), col(s"nb$k").as("nb"))
+          ): _*)
+        ).as("o")
+      )
+      .filter(col("o.eb").isNotNull)
+      .select(
+        (call_function("graft_dot", col("embedding"), col("o.eb")) /
+          (col("nrm") * col("o.nb"))).as("cos")
+      )
+      .select(
+        (lit(1.0) -
+          acos(least(lit(1.0), greatest(lit(-1.0), col("cos")))) / lit(math.Pi)).as("p")
+      )
+    val row = pairs
+      .agg(
+        avg(pow(col("p"), bits.head)).as(s"b${bits.head}"),
+        bits.tail.map(b => avg(pow(col("p"), b)).as(s"b$b")): _*
+      )
+      .first()
+    bits.zipWithIndex.map { case (b, i) =>
+      b -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+    }.toMap
+  }
+
   /** The banded CANDIDATE stage alone: distinct id-ordered pairs sharing at
     * least one (band, bucket). Factored out of [[cosinePairsBanded]] so the
     * declared v12b query can surface per-vector candidate degree — the

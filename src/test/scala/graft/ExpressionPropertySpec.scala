@@ -178,6 +178,80 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gram_embed/band_hashes dims argument: default == explicit 64; wide forms match references") {
+    // The SCALING.md decade-lever plumbing: graft_gram_embed(text, D) and
+    // graft_band_hashes(v, B, b, D) take an optional literal dims. The
+    // 1-arg/3-arg forms must stay BIT-identical to explicit 64 (the
+    // m7b/oracle contract), and the wide forms must match independent
+    // Scala references (scatter formula over md5-prefix trigram hashes;
+    // per-plane sign sums over the shared Planes table at dims=512).
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two", // no trigram -> zero vector
+      "a b c a b c a b c a b c",
+      ""
+    ).zipWithIndex.map(_.swap)
+    def refEmbed(t: String, dims: Int): Seq[Float] = {
+      val h = graft.functions.ShingleHashing.md5PrefixSequence(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 3)
+      val acc = new Array[Double](dims)
+      h.foreach { x =>
+        acc((x % dims).toInt) += (if ((x / dims) % 2 == 0L) 1.0 else -1.0)
+      }
+      acc.map(_.toFloat).toSeq
+    }
+    val df = texts.toDF("id", "t").select(
+      col("id"),
+      call_function("graft_gram_embed", col("t")).as("e1"),
+      call_function("graft_gram_embed", col("t"), lit(64)).as("e64"),
+      call_function("graft_gram_embed", col("t"), lit(512)).as("e512")
+    )
+    val rows = df.collect().map(r =>
+      r.getInt(0) -> ((r.getSeq[Float](1), r.getSeq[Float](2), r.getSeq[Float](3)))).toMap
+    texts.foreach { case (id, t) =>
+      val (e1, e64, e512) = rows(id)
+      assert(e1 == e64, s"default dims != explicit 64 for id=$id")
+      assert(e1 == refEmbed(t, 64), s"64-dim embed mismatch for id=$id")
+      assert(e512.length == 512, s"wide embed wrong length for id=$id")
+      assert(e512 == refEmbed(t, 512), s"512-dim embed mismatch for id=$id")
+    }
+    // band hashes over a 512-dim vector against the per-plane reference
+    def refBandsD(v: Seq[Float], nBands: Int, bits: Int, dims: Int): Seq[Long] =
+      (0 until nBands).map { b =>
+        (0 until bits).foldLeft(0L) { (h, k) =>
+          val j = b * bits + k
+          var acc = 0.0
+          var i = 0
+          val n = math.min(v.length, dims)
+          while (i < n) {
+            acc += v(i).toDouble * graft.functions.Planes.sign(j, i).toDouble
+            i += 1
+          }
+          if (acc >= 0.0) h | (1L << k) else h
+        }
+      }
+    val wide = texts.toDF("id", "t").select(
+      col("id"),
+      call_function("graft_band_hashes",
+        call_function("graft_gram_embed", col("t"), lit(512)),
+        lit(12), lit(9), lit(512)).as("h"),
+      call_function("graft_band_hashes",
+        call_function("graft_gram_embed", col("t")), lit(12), lit(9)).as("h64"),
+      call_function("graft_band_hashes",
+        call_function("graft_gram_embed", col("t")), lit(12), lit(9), lit(64)).as("h64e")
+    )
+    val wrows = wide.collect().map(r =>
+      r.getInt(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3)))).toMap
+    texts.foreach { case (id, t) =>
+      val (h512, h64, h64e) = wrows(id)
+      assert(h512 == refBandsD(refEmbed(t, 512), 12, 9, 512),
+        s"512-dim band hashes mismatch for id=$id")
+      assert(h64 == h64e, s"3-arg band hashes != explicit dims=64 for id=$id")
+    }
+  }
+
   test("graft_project: codegen == interpreted == per-plane reference sums") {
     // the fused projection must match per-plane left-to-right double
     // accumulation over the shared Planes table, each sum cast to float —

@@ -174,6 +174,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m7c ivf-pruned dedup equals m7b (and therefore the exact criterion) at both driver SFs") {
+    // The round-9 lever composition: top-2 multi-probe means a true pair
+    // COULD split across coarse clusters, so cluster pruning earns its
+    // declaration only by reproducing the banded (== exact, gated above)
+    // pair set exactly. Deterministic centroids + deterministic data: if
+    // this holds here it holds in the driver run, where the oracle is
+    // the same exact criterion SQL.
+    import graft.multimodal.MultimodalOps
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val banded = MultimodalOps
+        .semanticDedupBandedQuery(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val ivf = MultimodalOps
+        .semanticDedupIvfQuery(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(banded.nonEmpty, s"no pairs at $sf — the gate would be vacuous")
+      assert(ivf == banded,
+        s"ivf != banded at $sf: missed=${banded -- ivf} extra=${ivf -- banded}")
+    }
+  }
+
   test("m7b plan has no all-pairs stage (no cartesian/broadcast-NL join)") {
     val plan = graft.multimodal.MultimodalOps
       .semanticDedupBandedQuery(spark, "/root/testdata/sf0.001")
@@ -182,5 +207,25 @@ class MultimodalSpec extends AnyFunSuite {
       .toString
     assert(!plan.contains("CartesianProduct"), "cartesian in m7b plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "broadcast-NL in m7b plan")
+  }
+
+  test("m7c plan has no all-pairs stage and keys its candidate join on (cid, band, bh)") {
+    val plan = graft.multimodal.MultimodalOps
+      .semanticDedupIvfQuery(spark, "/root/testdata/sf0.001")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in m7c plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "broadcast-NL in m7c plan")
+    assert(plan.contains("graft_band_hashes"), "m7c lost its fused signature expression")
+    // the collision join must carry the cluster key — without it the
+    // plan degrades to m7b's corpus-wide buckets and the in-list solve
+    // is meaningless
+    // any equi-join keyed on cid qualifies (tiny SFs broadcast the
+    // banded side; scale plans sort-merge — the key is the invariant)
+    assert(
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid#".r.findFirstIn(plan).isDefined,
+      s"m7c candidate join no longer keyed on cid:\n$plan"
+    )
   }
 }

@@ -372,6 +372,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("graft_band_hashes"), "m7b lost its fused signature expression")
   }
 
+  test("m8 plans a broadcast panel and a partial WindowGroupLimit — corpus never sorts globally") {
+    val p = plan("m8_crossmodal_search")
+    assert(p.contains("WindowGroupLimit"),
+      s"m8 lost its rank-limit pushdown — the full scored corpus would reach the sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"m8's query panel is no longer broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"m8 planned a cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"m8 shuffled the corpus for a join:\n$p")
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
