@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -564,27 +564,24 @@ object MultimodalOps {
     // count() discipline): measured list population + measured E[p_bg^b]
     val listPop = math.max(1L, probed.count() / nLists)
     val epb = graft.operators.VectorOps.inListNeighborEpb(probed)
+    // budget 256 per (vector, probed list) — stated WITH the fan-out
+    // factor (fanOut = probes): the solver estimates probes·listPop·B·bg
+    // against probes·256, which is the same solve as the per-list budget
+    // but with the contract honest about what a multi-probed vector pays
     val (nBands, bandBits) = graft.operators.VectorOps.bandGeometryMeasured(
       listPop,
       epb,
       tau = 0.85,
-      targetCandPerVec = 256,
-      maxMiss = 1e-6
+      targetCandPerVec = 256 * probes,
+      maxMiss = 1e-6,
+      fanOut = probes
     )
-    val banded = probed
-      .select(
-        col("cid"),
-        col("vec_id"),
-        posexplode(
-          call_function("graft_band_hashes", col("embedding"), lit(nBands), lit(bandBits))
-        ).as(Seq("band", "bh"))
-      )
-      .repartition(col("cid"), col("band"), col("bh"))
-    val cand = banded
-      .as("x")
-      .join(banded.as("y"), Seq("cid", "band", "bh"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    val cand = graft.operators.VectorOps.bandedCandidateStreamKeyed(
+      probed.select("cid", "vec_id", "embedding"),
+      extraKeys = Seq("cid"),
+      nBands = nBands,
+      bandBits = bandBits
+    )
     verifiedPairs(cand, emb)
   }
 
@@ -592,19 +589,29 @@ object MultimodalOps {
     * (payloads with no word trigram) dropped — shared by m7b and its
     * equality-gate spec's exact arm. */
   def gramEmbeddings(docs: DataFrame): DataFrame =
-    Multimodal
-      .withPayload(docs)
-      .filter(length(col("payload")) > 0)
-      .withColumn(
-        "embedding",
-        call_function("graft_gram_embed", col("payload").cast("string"))
-      )
+    gramEmbedFrame(
+      Multimodal.withPayload(docs).filter(length(col("payload")) > 0),
+      col("media_id"),
+      col("payload")
+    )
+
+  /** The trigram-hash embed/norm/filter chain over an arbitrary
+    * (id, text) shape — the ONE definition of the m7-family featurizer.
+    * [[gramEmbeddings]] (batch media payloads) and
+    * [[graft.streaming.StreamingSemanticDedup.featurize]] (streaming
+    * content arrivals) are both this applied to their column names, so
+    * the persisted index and the batch criterion cannot drift. */
+  def gramEmbedFrame(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(idCol.as("vec_id"), textCol.cast("string").as("gtext"))
+      .withColumn("embedding", call_function("graft_gram_embed", col("gtext")))
       .withColumn(
         "nrm",
         sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
       )
       .filter(col("nrm") > 0)
-      .select(col("media_id").as("vec_id"), col("embedding"), col("nrm"))
+      .select("vec_id", "embedding", "nrm")
+  }
 
   /** m7's exact cosine verify at τ=0.8 over a candidate pair frame —
     * candidates join the embedding table keyed per side, so the pair
@@ -803,23 +810,25 @@ object MultimodalOps {
   /** The stub decoder is pure arithmetic over payload bytes, so the oracle
     * reproduces it in SQL (strlen = UTF-8 byte count in DuckDB; the corpus
     * is ASCII so ascii(first char) == first byte). */
-  /** The EXACT trigram-hash pair criterion in DuckDB SQL (t6's md5
-    * hex-prefix hash rebuilt, dim = h mod 64, sign = bit 6) — shared by
-    * m7b and m7c: both Spark sides are pruned plans (banded; ivf+banded),
-    * so the driver's hash match against this exact scan IS the
-    * pruned==exact certification, independent of geometry or clustering. */
-  private val exactGramPairSql: String =
-      """WITH words AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'),
+  /** The trigram-hash embedding chain (words → md5-prefix hashes →
+    * scatter → 64-dim embed → norm, trigram-less rows dropped) as DuckDB
+    * CTEs, parameterized by CTE-name prefix / id column / text column /
+    * FROM clause — ONE definition shared by the m7b/m7c exact-pair
+    * oracle and BOTH sides of m8's (corpus and query panel), so a fix to
+    * the embedding SQL cannot diverge between them. Emits `${p}nrmd`
+    * with columns (gid, e, nrm). */
+  private def gramChainSql(p: String, idCol: String, textCol: String, from: String): String =
+    raw"""${p}words AS (
+           SELECT $idCol AS gid,
+             list_filter(string_split_regex(trim($textCol), '\s+'),
                          x -> length(x) > 0) AS w
-           FROM documents WHERE strlen(text) > 0
-         ), sh AS (
-           SELECT doc_id, md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
-           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
-                 FROM words WHERE len(w) >= 3)
-         ), hs AS (
-           SELECT doc_id,
+           FROM $from
+         ), ${p}sh AS (
+           SELECT gid, md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
+           FROM (SELECT gid, w, unnest(range(1, len(w) - 1)) AS p
+                 FROM ${p}words WHERE len(w) >= 3)
+         ), ${p}hs AS (
+           SELECT gid,
              (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 268435456 +
              (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16777216 +
              (instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 1048576 +
@@ -828,29 +837,36 @@ object MultimodalOps {
              (instr('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
              (instr('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
              (instr('0123456789abcdef', substr(hh, 8, 1)) - 1) AS h
-           FROM sh
-         ), scat AS (
-           SELECT doc_id, h % 64 AS dim,
+           FROM ${p}sh
+         ), ${p}scat AS (
+           SELECT gid, h % 64 AS dim,
              sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
-           FROM hs GROUP BY 1, 2
-         ), emb AS (
-           SELECT doc_id AS vec_id,
+           FROM ${p}hs GROUP BY 1, 2
+         ), ${p}emb AS (
+           SELECT gid,
              list_transform(range(0, 64), d ->
                coalesce(list_sum(list_transform(vals,
                  x -> CASE WHEN x.dim = d THEN x.v ELSE 0.0 END)), 0.0)) AS e
-           FROM (SELECT doc_id, list(struct_pack(dim := dim, v := v)) AS vals
-                 FROM scat GROUP BY 1)
-         ), nrmd AS (
+           FROM (SELECT gid, list(struct_pack(dim := dim, v := v)) AS vals
+                 FROM ${p}scat GROUP BY 1)
+         ), ${p}nrmd AS (
            SELECT * FROM (
-             SELECT vec_id, e,
+             SELECT gid, e,
                sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
-             FROM emb)
+             FROM ${p}emb)
            WHERE nrm > 0
-         ), scored AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         )"""
+
+  /** The EXACT trigram-hash pair criterion in DuckDB SQL — shared by
+    * m7b and m7c: both Spark sides are pruned plans (banded; ivf+banded),
+    * so the driver's hash match against this exact scan IS the
+    * pruned==exact certification, independent of geometry or clustering. */
+  private val exactGramPairSql: String =
+    s"""WITH ${gramChainSql("", "doc_id", "text", "documents WHERE strlen(text) > 0")}, scored AS (
+           SELECT a.gid AS id_a, b.gid AS id_b,
              list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
                / (a.nrm * b.nrm) AS cos
-           FROM nrmd a JOIN nrmd b ON a.vec_id < b.vec_id
+           FROM nrmd a JOIN nrmd b ON a.gid < b.gid
          )
          SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
          WHERE cos > 0.8 ORDER BY id_a, id_b"""
@@ -860,87 +876,13 @@ object MultimodalOps {
     // corpus and the literal query panel — then an exact cosine cross
     // score and rank-≤-5 per query (cos DESC, media id ASC)
     "m8_crossmodal_search" ->
-      """WITH words AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'),
-                         x -> length(x) > 0) AS w
-           FROM documents WHERE strlen(text) > 0
-         ), sh AS (
-           SELECT doc_id, md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
-           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS p
-                 FROM words WHERE len(w) >= 3)
-         ), hs AS (
-           SELECT doc_id,
-             (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 268435456 +
-             (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16777216 +
-             (instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 1048576 +
-             (instr('0123456789abcdef', substr(hh, 4, 1)) - 1) * 65536 +
-             (instr('0123456789abcdef', substr(hh, 5, 1)) - 1) * 4096 +
-             (instr('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
-             (instr('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
-             (instr('0123456789abcdef', substr(hh, 8, 1)) - 1) AS h
-           FROM sh
-         ), scat AS (
-           SELECT doc_id, h % 64 AS dim,
-             sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
-           FROM hs GROUP BY 1, 2
-         ), emb AS (
-           SELECT doc_id AS vec_id,
-             list_transform(range(0, 64), d ->
-               coalesce(list_sum(list_transform(vals,
-                 x -> CASE WHEN x.dim = d THEN x.v ELSE 0.0 END)), 0.0)) AS e
-           FROM (SELECT doc_id, list(struct_pack(dim := dim, v := v)) AS vals
-                 FROM scat GROUP BY 1)
-         ), nrmd AS (
-           SELECT * FROM (
-             SELECT vec_id, e,
-               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
-             FROM emb)
-           WHERE nrm > 0
-         ), q AS (
+      s"""WITH ${gramChainSql("", "doc_id", "text", "documents WHERE strlen(text) > 0")}, q AS (
            SELECT * FROM (VALUES
              (1, 'table scan merge join order window'),
              (2, 'stream batch window group agg spark'),
              (3, 'customer line value query data row')) AS t(qid, qtext)
-         ), qwords AS (
-           SELECT qid,
-             list_filter(string_split_regex(trim(qtext), '\s+'),
-                         x -> length(x) > 0) AS w
-           FROM q
-         ), qsh AS (
-           SELECT qid, md5(w[p] || ' ' || w[p+1] || ' ' || w[p+2]) AS hh
-           FROM (SELECT qid, w, unnest(range(1, len(w) - 1)) AS p
-                 FROM qwords WHERE len(w) >= 3)
-         ), qhs AS (
-           SELECT qid,
-             (instr('0123456789abcdef', substr(hh, 1, 1)) - 1) * 268435456 +
-             (instr('0123456789abcdef', substr(hh, 2, 1)) - 1) * 16777216 +
-             (instr('0123456789abcdef', substr(hh, 3, 1)) - 1) * 1048576 +
-             (instr('0123456789abcdef', substr(hh, 4, 1)) - 1) * 65536 +
-             (instr('0123456789abcdef', substr(hh, 5, 1)) - 1) * 4096 +
-             (instr('0123456789abcdef', substr(hh, 6, 1)) - 1) * 256 +
-             (instr('0123456789abcdef', substr(hh, 7, 1)) - 1) * 16 +
-             (instr('0123456789abcdef', substr(hh, 8, 1)) - 1) AS h
-           FROM qsh
-         ), qscat AS (
-           SELECT qid, h % 64 AS dim,
-             sum(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
-           FROM qhs GROUP BY 1, 2
-         ), qemb AS (
-           SELECT qid,
-             list_transform(range(0, 64), d ->
-               coalesce(list_sum(list_transform(vals,
-                 x -> CASE WHEN x.dim = d THEN x.v ELSE 0.0 END)), 0.0)) AS e
-           FROM (SELECT qid, list(struct_pack(dim := dim, v := v)) AS vals
-                 FROM qscat GROUP BY 1)
-         ), qnrmd AS (
-           SELECT * FROM (
-             SELECT qid, e,
-               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
-             FROM qemb)
-           WHERE nrm > 0
-         ), scored AS (
-           SELECT q.qid, m.vec_id,
+         ), ${gramChainSql("q", "qid", "qtext", "q")}, scored AS (
+           SELECT q.gid AS qid, m.gid AS vec_id,
              list_sum(list_transform(range(1, 65), i -> m.e[i] * q.e[i]))
                / (m.nrm * q.nrm) AS c
            FROM nrmd m CROSS JOIN qnrmd q

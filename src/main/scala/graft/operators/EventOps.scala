@@ -1410,13 +1410,24 @@ object EventOps {
     *
     * Spark-first shape: ONE exchange keyed (user_id, day) builds the
     * ordered type-path, then the pattern is a single codegen `rlike` per
-    * trajectory row — zero joins, no window pass at all. The regex is
-    * RE2-safe (no lookahead — "no error between" is spelled as gap
-    * alternations over the non-error types), which is what lets the
-    * DuckDB oracle run the IDENTICAL pattern. */
+    * trajectory row — zero joins, no window pass at all. Matching runs
+    * over a SINGLE-CHAR encoding of the path (view→v, click→c,
+    * purchase→p, signup→s, error→e, anything else→x) so "no error
+    * between" is the RE2-safe class `[^e]` — a true error-EXCLUSION, not
+    * a whitelist of today's other types that would silently narrow the
+    * semantics the day a sixth event type appears. The DuckDB oracle
+    * applies the identical mapping and pattern. */
   private def e31SequenceMatch(s: SparkSession, d: String): DataFrame = {
-    val pat =
-      "(^|>)view>((signup|view|click|purchase)>)*click>((signup|view|click|purchase)>)*purchase"
+    val sorted = array_sort(
+      collect_list(struct(col("us"), col("event_id"), col("event_type")))
+    )
+    def code(t: org.apache.spark.sql.Column) =
+      when(t === "error", lit("e"))
+        .when(t === "view", lit("v"))
+        .when(t === "click", lit("c"))
+        .when(t === "purchase", lit("p"))
+        .when(t === "signup", lit("s"))
+        .otherwise(lit("x"))
     Tables
       .events(s, d)
       .select(
@@ -1428,18 +1439,11 @@ object EventOps {
       )
       .groupBy("user_id", "day")
       .agg(
-        concat_ws(
-          ">",
-          transform(
-            array_sort(
-              collect_list(struct(col("us"), col("event_id"), col("event_type")))
-            ),
-            e => e.getField("event_type")
-          )
-        ).as("path"),
+        concat_ws(">", transform(sorted, e => e.getField("event_type"))).as("path"),
+        concat_ws("", transform(sorted, e => code(e.getField("event_type")))).as("cpath"),
         count(lit(1)).as("n_events")
       )
-      .filter(col("path").rlike(pat))
+      .filter(col("cpath").rlike("v[^e]*c[^e]*p"))
       .select("user_id", "day", "path", "n_events")
       .orderBy("user_id", "day")
   }
@@ -1490,13 +1494,17 @@ object EventOps {
            SELECT user_id, CAST(ts AS DATE) AS day,
              string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id)
                AS path,
+             string_agg(CASE event_type
+                          WHEN 'error' THEN 'e' WHEN 'view' THEN 'v'
+                          WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                          WHEN 'signup' THEN 's' ELSE 'x' END,
+                        '' ORDER BY epoch_us(ts), event_id) AS cpath,
              count(*) AS n_events
            FROM events GROUP BY 1, 2
          )
          SELECT user_id, day, path, n_events
          FROM ps
-         WHERE regexp_matches(path,
-           '(^|>)view>((signup|view|click|purchase)>)*click>((signup|view|click|purchase)>)*purchase')
+         WHERE regexp_matches(cpath, 'v[^e]*c[^e]*p')
          ORDER BY user_id, day""",
     // e2's session CTEs + distinct (session, type) + in-session pair
     // join; lift6 cross-multiplies in HUGEINT (= Spark's decimal(38,0))

@@ -258,17 +258,24 @@ object VectorIndexStore {
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cid=$c)")
       }
     }
-    // retire the folded tombstones by OVERWRITING the table with the
-    // staged survivors — one writer command, not drop-then-create, so a
-    // crash cannot silently lose surviving (delta-only/unknown-id)
-    // tombstones and un-delete their rows; an empty survivor set leaves
-    // an empty table (truncate semantics), which the probe anti-join
-    // treats as nothing-deleted
+    // retire the folded tombstones by OVERWRITING INTO the existing
+    // table — insertInto, NOT saveAsTable: saveAsTable-overwrite on a
+    // managed table is internally drop-then-recreate, so a crash between
+    // the two would lose the surviving (delta-only/unknown-id)
+    // tombstones AND the table itself, and a purge re-run would no-op at
+    // the tableExists guard — silently un-deleting those rows.
+    // insertInto keeps the table metadata standing at every instant and
+    // the staged parquet is deleted only after the insert returns; an
+    // empty survivor set overwrites to an empty table (truncate
+    // semantics), which the probe anti-join treats as nothing-deleted.
+    // Residual boundary is compact's, stated there: a crash INSIDE the
+    // insert can leave partial survivor data — run purge from a single
+    // maintenance job.
     spark.read
       .parquet(tombStaging.toString)
       .write
       .mode("overwrite")
-      .saveAsTable(s"${table}_tombstones")
+      .insertInto(s"${table}_tombstones")
     tfs.delete(tombStaging, true)
   }
 
@@ -416,7 +423,11 @@ object VectorIndexStore {
     * base∧delta co-resident id would be served twice by
     * [[probeWithDelta]] and double-folded by [[compact]]; it would also
     * let [[purge]] retire a tombstone whose id still lives in the
-    * delta), and tombstoned ids are dropped per [[delete]]'s contract. */
+    * delta), arrivals already sitting in an EARLIER delta epoch are
+    * dropped (a re-delivered duplicate arrival file would otherwise seat
+    * the id in two epochs — this epoch's own rows are exempt so a
+    * checkpoint replay still replaces itself), and tombstoned ids are
+    * dropped per [[delete]]'s contract. */
   def writeDelta(batch: DataFrame, table: String, deltaDir: String, epoch: Long): Unit = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
@@ -434,7 +445,33 @@ object VectorIndexStore {
       .table(table)
       .filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
       .select("vec_id")
-    withoutTombstonedIds(spark, table, indexed.join(residents, Seq("vec_id"), "left_anti"))
+    // arrivals already sitting in an EARLIER delta epoch are dropped too
+    // (a duplicate arrival file re-delivered in a later micro-batch would
+    // otherwise seat the id in two epochs: probeWithDelta would serve it
+    // twice and compact would double-seat it in the base). THIS epoch is
+    // excluded from the residency check on purpose — a checkpoint replay
+    // must REPLACE its own partitions via dynamic overwrite, not
+    // anti-join itself out and leave the prior partial attempt standing.
+    val deltaResidents = {
+      val root = new org.apache.hadoop.fs.Path(deltaDir)
+      val dfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasEpochs = dfs.exists(root) &&
+        dfs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      if (hasEpochs)
+        spark.read
+          .parquet(deltaDir)
+          .filter(col("epoch") =!= epoch)
+          .filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
+          .select("vec_id")
+      else indexed.select("vec_id").limit(0)
+    }
+    withoutTombstonedIds(
+      spark,
+      table,
+      indexed
+        .join(residents, Seq("vec_id"), "left_anti")
+        .join(deltaResidents, Seq("vec_id"), "left_anti")
+    )
       .withColumn("epoch", lit(epoch))
       .write
       .mode("overwrite")
@@ -474,10 +511,21 @@ object VectorIndexStore {
     if (epochDirs.isEmpty) return
     val epochs = epochDirs.map(_.getPath.getName.stripPrefix("epoch=").toLong)
     val base = spark.table(table)
+    // dedup WITHIN the fold, newest epoch wins: writeDelta anti-joins
+    // arrivals against earlier epochs at ingest, but the fold verifies
+    // rather than assumes (a delta written by an older library version,
+    // or a race between two writers, could still hold an id twice) —
+    // without this a cross-epoch duplicate would seat the same vec_id
+    // twice in the base. The window is delta-sized, never index-sized.
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("epoch").desc)
     val folded = spark.read
       .parquet(deltaDir)
       .filter(col("epoch").isin(epochs.map(java.lang.Long.valueOf): _*))
-      .drop("epoch")
+      .withColumn("rn", row_number().over(dw))
+      .filter(col("rn") === 1)
+      .drop("rn", "epoch")
     // [[writeDelta]] guards base∧delta co-residency at ingest; verify it
     // here too (an upsert can land an id AFTER it entered the delta) so a
     // fold can never seat the same vec_id twice in the base. The

@@ -659,7 +659,8 @@ object VectorOps {
       epb: Map[Int, Double],
       tau: Double,
       targetCandPerVec: Int = 256,
-      maxMiss: Double = 1e-6
+      maxMiss: Double = 1e-6,
+      fanOut: Int = 1
   ): (Int, Int) = {
     val p1 = 1.0 - math.acos(tau) / math.Pi
     def bandsFor(bits: Int): Int =
@@ -668,7 +669,11 @@ object VectorOps {
       val m = epb.getOrElse(bits, math.pow(0.5, bits))
       if (java.lang.Double.isNaN(m) || m <= 0.0) math.pow(0.5, bits) else m
     }
-    def candPerVec(bits: Int): Double = listPop.toDouble * bandsFor(bits) * bg(bits)
+    // a multi-probed vector collides independently in each of its
+    // `fanOut` lists — the per-vector estimate must carry that factor or
+    // the stated budget is quietly fanOut× too loose
+    def candPerVec(bits: Int): Double =
+      fanOut.toDouble * listPop.toDouble * bandsFor(bits) * bg(bits)
     val range = 8 to 24
     range
       .find(candPerVec(_) <= targetCandPerVec)
@@ -758,6 +763,18 @@ object VectorOps {
       emb: DataFrame,
       nBands: Int,
       bandBits: Int
+  ): DataFrame = bandedCandidateStreamKeyed(emb, Nil, nBands, bandBits)
+
+  /** [[bandedCandidateStream]] with extra JOIN KEYS ahead of (band, bh) —
+    * the IVF-pruned form's primitive: keyed by a cluster id, collisions
+    * can only form INSIDE a list (m7c passes Seq("cid")). One definition
+    * of the signature-explode + keyed self-join discipline for both the
+    * corpus-wide and the pruned plans. */
+  def bandedCandidateStreamKeyed(
+      emb: DataFrame,
+      extraKeys: Seq[String],
+      nBands: Int,
+      bandBits: Int
   ): DataFrame = {
     // The whole signature is ONE fused native expression
     // (graft_band_hashes: every plane dot in a single codegen loop over an
@@ -772,17 +789,18 @@ object VectorOps {
     // and the second side reads shuffle output. At scale the (band, bh)
     // join shuffles both sides regardless, so the repartition adds
     // nothing — it only deduplicates the signature work.
+    val joinKeys = extraKeys :+ "band" :+ "bh"
     val banded = emb
       .select(
-        col("vec_id"),
-        posexplode(
-          call_function("graft_band_hashes", col("embedding"), lit(nBands), lit(bandBits))
-        ).as(Seq("band", "bh"))
+        extraKeys.map(col) :+ col("vec_id") :+
+          posexplode(
+            call_function("graft_band_hashes", col("embedding"), lit(nBands), lit(bandBits))
+          ).as(Seq("band", "bh")): _*
       )
-      .repartition(col("band"), col("bh"))
+      .repartition(joinKeys.map(col): _*)
     banded
       .as("x")
-      .join(banded.as("y"), Seq("band", "bh"))
+      .join(banded.as("y"), joinKeys)
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
   }

@@ -49,17 +49,11 @@ import graft.multimodal.MultimodalOps
 object StreamingSemanticDedup {
 
   /** Featurize (vec_id, content) arrivals: trigram-hash embedding + norm,
-    * zero-vector rows (no word trigram) dropped — the streaming copy of
-    * [[MultimodalOps.gramEmbeddings]]' contract over an already-shaped
-    * content column. */
-  def featurize(arrivals: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(arrivals.sparkSession)
-    arrivals
-      .withColumn("embedding", call_function("graft_gram_embed", col("content").cast("string")))
-      .withColumn("nrm", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
-      .filter(col("nrm") > 0)
-      .select("vec_id", "embedding", "nrm")
-  }
+    * zero-vector rows (no word trigram) dropped —
+    * [[MultimodalOps.gramEmbedFrame]] (the one featurizer definition the
+    * batch criterion uses) over the stream's column names. */
+  def featurize(arrivals: DataFrame): DataFrame =
+    MultimodalOps.gramEmbedFrame(arrivals, col("vec_id"), col("content"))
 
   private def fs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -167,15 +161,24 @@ object StreamingSemanticDedup {
           // both candidate sides, and the epoch append
           val vecs = featurize(b).persist()
           try {
-            val verdicts = MultimodalOps.semanticVerdicts(
-              b.select("vec_id"),
-              vecs,
-              readBands(spark, indexDir),
-              readVecs(spark, indexDir),
-              nBands,
-              bandBits,
-              tau
-            )
+            // localCheckpoint(eager): the verdict frame is MATERIALIZED
+            // against the pre-append index before appendEpoch mutates it.
+            // Without the cut, an onBatch consumer that evaluates the
+            // frame lazily (stores it, wires it to a later sink) would
+            // re-scan the GROWN index and report different verdicts than
+            // the batch's true screen — silently. Verdicts are
+            // arrival-sized, so the materialization is micro-batch cost.
+            val verdicts = MultimodalOps
+              .semanticVerdicts(
+                b.select("vec_id"),
+                vecs,
+                readBands(spark, indexDir),
+                readVecs(spark, indexDir),
+                nBands,
+                bandBits,
+                tau
+              )
+              .localCheckpoint(true)
             onBatch(verdicts, id)
             appendEpoch(vecs, indexDir, id, nBands, bandBits)
           } finally { vecs.unpersist(); () }

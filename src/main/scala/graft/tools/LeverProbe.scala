@@ -73,7 +73,10 @@ object LeverProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       val nCand = cand.count()
 
-      val floor = banded.agg(min("cos")).head.getDouble(0)
+      // min over an EMPTY pair set is SQL NULL — report NaN rather than
+      // NPE: "no pairs" is a valid probe answer (high tau, clean corpus)
+      val floorRow = banded.agg(min("cos")).head
+      val floor = if (floorRow.isNullAt(0)) Double.NaN else floorRow.getDouble(0)
 
       // background ceiling: deterministic sample of non-pair ids (stride
       // pairing i with i+1 in vec_id order collides with true dups rarely;
@@ -94,8 +97,8 @@ object LeverProbe {
         .join(banded.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
         .agg(max("cos"), expr("percentile(cos, 0.999)"))
         .head
-      val bgMax = bg.getDouble(0)
-      val bgP999 = bg.getDouble(1)
+      val bgMax = if (bg.isNullAt(0)) Double.NaN else bg.getDouble(0)
+      val bgP999 = if (bg.isNullAt(1)) Double.NaN else bg.getDouble(1)
 
       var exactOk = "skipped"
       if (exactArm) {

@@ -292,4 +292,48 @@ class VectorIndexSinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ivf_empty_t_tombstones")
     }
   }
+
+  test("a duplicate arrival re-delivered in a later epoch seats once: delta, probe, and fold") {
+    // The orchestrator-retry threat writeDelta's base guard names, aimed
+    // at the DELTA: the same arrival file lands in epoch 0 and again in
+    // epoch 5. The second delivery must be dropped at ingest (earlier-
+    // epoch residency), probeWithDelta must serve the id at most once,
+    // and compact must seat exactly one base row — while a REPLAY of the
+    // same epoch still replaces itself (the idempotence contract).
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 10 === 0)
+    VectorIndexStore.write(base, "ivf_dup_t")
+    val deltaDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    try {
+      VectorIndexStore.writeDelta(arrivals, "ivf_dup_t", deltaDir, epoch = 0L)
+      // same-epoch replay: replaces its own partitions, still one copy
+      VectorIndexStore.writeDelta(arrivals, "ivf_dup_t", deltaDir, epoch = 0L)
+      // cross-epoch duplicate delivery: dropped by the delta residency guard
+      VectorIndexStore.writeDelta(arrivals, "ivf_dup_t", deltaDir, epoch = 5L)
+      val deltaIds = spark.read.parquet(deltaDir).groupBy("vec_id").count()
+      assert(deltaIds.filter(col("count") > 1).isEmpty,
+        "an id sits in more than one delta epoch after a duplicate delivery")
+      // probe from BASE vectors (probeIndex excludes self-matches, so the
+      // duplicate id itself can't be the query): no arrival id may occupy
+      // two result slots for any query — the defect's serving symptom
+      val queries = base.limit(20).select("vec_id", "embedding")
+      val doubleServed = VectorIndexStore
+        .probeWithDelta(spark, "ivf_dup_t", deltaDir, queries)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .count()
+        .filter(col("count") > 1)
+      assert(doubleServed.isEmpty, "probeWithDelta served a duplicate id twice for one query")
+      VectorIndexStore.compact(spark, "ivf_dup_t", deltaDir)
+      val seated = spark.table("ivf_dup_t").groupBy("vec_id").count()
+      assert(seated.filter(col("count") > 1).isEmpty,
+        "compact seated a vec_id twice in the base")
+      val dupId = arrivals.select("vec_id").as[Long].head()
+      assert(spark.table("ivf_dup_t").filter(col("vec_id") === dupId).count() == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_dup_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_dup_t_tombstones")
+    }
+  }
 }
