@@ -538,4 +538,216 @@ object VectorIndexStore {
     alignTo(base, fresh).write.partitionBy("cid").mode("append").saveAsTable(table)
     epochDirs.foreach(s => fs.delete(s.getPath, true))
   }
+
+  /** REBALANCE — split oversized inverted lists IN PLACE, the skew-repair
+    * verb between [[compact]] and a full refit. Probe cost is
+    * proportional to probed-list size, so a list that upserts have grown
+    * hot degrades every query that probes it; a full Lloyd refit
+    * rewrites the entire index to fix a handful of lists. Rebalance
+    * reads ONLY the hot partitions (size > `maxListFactor` × median,
+    * sizes from one k-row count agg), runs a deterministic grouped
+    * 2-means inside each (seeds = a deterministic farthest-pair
+    * approximation,
+    * [[IvfAnn.lloydIters]] iterations, all DataFrame ops with the
+    * bounded 2·|hot| sub-centroid collect the IvfAnn design allows),
+    * and rewrites just those partitions under dynamic partition
+    * overwrite — untouched lists are never read or written.
+    *
+    * Ordering is crash-considered: the centroid table is updated FIRST
+    * (a centroid with a momentarily empty/absent list probes harmlessly;
+    * the reverse order would leave moved rows unreachable). Contract:
+    * run AFTER [[compact]] (delta epochs are keyed by old cids) and from
+    * a single maintenance job, like the other rewrite verbs. The indexed
+    * SET is preserved exactly — no vector lost or duplicated
+    * (spec-pinned) — while list BOUNDARIES move, which changes which
+    * lists a fixed nProbe probes: the spec gates that measured recall
+    * does not degrade on the skewed fixture. A hot list of
+    * near-identical vectors yields a degenerate split (one empty sub)
+    * and is left untouched — that is duplication, not skew; dedup is
+    * m7b's job, not the index layout's.
+    *
+    * A 2-means pass halves a hot list, which can still exceed the
+    * threshold (a 10×-median list needs two halvings), so rebalance
+    * LOOPS passes until no repairable list remains: each pass re-reads
+    * the k-row size frame, splits every currently-hot list once, and
+    * lists whose split came back degenerate are excluded from later
+    * passes (they can never split — without the exclusion an
+    * all-identical hot list would loop forever). Pass count is bounded
+    * by log2(maxSize/median) — each pass halves the worst list — with a
+    * hard cap as a backstop. One call therefore leaves the invariant
+    * `every splittable list ≤ maxListFactor × median` true, and an
+    * immediately repeated call is a no-op (spec-pinned).
+    *
+    * Returns the performed splits as (oldCid, newCid). */
+  def rebalance(
+      spark: SparkSession,
+      table: String,
+      maxListFactor: Double = 4.0
+  ): Seq[(Int, Int)] = {
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val degenerate = scala.collection.mutable.Set.empty[Int]
+    var pass = 0
+    var progressed = true
+    while (progressed && pass < 32) {
+      pass += 1
+      val splits = rebalancePass(spark, table, maxListFactor, degenerate)
+      done ++= splits
+      progressed = splits.nonEmpty
+    }
+    done.toSeq
+  }
+
+  /** One split pass of [[rebalance]]: splits each currently-hot list
+    * (excluding known-degenerate cids) exactly once. Adds cids whose
+    * 2-means collapsed to `degenerate`. */
+  private def rebalancePass(
+      spark: SparkSession,
+      table: String,
+      maxListFactor: Double,
+      degenerate: scala.collection.mutable.Set[Int]
+  ): Seq[(Int, Int)] = {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val sizes = spark
+      .table(table)
+      .groupBy("cid")
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    if (sizes.isEmpty) return Nil
+    val med = sizes.map(_._2).sorted.apply(sizes.length / 2)
+    val hot = sizes
+      .filter { case (c, n) => n > maxListFactor * math.max(1L, med) && !degenerate.contains(c) }
+      .map(_._1)
+    if (hot.isEmpty) return Nil
+    val maxCid = sizes.map(_._1).max
+    val hotRows = spark
+      .table(table)
+      .filter(col("cid").isin(hot.map(Integer.valueOf): _*))
+      .cache()
+    try {
+      // Seeding is a deterministic farthest-pair approximation, not the
+      // two lowest ids: seed A = the list's lowest vec_id, seed B = the
+      // point farthest from A (ties by vec_id). Id-adjacent rows are
+      // often near-duplicates (any tie-free pair works for k-means, but
+      // two coincident seeds collapse the split), whereas A→farthest
+      // spans the list's real diameter, so a list with ANY spread gets a
+      // viable split; a truly degenerate all-identical list still
+      // collapses and is deliberately left untouched.
+      val ws = Window.partitionBy("cid").orderBy("vec_id")
+      val seedA = hotRows
+        .withColumn("rn", row_number().over(ws))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("embedding").as("seed_a"))
+      val wf = Window
+        .partitionBy("cid")
+        .orderBy(col("d2a").desc, col("vec_id"))
+      val seedB = hotRows
+        .join(broadcast(seedA), Seq("cid"))
+        .withColumn("d2a", call_function("graft_dist2", col("embedding"), col("seed_a")))
+        .withColumn("rn", row_number().over(wf))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("embedding").as("seed_b"))
+      var subCents = seedA
+        .withColumnRenamed("seed_a", "centroid")
+        .withColumn("sub", lit(0))
+        .unionByName(
+          seedB.withColumnRenamed("seed_b", "centroid").withColumn("sub", lit(1))
+        )
+        .select(col("cid"), col("sub"), col("centroid"))
+      def assignSubs(cents: DataFrame): DataFrame = {
+        val wa = Window.partitionBy("cid", "vec_id").orderBy(col("d2"), col("sub"))
+        hotRows
+          .join(broadcast(cents), Seq("cid"))
+          .withColumn("d2", call_function("graft_dist2", col("embedding"), col("centroid")))
+          .withColumn("rnk", row_number().over(wa))
+          .filter(col("rnk") === 1)
+          .drop("d2", "rnk", "centroid")
+      }
+      (0 until IvfAnn.lloydIters).foreach { _ =>
+        subCents = assignSubs(subCents)
+          .select(col("cid"), col("sub"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("cid", "sub", "dim")
+          .agg(avg("x").as("mean"))
+          .groupBy("cid", "sub")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("dim"), col("mean")))),
+              e => e.getField("mean").cast("float")
+            ).as("centroid")
+          )
+      }
+      val assigned = assignSubs(subCents).cache()
+      // a split is viable only if BOTH subs are non-empty
+      val viable = assigned
+        .groupBy("cid")
+        .agg(countDistinct("sub").as("nsubs"))
+        .filter(col("nsubs") === 2)
+        .select("cid")
+        .collect()
+        .map(_.getInt(0))
+        .sorted
+      degenerate ++= hot.toSet -- viable
+      if (viable.isEmpty) return Nil
+      val newCidOf = viable.zipWithIndex.map { case (c, i) => c -> (maxCid + 1 + i) }.toMap
+      val cidMap = newCidOf.toSeq
+        .map { case (c, n) => (c, n) }
+        .toDF("cid", "new_cid")
+      val rewritten = assigned
+        .join(broadcast(cidMap), Seq("cid"))
+        .withColumn("cid", when(col("sub") === 0, col("cid")).otherwise(col("new_cid")))
+        .drop("sub", "new_cid")
+      // centroids FIRST (see ordering note above): viable old cids get
+      // their sub-0 centroid, new cids the sub-1 centroid. The k+h-row
+      // frame is COLLECTED before the write (the bounded centroid
+      // transfer the IVF design allows) because Spark refuses to
+      // overwrite a table its own plan is reading; the rewrite itself is
+      // insertInto-overwrite, metadata never dropped.
+      val subC = subCents
+        .join(broadcast(cidMap), Seq("cid"))
+        .withColumn("cid", when(col("sub") === 0, col("cid")).otherwise(col("new_cid")))
+        .select(col("cid"), col("centroid"))
+      val centSchema = spark.table(s"${table}_centroids").schema
+      val keptRows = spark
+        .table(s"${table}_centroids")
+        .join(broadcast(cidMap), Seq("cid"), "left_anti")
+        .unionByName(subC)
+        .select(centSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .collect()
+      spark
+        .createDataFrame(
+          spark.sparkContext.parallelize(keptRows.toIndexedSeq, 1),
+          centSchema
+        )
+        .write
+        .mode("overwrite")
+        .insertInto(s"${table}_centroids")
+      // the hot-partition rewrite stages to scratch parquet first —
+      // purge's pattern, same reason: the frame reads the table it
+      // overwrites. Sized by the hot partitions, never the index.
+      val staging = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"${table}_rebalance_staging"
+      )
+      val sfs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rewritten
+        .select(spark.table(table).columns.toIndexedSeq.map(col): _*)
+        .write
+        .mode("overwrite")
+        .parquet(staging.toString)
+      val pomKey = "spark.sql.sources.partitionOverwriteMode"
+      val prevPom = spark.conf.get(pomKey, "STATIC")
+      spark.conf.set(pomKey, "dynamic")
+      try {
+        spark.read
+          .parquet(staging.toString)
+          .write
+          .mode("overwrite")
+          .insertInto(table)
+      } finally spark.conf.set(pomKey, prevPom)
+      sfs.delete(staging, true)
+      assigned.unpersist()
+      viable.map(c => c -> newCidOf(c)).toSeq
+    } finally { hotRows.unpersist(); () }
+  }
 }

@@ -31,38 +31,53 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   private val IdOffset = 1000000000L
 
+  // Replication is one EXPLODE over a replica-index array, not a fold of
+  // R unionAll branches: the fold's plan has R children (R transform
+  // subtrees through the analyzer), which stops scaling around the third
+  // decade (sf100 = 1000 replicas). The explode form is O(1) plan size
+  // for any R and row-for-row identical to the fold (same per-(row, k)
+  // formulas; k = 0 passes the base through untouched).
   def scaledDocuments(base: DataFrame, replicas: Int): DataFrame =
-    (1 until replicas)
-      .map { k =>
-        base
-          .withColumn("doc_id", col("doc_id") + lit(k * IdOffset))
-          .withColumn(
-            "text",
-            array_join(
-              transform(split(col("text"), " "), t => concat(t, lit(s"~$k"))),
-              " "
-            )
+    base
+      .select(col("*"), explode(sequence(lit(0L), lit(replicas - 1L))).as("k"))
+      .withColumn("doc_id", col("doc_id") + col("k") * lit(IdOffset))
+      .withColumn(
+        "text",
+        when(col("k") === 0, col("text")).otherwise(
+          array_join(
+            transform(
+              split(col("text"), " "),
+              t => concat(t, lit("~"), col("k").cast("string"))
+            ),
+            " "
           )
-          .withColumn("n_chars", length(col("text")))
-      }
-      .foldLeft(base)(_ unionAll _)
+        )
+      )
+      .withColumn(
+        "n_chars",
+        when(col("k") === 0, col("n_chars")).otherwise(length(col("text")))
+      )
+      .drop("k")
 
   def scaledEmbeddings(base: DataFrame, replicas: Int): DataFrame =
-    (1 until replicas)
-      .map { k =>
-        base
-          .withColumn("vec_id", col("vec_id") + lit(k * IdOffset))
-          .withColumn(
-            "embedding",
-            transform(
-              col("embedding"),
-              (x, i) =>
-                (x * when(pmod(xxhash64(i, lit(k)), lit(2)) === 0, lit(1.0f))
-                  .otherwise(lit(-1.0f))).cast("float")
-            )
+    base
+      .select(col("*"), explode(sequence(lit(0L), lit(replicas - 1L))).as("k"))
+      .withColumn("vec_id", col("vec_id") + col("k") * lit(IdOffset))
+      .withColumn(
+        "embedding",
+        when(col("k") === 0, col("embedding")).otherwise(
+          transform(
+            col("embedding"),
+            // cast to int: the fold hashed lit(k): Int, and xxhash64 is
+            // type-sensitive — a long replica index would flip different
+            // signs than the committed sf1/sf10 corpora were built with
+            (x, i) =>
+              (x * when(pmod(xxhash64(i, col("k").cast("int")), lit(2)) === 0, lit(1.0f))
+                .otherwise(lit(-1.0f))).cast("float")
           )
-      }
-      .foldLeft(base)(_ unionAll _)
+        )
+      )
+      .drop("k")
 
   def main(args: Array[String]): Unit = {
     val base = args(0)

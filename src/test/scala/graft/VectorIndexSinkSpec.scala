@@ -336,4 +336,105 @@ class VectorIndexSinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ivf_dup_t_tombstones")
     }
   }
+
+  test("rebalance splits a hot list in place: set preserved, lists grow, recall holds") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // deterministic skew: 300 jittered copies of the lowest-id vector —
+    // a tight cluster that Lloyd seats in one list, dwarfing the median
+    val seed = emb.orderBy("vec_id").select("embedding").head.getSeq[Float](0)
+    val jittered = (0 until 300).map { i =>
+      (100000L + i, seed.toArray.clone().updated(0, seed(0) + i * 0.001f).toSeq)
+    }.toDF("vec_id", "embedding").withColumn("embedding", col("embedding").cast("array<float>"))
+    val corpus = emb.unionByName(jittered)
+    VectorIndexStore.write(corpus, "ivf_rb_t")
+    try {
+      val before = spark.table("ivf_rb_t")
+      val nBefore = before.count()
+      val listsBefore = before.select("cid").distinct().count()
+      val maxBefore = before.groupBy("cid").count().agg(max("count")).head.getLong(0)
+      val queries = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+      def recall(): Double = {
+        // exact top-5 by cosine over the full corpus vs probed top-5
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val exact = queries
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(corpus)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn(
+            "cos",
+            call_function("graft_dot", col("qe"), col("embedding")) /
+              (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
+                sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+          )
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        val served = VectorIndexStore
+          .probe(spark, "ivf_rb_t", queries)
+          .select(col("query_id"), col("neighbor_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        (exact & served).size.toDouble / exact.size
+      }
+      val recallBefore = recall()
+      val splits = VectorIndexStore.rebalance(spark, "ivf_rb_t", maxListFactor = 4.0)
+      assert(splits.nonEmpty, "the skewed fixture must trigger at least one split")
+      val after = spark.table("ivf_rb_t")
+      // indexed set preserved exactly: same ids, no duplicates
+      assert(after.count() == nBefore, "rebalance changed the row count")
+      assert(after.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+        "rebalance duplicated a vec_id")
+      assert(after.select("cid").distinct().count() == listsBefore + splits.size,
+        "list count must grow by exactly the number of splits")
+      val maxAfter = after.groupBy("cid").count().agg(max("count")).head.getLong(0)
+      assert(maxAfter < maxBefore, s"hot list did not shrink: $maxBefore -> $maxAfter")
+      // centroid table matches the lists one-for-one
+      val cids = after.select("cid").distinct().as[Int].collect().toSet
+      val centCids = spark.table("ivf_rb_t_centroids").select("cid").as[Int].collect().toSet
+      assert(cids.subsetOf(centCids), s"lists without centroids: ${cids -- centCids}")
+      // probe quality must not degrade on the fixture
+      val recallAfter = recall()
+      assert(recallAfter >= recallBefore - 1e-9,
+        s"recall degraded: $recallBefore -> $recallAfter")
+      // idempotence: a second pass finds no remaining skew at this factor
+      assert(VectorIndexStore.rebalance(spark, "ivf_rb_t", maxListFactor = 4.0).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_rb_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_rb_t_tombstones")
+    }
+  }
+
+  test("rebalance leaves a degenerate all-identical hot list untouched and terminates") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // 300 EXACT copies of one vector: a hot list no 2-means can split —
+    // the documented duplication-not-skew case. The loop must classify
+    // it degenerate on the first pass and return, not spin to the cap.
+    val seed = emb.orderBy("vec_id").select("embedding").head.getSeq[Float](0)
+    val dups = (0 until 300)
+      .map(i => (200000L + i, seed))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    VectorIndexStore.write(emb.unionByName(dups), "ivf_rbd_t")
+    try {
+      val before = spark.table("ivf_rbd_t").select("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(VectorIndexStore.rebalance(spark, "ivf_rbd_t", maxListFactor = 4.0).isEmpty)
+      val after = spark.table("ivf_rbd_t").select("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(after == before, "a degenerate rebalance must not move any row")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_rbd_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_rbd_t_tombstones")
+    }
+  }
 }
