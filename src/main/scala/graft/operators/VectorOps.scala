@@ -1381,6 +1381,64 @@ object VectorOps {
     * pivot/expansion touches 5·|probes| rows; round 2 is one more
     * broadcast-probe scan — the corpus is scanned twice, never
     * shuffled. */
+  /** v32 — GREEDY K-CENTER CORESET (farthest-point traversal): pick the
+    * corpus point whose distance to the nearest already-chosen point is
+    * LARGEST, k times, seeded at the lowest vec_id — the
+    * diversity-selection primitive of coreset curation (maximize
+    * coverage of embedding space with k exemplars; the 2-approximation
+    * of the k-center objective). Where v28 samples WITHIN clusters
+    * (balance), k-center picks the points that SPAN the space
+    * (diversity) — the two halves of "representative subset".
+    *
+    * Scale: each of the k−1 steps is ONE full corpus scan with the ≤k
+    * chosen vectors folded into a single `least(graft_dist2…)` codegen
+    * expression — no join, no shuffle, and the argmax is
+    * `TakeOrderedAndProject(1)` (per-partition top-1 into a driver
+    * merge). Driver state is k embeddings; the sequential driver loop is
+    * the algorithm (each pick depends on all previous), bounded by k —
+    * the IvfAnn-Lloyd class of legitimate iteration, and k scans of a
+    * 100 TB corpus is the known honest price of exact greedy k-center
+    * (the stream-/composable-coreset variants trade exactness for one
+    * pass; this is the exact anchor they are certified against).
+    *
+    * Determinism across engines: graft_dist2 accumulates double products
+    * in index order and the oracle replays the same op order
+    * ([[duckDist2]]), so the argmax compares bit-identical doubles; ties
+    * break on vec_id. */
+  private def v32KcenterCoreset(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val k = 8
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val seed = emb.orderBy("vec_id").head
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Float](1)))
+    while (chosen.size < k) {
+      val next = kcenterStep(emb, chosen).head
+      chosen = chosen :+ ((next.getLong(0), next.getSeq[Float](1)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _), i) => ((i + 1).toLong, id) }
+      .toDF("rank", "vec_id")
+  }
+
+  /** One greedy k-center selection step: the full-scan argmax frame
+    * (top-1 by min distance to the chosen set). Package-visible so
+    * PlanAuditSpec can pin its shape: no Join, no Exchange —
+    * TakeOrderedAndProject over one codegen scan. */
+  private[graft] def kcenterStep(
+      emb: DataFrame,
+      chosen: Seq[(Long, Seq[Float])]
+  ): DataFrame = {
+    val minD2 = chosen
+      .map(c => call_function("graft_dist2", col("embedding"), typedlit(c._2)))
+      .reduce(least(_, _))
+    emb
+      .filter(!col("vec_id").isin(chosen.map(c => java.lang.Long.valueOf(c._1)): _*))
+      .withColumn("mind2", minD2)
+      .orderBy(col("mind2").desc, col("vec_id").asc)
+      .limit(1)
+  }
+
   private def v31RocchioFeedback(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
@@ -1726,6 +1784,7 @@ object VectorOps {
     "v29_ndcg_eval" -> (v29NdcgEval _),
     "v30_jl_distortion" -> (v30JlDistortion _),
     "v31_rocchio_feedback" -> (v31RocchioFeedback _),
+    "v32_kcenter_coreset" -> (v32KcenterCoreset _),
     "v22_graph_pagerank" -> (v22GraphPagerank _),
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
@@ -2444,6 +2503,32 @@ object VectorOps {
     // v1's ranked CTE pivoted to 5 neighbor joins, the expansion as the
     // SAME left-associated double sum REAL-cast per dim, round 2 ranked
     // in graft_dot's op order; is_new from the round-1 left join
+    // the greedy selection unrolled to k literal steps (SQL has no
+    // sequential loop): step i's CTE cross-joins the candidates against
+    // the ≤i−1 chosen rows, takes min-distance per candidate in
+    // duckDist2's index-order double arithmetic, and argmaxes with the
+    // same (mind2 DESC, vec_id ASC) tie-break the Spark loop uses
+    "v32_kcenter_coreset" -> {
+      val steps = (2 to 8).map { i =>
+        val prev = s"c${i - 1}"
+        s"""n$i AS (
+           |  SELECT CAST($i AS BIGINT) AS rank, e.vec_id, e.embedding
+           |  FROM embeddings e, $prev
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+           |  GROUP BY e.vec_id, e.embedding
+           |  ORDER BY min(${duckDist2("e.embedding", s"$prev.embedding")}) DESC,
+           |           e.vec_id ASC
+           |  LIMIT 1
+           |), c$i AS (
+           |  SELECT * FROM $prev UNION ALL SELECT * FROM n$i
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH c1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, embedding
+         |  FROM embeddings ORDER BY vec_id LIMIT 1
+         |), $steps
+         |SELECT rank, vec_id FROM c8 ORDER BY rank""".stripMargin
+    },
     "v31_rocchio_feedback" ->
       s"""WITH r1 AS (SELECT * FROM ($v1Oracle)),
          |piv AS (

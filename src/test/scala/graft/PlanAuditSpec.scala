@@ -299,6 +299,26 @@ class PlanAuditSpec extends AnyFunSuite {
     )
   }
 
+  test("v32's selection step is one shuffle-free codegen scan with a top-1 take") {
+    // each greedy k-center step must stay a full scan with the chosen
+    // set folded into a least(graft_dist2…) expression: a Join or an
+    // Exchange here means the step regressed to a chosen-set join or a
+    // global sort — either squares the k-scan contract at 100 TB
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val chosen = Seq((0L, Seq.fill(64)(0.0f)), (1L, Seq.fill(64)(1.0f)))
+    val p = graft.operators.VectorOps
+      .kcenterStep(emb, chosen)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!p.contains("Join"), s"v32 step grew a join:\n$p")
+    assert(!p.contains("Exchange"), s"v32 step grew a shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"v32 step lost the top-1 take:\n$p")
+  }
+
   test("v22's edge list is built once and cached across rank iterations") {
     // three power iterations re-read the kNN edges; without the cache the
     // whole IVF fit + probe + rank pipeline (the most expensive subplan
