@@ -688,7 +688,7 @@ object VectorIndexStore {
         .map(_.getInt(0))
         .sorted
       degenerate ++= hot.toSet -- viable
-      if (viable.isEmpty) return Nil
+      if (viable.isEmpty) { assigned.unpersist(); return Nil }
       val newCidOf = viable.zipWithIndex.map { case (c, i) => c -> (maxCid + 1 + i) }.toMap
       val cidMap = newCidOf.toSeq
         .map { case (c, n) => (c, n) }

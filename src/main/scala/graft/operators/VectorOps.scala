@@ -1406,8 +1406,21 @@ object VectorOps {
     * ([[duckDist2]]), so the argmax compares bit-identical doubles; ties
     * break on vec_id. */
   private def v32KcenterCoreset(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
     import s.implicits._
+    kcenterChosen(s, d).zipWithIndex
+      .map { case ((id, _), i) => ((i + 1).toLong, id) }
+      .toDF("rank", "vec_id")
+  }
+
+  /** The greedy selection itself (k=8, seeded at the lowest vec_id),
+    * shared by v32 (the ranked list) and v33 (the coverage certificate,
+    * which needs the chosen EMBEDDINGS to fold into its assignment
+    * expression). */
+  private def kcenterChosen(
+      s: SparkSession,
+      d: String
+  ): Vector[(Long, Seq[Float])] = {
+    GraftFunctions.register(s)
     val k = 8
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
     val seed = emb.orderBy("vec_id").head
@@ -1416,9 +1429,45 @@ object VectorOps {
       val next = kcenterStep(emb, chosen).head
       chosen = chosen :+ ((next.getLong(0), next.getSeq[Float](1)))
     }
-    chosen.zipWithIndex
-      .map { case ((id, _), i) => ((i + 1).toLong, id) }
-      .toDF("rank", "vec_id")
+    chosen
+  }
+
+  /** v33 — K-CENTER COVERAGE CERTIFICATE: assign every corpus point to
+    * its nearest v32-chosen center and report, per center, the assigned
+    * population and the squared coverage radius (max assigned distance).
+    * The global max row IS the k-center objective value — the number
+    * the greedy 2-approximation bounds — so v32's "representative
+    * subset" claim ships with its own quality certificate (selection
+    * without a measured radius is an assertion, not a curation result).
+    *
+    * Scale: ONE corpus scan — the 8 chosen embeddings fold into a
+    * single `array_min(array(struct(d2, rank, cid)...))` codegen
+    * expression (struct ordering = (d2, rank): nearest center, ties to
+    * the earlier-chosen), then an 8-group agg; no join, no shuffle
+    * beyond 8 partial rows per task. The selection scans are shared
+    * with v32's loop.
+    *
+    * Determinism: d2 is graft_dist2's index-order double sum, replayed
+    * bit-identically by the oracle ([[duckDist2]]); ties break on
+    * center rank, which both engines order identically. */
+  private def v33KcenterRadius(s: SparkSession, d: String): DataFrame = {
+    val chosen = kcenterChosen(s, d)
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val cands = chosen.zipWithIndex.map { case ((id, e), i) =>
+      struct(
+        call_function("graft_dist2", col("embedding"), typedlit(e)).as("d2"),
+        lit(i + 1).as("crank"),
+        lit(id).as("cid")
+      )
+    }
+    emb
+      .withColumn("best", array_min(array(cands: _*)))
+      .groupBy(col("best.cid").as("center_id"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        max(col("best.d2")).as("radius2")
+      )
+      .orderBy("center_id")
   }
 
   /** One greedy k-center selection step: the full-scan argmax frame
@@ -1785,6 +1834,7 @@ object VectorOps {
     "v30_jl_distortion" -> (v30JlDistortion _),
     "v31_rocchio_feedback" -> (v31RocchioFeedback _),
     "v32_kcenter_coreset" -> (v32KcenterCoreset _),
+    "v33_kcenter_radius" -> (v33KcenterRadius _),
     "v22_graph_pagerank" -> (v22GraphPagerank _),
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
@@ -2326,6 +2376,33 @@ object VectorOps {
            i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) <= 3
        ORDER BY doc_a, doc_b"""
 
+  /** The greedy k-center selection unrolled to k literal steps (SQL has
+    * no sequential loop), shared by the v32 and v33 oracles: step i's
+    * CTE cross-joins the candidates against the ≤i−1 chosen rows, takes
+    * min-distance per candidate in duckDist2's index-order double
+    * arithmetic, and argmaxes with the same (mind2 DESC, vec_id ASC)
+    * tie-break the Spark loop uses. */
+  private lazy val v32KcenterCte: String = {
+    val steps = (2 to 8).map { i =>
+      val prev = s"c${i - 1}"
+      s"""n$i AS (
+         |  SELECT CAST($i AS BIGINT) AS rank, e.vec_id, e.embedding
+         |  FROM embeddings e, $prev
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY e.vec_id, e.embedding
+         |  ORDER BY min(${duckDist2("e.embedding", s"$prev.embedding")}) DESC,
+         |           e.vec_id ASC
+         |  LIMIT 1
+         |), c$i AS (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM n$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""c1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, embedding
+       |  FROM embeddings ORDER BY vec_id LIMIT 1
+       |), $steps""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // identical position-indexed sign packing (bit 31 max — no sign-bit
     // shifts, so overflow-checked BIGINT agrees with Spark), then
@@ -2503,32 +2580,27 @@ object VectorOps {
     // v1's ranked CTE pivoted to 5 neighbor joins, the expansion as the
     // SAME left-associated double sum REAL-cast per dim, round 2 ranked
     // in graft_dot's op order; is_new from the round-1 left join
-    // the greedy selection unrolled to k literal steps (SQL has no
-    // sequential loop): step i's CTE cross-joins the candidates against
-    // the ≤i−1 chosen rows, takes min-distance per candidate in
-    // duckDist2's index-order double arithmetic, and argmaxes with the
-    // same (mind2 DESC, vec_id ASC) tie-break the Spark loop uses
-    "v32_kcenter_coreset" -> {
-      val steps = (2 to 8).map { i =>
-        val prev = s"c${i - 1}"
-        s"""n$i AS (
-           |  SELECT CAST($i AS BIGINT) AS rank, e.vec_id, e.embedding
-           |  FROM embeddings e, $prev
-           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
-           |  GROUP BY e.vec_id, e.embedding
-           |  ORDER BY min(${duckDist2("e.embedding", s"$prev.embedding")}) DESC,
-           |           e.vec_id ASC
-           |  LIMIT 1
-           |), c$i AS (
-           |  SELECT * FROM $prev UNION ALL SELECT * FROM n$i
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH c1 AS (
-         |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, embedding
-         |  FROM embeddings ORDER BY vec_id LIMIT 1
-         |), $steps
-         |SELECT rank, vec_id FROM c8 ORDER BY rank""".stripMargin
-    },
+    "v32_kcenter_coreset" ->
+      s"""WITH $v32KcenterCte
+         |SELECT rank, vec_id FROM c8 ORDER BY rank""".stripMargin,
+    // the certificate replays the selection CTE, assigns every point to
+    // its nearest chosen center with the SAME (d2, rank) tie-break the
+    // Spark struct-min uses, and aggregates per center
+    "v33_kcenter_radius" ->
+      s"""WITH $v32KcenterCte,
+         |pts AS (
+         |  SELECT e.vec_id AS pid, c.rank AS crank, c.vec_id AS cid,
+         |         ${duckDist2("e.embedding", "c.embedding")} AS d2
+         |  FROM embeddings e, c8 c
+         |),
+         |best AS (
+         |  SELECT pid, cid, d2,
+         |         row_number() OVER (PARTITION BY pid ORDER BY d2, crank) AS rn
+         |  FROM pts
+         |)
+         |SELECT cid AS center_id, COUNT(*) AS n_assigned, MAX(d2) AS radius2
+         |FROM best WHERE rn = 1
+         |GROUP BY cid ORDER BY center_id""".stripMargin,
     "v31_rocchio_feedback" ->
       s"""WITH r1 AS (SELECT * FROM ($v1Oracle)),
          |piv AS (

@@ -319,6 +319,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"v32 step lost the top-1 take:\n$p")
   }
 
+  test("v33's certificate is one join-free scan into an 8-key agg") {
+    // the chosen centers fold into a single array_min(struct…) codegen
+    // expression; a Join means the certificate regressed to a centers
+    // join, which shuffles the corpus at 100 TB for an 8-row side
+    val p = graft.operators.VectorOps
+      .queries("v33_kcenter_radius")(spark, sf)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!p.contains("Join"), s"v33 grew a join:\n$p")
+  }
+
   test("v22's edge list is built once and cached across rank iterations") {
     // three power iterations re-read the kNN edges; without the cache the
     // whole IVF fit + probe + rank pipeline (the most expensive subplan
