@@ -1448,7 +1448,81 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Exact lag AUTOCORRELATION of the daily event series (e32) — the
+    * seasonality detector: per event type, the autocorrelation of daily
+    * volume at lags 1..10 days, so a weekly cadence announces itself as
+    * the lag-7 peak (and its absence certifies the series is safe to
+    * compare day-over-day without calendar adjustment). e28 fits the
+    * TREND (is volume growing?); e32 reads the RHYTHM (does it repeat?)
+    * — the other half of the classical decomposition, and the check run
+    * before any day-grain anomaly rule (e8's z-score) is trusted.
+    *
+    * The day spine is ZERO-FILLED (f6's mechanism): autocorrelation
+    * over a gappy series silently shifts every lag past a missing day,
+    * so absent (type, day) cells become explicit zeros first.
+    *
+    * Spark-first shape: ONE exchange over raw events (the daily count
+    * agg, map-side combined); everything after runs on the |types|·days
+    * frame — the spine cross-join is broadcast-of-tiny, the 10 lag
+    * products ride ONE type-keyed window pass as an array of `lead`s
+    * exploded to (type, lag) grain, and the rollup lands on ≤10·|types|
+    * keys. At 100 TB the post-agg frame is still |types|·days rows —
+    * the plan's cost is the one count agg.
+    *
+    * Determinism (e28's discipline): mean-centering is cross-multiplied
+    * away — z_t = n·y_t − Σy stays integer, num(ℓ) = Σ z_t·z_{t+ℓ} and
+    * den = Σ z_t² accumulate in decimal(38,0) (both carry the same n²
+    * factor, so r = num/den is EXACT rational arithmetic; n·y ≤ 1e16 at
+    * petabyte volume → products ≤ 1e32, inside 38 digits), and r6 is
+    * one truncating division — negative-lag truncation verified
+    * identical between Spark `div` and DuckDB `//` (both toward zero). */
+  private def e32Autocorrelation(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val maxLag = 10
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val mm = ev.agg(
+      to_date(min("ts")).as("d0"),
+      to_date(max("ts")).as("d1")
+    )
+    val spine = mm.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val dense = ev
+      .select("event_type")
+      .distinct()
+      .crossJoin(broadcast(spine))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("y"))
+    val st = dense
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val z = dense
+      .join(broadcast(st), "event_type")
+      .withColumn("z", col("n") * col("y") - col("sy"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagCols = (1 to maxLag).map { l =>
+      struct(lit(l).as("lag"), lead(col("z"), l).over(w).as("zl"))
+    }
+    val num = z
+      .withColumn("ls", array(lagCols: _*))
+      .select(col("event_type"), col("z"), explode(col("ls")).as("p"))
+      .filter(col("p.zl").isNotNull)
+      .groupBy(col("event_type"), col("p.lag").as("lag"))
+      .agg(sum(col("z").cast("decimal(38,0)") * col("p.zl")).as("num_w"))
+    val den = z
+      .groupBy("event_type")
+      .agg(sum(col("z").cast("decimal(38,0)") * col("z")).as("den_w"))
+    num
+      .join(broadcast(den), "event_type")
+      .withColumn("num", expr("CAST(num_w AS BIGINT)"))
+      .withColumn("den", expr("CAST(den_w AS BIGINT)"))
+      .withColumn("r6", expr("CAST((num_w * 1000000) div greatest(den_w, 1) AS BIGINT)"))
+      .select("event_type", "lag", "num", "den", "r6")
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "e32_autocorrelation" -> (e32Autocorrelation _),
     "e31_sequence_match" -> (e31SequenceMatch _),
     "e30_cooccurrence_lift" -> (e30CooccurrenceLift _),
     "e29_abandonment" -> (e29Abandonment _),
@@ -1489,6 +1563,50 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     // one (user, day)-keyed path agg, then the IDENTICAL RE2-safe
     // pattern — "no error between" as gap alternations, no lookahead
+    // e28's HUGEINT discipline at lag grain; `//` ≡ Spark `div` (both
+    // truncate toward zero — verified on negative numerators)
+    "e32_autocorrelation" ->
+      """WITH mm AS (
+           SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+           FROM events
+         ), spine AS (
+           SELECT CAST(unnest(generate_series(
+             CAST((SELECT d0 FROM mm) AS TIMESTAMP),
+             CAST((SELECT d1 FROM mm) AS TIMESTAMP),
+             INTERVAL 1 DAY)) AS DATE) AS day
+         ), daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2
+         ), dense AS (
+           SELECT t.event_type, s.day, COALESCE(d.y, 0) AS y
+           FROM (SELECT DISTINCT event_type FROM events) t
+           CROSS JOIN spine s
+           LEFT JOIN daily d USING (event_type, day)
+         ), st AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy
+           FROM dense GROUP BY 1
+         ), z AS (
+           SELECT d.event_type, d.day, st.n * d.y - st.sy AS z
+           FROM dense d JOIN st USING (event_type)
+         ), num AS (
+           SELECT a.event_type, l.lag,
+             sum(CAST(a.z AS HUGEINT) * b.z) AS num_w
+           FROM z a
+           CROSS JOIN (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS lag) l
+           JOIN z b ON b.event_type = a.event_type
+                   AND b.day = a.day + l.lag
+           GROUP BY 1, 2
+         ), den AS (
+           SELECT event_type, sum(CAST(z AS HUGEINT) * z) AS den_w
+           FROM z GROUP BY 1
+         )
+         SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag,
+           CAST(n.num_w AS BIGINT) AS num, CAST(d.den_w AS BIGINT) AS den,
+           CAST((n.num_w * 1000000) // greatest(d.den_w, 1) AS BIGINT) AS r6
+         FROM num n JOIN den d USING (event_type)
+         ORDER BY event_type, lag""",
     "e31_sequence_match" ->
       """WITH ps AS (
            SELECT user_id, CAST(ts AS DATE) AS day,

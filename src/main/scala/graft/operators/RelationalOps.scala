@@ -797,9 +797,42 @@ object RelationalOps {
       .orderBy("l_suppkey", "day_num")
   }
 
+  /** J13 — selective big-to-big join under RUNTIME FILTER pushdown: a
+    * narrow order-date slice (~4% of orders) joined to the whole
+    * lineitem table, rolled up per priority. The declared semantics are
+    * a plain inner equi-join; the reason it is declared is the SCALE
+    * path: when BOTH sides are too big to broadcast (the 100 TB shape),
+    * Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    * filtered orders side and pushes `might_contain(l_orderkey)` into
+    * the lineitem SCAN — the fact side drops ~96% of its rows before
+    * the shuffle, the lever that makes selective big-to-big joins
+    * affordable. At toy scale the dim side auto-broadcasts (equally
+    * correct); `PlanAuditSpec` pins the production shape by disabling
+    * broadcast under the runtime-filter confs and asserting the bloom
+    * probe lands in the lineitem scan filter with unchanged results. */
+  private def j13RuntimeFilter(s: SparkSession, d: String): DataFrame = {
+    val o = Tables
+      .orders(s, d)
+      .filter(
+        col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-06-01").cast("timestamp")
+      )
+      .select("o_orderkey", "o_orderpriority")
+    Tables
+      .lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(F.cents(col("l_extendedprice"))).as("revenue_cents")
+      )
+      .orderBy("o_orderpriority")
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val queries: Map[String, Q] = Map(
+    "j13_runtime_filter" -> (j13RuntimeFilter _),
     "s1_scan_project" -> (s1ScanProject _),
     "s2_param_filter" -> (s2ParamFilter _),
     "p2_derived_week" -> (p2DerivedWeek _),
@@ -839,6 +872,14 @@ object RelationalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "j13_runtime_filter" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+           AND o_orderdate < TIMESTAMP '1995-06-01'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents

@@ -1470,6 +1470,73 @@ object VectorOps {
       .orderBy("center_id")
   }
 
+  /** v34 — LABEL-NOISE audit (confident-learning shape): flag points
+    * whose nearest label CENTROID belongs to a foreign label, rolled up
+    * to the (label, nearest_label) confusion matrix — the data-cleaning
+    * gate run before training on labeled data (a heavy off-diagonal
+    * cell means that label pair's annotations disagree with the
+    * geometry). The centroid includes the point itself (standard
+    * population semantics; at corpus counts the self-term is
+    * negligible and the contract is documented).
+    *
+    * Scale: TWO corpus scans, zero joins, zero data shuffles. Pass 1
+    * fits the model — per-(label, dim) exact integer sums of the
+    * 1e-6-quantized coordinates, ≤ |labels|·dim rows collected (the
+    * IvfAnn bounded-model-fit class, ~kilobytes). Pass 2 folds all
+    * |labels| candidate scores into per-row codegen HOF expressions
+    * (zip_with + aggregate over the literal sum vectors) and picks the
+    * argmin with v33's array_min(struct) trick; the only exchange is
+    * the ≤ |labels|² final agg.
+    *
+    * Determinism: squared distance comparisons avoid dividing by
+    * different counts via exact integer algebra — score_c =
+    * Σ_dims (n_c·x_i − S_ci)² in decimal(38,0) (= n_c²·dist², the
+    * e23/t56 HUGEINT discipline; |n·x| ≤ 5e10 so terms ≤ 2.5e21,
+    * 64·|labels| of them — far inside 38 digits), and the argmin
+    * ranks by the IEEE double score_c/n_c² (identical decimal in both
+    * engines → identical double → identical order), ties to the
+    * smaller label. */
+  private def v34LabelNoise(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    val dim = 64
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq", round(col("x").cast("double") * lit(1e6)).cast("long"))
+      .groupBy("label", "dim")
+      .agg(sum(col("xq")).as("sq"), count(lit(1)).as("n"))
+      .collect()
+    val byLabel: Seq[(Int, Long, Seq[Long])] = cent
+      .groupBy(_.getInt(0))
+      .map { case (lab, rows) =>
+        val arr = new Array[Long](dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        (lab, rows.head.getLong(3), arr.toSeq)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val xq = transform(
+      col("embedding"),
+      x => round(x.cast("double") * lit(1e6)).cast("long")
+    )
+    val cands = byLabel.map { case (lab, n, sArr) =>
+      val score = aggregate(
+        zip_with(col("xq"), typedlit(sArr), (x, sv) => x * lit(n) - sv),
+        lit(0).cast("decimal(38,0)"),
+        (acc, v) => acc + v.cast("decimal(38,0)") * v.cast("decimal(38,0)")
+      )
+      struct(
+        (score.cast("double") / lit(n.toDouble * n)).as("d2n"),
+        lit(lab).as("cand")
+      )
+    }
+    emb
+      .withColumn("xq", xq)
+      .withColumn("best", array_min(array(cands: _*)))
+      .groupBy(col("label"), col("best.cand").as("nearest_label"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("label", "nearest_label")
+  }
+
   /** One greedy k-center selection step: the full-scan argmax frame
     * (top-1 by min distance to the chosen set). Package-visible so
     * PlanAuditSpec can pin its shape: no Join, no Exchange —
@@ -1835,6 +1902,7 @@ object VectorOps {
     "v31_rocchio_feedback" -> (v31RocchioFeedback _),
     "v32_kcenter_coreset" -> (v32KcenterCoreset _),
     "v33_kcenter_radius" -> (v33KcenterRadius _),
+    "v34_label_noise" -> (v34LabelNoise _),
     "v22_graph_pagerank" -> (v22GraphPagerank _),
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
@@ -2601,6 +2669,31 @@ object VectorOps {
          |SELECT cid AS center_id, COUNT(*) AS n_assigned, MAX(d2) AS radius2
          |FROM best WHERE rn = 1
          |GROUP BY cid ORDER BY center_id""".stripMargin,
+    "v34_label_noise" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS xq
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT label AS cand, dim, SUM(xq) AS sq, COUNT(*) AS n
+        |  FROM q GROUP BY label, dim
+        |), sc AS (
+        |  SELECT q.vec_id, q.label, c.cand, c.n,
+        |         SUM(CAST(c.n * q.xq - c.sq AS HUGEINT) *
+        |             CAST(c.n * q.xq - c.sq AS HUGEINT)) AS score
+        |  FROM q JOIN cent c USING (dim)
+        |  GROUP BY q.vec_id, q.label, c.cand, c.n
+        |), best AS (
+        |  SELECT vec_id, label, cand,
+        |         row_number() OVER (
+        |           PARTITION BY vec_id
+        |           ORDER BY CAST(score AS DOUBLE) / (CAST(n AS DOUBLE) * n), cand
+        |         ) AS rn
+        |  FROM sc
+        |)
+        |SELECT label, cand AS nearest_label, CAST(COUNT(*) AS BIGINT) AS n_points
+        |FROM best WHERE rn = 1
+        |GROUP BY label, cand ORDER BY label, nearest_label""".stripMargin,
     "v31_rocchio_feedback" ->
       s"""WITH r1 AS (SELECT * FROM ($v1Oracle)),
          |piv AS (

@@ -414,6 +414,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"m8 shuffled the corpus for a join:\n$p")
   }
 
+  test("j13 under the no-broadcast production shape gets a runtime bloom filter into the lineitem scan") {
+    // at 100 TB neither side broadcasts: the selective orders slice must
+    // reach lineitem as an InjectRuntimeFilter bloom probe
+    // (might_contain on l_orderkey) so the fact scan drops ~96% of rows
+    // before the shuffle. The thresholds below only remove the size
+    // gates that keep the rule dormant at toy scale — the rewrite
+    // itself is the stock optimizer's.
+    val base = SparkEntry.queries("j13_runtime_filter")(spark, sf).collect().toSeq
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val df = SparkEntry.queries("j13_runtime_filter")(spark, sf)
+      val rows = df.collect().toSeq
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter reached the fact side:\n$p")
+      assert(rows == base,
+        "runtime-filtered plan changed the result")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
