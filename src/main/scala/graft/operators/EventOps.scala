@@ -253,6 +253,65 @@ object EventOps {
       )
   }
 
+  /** j10b — CONCURRENT-SESSIONS profile: per day, how many sessions were
+    * active and the exact MAXIMUM number active at one instant — j10's
+    * production sibling. j10's declared grain (every cross-user
+    * overlapping session PAIR) is output-quadratic in per-day
+    * concurrency by definition: R× more users on the same calendar is
+    * R²× more overlapping pairs, so no plan makes the pair list cheap
+    * (measured: 36.6× on 10× users, SCALING.md round 9b). The question
+    * production actually asks at scale — "how concurrent is the
+    * workload?" — is answered WITHOUT materializing any pair: split
+    * each session at day boundaries, turn pieces into ±1 edge events,
+    * and take a day-partitioned running sum (the classic sweep); the
+    * max of the running sum is exact instantaneous concurrency.
+    *
+    * Scale: linear — one day-keyed exchange over ≤ (days-spanned)
+    * pieces, zero joins, |days| output rows. Tie semantics: intervals
+    * are inclusive ([s,e] and [e,·] DO overlap, j10's <=), so the end
+    * edge sits at e+1 and ties order (us, delta) with −1 first; the
+    * default RANGE frame makes same-instant edges atomic in both
+    * engines. */
+  private def j10bConcurrencyProfile(s: SparkSession, d: String): DataFrame = {
+    val iv = sessionized(s, d)
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+    concurrencyProfile(iv, 86400L * 1000000).orderBy("day_num")
+  }
+
+  /** The boundary-split ±1 sweep over an arbitrary inclusive interval
+    * frame (s_us, e_us) — factored so IntervalJoinSpec can certify
+    * sweep == naive per-instant counting on adversarial intervals
+    * (multi-bucket spans, touching endpoints, zero length). */
+  private[graft] def concurrencyProfile(iv: DataFrame, bucketUs: Long): DataFrame = {
+    val pieces = iv
+      .select(
+        col("s_us"),
+        col("e_us"),
+        explode(
+          sequence(expr(s"s_us div ${bucketUs}L"), expr(s"e_us div ${bucketUs}L"))
+        ).as("day_num")
+      )
+      .select(
+        col("day_num"),
+        greatest(col("s_us"), col("day_num") * bucketUs).as("ps"),
+        least(col("e_us"), (col("day_num") + 1) * bucketUs - 1).as("pe")
+      )
+    val edges = pieces
+      .select(col("day_num"), col("ps").as("us"), lit(1L).as("delta"))
+      .unionAll(
+        pieces.select(col("day_num"), (col("pe") + 1).as("us"), lit(-1L).as("delta"))
+      )
+    val w = Window.partitionBy("day_num").orderBy("us", "delta")
+    edges
+      .withColumn("active", sum("delta").over(w))
+      .groupBy("day_num")
+      .agg(
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"),
+        max("active").as("max_concurrent")
+      )
+  }
+
   /** JSON property extraction from the `props` column (S4-adjacent: JSON
     * source decoding as a column op, not a driver-side loop). */
   private def e3JsonExtract(s: SparkSession, d: String): DataFrame = {
@@ -1555,6 +1614,7 @@ object EventOps {
     "e19_markov_transitions" -> (e19MarkovTransitions _),
     "e20_scd_intervals" -> (e20ScdIntervals _),
     "j10_interval_overlap" -> (j10IntervalOverlap _),
+    "j10b_concurrency_profile" -> (j10bConcurrencyProfile _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_funnel" -> (e4Funnel _),
     "e5_approx_distinct" -> (e5ApproxDistinct _)
@@ -2440,6 +2500,50 @@ object EventOps {
            ON a.user_id < b.user_id
           AND a.s_us <= b.e_us AND b.s_us <= a.e_us
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "j10b_concurrency_profile" ->
+      """WITH base AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+         ), flagged AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM base
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ), sessioned AS (
+           SELECT user_id, us,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM flagged
+         ), iv AS (
+           SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+           FROM sessioned GROUP BY user_id, session_id
+         ), pieces AS (
+           SELECT unnest(generate_series(s_us // 86400000000,
+                                         e_us // 86400000000)) AS day_num,
+                  s_us, e_us
+           FROM iv
+         ), pc AS (
+           SELECT day_num,
+                  greatest(s_us, day_num * 86400000000) AS ps,
+                  least(e_us, (day_num + 1) * 86400000000 - 1) AS pe
+           FROM pieces
+         ), edges AS (
+           SELECT day_num, ps AS us, CAST(1 AS BIGINT) AS delta FROM pc
+           UNION ALL
+           SELECT day_num, pe + 1 AS us, CAST(-1 AS BIGINT) AS delta FROM pc
+         ), swept AS (
+           SELECT day_num, delta,
+             sum(delta) OVER (PARTITION BY day_num ORDER BY us, delta) AS active
+           FROM edges
+         )
+         SELECT day_num,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           CAST(max(active) AS BIGINT) AS max_concurrent
+         FROM swept GROUP BY day_num ORDER BY day_num""",
     "e3_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          count(*) AS n_events,

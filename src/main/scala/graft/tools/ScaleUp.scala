@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-rehearsal corpus generator: synthesizes an ~sf(R/10) dataset from
-  * a base sf dir by replicating `documents` and `embeddings` R× — the two
-  * tables behind every 100 TB-risk query (dedup, ANN, clustering) — and
-  * symlinking the rest.
+  * a base sf dir by replicating `documents`, `embeddings`, and `events` R× —
+  * the tables behind every 100 TB-risk query (dedup, ANN, clustering, the
+  * event family) — and symlinking the rest.
   *
   * The replication is designed to look like MORE DATA FROM THE SAME
   * DISTRIBUTION, not R copies of the same data (naive duplication would give
@@ -79,6 +79,24 @@ object ScaleUp {
       )
       .drop("k")
 
+  /** events: replica k offsets user_id and event_id by k·10⁹ and keeps
+    * ts/type/value/props VERBATIM — growth as MORE USERS ON THE SAME
+    * CALENDAR, which is how an event stream actually grows. Every
+    * per-user temporal structure the event family bills by (session
+    * boundaries, funnels, cadence gaps, growth-accounting transitions,
+    * SCD versions, burst chains) is preserved exactly per replica, so
+    * per-user-keyed costs scale 1:1 with rows; calendar-grain frames
+    * (daily counts, weekly rollups) grow R× heavier per key — the
+    * realistic skew direction; and exact ratio metrics (e32's
+    * autocorrelation, e21's quick ratio) are R-invariant, which doubles
+    * as a correctness probe of the synthesis itself. */
+  def scaledEvents(base: DataFrame, replicas: Int): DataFrame =
+    base
+      .select(col("*"), explode(sequence(lit(0L), lit(replicas - 1L))).as("k"))
+      .withColumn("event_id", col("event_id") + col("k") * lit(IdOffset))
+      .withColumn("user_id", col("user_id") + col("k") * lit(IdOffset))
+      .drop("k")
+
   def main(args: Array[String]): Unit = {
     val base = args(0)
     val out = args(1)
@@ -99,16 +117,25 @@ object ScaleUp {
     scaledEmbeddings(spark.read.parquet(s"$base/embeddings.parquet"), replicas)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // a pre-events-scaling output dir carries events.parquet as a symlink
+    // into the BASE dir — drop the link first so the overwrite below can
+    // never resolve through it into read-only testdata
+    val evOut = outPath.resolve("events.parquet")
+    if (java.nio.file.Files.isSymbolicLink(evOut))
+      java.nio.file.Files.delete(evOut)
+    scaledEvents(spark.read.parquet(s"$base/events.parquet"), replicas)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // the non-scaled tables ride along as symlinks so any query can run
     val basePath = java.nio.file.Paths.get(base).toAbsolutePath
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem").foreach { t =>
       val link = outPath.resolve(s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link, basePath.resolve(s"$t.parquet"))
     }
-    println(s"[scaleup] wrote ${replicas}x documents+embeddings to $out")
+    println(s"[scaleup] wrote ${replicas}x documents+embeddings+events to $out")
     spark.stop()
   }
 }

@@ -66,6 +66,43 @@ class IntervalJoinSpec extends AnyFunSuite {
     ))
   }
 
+  /** j10b's sweep vs the naive definition: per bucket, the max over all
+    * instants of |intervals covering that instant| (it suffices to probe
+    * interval START instants clamped into the bucket — concurrency only
+    * rises at a start), and n_sessions = |intervals intersecting the
+    * bucket|. Computed driver-side on the same adversarial fixtures. */
+  private def checkSweep(iv: Seq[(Long, Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = iv.toDF("user_id", "s_us", "e_us")
+    val swept = EventOps
+      .concurrencyProfile(df, W)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val buckets = iv.flatMap { case (_, s, e) => (s / W) to (e / W) }.distinct
+    val naive = buckets.map { b =>
+      val inBucket = iv.filter { case (_, s, e) => s / W <= b && b <= e / W }
+      val probes = inBucket.map { case (_, s, _) => math.max(s, b * W) }.distinct
+      val maxC = probes.map(t => inBucket.count { case (_, s, e) => s <= t && t <= e }).max
+      b -> ((inBucket.size.toLong, maxC.toLong))
+    }.toMap
+    assert(swept == naive,
+      s"sweep != naive: only-sweep=${swept.toSet -- naive.toSet} only-naive=${naive.toSet -- swept.toSet}")
+  }
+
+  test("concurrency sweep equals naive per-instant counting on the adversarial fixtures") {
+    checkSweep(Seq(
+      (1L, 0L, 1000L), (2L, 1000L, 1000L), (3L, 1001L, 2000L),
+      (4L, 100L, 100L), (5L, 99L, 101L), (6L, 200L, 5000L),
+      (7L, 4999L, 4999L), (8L, 0L, 0L), (9L, 300L, 399L)
+    ))
+    val rnd = new scala.util.Random(7)
+    checkSweep((1L to 200L).map { uid =>
+      val s = rnd.nextInt(2000).toLong
+      (uid, s, s + rnd.nextInt(600).toLong)
+    })
+  }
+
   test("randomized intervals match the naive join pair-for-pair") {
     val rnd = new scala.util.Random(42)
     val iv = (1L to 300L).map { uid =>
