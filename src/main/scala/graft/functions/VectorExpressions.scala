@@ -60,14 +60,24 @@ case class DotProductFloat(left: Expression, right: Expression)
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-        int graftN = java.lang.Math.min($a.numElements(), $b.numElements());
-        double graftAcc = 0.0;
-        for (int graftI = 0; graftI < graftN; graftI++) {
-          graftAcc += (double) $a.getFloat(graftI) * (double) $b.getFloat(graftI);
+      // freshName, not fixed locals: cosine scoring expands THREE
+      // graft_dot instances into one generated function (q·v, q·q, v·v);
+      // fixed names collide ("Redefinition of local variable"), and
+      // Janino's compile failure silently drops the WHOLE stage to
+      // interpreted mode — found by the round-9b full-sf1 sweep log
+      (a, b) => {
+        val n = ctx.freshName("dotN")
+        val acc = ctx.freshName("dotAcc")
+        val i = ctx.freshName("dotI")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         }
-        ${ev.value} = graftAcc;
+        ${ev.value} = $acc;
       """
+      }
     )
 
   override protected def withNewChildrenInternal(

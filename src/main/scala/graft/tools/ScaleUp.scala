@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-rehearsal corpus generator: synthesizes an ~sf(R/10) dataset from
-  * a base sf dir by replicating `documents`, `embeddings`, and `events` R× —
-  * the tables behind every 100 TB-risk query (dedup, ANN, clustering, the
-  * event family) — and symlinking the rest.
+  * a base sf dir by replicating every FACT table R× — `documents`,
+  * `embeddings`, `events`, `orders`, `lineitem`: the tables that grow at
+  * 100 TB — and symlinking the dimensions (facts outgrow dimensions; the
+  * dims' broadcast-ability, which the join plans are pinned on, is a
+  * property of real growth, not a shortcut).
   *
   * The replication is designed to look like MORE DATA FROM THE SAME
   * DISTRIBUTION, not R copies of the same data (naive duplication would give
@@ -97,6 +99,29 @@ object ScaleUp {
       .withColumn("user_id", col("user_id") + col("k") * lit(IdOffset))
       .drop("k")
 
+  /** orders/lineitem: replica k offsets the ORDER key on both tables by
+    * k·10⁹ (the fact-to-fact join key must move together) and keeps
+    * every other column verbatim — so each order keeps its lines, its
+    * dates, and its dimension keys. Dimensions (customer/part/supplier)
+    * stay symlinked: growth shows up as R× more orders per customer and
+    * R× more lines per part — the realistic direction (facts outgrow
+    * dimensions), which also preserves the broadcast-ability the j-
+    * queries' plans are pinned on. Selective-key filters (s1's
+    * l_orderkey < 1000) intentionally stay constant-selectivity-zero on
+    * replicas: point lookups not growing with corpus size is exactly
+    * what an id-range probe does at scale. */
+  def scaledOrders(base: DataFrame, replicas: Int): DataFrame =
+    base
+      .select(col("*"), explode(sequence(lit(0L), lit(replicas - 1L))).as("k"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * lit(IdOffset))
+      .drop("k")
+
+  def scaledLineitem(base: DataFrame, replicas: Int): DataFrame =
+    base
+      .select(col("*"), explode(sequence(lit(0L), lit(replicas - 1L))).as("k"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("k") * lit(IdOffset))
+      .drop("k")
+
   def main(args: Array[String]): Unit = {
     val base = args(0)
     val out = args(1)
@@ -117,25 +142,32 @@ object ScaleUp {
     scaledEmbeddings(spark.read.parquet(s"$base/embeddings.parquet"), replicas)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // a pre-events-scaling output dir carries events.parquet as a symlink
-    // into the BASE dir — drop the link first so the overwrite below can
-    // never resolve through it into read-only testdata
-    val evOut = outPath.resolve("events.parquet")
-    if (java.nio.file.Files.isSymbolicLink(evOut))
-      java.nio.file.Files.delete(evOut)
+    // a pre-fact-scaling output dir carries these as symlinks into the
+    // BASE dir — drop the links first so the overwrites below can never
+    // resolve through them into read-only testdata
+    Seq("events", "orders", "lineitem").foreach { t =>
+      val link = outPath.resolve(s"$t.parquet")
+      if (java.nio.file.Files.isSymbolicLink(link))
+        java.nio.file.Files.delete(link)
+    }
     scaledEvents(spark.read.parquet(s"$base/events.parquet"), replicas)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    scaledOrders(spark.read.parquet(s"$base/orders.parquet"), replicas)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    scaledLineitem(spark.read.parquet(s"$base/lineitem.parquet"), replicas)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    // the non-scaled tables ride along as symlinks so any query can run
+    // dimensions ride along as symlinks so any query can run
     val basePath = java.nio.file.Paths.get(base).toAbsolutePath
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { t =>
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       val link = outPath.resolve(s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link, basePath.resolve(s"$t.parquet"))
     }
-    println(s"[scaleup] wrote ${replicas}x documents+embeddings+events to $out")
+    println(s"[scaleup] wrote ${replicas}x documents+embeddings+events+orders+lineitem to $out")
     spark.stop()
   }
 }

@@ -132,6 +132,25 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multiple instances of each native expression compile in ONE codegen function") {
+    // the cosine shape expands THREE graft_dot instances (q·v, q·q, v·v)
+    // into one whole-stage function; fixed codegen locals collide there
+    // and Janino's failure silently drops the stage to interpreted
+    // (caught in the round-9b sf1 sweep log). fallback=false makes the
+    // compile failure FATAL so this regression can never go quiet again.
+    // the reproducing shape is m7's: a BroadcastNestedLoopJoin whose
+    // cosine condition inlines all three graft_dot instances into ONE
+    // unbraced generated scope (a plain projection braces each instance
+    // behind its null check, hiding the collision — verified: the
+    // minimal select form does NOT trip it, the declared query does)
+    withConf("spark.sql.codegen.fallback" -> "false") {
+      val rows = SparkEntry
+        .queries("m7_semantic_dedup")(spark, "/root/testdata/sf0.001")
+        .collect()
+      assert(rows.nonEmpty)
+    }
+  }
+
   test("graft_band_hashes: codegen == interpreted == per-plane composed form") {
     // the fused signature expression must be BIT-identical to the
     // composed form it replaced (one graft_dot against each ±1 plane
