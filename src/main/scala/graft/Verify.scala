@@ -15,6 +15,16 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fail LOUDLY on whole-stage codegen compile errors instead of the
+      // default silent interpreted fallback — the correctness run doubles
+      // as the codegen gate (the graft_dot freshName collision hid behind
+      // the fallback for two rounds, costing m7 2.1×; SCALING.md round
+      // 9b). Escape hatch for a legitimately uncompilable future plan:
+      // SPARK_GRAFT_CODEGEN_FALLBACK=true restores the default.
+      .config(
+        "spark.sql.codegen.fallback",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_FALLBACK", "false")
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
