@@ -2881,6 +2881,46 @@ object TextOps {
       .orderBy("col_name")
   }
 
+  /** Positional-index PHRASE search (t61) — exact multi-token phrase
+    * matching ("table hash" as adjacent tokens) through the inverted
+    * POSTINGS shape: tokenize once into (doc, pos, token), filter each
+    * side to ITS query term's postings, and equi-join on
+    * (doc_id, pos+1 = pos) — the classic positional-index intersection
+    * every search engine runs, and the retrieval primitive the catalog's
+    * ranked family (v14's term index, m8) composes with. Output: per
+    * matching doc, occurrence count and first hit position.
+    *
+    * Scale shape: the join touches ONLY the two query terms' postings —
+    * both sides are selective term filters pushed below the join, so
+    * cost tracks phrase-term frequency, not corpus size (the alternative
+    * single-pass `lead(token) == next` window scans EVERY token at every
+    * query; postings pay tokenization once and per-query costs df(term)
+    * — the reason indexes exist). The join is a keyed equi-join on
+    * (doc_id, pos): co-partitioned, no broadcast dependence on corpus
+    * size. */
+  private def t61PhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val (term1, term2) = ("table", "hash")
+    val toks = Tables
+      .documents(s, d)
+      .select(
+        col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "token"))
+      )
+    val p1 = toks
+      .filter(col("token") === term1)
+      .select(col("doc_id"), (col("pos0") + 1).as("nxt"), col("pos0").as("hit0"))
+    val p2 = toks
+      .filter(col("token") === term2)
+      .select(col("doc_id"), col("pos0").as("nxt"))
+    p1.join(p2, Seq("doc_id", "nxt"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min("hit0").cast("long").as("first_pos")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Cleaning-rule ablation overlap (t60) — the UpSet-style bookkeeping a
     * corpus team reads before dropping or adding a filter: for every pair
     * of t27's five Gopher rules, how many documents fail rule a, rule b,
@@ -2952,6 +2992,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "t60_filter_overlap" -> (t60FilterOverlap _),
+    "t61_phrase_search" -> (t61PhraseSearch _),
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
     "t59_dedup_provenance" -> (t59DedupProvenance _),
     "t56_snapshot_drift" -> (t56SnapshotDrift _),
@@ -3016,6 +3057,20 @@ object TextOps {
     // t27's rule chain verbatim, then the pair matrix: memberships from
     // the reasons bitmask, marginals off the diagonal; count(*) is BIGINT,
     // the CASE sum casts through the HUGEINT rule
+    // 0-based positions: Spark's posexplode vs DuckDB's 1-based
+    // generate_subscripts (hence pos - 1)
+    "t61_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents
+         )
+         SELECT a.doc_id, count(*) AS n_hits,
+           CAST(min(a.pos) - 1 AS BIGINT) AS first_pos
+         FROM toks a JOIN toks b
+           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         WHERE a.token = 'table' AND b.token = 'hash'
+         GROUP BY a.doc_id ORDER BY a.doc_id""",
     "t60_filter_overlap" ->
       """WITH words AS (
            SELECT doc_id,
