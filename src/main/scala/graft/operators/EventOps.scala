@@ -297,11 +297,19 @@ object EventOps {
         greatest(col("s_us"), col("day_num") * bucketUs).as("ps"),
         least(col("e_us"), (col("day_num") + 1) * bucketUs - 1).as("pe")
       )
+    // both edges from ONE pass: a union of two pieces-selects would
+    // re-run the sessionize → agg → boundary-split pipeline per branch
     val edges = pieces
-      .select(col("day_num"), col("ps").as("us"), lit(1L).as("delta"))
-      .unionAll(
-        pieces.select(col("day_num"), (col("pe") + 1).as("us"), lit(-1L).as("delta"))
+      .select(
+        col("day_num"),
+        explode(
+          array(
+            struct(col("ps").as("us"), lit(1L).as("delta")),
+            struct((col("pe") + 1).as("us"), lit(-1L).as("delta"))
+          )
+        ).as("e")
       )
+      .select(col("day_num"), col("e.us").as("us"), col("e.delta").as("delta"))
     val w = Window.partitionBy("day_num").orderBy("us", "delta")
     edges
       .withColumn("active", sum("delta").over(w))
@@ -1531,22 +1539,33 @@ object EventOps {
     * Determinism (e28's discipline): mean-centering is cross-multiplied
     * away — z_t = n·y_t − Σy stays integer, num(ℓ) = Σ z_t·z_{t+ℓ} and
     * den = Σ z_t² accumulate in decimal(38,0) (both carry the same n²
-    * factor, so r = num/den is EXACT rational arithmetic; n·y ≤ 1e16 at
-    * petabyte volume → products ≤ 1e32, inside 38 digits), and r6 is
+    * factor, so r = num/den is EXACT rational arithmetic), and r6 is
     * one truncating division — negative-lag truncation verified
-    * identical between Spark `div` and DuckDB `//` (both toward zero). */
+    * identical between Spark `div` and DuckDB `//` (both toward zero).
+    *
+    * Exactness envelope, stated precisely (the round-9b review caught
+    * the first draft over-claiming): per-term products are ≤ (n·y)², so
+    * num/den reach ~n·(n·y)² and r6's num·10⁶ must stay inside 38
+    * digits ⇒ exact while |num| ≤ 1e31, i.e. daily volumes y ≤ ~1e10
+    * per type against a 10⁴-day history — beyond that, rescale the
+    * series first (divide daily counts by a fixed power of ten — the
+    * standard instrument rescale; r is scale-invariant). The envelope
+    * is ENFORCED, not assumed: Spark's non-ANSI decimal overflow would
+    * return a silent NULL where DuckDB's HUGEINT errors, so the query
+    * raises on the Spark side too instead of hash-diverging quietly. */
   private def e32Autocorrelation(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
     val maxLag = 10
-    val daily = ev
+    // ONE raw-volume pass: the spine bounds and the type list both
+    // derive from the cached daily frame (min/max over day == min/max
+    // over ts at day grain), never a second events scan
+    val daily = Tables
+      .events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("y"))
-    val mm = ev.agg(
-      to_date(min("ts")).as("d0"),
-      to_date(max("ts")).as("d1")
-    )
+      .cache()
+    val mm = daily.agg(min("day").as("d0"), max("day").as("d1"))
     val spine = mm.select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-    val dense = ev
+    val dense = daily
       .select("event_type")
       .distinct()
       .crossJoin(broadcast(spine))
@@ -1573,8 +1592,21 @@ object EventOps {
       .agg(sum(col("z").cast("decimal(38,0)") * col("z")).as("den_w"))
     num
       .join(broadcast(den), "event_type")
-      .withColumn("num", expr("CAST(num_w AS BIGINT)"))
-      .withColumn("den", expr("CAST(den_w AS BIGINT)"))
+      // loud envelope guard (see Scaladoc): past it Spark's decimal
+      // overflow NULLs silently while DuckDB errors — fail symmetrically
+      .withColumn(
+        "num_w",
+        expr(
+          "CASE WHEN abs(num_w) > CAST(1e31 AS DECIMAL(38,0)) " +
+            "THEN raise_error('e32: |num| exceeds the exact-r6 envelope — rescale the daily series') " +
+            "ELSE num_w END"
+        )
+      )
+      // anchors stay decimal(38,0) — arrow-identical to DuckDB's HUGEINT
+      // (t56's discipline); a BIGINT cast would NULL silently at 9.2e18
+      // on the Spark side where DuckDB errors
+      .withColumn("num", col("num_w"))
+      .withColumn("den", col("den_w"))
       .withColumn("r6", expr("CAST((num_w * 1000000) div greatest(den_w, 1) AS BIGINT)"))
       .select("event_type", "lag", "num", "den", "r6")
       .orderBy("event_type", "lag")
@@ -1621,8 +1653,6 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
-    // one (user, day)-keyed path agg, then the IDENTICAL RE2-safe
-    // pattern — "no error between" as gap alternations, no lookahead
     // e28's HUGEINT discipline at lag grain; `//` ≡ Spark `div` (both
     // truncate toward zero — verified on negative numerators)
     "e32_autocorrelation" ->
@@ -1663,10 +1693,12 @@ object EventOps {
            FROM z GROUP BY 1
          )
          SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag,
-           CAST(n.num_w AS BIGINT) AS num, CAST(d.den_w AS BIGINT) AS den,
+           n.num_w AS num, d.den_w AS den,
            CAST((n.num_w * 1000000) // greatest(d.den_w, 1) AS BIGINT) AS r6
          FROM num n JOIN den d USING (event_type)
          ORDER BY event_type, lag""",
+    // e31: one (user, day)-keyed path agg, then the IDENTICAL RE2-safe
+    // pattern — "no error between" as gap alternations, no lookahead
     "e31_sequence_match" ->
       """WITH ps AS (
            SELECT user_id, CAST(ts AS DATE) AS day,

@@ -2891,25 +2891,30 @@ object TextOps {
     * matching doc, occurrence count and first hit position.
     *
     * Scale shape: the join touches ONLY the two query terms' postings —
-    * both sides are selective term filters pushed below the join, so
-    * cost tracks phrase-term frequency, not corpus size (the alternative
-    * single-pass `lead(token) == next` window scans EVERY token at every
-    * query; postings pay tokenization once and per-query costs df(term)
-    * — the reason indexes exist). The join is a keyed equi-join on
+    * the corpus is tokenized in ONE pass filtered to the query's term
+    * set and CACHED, and each join side is a term filter over that tiny
+    * postings frame (the first draft recomputed the posexplode per
+    * side — two corpus scans, caught in the round-9b review; the
+    * alternative single-pass `lead(token) == next` window would scan
+    * EVERY token at every query, which is the reason postings indexes
+    * exist — at production grain the postings frame is the persisted
+    * index, t41's pattern). The join is a keyed equi-join on
     * (doc_id, pos): co-partitioned, no broadcast dependence on corpus
     * size. */
   private def t61PhraseSearch(s: SparkSession, d: String): DataFrame = {
     val (term1, term2) = ("table", "hash")
-    val toks = Tables
+    val postings = Tables
       .documents(s, d)
       .select(
         col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos0", "token"))
       )
-    val p1 = toks
+      .filter(col("token").isin(term1, term2))
+      .cache()
+    val p1 = postings
       .filter(col("token") === term1)
       .select(col("doc_id"), (col("pos0") + 1).as("nxt"), col("pos0").as("hit0"))
-    val p2 = toks
+    val p2 = postings
       .filter(col("token") === term2)
       .select(col("doc_id"), col("pos0").as("nxt"))
     p1.join(p2, Seq("doc_id", "nxt"))

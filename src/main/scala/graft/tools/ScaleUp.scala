@@ -150,7 +150,11 @@ object ScaleUp {
       if (java.nio.file.Files.isSymbolicLink(link))
         java.nio.file.Files.delete(link)
     }
-    scaledEvents(spark.read.parquet(s"$base/events.parquet"), replicas)
+    // through Tables.events, not a raw read: events.ts has shipped as
+    // TIMESTAMP(NANOS) in one testdata generation, which a raw parquet
+    // read rejects outright — the loader normalizes either shape to μs
+    // (so the scaled output is normalized too, which Bench/Verify accept)
+    scaledEvents(graft.sources.Tables.events(spark, base), replicas)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     scaledOrders(spark.read.parquet(s"$base/orders.parquet"), replicas)
