@@ -445,6 +445,55 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 review fixes stay fixed: single-scan and join-free shapes") {
+    // collect-based scan pins: FileSourceScanExec nodes in the tree are
+    // the scans that execute OUTSIDE any cache; a cached frame's one
+    // build scan lives inside InMemoryRelation (not a tree child), so
+    // "0 outside + InMemoryTableScan present" IS the one-raw-pass shape
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def outsideScans(p: SparkPlan, table: String): Int = {
+      // descend into AQE wrappers (AdaptiveSparkPlanExec exposes its
+      // plan as inputPlan, not as a tree child) but NOT into cached
+      // relations — outside-the-cache is exactly what's being pinned
+      var n = 0
+      def walk(node: SparkPlan): Unit = node.foreach {
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(table)) =>
+          n += 1
+        case _ =>
+      }
+      walk(p)
+      n
+    }
+    try {
+      // e32: ONE raw events pass (everything derives from the cached daily)
+      val e32 = SparkEntry.queries("e32_autocorrelation")(spark, sf)
+      val pe = e32.queryExecution.executedPlan
+      assert(outsideScans(pe, "events") == 0,
+        s"e32 re-reads raw events outside the cached daily frame:\n$pe")
+      assert(pe.toString.contains("InMemoryTableScan"), "e32 lost its daily cache")
+      // t61: ONE tokenization pass (both postings sides read the cache)
+      val t61 = SparkEntry.queries("t61_phrase_search")(spark, sf)
+      val pt = t61.queryExecution.executedPlan
+      assert(outsideScans(pt, "documents") == 0,
+        s"t61 re-tokenizes the corpus outside the cached postings:\n$pt")
+      assert(pt.toString.contains("InMemoryTableScan"), "t61 lost its postings cache")
+      // j10b: join-free sweep, one events scan
+      val pj = SparkEntry.queries("j10b_concurrency_profile")(spark, sf)
+        .queryExecution.executedPlan
+      assert(!pj.toString.contains("Join"), s"j10b grew a join:\n$pj")
+      assert(outsideScans(pj, "events") == 1, s"j10b scan count changed:\n$pj")
+      // v34: join-free scoring scan (the centroid fit is a bounded
+      // driver-side collect at build time, not part of this plan)
+      val pv = SparkEntry.queries("v34_label_noise")(spark, sf)
+        .queryExecution.executedPlan
+      assert(!pv.toString.contains("Join"), s"v34 grew a join:\n$pv")
+      assert(outsideScans(pv, "embeddings") == 1, s"v34 scan count changed:\n$pv")
+    } finally spark.catalog.clearCache()
+  }
+
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
     // one HashAggregate pair over ONE Exchange for the fused groupBy —
     // visible as exactly one exchange keyed on (week_start, country_name)
