@@ -22,7 +22,9 @@ class GraftSqlSpec extends AnyFunSuite {
         "ua_full_pipeline",
         "t3_dedup_exact",
         "v6_ann_ivf",
-        "m7b_semantic_dedup_banded"
+        "m7b_semantic_dedup_banded",
+        "t61_phrase_search",
+        "j10b_concurrency_profile"
       )
     )
     for (
@@ -30,7 +32,9 @@ class GraftSqlSpec extends AnyFunSuite {
         "ua_full_pipeline",
         "t3_dedup_exact",
         "v6_ann_ivf",
-        "m7b_semantic_dedup_banded"
+        "m7b_semantic_dedup_banded",
+        "t61_phrase_search",
+        "j10b_concurrency_profile"
       )
     ) {
       val viaSql = rows(spark.sql(s"SELECT * FROM graft_$name"))

@@ -69,6 +69,61 @@ class StreamingCoresetSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("coreset resumes from checkpoint: doubling state survives a restart bit-identically") {
+    // StreamingRecoverySpec's wiring (file source + checkpointed
+    // foreachBatch sink — MemoryStream cannot restart) pointed at the
+    // module whose state IS the product: after a kill between
+    // micro-batches, the resumed stream's final snapshot must equal the
+    // batch fold of the full sequence — centers, τ, and n_seen exactly.
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-coreset-rec").toString
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("bucket", IntegerType),
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("ts", TimestampType)
+    ))
+    def writeChunk(name: String, rows: Seq[CoresetPoint]): Unit =
+      rows.toDF().coalesce(1).write.json(s"$srcDir/$name")
+    def run(): Unit = {
+      val pts = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$srcDir/*/")
+        .as[CoresetPoint]
+      val q = StreamingCoreset
+        .coresetSnapshots(pts, K)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$root/chk")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingCoreset.CoresetSnapshot], _: Long) =>
+          b.write.mode("append").parquet(s"$root/out")
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val (chunk1, chunk2) = points.splitAt(2 * points.size / 3)
+    writeChunk("b1", chunk1)
+    run() // phase 1, then "kill": offsets + state live in the checkpoint
+    writeChunk("b2", chunk2)
+    run() // phase 2: resumed from checkpoint
+    val fin = spark.read
+      .parquet(s"$root/out")
+      .as[(Int, Long, Int, Double, Seq[Long])]
+      .collect()
+      .groupBy(_._1)
+      .map { case (b, snaps) => b -> snaps.maxBy(_._2) }
+    batchStates.foreach { case (b, st) =>
+      val (_, nSeen, _, tau, ids) = fin(b)
+      assert(nSeen == st.nSeen, s"bucket $b n_seen after recovery")
+      assert(tau == st.tau, s"bucket $b tau after recovery: $tau vs ${st.tau}")
+      assert(ids == st.centerIds, s"bucket $b centers after recovery")
+    }
+  }
+
   test("invariants hold exactly: ≤ k centers, pairwise > 2τ, every point within 4τ") {
     batchStates.foreach { case (b, st) =>
       assert(st.centerIds.size <= K, s"bucket $b has ${st.centerIds.size} centers")
