@@ -75,7 +75,18 @@ object VectorIndexStore {
     * awaiting compaction ([[graft.streaming.StreamingIndexUpsert]]): the
     * probe scans base ∪ delta, and BOTH sides prune on cid — the delta's
     * (epoch, cid) layout keeps the list id a partition column, so unprobed
-    * lists stay unopened in either store. */
+    * lists stay unopened in either store.
+    *
+    * Reader/writer boundary, stated honestly (round-9 review): raw
+    * parquet has no snapshot isolation, so a probe that lists the delta
+    * while [[writeDelta]] dynamic-overwrites a replayed epoch (or
+    * [[compact]] deletes folded epoch dirs) can fail TRANSIENTLY with a
+    * files-changed-underneath read error — it cannot return wrong rows,
+    * only fail loudly and retry. Run maintenance verbs from the single
+    * maintenance job (the compact contract) and retry probes around a
+    * compaction window; the production-grade swap is the same one
+    * compact's crash note names — a table format with snapshot
+    * isolation (Iceberg/Delta-class) under the identical layout. */
   def probeWithDelta(
       spark: SparkSession,
       table: String,
@@ -150,42 +161,38 @@ object VectorIndexStore {
     * overwrite; untouched lists are never read or written), explicitly
     * drop partitions the deletes emptied (dynamic overwrite writes
     * nothing for an empty partition, which would leave stale files),
-    * then retire the FOLDED tombstones. Tombstones for ids not resident
-    * in the base — or still sitting in one of the `deltaDirs`' un-
-    * compacted epochs (pass every registered delta dir; [[writeDelta]]'s
-    * base anti-join makes base∧delta co-residency unreachable, but purge
-    * verifies rather than assumes) — SURVIVE the purge and keep
-    * suppressing their rows (retiring them would resurrect a delta row
-    * in [[probeWithDelta]]); they fold at a later purge once compact
-    * moves them into the base. Probe answers are identical before and
-    * after (the spec asserts it) — purge moves the delete from the
-    * anti-join to the storage layout, nothing more.
+    * then retire the tombstones. The rule is SUPPRESSION-DRIVEN: a
+    * tombstone survives iff its id still sits in one of the `deltaDirs`'
+    * un-compacted epochs (pass every registered delta dir — the caller
+    * contract; retiring a delta-resident tombstone would resurrect its
+    * row in [[probeWithDelta]]); every other tombstone retires — folded
+    * base ids because the rewrite just removed their rows, and ids
+    * resident NOWHERE because there is nothing left to suppress. The
+    * nowhere case matters twice: deleting a never-indexed id must be a
+    * no-op once purged (not a permanent block on its future insert — the
+    * round-9 review caught the earlier (tomb ∖ base) rule making exactly
+    * that mistake), and purge's own documented crash-rerun (die between
+    * the base rewrite and the retire, run purge again) must retire the
+    * already-folded ids rather than trap them forever.
     *
     * Everything scales by the TOMBSTONE set, never the index: the
-    * surviving-tombstone frame is (tomb ∖ base-residents) ∪ (tomb ∩
-    * delta-residents), computed as broadcast anti/semi-joins of the tiny
-    * tombstone table against id frames and STAGED to parquet before the
-    * base rewrite — no per-id driver collect anywhere in the verb, so a
-    * bulk (GDPR-style) delete purges in one pass without driver memory
-    * scaling (the bulk-delete spec runs one). The one collected value is
-    * the touched-cid list, bounded by k. Finding the touched lists costs
-    * one index-wide semi-join on vec_id — purge is the rare maintenance
-    * event (compact's cadence, not the probe path). Same append/delete
-    * crash boundary as [[compact]]: run from a single maintenance job;
-    * the tombstone rewrite itself is a single overwrite (no drop-then-
-    * create window that could lose surviving tombstones). */
+    * surviving-tombstone frame (tomb ∩ delta-residents) is broadcast
+    * semi-joins of the tiny tombstone table and is STAGED to parquet
+    * before the base rewrite — no per-id driver collect anywhere in the
+    * verb, so a bulk (GDPR-style) delete purges in one pass without
+    * driver memory scaling (the bulk-delete spec runs one). The one
+    * collected value is the touched-cid list, bounded by k. Finding the
+    * touched lists costs ONE index-wide semi-join on vec_id — purge is
+    * the rare maintenance event (compact's cadence, not the probe path).
+    * Same append/delete crash boundary as [[compact]]: run from a single
+    * maintenance job; the tombstone rewrite itself is a single overwrite
+    * (no drop-then-create window that could lose surviving tombstones). */
   def purge(spark: SparkSession, table: String, deltaDirs: Seq[String] = Nil): Unit = {
     if (!spark.catalog.tableExists(s"${table}_tombstones")) return
     val tomb = broadcast(spark.table(s"${table}_tombstones").select("vec_id").distinct())
     val base = spark.table(table)
-    // ids the rewrite below will make physically gone from the base —
-    // small (bounded by the tombstone set), NOT collected
-    val baseResident = base
-      .join(tomb, Seq("vec_id"), "left_semi")
-      .select("vec_id")
-      .distinct()
     // ids still present in an un-compacted delta epoch keep their
-    // tombstones regardless of base residency
+    // tombstones; everything else retires (see Scaladoc)
     val deltaResident = deltaDirs
       .flatMap { dir =>
         val root = new org.apache.hadoop.fs.Path(dir)
@@ -195,18 +202,11 @@ object VectorIndexStore {
         if (hasEpochs) Some(spark.read.parquet(dir).select("vec_id")) else None
       }
       .reduceOption(_ unionByName _)
-    // survivors = (tomb ∖ base) ∪ (tomb ∩ delta); must be STAGED before
-    // the rewrite — afterwards the re-read base no longer contains the
-    // folded ids, which would make every tombstone look unfolded
-    val survivors = {
-      val notInBase = tomb.join(baseResident, Seq("vec_id"), "left_anti")
-      deltaResident match {
-        case Some(d) =>
-          notInBase
-            .unionByName(tomb.join(d, Seq("vec_id"), "left_semi"))
-            .distinct()
-        case None => notInBase
-      }
+    // survivors = tomb ∩ delta; must be STAGED before the rewrite (and
+    // before the retire overwrite reads it back)
+    val survivors = deltaResident match {
+      case Some(d) => tomb.join(d, Seq("vec_id"), "left_semi")
+      case None => tomb.limit(0)
     }
     val tombStaging = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
@@ -214,6 +214,7 @@ object VectorIndexStore {
     )
     val tfs = tombStaging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     survivors.write.mode("overwrite").parquet(tombStaging.toString)
+    // the ONE index-wide pass of the verb: which lists hold doomed rows
     val touchedCids = base
       .join(tomb, Seq("vec_id"), "left_semi")
       .select("cid")
@@ -351,20 +352,34 @@ object VectorIndexStore {
     * untouched, so earlier probes stay valid and new rows become servable
     * by the very next probe.
     *
-    * Retry-safe: arrivals whose vec_id already sits in a touched list are
-    * dropped by an anti-join before the append, so a re-delivered batch
-    * (orchestrator retry, duplicate arrival file) is a no-op instead of
-    * seating the same neighbor twice in probe windows. Tombstoned ids are
-    * dropped by a second (broadcast) anti-join — deterministically, not
-    * only while the old row is still physical — keeping [[delete]]'s
-    * purge-first re-insert contract honest.
+    * Retry-safe: arrivals whose vec_id is already resident ANYWHERE in
+    * the base are dropped by an anti-join before the append — the guard
+    * reads the base's vec_id column index-WIDE, not just the arrival's
+    * target lists, because a re-delivered id does not necessarily land
+    * in its old list (its embedding may have changed, or
+    * [[rebalance]] may have moved the centroids), and a touched-lists-
+    * only check would seat the same vec_id in two lists permanently
+    * (the round-9 review's scenario; probes touching both lists would
+    * then serve the id at two ranks). Arrivals sitting in an
+    * un-compacted delta epoch are dropped for the same reason when the
+    * caller registers its `deltaDirs` ([[writeDelta]]'s mirror guard —
+    * base∧delta co-residency would double-serve in [[probeWithDelta]]).
+    * Tombstoned ids are dropped by a further (broadcast) anti-join —
+    * deterministically, not only while the old row is still physical —
+    * keeping [[delete]]'s purge-first re-insert contract honest.
     *
     * Scale shape: one k-row centroid read + the shuffle-free codegen
-    * argmin over the increment; the append — and the retry guard's read —
-    * touch only the ≤k list partitions the arrivals land in (partition
-    * pruning on the collected arrival cids). The rest of the resident
-    * 100 TB of lists is never read. */
-  def upsert(spark: SparkSession, table: String, increment: DataFrame): Unit = {
+    * argmin over the increment; the append touches only the ≤k list
+    * partitions the arrivals land in. The residency guard costs one
+    * column-pruned vec_id scan of the base — long-column I/O on the
+    * MAINTENANCE path, the price of the no-duplicate invariant under
+    * embedding drift; the payload columns are never read. */
+  def upsert(
+      spark: SparkSession,
+      table: String,
+      increment: DataFrame,
+      deltaDirs: Seq[String] = Nil
+  ): Unit = {
     GraftFunctions.register(spark)
     val centArr = IvfAnn.collectCents(spark.table(s"${table}_centroids"))
     val indexed = IvfAnn
@@ -375,21 +390,30 @@ object VectorIndexStore {
       )
       .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
       .cache() // read twice: arrival-cid collect + the guarded append
-    val touchedCids = indexed.select("cid").distinct().collect().map(_.getInt(0))
-    val residents = spark
-      .table(table)
-      .filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
-      .select("vec_id")
-    val fresh = withoutTombstonedIds(
-      spark,
-      table,
-      indexed.join(residents, Seq("vec_id"), "left_anti")
-    )
-    alignTo(spark.table(table), fresh).write
-      .partitionBy("cid")
-      .mode("append")
-      .saveAsTable(table)
-    indexed.unpersist()
+    try {
+      val residents = spark.table(table).select("vec_id")
+      val deltaResidents = deltaDirs
+        .flatMap { dir =>
+          val root = new org.apache.hadoop.fs.Path(dir)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasEpochs = fs.exists(root) &&
+            fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+          if (hasEpochs) Some(spark.read.parquet(dir).select("vec_id")) else None
+        }
+        .reduceOption(_ unionByName _)
+      val guarded = deltaResidents match {
+        case Some(d) =>
+          indexed
+            .join(residents, Seq("vec_id"), "left_anti")
+            .join(d, Seq("vec_id"), "left_anti")
+        case None => indexed.join(residents, Seq("vec_id"), "left_anti")
+      }
+      val fresh = withoutTombstonedIds(spark, table, guarded)
+      alignTo(spark.table(table), fresh).write
+        .partitionBy("cid")
+        .mode("append")
+        .saveAsTable(table)
+    } finally indexed.unpersist()
   }
 
   /** Drop rows whose vec_id is currently tombstoned — the ingest-side
@@ -418,8 +442,9 @@ object VectorIndexStore {
     * argument. Keeping cid a partition column means
     * [[probeWithDelta]] prunes unprobed lists in the delta too.
     *
-    * Same ingest guards as [[upsert]], reading only the ≤k touched list
-    * partitions: arrivals already resident in the base are dropped (a
+    * Same ingest guards as [[upsert]] (index-wide vec_id reads — see
+    * upsert's Scaladoc for why pruning them to touched lists is wrong):
+    * arrivals already resident in the base are dropped (a
     * base∧delta co-resident id would be served twice by
     * [[probeWithDelta]] and double-folded by [[compact]]; it would also
     * let [[purge]] retire a tombstone whose id still lives in the
@@ -439,46 +464,47 @@ object VectorIndexStore {
         call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
       )
       .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
-      .cache() // read twice: arrival-cid collect + the guarded write
-    val touchedCids = indexed.select("cid").distinct().collect().map(_.getInt(0))
-    val residents = spark
-      .table(table)
-      .filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
-      .select("vec_id")
-    // arrivals already sitting in an EARLIER delta epoch are dropped too
-    // (a duplicate arrival file re-delivered in a later micro-batch would
-    // otherwise seat the id in two epochs: probeWithDelta would serve it
-    // twice and compact would double-seat it in the base). THIS epoch is
-    // excluded from the residency check on purpose — a checkpoint replay
-    // must REPLACE its own partitions via dynamic overwrite, not
-    // anti-join itself out and leave the prior partial attempt standing.
-    val deltaResidents = {
-      val root = new org.apache.hadoop.fs.Path(deltaDir)
-      val dfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasEpochs = dfs.exists(root) &&
-        dfs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
-      if (hasEpochs)
-        spark.read
-          .parquet(deltaDir)
-          .filter(col("epoch") =!= epoch)
-          .filter(col("cid").isin(touchedCids.map(Integer.valueOf): _*))
-          .select("vec_id")
-      else indexed.select("vec_id").limit(0)
-    }
-    withoutTombstonedIds(
-      spark,
-      table,
-      indexed
-        .join(residents, Seq("vec_id"), "left_anti")
-        .join(deltaResidents, Seq("vec_id"), "left_anti")
-    )
-      .withColumn("epoch", lit(epoch))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch", "cid")
-      .parquet(deltaDir)
-    indexed.unpersist()
+      .cache() // read twice: the guarded write + schema alignment
+    // residency guards read vec_id index-WIDE, not pruned to the
+    // arrival's target lists: a re-delivered id whose embedding changed
+    // (or whose list moved under rebalance) lands in a DIFFERENT cid, so
+    // a touched-lists-only check would miss the old copy and seat the id
+    // twice (upsert's round-9 review scenario, same fix here)
+    try {
+      val residents = spark.table(table).select("vec_id")
+      // arrivals already sitting in an EARLIER delta epoch are dropped too
+      // (a duplicate arrival file re-delivered in a later micro-batch would
+      // otherwise seat the id in two epochs: probeWithDelta would serve it
+      // twice and compact would double-seat it in the base). THIS epoch is
+      // excluded from the residency check on purpose — a checkpoint replay
+      // must REPLACE its own partitions via dynamic overwrite, not
+      // anti-join itself out and leave the prior partial attempt standing.
+      val deltaResidents = {
+        val root = new org.apache.hadoop.fs.Path(deltaDir)
+        val dfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasEpochs = dfs.exists(root) &&
+          dfs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+        if (hasEpochs)
+          spark.read
+            .parquet(deltaDir)
+            .filter(col("epoch") =!= epoch)
+            .select("vec_id")
+        else indexed.select("vec_id").limit(0)
+      }
+      withoutTombstonedIds(
+        spark,
+        table,
+        indexed
+          .join(residents, Seq("vec_id"), "left_anti")
+          .join(deltaResidents, Seq("vec_id"), "left_anti")
+      )
+        .withColumn("epoch", lit(epoch))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch", "cid")
+        .parquet(deltaDir)
+    } finally indexed.unpersist()
   }
 
   /** Fold the delta into the base index and clear it — compaction, run
@@ -678,6 +704,7 @@ object VectorIndexStore {
           )
       }
       val assigned = assignSubs(subCents).cache()
+      try {
       // a split is viable only if BOTH subs are non-empty
       val viable = assigned
         .groupBy("cid")
@@ -688,7 +715,7 @@ object VectorIndexStore {
         .map(_.getInt(0))
         .sorted
       degenerate ++= hot.toSet -- viable
-      if (viable.isEmpty) { assigned.unpersist(); return Nil }
+      if (viable.isEmpty) return Nil
       val newCidOf = viable.zipWithIndex.map { case (c, i) => c -> (maxCid + 1 + i) }.toMap
       val cidMap = newCidOf.toSeq
         .map { case (c, n) => (c, n) }
@@ -746,8 +773,11 @@ object VectorIndexStore {
           .insertInto(table)
       } finally spark.conf.set(pomKey, prevPom)
       sfs.delete(staging, true)
-      assigned.unpersist()
       viable.map(c => c -> newCidOf(c)).toSeq
+      // unpersist in finally, not on the happy path: a failed maintenance
+      // pass must not leave the hot-partition copy pinned in executor
+      // storage for the session's lifetime (round-9 review)
+      } finally { assigned.unpersist(); () }
     } finally { hotRows.unpersist(); () }
   }
 }

@@ -72,9 +72,16 @@ object StreamingCoreset {
     * op-order discipline as graft_dist2, so batch/stream/spec all
     * compare bit-identical doubles). */
   private[graft] def dist(a: Seq[Float], b: Seq[Float]): Double = {
+    // fail on dimension drift rather than silently comparing a prefix: a
+    // truncated arrival could be spuriously "covered" (or seat a center
+    // with a wrong τ), invalidating the certified coverage radius
+    require(
+      a.length == b.length,
+      s"coreset dist: dimension mismatch ${a.length} vs ${b.length}"
+    )
     var s = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       val d = a(i).toDouble - b(i).toDouble
       s += d * d

@@ -161,6 +161,14 @@ object StreamingSemanticDedup {
           // both candidate sides, and the epoch append
           val vecs = featurize(b).persist()
           try {
+            // geometry is verified BEFORE any probe, not only inside the
+            // epoch append: a restart with re-solved (nBands, bandBits)
+            // against an existing index would band-join new-geometry
+            // arrivals against old-geometry index rows — zero collisions,
+            // every arrival "unique" — and the poisoned verdicts would
+            // reach onBatch before appendEpoch's own assert fired
+            // (round-9 review). Fail the batch before a verdict exists.
+            assertGeometry(spark, indexDir, nBands, bandBits)
             // localCheckpoint(eager): the verdict frame is MATERIALIZED
             // against the pre-append index before appendEpoch mutates it.
             // Without the cut, an onBatch consumer that evaluates the

@@ -115,6 +115,35 @@ class VectorIndexSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("a re-delivered id with a CHANGED embedding never seats in a second list") {
+    // the round-9 review's scenario: the old copy lives in list A, the
+    // re-delivery argmins to list B — a touched-lists-only residency
+    // guard would miss the copy in A and the id would be served at two
+    // ranks forever; the guard must read vec_id index-wide
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    VectorIndexStore.write(emb, "ivf_dup_t")
+    try {
+      val victim = 7L
+      val other = emb
+        .filter(col("vec_id") =!= victim)
+        .orderBy(col("vec_id").desc)
+        .select("embedding")
+        .as[Seq[Float]]
+        .head // a different point's embedding => (almost surely) a different list
+      VectorIndexStore.upsert(
+        spark,
+        "ivf_dup_t",
+        Seq((victim, other)).toDF("vec_id", "embedding")
+      )
+      val copies = spark.table("ivf_dup_t").filter(col("vec_id") === victim).count()
+      assert(copies == 1L, s"changed-embedding re-delivery duplicated the id: $copies copies")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_dup_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_dup_t_centroids")
+    }
+  }
+
   test("v20 upsert ledger conserves both sides and never invents a list") {
     val emb = Tables.embeddings(spark, sf)
     val nExisting = emb.filter(col("vec_id") % 10 =!= 0).count()
@@ -160,12 +189,15 @@ class VectorIndexSinkSpec extends AnyFunSuite {
       VectorIndexStore.purge(spark, "ivf_del_t")
       assert(spark.table("ivf_del_t").count() == rowsBefore - victims.size,
         "purge must physically remove exactly the tombstoned rows")
-      // the unknown id could live in a delta purge can't see — its
-      // tombstone must SURVIVE (retiring it would resurrect the row in
-      // probeWithDelta); only folded tombstones retire
+      // suppression-driven retirement (round-9 review): with no
+      // registered delta the unknown id is resident NOWHERE, so its
+      // tombstone retires too — surviving forever would permanently
+      // block the id's future insert (delete of an unknown id must be a
+      // no-op once purged, not a curse). Delta-resident survival is the
+      // NEXT test's subject, exercised through deltaDirs.
       val leftover = spark.table("ivf_del_t_tombstones").as[Long].collect().toSet
-      assert(leftover == Set(999999L),
-        s"purge must retire exactly the folded tombstones, left $leftover")
+      assert(leftover == Set.empty[Long],
+        s"purge must retire every tombstone with nothing left to suppress, left $leftover")
       val afterPurge = VectorIndexStore.probe(spark, "ivf_del_t", queries).collect().toSeq
       assert(afterPurge == afterDelete,
         "purge changed probe answers — it must only move the delete into the layout")
