@@ -126,6 +126,12 @@ object ScaleUp {
     val base = args(0)
     val out = args(1)
     val replicas = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-list of fact tables to scale (default all)
+    // — a decade sweep of one family needn't rewrite the other families'
+    // scaled corpora; unscaled facts ride along as base symlinks
+    val facts = Seq("documents", "embeddings", "events", "orders", "lineitem")
+    val selected: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else facts.toSet
     val spark = SparkSession
       .builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -136,42 +142,52 @@ object ScaleUp {
 
     val outPath = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(outPath)
-    scaledDocuments(spark.read.parquet(s"$base/documents.parquet"), replicas)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    scaledEmbeddings(spark.read.parquet(s"$base/embeddings.parquet"), replicas)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    // a pre-fact-scaling output dir carries these as symlinks into the
-    // BASE dir — drop the links first so the overwrites below can never
-    // resolve through them into read-only testdata
-    Seq("events", "orders", "lineitem").foreach { t =>
+    // a pre-existing output dir may carry selected facts as symlinks into
+    // the BASE dir — drop the links first so the overwrites below can
+    // never resolve through them into read-only testdata
+    facts.filter(selected).foreach { t =>
       val link = outPath.resolve(s"$t.parquet")
       if (java.nio.file.Files.isSymbolicLink(link))
         java.nio.file.Files.delete(link)
     }
+    if (selected("documents"))
+      scaledDocuments(spark.read.parquet(s"$base/documents.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (selected("embeddings"))
+      scaledEmbeddings(spark.read.parquet(s"$base/embeddings.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // through Tables.events, not a raw read: events.ts has shipped as
     // TIMESTAMP(NANOS) in one testdata generation, which a raw parquet
     // read rejects outright — the loader normalizes either shape to μs
     // (so the scaled output is normalized too, which Bench/Verify accept)
-    scaledEvents(graft.sources.Tables.events(spark, base), replicas)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
-    scaledOrders(spark.read.parquet(s"$base/orders.parquet"), replicas)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    scaledLineitem(spark.read.parquet(s"$base/lineitem.parquet"), replicas)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (selected("events"))
+      scaledEvents(graft.sources.Tables.events(spark, base), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (selected("orders"))
+      scaledOrders(spark.read.parquet(s"$base/orders.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    if (selected("lineitem"))
+      scaledLineitem(spark.read.parquet(s"$base/lineitem.parquet"), replicas)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    // dimensions ride along as symlinks so any query can run
+    // dimensions — and unselected facts — ride along as base symlinks so
+    // any query can still run (unselected facts at BASE size, flagged in
+    // any sweep that reads them)
     val basePath = java.nio.file.Paths.get(base).toAbsolutePath
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+    val rideAlong =
+      Seq("region", "nation", "customer", "supplier", "part") ++
+        facts.filterNot(selected)
+    rideAlong.foreach { t =>
       val link = outPath.resolve(s"$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link, basePath.resolve(s"$t.parquet"))
     }
-    println(s"[scaleup] wrote ${replicas}x documents+embeddings+events+orders+lineitem to $out")
+    println(s"[scaleup] wrote ${replicas}x ${facts.filter(selected).mkString("+")} to $out")
     spark.stop()
   }
 }
