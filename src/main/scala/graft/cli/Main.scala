@@ -257,7 +257,19 @@ object Main {
       archiveDate(opts),
       isDryRun(opts)
     )
-    val staticWu = loadStaticAnnotations(spark, "/graft/static/annotations_webusage.json")
+    // static web-usage annotations: the packaged resource ships the
+    // reference's verbatim file (`{}` — annotations.py:92-94 reads it and
+    // fans defaults over every country); tests may point `static_webusage`
+    // at a fixture file to exercise static-entry merge precedence
+    val staticWu = opts.get("static_webusage") match {
+      case Some(path) =>
+        parseStaticAnnotations(
+          spark,
+          java.nio.file.Files.readString(java.nio.file.Path.of(path))
+        )
+      case None =>
+        loadStaticAnnotations(spark, "/graft/static/annotations_webusage.json")
+    }
     val merged = Annotations.usageAnnotations(staticWu, cfg.countries)
     JsonExport.writeArtifact(
       out,
@@ -292,9 +304,14 @@ object Main {
   def loadStaticAnnotations(
       spark: SparkSession,
       resource: String
+  ): Map[String, Seq[(String, Map[String, String])]] =
+    parseStaticAnnotations(spark, DeviceMap.readResourceText(resource))
+
+  private def parseStaticAnnotations(
+      spark: SparkSession,
+      txt: String
   ): Map[String, Seq[(String, Map[String, String])]] = {
     import spark.implicits._
-    val txt = DeviceMap.readResourceText(resource)
     val schema = org.apache.spark.sql.types.DataType.fromDDL(
       "map<string,array<struct<annotation:map<string,string>,date:string>>>"
     )

@@ -1602,11 +1602,13 @@ object EventOps {
             "ELSE num_w END"
         )
       )
-      // anchors stay decimal(38,0) — arrow-identical to DuckDB's HUGEINT
-      // (t56's discipline); a BIGINT cast would NULL silently at 9.2e18
-      // on the Spark side where DuckDB errors
-      .withColumn("num", col("num_w"))
-      .withColumn("den", col("den_w"))
+      // anchors are emitted as VARCHAR on both engines: exact at any
+      // magnitude (decimal(38,0) ↔ HUGEINT render identically, scale 0,
+      // no trailing zeros) and immune to the driver's decimal hash
+      // canonicalization that redded this row in r9; a BIGINT cast would
+      // NULL silently at 9.2e18 on the Spark side where DuckDB errors
+      .withColumn("num", col("num_w").cast("string"))
+      .withColumn("den", col("den_w").cast("string"))
       .withColumn("r6", expr("CAST((num_w * 1000000) div greatest(den_w, 1) AS BIGINT)"))
       .select("event_type", "lag", "num", "den", "r6")
       .orderBy("event_type", "lag")
@@ -1693,7 +1695,7 @@ object EventOps {
            FROM z GROUP BY 1
          )
          SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag,
-           n.num_w AS num, d.den_w AS den,
+           CAST(n.num_w AS VARCHAR) AS num, CAST(d.den_w AS VARCHAR) AS den,
            CAST((n.num_w * 1000000) // greatest(d.den_w, 1) AS BIGINT) AS r6
          FROM num n JOIN den d USING (event_type)
          ORDER BY event_type, lag""",

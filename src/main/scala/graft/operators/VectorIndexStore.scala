@@ -186,8 +186,14 @@ object VectorIndexStore {
     * the rare maintenance event (compact's cadence, not the probe path).
     * Same append/delete crash boundary as [[compact]]: run from a single
     * maintenance job; the tombstone rewrite itself is a single overwrite
-    * (no drop-then-create window that could lose surviving tombstones). */
-  def purge(spark: SparkSession, table: String, deltaDirs: Seq[String] = Nil): Unit = {
+    * (no drop-then-create window that could lose surviving tombstones).
+    *
+    * `deltaDirs` has NO default on purpose: a caller who forgets an
+    * active delta dir would retire its resident tombstones and silently
+    * resurrect deleted rows in [[probeWithDelta]] — a table with no
+    * delta spells `Seq.empty` at the call site, making "I considered the
+    * deltas" explicit in every invocation. */
+  def purge(spark: SparkSession, table: String, deltaDirs: Seq[String]): Unit = {
     if (!spark.catalog.tableExists(s"${table}_tombstones")) return
     val tomb = broadcast(spark.table(s"${table}_tombstones").select("vec_id").distinct())
     val base = spark.table(table)
@@ -389,8 +395,9 @@ object VectorIndexStore {
         call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
       )
       .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
-      .cache() // read twice: arrival-cid collect + the guarded append
-    try {
+    // no cache: `indexed` is consumed exactly once (the guarded append) —
+    // the arrival-cid collect this cache once amortized is gone
+    locally {
       val residents = spark.table(table).select("vec_id")
       val deltaResidents = deltaDirs
         .flatMap { dir =>
@@ -413,7 +420,7 @@ object VectorIndexStore {
         .partitionBy("cid")
         .mode("append")
         .saveAsTable(table)
-    } finally indexed.unpersist()
+    }
   }
 
   /** Drop rows whose vec_id is currently tombstoned — the ingest-side
@@ -464,13 +471,14 @@ object VectorIndexStore {
         call_function("graft_quantize_int8", col("embedding")).cast("array<float>")
       )
       .withColumn("qn", sqrt(call_function("graft_dot", col("qf"), col("qf"))))
-      .cache() // read twice: the guarded write + schema alignment
+    // no cache: the only other "read" of `indexed` is a limit(0) used for
+    // schema shape in the no-epochs branch — never executed as a job
     // residency guards read vec_id index-WIDE, not pruned to the
     // arrival's target lists: a re-delivered id whose embedding changed
     // (or whose list moved under rebalance) lands in a DIFFERENT cid, so
     // a touched-lists-only check would miss the old copy and seat the id
     // twice (upsert's round-9 review scenario, same fix here)
-    try {
+    locally {
       val residents = spark.table(table).select("vec_id")
       // arrivals already sitting in an EARLIER delta epoch are dropped too
       // (a duplicate arrival file re-delivered in a later micro-batch would
@@ -504,7 +512,7 @@ object VectorIndexStore {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch", "cid")
         .parquet(deltaDir)
-    } finally indexed.unpersist()
+    }
   }
 
   /** Fold the delta into the base index and clear it — compaction, run
@@ -646,7 +654,18 @@ object VectorIndexStore {
       .filter { case (c, n) => n > maxListFactor * math.max(1L, med) && !degenerate.contains(c) }
       .map(_._1)
     if (hot.isEmpty) return Nil
-    val maxCid = sizes.map(_._1).max
+    // new list ids must clear BOTH tables' cids: purge drops emptied data
+    // partitions but leaves their centroid rows, so max over the data
+    // table alone could re-allocate an existing (empty-list) centroid's
+    // cid and seat two _centroids rows under one id
+    val maxCid = math.max(
+      sizes.map(_._1).max,
+      spark
+        .table(s"${table}_centroids")
+        .agg(max("cid"))
+        .collect()(0)
+        .getInt(0)
+    )
     val hotRows = spark
       .table(table)
       .filter(col("cid").isin(hot.map(Integer.valueOf): _*))

@@ -88,12 +88,17 @@ class CliSpec extends AnyFunSuite {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
       .write.mode("overwrite").parquet(s"$tmp/buildhub")
 
+    Files.writeString(
+      java.nio.file.Path.of(s"$tmp/static_wu.json"),
+      """{"Worldwide": [{"annotation": {"pct_addon": "example static annotation"}, "date": "2019-01-01"}]}"""
+    )
     Main.annotations(
       spark,
       Map(
         "buildhub" -> s"$tmp/buildhub",
         "date_to" -> "2019-02-04",
-        "output" -> s"$tmp/out"
+        "output" -> s"$tmp/out",
+        "static_webusage" -> s"$tmp/static_wu.json"
       )
     )
     val fx = Files.readString(java.nio.file.Path.of(s"$tmp/out/annotations_fxhealth.json"))
@@ -104,6 +109,69 @@ class CliSpec extends AnyFunSuite {
     assert(wu.contains("example static annotation"))
     assert(wu.contains("legacy addons disabled"))
     assert(Files.exists(java.nio.file.Path.of(s"$tmp/out/annotations_hardware.json")))
+  }
+
+  test("annotations_hardware.json is the reference's published file, passed through byte-for-byte") {
+    // annotations.py:119-121 uploads the packaged static file VERBATIM —
+    // no parse, no re-serialize. Two gates: (1) the shipped artifact
+    // equals the packaged resource byte-for-byte (pass-through), and
+    // (2) the resource equals the reference's published 734-byte content
+    // (golden embedded here, not read from the reference tree).
+    val tmp = Files.createTempDirectory("graft-ann-hw").toString
+    val schema = StructType(Seq(StructField("build", StructType(Seq(
+      StructField("target", StructType(Seq(
+        StructField("version", StringType), StructField("channel", StringType)))),
+      StructField("build", StructType(Seq(StructField("date", TimestampType)))))))))
+    val rows = Seq(
+      Row(Row(Row("71.0", "release"), Row(java.sql.Timestamp.valueOf("2018-12-03 10:00:00"))))
+    )
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/buildhub")
+    Main.annotations(
+      spark,
+      Map(
+        "buildhub" -> s"$tmp/buildhub",
+        "date_to" -> "2019-01-14",
+        "output" -> s"$tmp/out"
+      )
+    )
+    val artifact = Files.readString(java.nio.file.Path.of(s"$tmp/out/annotations_hardware.json"))
+    val resource = graft.sources.DeviceMap.readResourceText("/graft/static/annotations_hardware.json")
+    assert(artifact == resource, "hardware annotations must pass through unmodified")
+    val golden =
+      """{
+        |  "default": [
+        |    {
+        |      "annotation": {
+        |        "cpuCores": "XP and Vista leave dataset",
+        |        "cpuSpeed": "XP and Vista leave dataset",
+        |        "cpuVendor": "XP and Vista leave dataset",
+        |        "gpuModel": "XP and Vista leave dataset",
+        |        "gpuVendor": "XP and Vista leave dataset",
+        |        "hasFlash": "XP and Vista leave dataset",
+        |        "osArch": "XP and Vista leave dataset",
+        |        "osName": "XP and Vista leave dataset",
+        |        "ram": "XP and Vista leave dataset",
+        |        "resolution": "XP and Vista leave dataset"
+        |      },
+        |      "date": "2017-03-05"
+        |    },
+        |    {
+        |      "annotation": {
+        |        "browserArch": "64-bit updates unthrottled on Win7+ for 2GB+ users"
+        |      },
+        |      "date": "2017-10-22"
+        |    }
+        |  ]
+        |}
+        |""".stripMargin
+    assert(artifact == golden, "hardware annotations drifted from the reference's published content")
+    // the packaged webusage static is the reference's `{}` — with no
+    // override, the artifact is the pure defaults fan-out: every country
+    // present, no static entries beyond the two defaults
+    val wu = Files.readString(java.nio.file.Path.of(s"$tmp/out/annotations_webusage.json"))
+    assert(wu.contains("\"Worldwide\"") && wu.contains("legacy addons disabled"))
+    assert(!wu.contains("example static annotation"))
   }
 
   test("annotations webusage artifact matches a byte-level golden (S4/W2/F16)") {
@@ -122,12 +190,17 @@ class CliSpec extends AnyFunSuite {
     )
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
       .write.mode("overwrite").parquet(s"$tmp/buildhub")
+    Files.writeString(
+      java.nio.file.Path.of(s"$tmp/static_wu.json"),
+      """{"Worldwide": [{"annotation": {"pct_addon": "example static annotation"}, "date": "2019-01-01"}]}"""
+    )
     Main.annotations(
       spark,
       Map(
         "buildhub" -> s"$tmp/buildhub",
         "date_to" -> "2019-01-14",
-        "output" -> s"$tmp/out"
+        "output" -> s"$tmp/out",
+        "static_webusage" -> s"$tmp/static_wu.json"
       )
     )
     def entry(date: String, kvs: (String, String)*): String =

@@ -186,7 +186,7 @@ class VectorIndexSinkSpec extends AnyFunSuite {
         s"tombstoned ids still served: $served0")
 
       val rowsBefore = spark.table("ivf_del_t").count()
-      VectorIndexStore.purge(spark, "ivf_del_t")
+      VectorIndexStore.purge(spark, "ivf_del_t", Seq.empty)
       assert(spark.table("ivf_del_t").count() == rowsBefore - victims.size,
         "purge must physically remove exactly the tombstoned rows")
       // suppression-driven retirement (round-9 review): with no
@@ -257,7 +257,7 @@ class VectorIndexSinkSpec extends AnyFunSuite {
       VectorIndexStore.upsert(spark, "ivf_ri_t", victimRow)
       assert(spark.table("ivf_ri_t").filter(col("vec_id") === victim).count() == 1,
         "tombstoned re-insert must not add a second physical copy")
-      VectorIndexStore.purge(spark, "ivf_ri_t")
+      VectorIndexStore.purge(spark, "ivf_ri_t", Seq.empty)
       assert(spark.table("ivf_ri_t").filter(col("vec_id") === victim).count() == 0)
       // purge cleared the tombstone: a fresh upsert lands and serves
       VectorIndexStore.upsert(spark, "ivf_ri_t", victimRow)
@@ -284,7 +284,7 @@ class VectorIndexSinkSpec extends AnyFunSuite {
       val n = emb.count()
       val victims = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
       VectorIndexStore.delete(spark, "ivf_bulk_t", victims)
-      VectorIndexStore.purge(spark, "ivf_bulk_t")
+      VectorIndexStore.purge(spark, "ivf_bulk_t", Seq.empty)
       assert(spark.table("ivf_bulk_t").count() == n - victims.count(),
         "bulk purge must remove exactly the tombstoned rows")
       assert(spark.table("ivf_bulk_t_tombstones").isEmpty,
@@ -314,7 +314,7 @@ class VectorIndexSinkSpec extends AnyFunSuite {
       val listIds = base.filter(col("cid") === someCid).select("vec_id").as[Long].collect()
       assert(listIds.nonEmpty)
       VectorIndexStore.delete(spark, "ivf_empty_t", listIds.toSeq.toDF("vec_id"))
-      VectorIndexStore.purge(spark, "ivf_empty_t")
+      VectorIndexStore.purge(spark, "ivf_empty_t", Seq.empty)
       assert(spark.table("ivf_empty_t").filter(col("cid") === someCid).count() == 0,
         s"stale rows survived in emptied list $someCid")
       val total = spark.table("ivf_empty_t").count()
@@ -467,6 +467,51 @@ class VectorIndexSinkSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivf_rbd_t")
       spark.sql("DROP TABLE IF EXISTS ivf_rbd_t_tombstones")
+    }
+  }
+
+  test("a split after purge never re-allocates an emptied list's cid") {
+    // The round-10 review scenario: purge drops an emptied list's DATA
+    // partition but leaves its _centroids row (by design — the list can
+    // refill from future arrivals). A later split that allocated new cids
+    // from max(cid) over the data table alone would re-issue the emptied
+    // list's id and seat two _centroids rows under one cid, corrupting
+    // probe list selection. Real-verb flow: delete+purge the max-cid
+    // list, make another list hot, rebalance, assert cid uniqueness.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    VectorIndexStore.write(emb, "ivf_rbp_t")
+    try {
+      val maxCid = spark.table("ivf_rbp_t_centroids").agg(max("cid")).head.getInt(0)
+      val emptiedIds = spark.table("ivf_rbp_t")
+        .filter(col("cid") === maxCid).select("vec_id").as[Long].collect()
+      assert(emptiedIds.nonEmpty)
+      VectorIndexStore.delete(spark, "ivf_rbp_t", emptiedIds.toSeq.toDF("vec_id"))
+      VectorIndexStore.purge(spark, "ivf_rbp_t", Seq.empty)
+      assert(spark.table("ivf_rbp_t").filter(col("cid") === maxCid).count() == 0)
+      assert(spark.table("ivf_rbp_t_centroids").filter(col("cid") === maxCid).count() == 1,
+        "purge must keep the emptied list's centroid row — the state under test")
+      // heat a SURVIVING list: 300 jittered copies of one of its vectors
+      val seed = spark.table("ivf_rbp_t")
+        .filter(col("cid") =!= maxCid)
+        .orderBy("vec_id").select("embedding").head.getSeq[Float](0)
+      val jittered = (0 until 300).map { i =>
+        (300000L + i, seed.toArray.clone().updated(0, seed(0) + i * 0.001f).toSeq)
+      }.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      VectorIndexStore.upsert(spark, "ivf_rbp_t", jittered)
+      val splits = VectorIndexStore.rebalance(spark, "ivf_rbp_t", maxListFactor = 4.0)
+      assert(splits.nonEmpty, "the jittered fixture must trigger a split")
+      assert(splits.map(_._2).forall(_ > maxCid),
+        s"a new list id collided with the emptied centroid $maxCid: $splits")
+      val dupCents = spark.table("ivf_rbp_t_centroids")
+        .groupBy("cid").count().filter(col("count") > 1)
+      assert(dupCents.isEmpty, "duplicate _centroids rows for one cid after the split")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_rbp_t")
+      spark.sql("DROP TABLE IF EXISTS ivf_rbp_t_tombstones")
+      spark.sql("DROP TABLE IF EXISTS ivf_rbp_t_centroids")
     }
   }
 }

@@ -35,4 +35,29 @@ class VerifyContractSpec extends AnyFunSuite {
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
   }
+
+  /** The r7 (4 rows) / r9 (1 row) red class: a declared query whose FINAL
+    * select carries DecimalType hash-diverges under the driver's decimal
+    * canonicalization even when every value equals the DuckDB HUGEINT
+    * side cell-for-cell. Decimals are fine INSIDE a plan (e32 still
+    * accumulates in decimal(38,0)); they may never reach the output —
+    * anchor as BIGINT inside the ±9.2e18 envelope, as VARCHAR beyond it.
+    */
+  test("no declared query emits a DecimalType output column, at any nesting depth") {
+    import org.apache.spark.sql.types._
+    def decimalPaths(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType     => Seq(path)
+      case a: ArrayType       => decimalPaths(a.elementType, s"$path[]")
+      case m: MapType         => decimalPaths(m.keyType, s"$path.key") ++
+                                   decimalPaths(m.valueType, s"$path.value")
+      case s: StructType      => s.fields.toSeq.flatMap(f => decimalPaths(f.dataType, s"$path.${f.name}"))
+      case _                  => Nil
+    }
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      decimalPaths(q(spark, sf).schema, name)
+    }
+    assert(offenders.isEmpty, s"DecimalType output columns (driver hash-red risk): $offenders")
+  }
 }

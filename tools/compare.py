@@ -89,6 +89,20 @@ def main(sf_dir, out_dir, dump=False, dump_names=None):
             print(f"SCHEMA-MISMATCH {name}: spark={s_cols} duck={d_cols}")
             fail += 1
             continue
+        # r9 postmortem: the driver's decimal canonicalization hash-reds a
+        # decimal output column even when the arrow types AND all values
+        # match on both sides (e32). Local must agree with the driver:
+        # any decimal-typed output column is a hard fail, not a pass.
+        deci = {
+            c: (s_types[c], d_types[c])
+            for c in s_cols
+            if "decimal" in s_types[c] or "decimal" in d_types[c]
+        }
+        if deci:
+            print(f"DECIMAL-OUTPUT {name}: {deci}  "
+                  "(driver hash-reds decimal outputs — anchor as BIGINT/VARCHAR)")
+            fail += 1
+            continue
         drift = {
             c: (s_types[c], d_types[c])
             for c in s_cols if s_types[c] != d_types[c]
