@@ -585,6 +585,136 @@ object MultimodalOps {
     verifiedPairs(cand, emb)
   }
 
+  /** m7d — the IVF go/no-go DECISION PROBE as a declared one-row frame:
+    * the measurement that adjudicates m7b (corpus-wide banding) vs m7c
+    * (IVF-pruned banding) per corpus, promoted from `tools/ListBgProbe`
+    * into the oracle-checked catalog (the v14b/t42 convention: a
+    * planning scalar a pipeline decides by deserves a hash-green row per
+    * ingest, not a tool someone remembers to run).
+    *
+    * What it measures: the expected per-band collision rate E[p^b] —
+    * p = 1 − acos(cos)/π per sign-LSH bit — over deterministic
+    * hash-ordered neighbor pairs, (a) INSIDE m7c's probed IVF lists and
+    * (b) corpus-wide, at b = 14 (the width `bandGeometryMeasured` landed
+    * at both sf1 and sf10 — SCALING.md round 9). IVF pruning earns its
+    * fan-out exactly when in-list background separates from corpus
+    * background (clustered geometry); on this stub featurizer the ratio
+    * is ~2× (no-go, m7b stays production), and a real encoder's
+    * clustered corpus announces itself as a large ratio — `go_ivf` pins
+    * the documented ≥10× rule.
+    *
+    * Determinism across engines (the reason this can be hash-checked at
+    * all): pair sampling orders by md5 (portable, unlike xxhash64);
+    * gram-embedding dots/norms are exact small-integer sums (m7b's
+    * property), so cos is bit-identical; acos (libm, not correctly
+    * rounded) is immediately snapped to a 1e-6 grid via round(.,6); and
+    * p^14 is an EXPLICIT multiplication chain ((p4·p4)·p4)·p2 of
+    * correctly-rounded ops — no pow() — floored onto an integer 1e-12
+    * scale, so sums and means are reorder-proof BIGINTs (v22's
+    * discipline).
+    *
+    * Scale shape: centroids/probe reuse m7c's plan (bounded collect of
+    * ≤256 centroids, per-row assignment expressions); the in-list sample
+    * is one window over (cid) and the corpus sample one window over 256
+    * md5 buckets — no all-pairs anywhere, output is ONE row. At 100 TB
+    * this runs as a 10-minute pre-flight against the same layout the
+    * dedup itself would use. */
+  def ivfProbeDecisionQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = gramEmbeddings(docs).cache()
+    try {
+      val n = emb.count()
+      val nLists = math.min(256L, math.max(32L, n / 2000L)).toInt
+      val probes = 4
+      val cents = graft.operators.IvfAnn.collectCents(
+        graft.operators.IvfAnn
+          .centroids(emb.select(col("vec_id"), col("embedding")), nLists)
+      )
+      val probed = graft.operators.IvfAnn
+        .withProbedCids(cents, "embedding", probes = probes)(emb)
+
+      // per-pair integer contribution floor(p^14 · 1e12): round-snapped
+      // acos, then the explicit ((p4·p4)·p4)·p2 chain — mirrored verbatim
+      // in the oracle so every double op is correctly rounded in the
+      // same order on both engines
+      def contrib(cos: Column): Column = {
+        val p = round(
+          lit(1.0) - acos(least(lit(1.0), greatest(lit(-1.0), cos))) / lit(math.Pi),
+          6
+        )
+        val p2 = p * p
+        val p4 = p2 * p2
+        floor(p4 * p4 * p4 * p2 * lit(1e12)).cast("long")
+      }
+      def neighborCos(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+        val led = df.select(
+          col("embedding"),
+          col("nrm"),
+          lead(col("embedding"), 1).over(w).as("e1"),
+          lead(col("nrm"), 1).over(w).as("n1"),
+          lead(col("embedding"), 2).over(w).as("e2"),
+          lead(col("nrm"), 2).over(w).as("n2")
+        )
+        led
+          .select(
+            explode(
+              array(
+                struct(col("e1").as("eb"), col("n1").as("nb")),
+                struct(col("e2").as("eb"), col("n2").as("nb"))
+              )
+            ).as("o"),
+            col("embedding"),
+            col("nrm")
+          )
+          .filter(col("o.eb").isNotNull)
+          .select(
+            (call_function("graft_dot", col("embedding"), col("o.eb")) /
+              (col("nrm") * col("o.nb"))).as("cos")
+          )
+      }
+      val inPairs = neighborCos(
+        probed.withColumn(
+          "hk",
+          md5(concat(col("vec_id").cast("string"), lit(":"), col("cid").cast("string")))
+        ),
+        Window.partitionBy("cid").orderBy("hk")
+      )
+      val corpusPairs = neighborCos(
+        emb
+          .withColumn("hk", md5(col("vec_id").cast("string")))
+          .withColumn("bucket", substring(col("hk"), 1, 2)),
+        Window.partitionBy("bucket").orderBy("hk")
+      )
+      val statsIn = inPairs
+        .select(contrib(col("cos")).as("c"))
+        .agg(
+          count(lit(1)).as("pairs_in"),
+          expr("sum(c) div count(1)").as("in_epb_s12")
+        )
+      val statsCorpus = corpusPairs
+        .select(contrib(col("cos")).as("c"))
+        .agg(
+          count(lit(1)).as("pairs_corpus"),
+          expr("sum(c) div count(1)").as("corpus_epb_s12")
+        )
+      statsIn
+        .crossJoin(broadcast(statsCorpus))
+        .select(
+          lit(n).as("n_media"),
+          lit(nLists).as("n_lists"),
+          lit(probes).as("n_probes"),
+          lit(14).as("band_bits"),
+          col("pairs_in"),
+          col("in_epb_s12"),
+          col("pairs_corpus"),
+          col("corpus_epb_s12"),
+          expr("in_epb_s12 * 1000000 div greatest(corpus_epb_s12, 1L)").as("sep_ratio6"),
+          expr("in_epb_s12 * 1000000 div greatest(corpus_epb_s12, 1L) >= 10000000").as("go_ivf")
+        )
+    } finally emb.unpersist()
+  }
+
   /** Media-grain trigram-hash embeddings with norms, zero-vector rows
     * (payloads with no word trigram) dropped — shared by m7b and its
     * equality-gate spec's exact arm. */
@@ -799,6 +929,7 @@ object MultimodalOps {
     "m7_semantic_dedup" -> ((s, d) => semanticDedupQuery(s, d)),
     "m7b_semantic_dedup_banded" -> ((s, d) => semanticDedupBandedQuery(s, d)),
     "m7c_semantic_dedup_ivf" -> ((s, d) => semanticDedupIvfQuery(s, d)),
+    "m7d_ivf_probe_decision" -> ((s, d) => ivfProbeDecisionQuery(s, d)),
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "m3_resize_plan" -> ((s, d) => Multimodal.resizeQuery(s, d)),
@@ -856,6 +987,119 @@ object MultimodalOps {
              FROM ${p}emb)
            WHERE nrm > 0
          )"""
+
+  /** Squared-L2 of a media vector `v.e` to a centroid `c.centroid`, in
+    * index order with per-term DOUBLE casts — the media-grain twin of
+    * v6's `ivfAssignDist`, matching `graft_dist2`'s op order exactly. */
+  private val m7dDist: String =
+    """list_sum(list_transform(range(1, 65),
+      |            i -> (CAST(v.e[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))
+      |               * (CAST(v.e[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE))))""".stripMargin
+
+  /** One Lloyd ASSIGN step over the media gram embeddings (nearest
+    * centroid, ties to the lower cid) — media twin of v6's ivfAssign. */
+  private def m7dAssign(cents: String, name: String): String =
+    s"""$name AS (
+       |  SELECT gid, e, cid FROM (
+       |    SELECT v.gid, v.e, c.cid,
+       |      row_number() OVER (PARTITION BY v.gid
+       |        ORDER BY $m7dDist ASC, c.cid ASC) AS rn
+       |    FROM nrmd v CROSS JOIN $cents c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  /** One Lloyd UPDATE step (per-dim mean, float-rounded — v6's
+    * discipline; the means are exact small-integer ratios so the double
+    * avg is order-independent before the REAL cast). */
+  private def m7dUpdate(assigned: String, name: String): String =
+    s"""${name}_u AS (
+       |  SELECT cid, i AS dim, CAST(avg(x) AS REAL) AS m
+       |  FROM (SELECT cid, unnest(e) AS x,
+       |          generate_subscripts(e, 1) AS i FROM $assigned)
+       |  GROUP BY cid, i
+       |), $name AS (
+       |  SELECT cid, list(m ORDER BY dim) AS centroid FROM ${name}_u GROUP BY cid
+       |)""".stripMargin
+
+  /** round(.,6)-snapped p = 1 − acos(cos)/π, then the explicit
+    * ((p4·p4)·p4)·p2 multiplication chain floored to the 1e-12 integer
+    * scale — stage-for-stage the Spark side's `contrib`. */
+  private def m7dChain(src: String, name: String): String =
+    s"""${name}_p AS (
+       |  SELECT round(1.0 - acos(least(1.0, greatest(-1.0, cos))) / pi(), 6) AS p
+       |  FROM $src
+       |), ${name}_2 AS (
+       |  SELECT p * p AS p2 FROM ${name}_p
+       |), ${name}_4 AS (
+       |  SELECT p2, p2 * p2 AS p4 FROM ${name}_2
+       |), $name AS (
+       |  SELECT CAST(floor(p4 * p4 * p4 * p2 * 1e12) AS BIGINT) AS c FROM ${name}_4
+       |)""".stripMargin
+
+  /** Hash-ordered neighbor-pair cosines (leads 1 and 2) from a windowed
+    * source CTE exposing (e, nrm, e1, n1, e2, n2). */
+  private def m7dCos(led: String, name: String): String =
+    s"""$name AS (
+       |  SELECT list_sum(list_transform(range(1, 65), i -> e[i] * e1[i]))
+       |           / (nrm * n1) AS cos
+       |  FROM $led WHERE e1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT list_sum(list_transform(range(1, 65), i -> e[i] * e2[i]))
+       |           / (nrm * n2) AS cos
+       |  FROM $led WHERE e2 IS NOT NULL
+       |)""".stripMargin
+
+  private val m7dProbeSql: String =
+    s"""WITH ${gramChainSql("", "doc_id", "text", "documents WHERE strlen(text) > 0")},
+       |nn AS (SELECT count(*) AS n FROM nrmd),
+       |nl AS (SELECT least(256, greatest(32, n // 2000)) AS k FROM nn),
+       |seeds AS (
+       |  SELECT CAST(gid AS INTEGER) AS cid, e AS centroid FROM nrmd
+       |  QUALIFY row_number() OVER (ORDER BY gid) <= (SELECT k FROM nl)
+       |),
+       |${m7dAssign("seeds", "assign0")},
+       |${m7dUpdate("assign0", "cents1")},
+       |${m7dAssign("cents1", "assign1")},
+       |${m7dUpdate("assign1", "cents2")},
+       |probed AS (
+       |  SELECT gid, e, nrm, cid FROM (
+       |    SELECT v.gid, v.e, v.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY v.gid
+       |        ORDER BY $m7dDist ASC, c.cid ASC) AS rn
+       |    FROM nrmd v CROSS JOIN cents2 c
+       |  ) WHERE rn <= 4
+       |),
+       |led_in AS (
+       |  SELECT e, nrm,
+       |    lead(e, 1) OVER w AS e1, lead(nrm, 1) OVER w AS n1,
+       |    lead(e, 2) OVER w AS e2, lead(nrm, 2) OVER w AS n2
+       |  FROM (SELECT *, md5(CAST(gid AS VARCHAR) || ':' || CAST(cid AS VARCHAR)) AS hk
+       |        FROM probed)
+       |  WINDOW w AS (PARTITION BY cid ORDER BY hk)
+       |),
+       |${m7dCos("led_in", "cos_in")},
+       |${m7dChain("cos_in", "c_in")},
+       |led_c AS (
+       |  SELECT e, nrm,
+       |    lead(e, 1) OVER w AS e1, lead(nrm, 1) OVER w AS n1,
+       |    lead(e, 2) OVER w AS e2, lead(nrm, 2) OVER w AS n2
+       |  FROM (SELECT *, md5(CAST(gid AS VARCHAR)) AS hk,
+       |          substr(md5(CAST(gid AS VARCHAR)), 1, 2) AS bucket FROM nrmd)
+       |  WINDOW w AS (PARTITION BY bucket ORDER BY hk)
+       |),
+       |${m7dCos("led_c", "cos_c")},
+       |${m7dChain("cos_c", "c_c")},
+       |si AS (SELECT count(*) AS pairs_in,
+       |         CAST(sum(c) AS BIGINT) // count(*) AS in_epb_s12 FROM c_in),
+       |sc AS (SELECT count(*) AS pairs_corpus,
+       |         CAST(sum(c) AS BIGINT) // count(*) AS corpus_epb_s12 FROM c_c)
+       |SELECT (SELECT n FROM nn) AS n_media,
+       |  CAST((SELECT k FROM nl) AS INTEGER) AS n_lists,
+       |  4 AS n_probes, 14 AS band_bits,
+       |  pairs_in, in_epb_s12, pairs_corpus, corpus_epb_s12,
+       |  in_epb_s12 * 1000000 // greatest(corpus_epb_s12, 1) AS sep_ratio6,
+       |  in_epb_s12 * 1000000 // greatest(corpus_epb_s12, 1) >= 10000000 AS go_ivf
+       |FROM si CROSS JOIN sc""".stripMargin
 
   /** The EXACT trigram-hash pair criterion in DuckDB SQL — shared by
     * m7b and m7c: both Spark sides are pruned plans (banded; ivf+banded),
@@ -927,6 +1171,14 @@ object MultimodalOps {
     // and engine-identical.
     "m7b_semantic_dedup_banded" -> exactGramPairSql,
     "m7c_semantic_dedup_ivf" -> exactGramPairSql,
+    // m7d replays the WHOLE probe in SQL: gram chain, m7c's nLists
+    // formula, id-ordered seeds + 2 unrolled Lloyd iterations
+    // (float-rounded centroids, v6's discipline), top-4 probe
+    // assignment, md5-ordered neighbor pairs, and the same explicit
+    // ((p4*p4)*p4)*p2 multiplication chain on a round(.,6)-snapped p —
+    // every accumulated value an exact integer or a correctly-rounded
+    // double in the same op order as the Spark side
+    "m7d_ivf_probe_decision" -> m7dProbeSql,
     // the payload is the UTF-8 text bytes (ASCII corpus), so substr on
     // text == the binary chunk slice and md5 agrees byte-for-byte; the
     // CAST to DOUBLE keeps DuckDB's decimal arithmetic out of the ratio

@@ -1679,6 +1679,108 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t62 — the BPE TRAINER loop: N full byte-pair-encoding training
+    * iterations (t34 computes one round's statistics; t48 applies one
+    * merge; this is the driver loop a tokenizer trainer actually runs),
+    * emitting the per-iteration merge ledger — the artifact a trained
+    * tokenizer ships as its merges.txt: (iteration, merged pair, its
+    * corpus weight, total corpus symbols after the merge).
+    *
+    * Symbol state is a WRAPPED STRING: each symbol stored as
+    * U+0001 sym U+0002, the whole word one concatenated string. Two wins:
+    * (a) `replace(seq, U+0001 l U+0002 U+0001 r U+0002, U+0001 lr U+0002)` IS
+    * the greedy left-to-right non-overlapping merge BPE specifies —
+    * inherited from both engines' replace, not re-implemented (t48's
+    * identity, lifted from 2-char pairs to multi-char symbols; the
+    * wrappers make symbol boundaries unambiguous, so a symbol whose
+    * suffix equals `l` can never false-match) — and (b) the whole
+    * iteration stays in codegen'd string arithmetic. Corpus text is
+    * assumed free of U+0001/U+0002 (true of any printable corpus; a
+    * production ingest would strip control chars at t7's cleaning
+    * stage).
+    *
+    * Scale shape (v32's sequential-loop class, the irreducible
+    * sequential dependency — merge i+1's statistics depend on merge i):
+    * the corpus is touched ONCE (the word-count shuffle, map-side
+    * combined, cached); each iteration after that is vocab-sized —
+    * Heaps-law sublinear — and runs one pair-explode agg (top-1 via
+    * TakeOrderedAndProject, a 1-row collect: the trainer's pick is
+    * driver state by nature), one literal-embedded replace, one ledger
+    * sum. At 100 TB: corpus pass once, then N × (vocab agg) — the same
+    * plan every real BPE trainer (GPT-2's, SentencePiece's) runs, with
+    * the vocab in the cluster instead of one machine's RAM.
+    *
+    * Reference anchor: extends t34/t48 (SURVEY §2.9 text family); the
+    * N=1 ledger row equals t34's top pick and t48's corpus-wide symbol
+    * ledger (spec-pinned in CorpusOpsSpec). */
+  private def t62BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val iters = 3
+    val SOH = "\u0001"
+    val STX = "\u0002"
+    val base = Tables
+      .documents(s, d)
+      .select(explode(toks).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "seq",
+        expr(
+          s"concat_ws('', transform(sequence(1, length(w)), i -> concat('$SOH', substring(w, i, 1), '$STX')))"
+        )
+      )
+      .select("n", "seq")
+      .cache()
+    try {
+      var vocab = base
+      val ledger = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+      for (it <- 1 to iters) {
+        val withSyms = vocab.withColumn(
+          "syms",
+          expr(s"split(substring(seq, 2, length(seq) - 2), '$STX$SOH')")
+        )
+        val top = withSyms
+          .filter(size(col("syms")) >= 2)
+          .select(
+            explode(
+              expr("transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))")
+            ).as("p"),
+            col("n")
+          )
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("n").as("weight"))
+          .orderBy(col("weight").desc, col("l").asc, col("r").asc)
+          .limit(1)
+          .collect()
+        if (top.nonEmpty) {
+          val (l, r, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          vocab = vocab.withColumn(
+            "seq",
+            call_function(
+              "replace",
+              col("seq"),
+              lit(s"$SOH$l$STX$SOH$r$STX"),
+              lit(s"$SOH$l$r$STX")
+            )
+          )
+          val nSyms = vocab
+            .agg(
+              sum(
+                col("n") * (length(col("seq")) -
+                  length(call_function("replace", col("seq"), lit(SOH), lit(""))))
+              ).cast("long")
+            )
+            .collect()(0)
+            .getLong(0)
+          ledger += ((it, l, r, w, nSyms))
+        }
+      }
+      ledger.toSeq
+        .toDF("iter", "sym_l", "sym_r", "weight", "n_symbols_after")
+        .orderBy("iter")
+    } finally base.unpersist()
+  }
+
   /** Cross-source near-duplicate overlap matrix — for every source pair
     * (including the same-source diagonal), how many near-dup pairs (t4's
     * exact Jaccard > 0.8) connect them. The provenance question behind
@@ -3017,6 +3119,7 @@ object TextOps {
     "t37_vocab_growth" -> (t37VocabGrowth _),
     "t36_corpus_diff" -> (t36CorpusDiff _),
     "t34_bpe_merge_stats" -> (t34BpeMergeStats _),
+    "t62_bpe_train" -> (t62BpeTrain _),
     "t48_bpe_apply_merge" -> (t48BpeApplyMerge _),
     "t35_source_overlap" -> (t35SourceOverlap _),
     "t32_source_caps" -> (t32SourceCaps _),
@@ -3058,7 +3161,57 @@ object TextOps {
     "t10_decontaminate" -> (t10Decontaminate _)
   )
 
+  /** t62's oracle, unrolled: the N=3 trainer loop as a mechanical CTE
+    * chain (stats_i → top_i → vocab_i → ledger row_i), generated by the
+    * same loop the Spark side runs so iteration count and tiebreaks can
+    * never drift between the two. chr(1)/chr(2) are the Spark side's
+    * U+0001/U+0002 symbol wrappers; DuckDB's replace is the same greedy
+    * left-to-right non-overlapping scan. */
+  private def t62OracleSql: String = {
+    val iters = 3
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> length(x) > 0)) AS w
+           FROM documents
+         ), vocab0 AS (
+           SELECT count(*) AS n,
+             array_to_string(list_transform(range(1, length(w) + 1),
+               i -> chr(1) || substr(w, i, 1) || chr(2)), '') AS seq
+           FROM words GROUP BY w
+         )"""
+    )
+    for (it <- 1 to iters) {
+      val p = it - 1
+      sb.append(
+        s""", syms$it AS (
+           SELECT n, string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)) AS syms
+           FROM vocab$p
+         ), top$it AS (
+           SELECT syms[i] AS sym_l, syms[i + 1] AS sym_r, CAST(sum(n) AS BIGINT) AS weight
+           FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
+                 FROM syms$it WHERE len(syms) >= 2)
+           GROUP BY 1, 2 ORDER BY weight DESC, sym_l, sym_r LIMIT 1
+         ), vocab$it AS (
+           SELECT n, replace(seq,
+             chr(1) || (SELECT sym_l FROM top$it) || chr(2) || chr(1) || (SELECT sym_r FROM top$it) || chr(2),
+             chr(1) || (SELECT sym_l FROM top$it) || (SELECT sym_r FROM top$it) || chr(2)) AS seq
+           FROM vocab$p
+         ), row$it AS (
+           SELECT $it AS iter, sym_l, sym_r, weight,
+             (SELECT CAST(sum(n * (length(seq) - length(replace(seq, chr(1), '')))) AS BIGINT)
+              FROM vocab$it) AS n_symbols_after
+           FROM top$it
+         )"""
+      )
+    }
+    sb.append("\n         " + (1 to iters).map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ") + " ORDER BY iter")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "t62_bpe_train" -> t62OracleSql,
     // t27's rule chain verbatim, then the pair matrix: memberships from
     // the reasons bitmask, marginals off the diagonal; count(*) is BIGINT,
     // the CASE sum casts through the HUGEINT rule

@@ -474,4 +474,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       .toSeq
     assert(got.nonEmpty && got == inline, "stored-stage provenance diverged from inline t59")
   }
+
+  test("t62 trainer: iteration 1 equals t34's pick and t48's corpus symbol ledger; merges compound") {
+    val ledger = TextOps
+      .queries("t62_bpe_train")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(ledger.length == 3, s"expected 3 trainer iterations, got ${ledger.length}")
+    // iteration 1's pick IS t34's top merge candidate (weight and pair)
+    val t34Top = TextOps
+      .queries("t34_bpe_merge_stats")(spark, sf)
+      .limit(1)
+      .collect()(0)
+    assert(ledger(0)._2 + ledger(0)._3 == t34Top.getString(0),
+      s"iter-1 pair ${ledger(0)._2}+${ledger(0)._3} != t34 top ${t34Top.getString(0)}")
+    assert(ledger(0)._4 == t34Top.getLong(1), "iter-1 weight != t34 top weight")
+    // iteration 1's corpus symbol count == t48's per-doc ledger, summed
+    val t48Total = TextOps
+      .queries("t48_bpe_apply_merge")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_symbols_after"))
+      .collect()(0)
+      .getLong(0)
+    assert(ledger(0)._5 == t48Total,
+      s"iter-1 symbols ${ledger(0)._5} != t48 corpus total $t48Total")
+    // training must strictly compress: each merge removes weight>0 pairs
+    assert(ledger.sliding(2).forall { case Array(a, b) => b._5 < a._5 },
+      s"symbol count must strictly decrease across iterations: ${ledger.map(_._5).toSeq}")
+    assert(ledger.forall(_._4 > 0), "every merge must have positive weight")
+  }
 }
