@@ -1715,9 +1715,21 @@ object TextOps {
     * ledger (spec-pinned in CorpusOpsSpec). */
   private def t62BpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val iters = 3
-    val SOH = "\u0001"
-    val STX = "\u0002"
+    bpeTrainLedger(s, d, iters = 3)
+      .toDF("iter", "sym_l", "sym_r", "weight", "n_symbols_after")
+      .orderBy("iter")
+  }
+
+  /** The t62 trainer loop factored out so t63 (corpus ENCODE under the
+    * trained merges) shares the identical pick sequence: returns the
+    * merge ledger (iter, sym_l, sym_r, weight, corpus symbols after). */
+  private def bpeTrainLedger(
+      s: SparkSession,
+      d: String,
+      iters: Int
+  ): Seq[(Int, String, String, Long, Long)] = {
+    val SOH = bpeSOH
+    val STX = bpeSTX
     val base = Tables
       .documents(s, d)
       .select(explode(toks).as("w"))
@@ -1776,9 +1788,56 @@ object TextOps {
         }
       }
       ledger.toSeq
-        .toDF("iter", "sym_l", "sym_r", "weight", "n_symbols_after")
-        .orderBy("iter")
     } finally base.unpersist()
+  }
+
+  private val bpeSOH = "\u0001"
+  private val bpeSTX = "\u0002"
+
+  /** t63 — BPE corpus ENCODE under the trained merges: the production
+    * verb that follows t62 (train) — apply the trainer's full merge list
+    * to every document and emit the per-doc tokenization ledger
+    * (tokens, chars, symbols after all merges). This is the pass that
+    * actually tokenizes a corpus for training once merges.txt exists;
+    * its total symbol count is the corpus' token budget under the
+    * trained tokenizer (Chinchilla math runs on this number).
+    *
+    * Shape: t62's trainer supplies the N=3 picks (vocab-sized work,
+    * corpus touched once there); the ENCODE is ONE corpus scan — each
+    * token wrapped (t62's U+0001/U+0002 symbol encoding), the N merges
+    * applied as N chained literal `replace`es (greedy left-to-right
+    * multi-char-symbol merge on both engines, in trained order — order
+    * matters: merge 3 can consume merge 1's output symbol), then one
+    * doc-grain map-side-combined agg. No joins; the merge list rides
+    * the codegen'd expression, not a broadcast table.
+    *
+    * Consistency is spec-pinned: Σ n_symbols over docs == t62's
+    * iteration-3 corpus total (the encode reproduces the trainer's
+    * final state, doc-by-doc). */
+  private def t63BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val SOH = bpeSOH
+    val STX = bpeSTX
+    val merges = bpeTrainLedger(s, d, iters = 3).map { case (_, l, r, _, _) => (l, r) }
+    val seq0 = expr(
+      s"concat_ws('', transform(sequence(1, length(w)), i -> concat('$SOH', substring(w, i, 1), '$STX')))"
+    )
+    val seqN = merges.foldLeft(seq0) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s"$SOH$l$STX$SOH$r$STX"), lit(s"$SOH$l$r$STX"))
+    }
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .withColumn("seq", seqN)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(
+          length(col("seq")) -
+            length(call_function("replace", col("seq"), lit(SOH), lit("")))
+        ).cast("long").as("n_symbols")
+      )
+      .orderBy("doc_id")
   }
 
   /** Cross-source near-duplicate overlap matrix — for every source pair
@@ -3120,6 +3179,7 @@ object TextOps {
     "t36_corpus_diff" -> (t36CorpusDiff _),
     "t34_bpe_merge_stats" -> (t34BpeMergeStats _),
     "t62_bpe_train" -> (t62BpeTrain _),
+    "t63_bpe_encode" -> (t63BpeEncode _),
     "t48_bpe_apply_merge" -> (t48BpeApplyMerge _),
     "t35_source_overlap" -> (t35SourceOverlap _),
     "t32_source_caps" -> (t32SourceCaps _),
@@ -3170,11 +3230,24 @@ object TextOps {
   private def t62OracleSql: String = {
     val iters = 3
     val sb = new StringBuilder
+    sb.append(s"WITH ${bpeTrainCtes(iters)}")
+    sb.append("\n         " + (1 to iters).map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ") + " ORDER BY iter")
+    sb.toString
+  }
+
+  /** The t62 trainer as a CTE chain (base/words/vocab0 + per-iteration
+    * syms/top/vocab/row CTEs) — shared by t62's ledger oracle and t63's
+    * encode oracle so the pick sequence is generated once. */
+  private def bpeTrainCtes(iters: Int): String = {
+    val sb = new StringBuilder
     sb.append(
-      """WITH words AS (
-           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
-                                     x -> length(x) > 0)) AS w
+      """base AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS toks
            FROM documents
+         ), words AS (
+           SELECT unnest(toks) AS w FROM base
          ), vocab0 AS (
            SELECT count(*) AS n,
              array_to_string(list_transform(range(1, length(w) + 1),
@@ -3206,12 +3279,50 @@ object TextOps {
          )"""
       )
     }
-    sb.append("\n         " + (1 to iters).map(i => s"SELECT * FROM row$i").mkString(" UNION ALL ") + " ORDER BY iter")
+    sb.toString
+  }
+
+  /** t63's oracle: the shared trainer CTEs supply top1..topN; the encode
+    * is the same wrap + N chained replaces at doc grain. */
+  private def t63OracleSql: String = {
+    val iters = 3
+    val sb = new StringBuilder
+    sb.append(s"WITH ${bpeTrainCtes(iters)},")
+    sb.append(
+      """
+         dwords AS (
+           SELECT doc_id, unnest(toks) AS w FROM base
+         ), d0 AS (
+           SELECT doc_id, length(w) AS nch,
+             array_to_string(list_transform(range(1, length(w) + 1),
+               i -> chr(1) || substr(w, i, 1) || chr(2)), '') AS seq
+           FROM dwords
+         )"""
+    )
+    for (it <- 1 to iters) {
+      val p = it - 1
+      sb.append(
+        s""", d$it AS (
+           SELECT doc_id, nch, replace(seq,
+             chr(1) || (SELECT sym_l FROM top$it) || chr(2) || chr(1) || (SELECT sym_r FROM top$it) || chr(2),
+             chr(1) || (SELECT sym_l FROM top$it) || (SELECT sym_r FROM top$it) || chr(2)) AS seq
+           FROM d$p
+         )"""
+      )
+    }
+    sb.append(
+      s"""
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(nch) AS BIGINT) AS n_chars,
+           CAST(sum(length(seq) - length(replace(seq, chr(1), ''))) AS BIGINT) AS n_symbols
+         FROM d$iters GROUP BY doc_id ORDER BY doc_id"""
+    )
     sb.toString
   }
 
   val oracles: Map[String, String] = Map(
     "t62_bpe_train" -> t62OracleSql,
+    "t63_bpe_encode" -> t63OracleSql,
     // t27's rule chain verbatim, then the pair matrix: memberships from
     // the reasons bitmask, marginals off the diagonal; count(*) is BIGINT,
     // the CASE sum casts through the HUGEINT rule

@@ -501,5 +501,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ledger.sliding(2).forall { case Array(a, b) => b._5 < a._5 },
       s"symbol count must strictly decrease across iterations: ${ledger.map(_._5).toSeq}")
     assert(ledger.forall(_._4 > 0), "every merge must have positive weight")
+    // t63's encode reproduces the trainer's final state doc-by-doc:
+    // corpus symbol total under the applied merges == iter-3 ledger
+    val encode = TextOps
+      .queries("t63_bpe_encode")(spark, sf)
+      .agg(
+        org.apache.spark.sql.functions.sum("n_symbols"),
+        org.apache.spark.sql.functions.sum("n_chars")
+      )
+      .collect()(0)
+    assert(encode.getLong(0) == ledger(2)._5,
+      s"t63 corpus symbols ${encode.getLong(0)} != t62 iter-3 ${ledger(2)._5}")
+    assert(encode.getLong(0) < encode.getLong(1),
+      "encoded symbols must be fewer than raw chars once any merge applied")
   }
 }
