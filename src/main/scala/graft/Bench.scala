@@ -95,11 +95,16 @@ object Bench {
     // second, TRACKED copy: bench_out.json is scratch (gitignored), so
     // round-over-round per-query regressions were only diffable through
     // prose; bench/bench_full.json is committed each round and its git
-    // history IS the per-query timing series (round-9 verdict ask #6)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench/bench_full.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // history IS the per-query timing series (round-9 verdict ask #6).
+    // Guarded to FULL-catalog, best-of-2, default-SF runs only — a
+    // filtered SCALING sweep or single-query iteration must never
+    // clobber the canonical map it exists to track.
+    val isCanonicalRun = only.isEmpty && !singleRun &&
+      sfDir == "/root/testdata/sf0.1" && new java.io.File("bench").isDirectory
+    if (isCanonicalRun)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench/bench_full.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest5 = results.sortBy(-_._2).take(5)
     val compact =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jsonMap(slowest5)},"sf":"$sfDir"}"""

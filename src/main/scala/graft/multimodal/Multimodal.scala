@@ -609,9 +609,10 @@ object MultimodalOps {
     * property), so cos is bit-identical; acos (libm, not correctly
     * rounded) is immediately snapped to a 1e-6 grid via round(.,6); and
     * p^14 is an EXPLICIT multiplication chain ((p4·p4)·p4)·p2 of
-    * correctly-rounded ops — no pow() — floored onto an integer 1e-12
+    * correctly-rounded ops — no pow() — floored onto an integer 1e-9
     * scale, so sums and means are reorder-proof BIGINTs (v22's
-    * discipline).
+    * discipline) inside a stated, enforced envelope (n ≤ ~1.1e9 media;
+    * both engines error loudly past it — see `contrib`).
     *
     * Scale shape: centroids/probe reuse m7c's plan (bounded collect of
     * ≤256 centroids, per-row assignment expressions); the in-list sample
@@ -634,10 +635,15 @@ object MultimodalOps {
       val probed = graft.operators.IvfAnn
         .withProbedCids(cents, "embedding", probes = probes)(emb)
 
-      // per-pair integer contribution floor(p^14 · 1e12): round-snapped
+      // per-pair integer contribution floor(p^14 · 1e9): round-snapped
       // acos, then the explicit ((p4·p4)·p4)·p2 chain — mirrored verbatim
       // in the oracle so every double op is correctly rounded in the
-      // same order on both engines
+      // same order on both engines. Scale 1e9, stated as an envelope
+      // (e32's discipline): contributions are ≤1e9 and the sample has
+      // ≤ 2·probes·n in-list pairs, so the BIGINT sum is exact while
+      // n ≤ ~1.1e9 media — any realistic single index; past it BOTH
+      // engines error loudly (Spark ANSI sum overflow; DuckDB HUGEINT
+      // → BIGINT cast) instead of wrapping into a silent verdict
       def contrib(cos: Column): Column = {
         val p = round(
           lit(1.0) - acos(least(lit(1.0), greatest(lit(-1.0), cos))) / lit(math.Pi),
@@ -645,7 +651,7 @@ object MultimodalOps {
         )
         val p2 = p * p
         val p4 = p2 * p2
-        floor(p4 * p4 * p4 * p2 * lit(1e12)).cast("long")
+        floor(p4 * p4 * p4 * p2 * lit(1e9)).cast("long")
       }
       def neighborCos(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
         val led = df.select(
@@ -690,13 +696,13 @@ object MultimodalOps {
         .select(contrib(col("cos")).as("c"))
         .agg(
           count(lit(1)).as("pairs_in"),
-          expr("sum(c) div count(1)").as("in_epb_s12")
+          expr("sum(c) div count(1)").as("in_epb_s9")
         )
       val statsCorpus = corpusPairs
         .select(contrib(col("cos")).as("c"))
         .agg(
           count(lit(1)).as("pairs_corpus"),
-          expr("sum(c) div count(1)").as("corpus_epb_s12")
+          expr("sum(c) div count(1)").as("corpus_epb_s9")
         )
       statsIn
         .crossJoin(broadcast(statsCorpus))
@@ -706,11 +712,11 @@ object MultimodalOps {
           lit(probes).as("n_probes"),
           lit(14).as("band_bits"),
           col("pairs_in"),
-          col("in_epb_s12"),
+          col("in_epb_s9"),
           col("pairs_corpus"),
-          col("corpus_epb_s12"),
-          expr("in_epb_s12 * 1000000 div greatest(corpus_epb_s12, 1L)").as("sep_ratio6"),
-          expr("in_epb_s12 * 1000000 div greatest(corpus_epb_s12, 1L) >= 10000000").as("go_ivf")
+          col("corpus_epb_s9"),
+          expr("in_epb_s9 * 1000000 div greatest(corpus_epb_s9, 1L)").as("sep_ratio6"),
+          expr("in_epb_s9 * 1000000 div greatest(corpus_epb_s9, 1L) >= 10000000").as("go_ivf")
         )
     } finally emb.unpersist()
   }
@@ -1033,7 +1039,7 @@ object MultimodalOps {
        |), ${name}_4 AS (
        |  SELECT p2, p2 * p2 AS p4 FROM ${name}_2
        |), $name AS (
-       |  SELECT CAST(floor(p4 * p4 * p4 * p2 * 1e12) AS BIGINT) AS c FROM ${name}_4
+       |  SELECT CAST(floor(p4 * p4 * p4 * p2 * 1e9) AS BIGINT) AS c FROM ${name}_4
        |)""".stripMargin
 
   /** Hash-ordered neighbor-pair cosines (leads 1 and 2) from a windowed
@@ -1090,15 +1096,15 @@ object MultimodalOps {
        |${m7dCos("led_c", "cos_c")},
        |${m7dChain("cos_c", "c_c")},
        |si AS (SELECT count(*) AS pairs_in,
-       |         CAST(sum(c) AS BIGINT) // count(*) AS in_epb_s12 FROM c_in),
+       |         CAST(sum(c) AS BIGINT) // count(*) AS in_epb_s9 FROM c_in),
        |sc AS (SELECT count(*) AS pairs_corpus,
-       |         CAST(sum(c) AS BIGINT) // count(*) AS corpus_epb_s12 FROM c_c)
+       |         CAST(sum(c) AS BIGINT) // count(*) AS corpus_epb_s9 FROM c_c)
        |SELECT (SELECT n FROM nn) AS n_media,
        |  CAST((SELECT k FROM nl) AS INTEGER) AS n_lists,
        |  4 AS n_probes, 14 AS band_bits,
-       |  pairs_in, in_epb_s12, pairs_corpus, corpus_epb_s12,
-       |  in_epb_s12 * 1000000 // greatest(corpus_epb_s12, 1) AS sep_ratio6,
-       |  in_epb_s12 * 1000000 // greatest(corpus_epb_s12, 1) >= 10000000 AS go_ivf
+       |  pairs_in, in_epb_s9, pairs_corpus, corpus_epb_s9,
+       |  in_epb_s9 * 1000000 // greatest(corpus_epb_s9, 1) AS sep_ratio6,
+       |  in_epb_s9 * 1000000 // greatest(corpus_epb_s9, 1) >= 10000000 AS go_ivf
        |FROM si CROSS JOIN sc""".stripMargin
 
   /** The EXACT trigram-hash pair criterion in DuckDB SQL — shared by

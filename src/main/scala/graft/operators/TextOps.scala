@@ -1722,8 +1722,27 @@ object TextOps {
 
   /** The t62 trainer loop factored out so t63 (corpus ENCODE under the
     * trained merges) shares the identical pick sequence: returns the
-    * merge ledger (iter, sym_l, sym_r, weight, corpus symbols after). */
+    * merge ledger (iter, sym_l, sym_r, weight, corpus symbols after).
+    *
+    * Memoized per (dir, iters): train-once-encode-many is the real
+    * pipeline shape (a tokenizer's merges.txt is an artifact, not a
+    * per-query recomputation), and within one JVM the fixture dirs are
+    * immutable — so t63 (and the schema-gate spec, which constructs
+    * every declared frame) reuses t62's picks instead of re-running
+    * three collect jobs. The ledger is ≤ iters tuples of short strings:
+    * driver memory is not a concern. */
+  private val bpeLedgerCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Seq[(Int, String, String, Long, Long)]]
+
   private def bpeTrainLedger(
+      s: SparkSession,
+      d: String,
+      iters: Int
+  ): Seq[(Int, String, String, Long, Long)] =
+    bpeLedgerCache.getOrElseUpdate((d, iters), bpeTrainLedgerUncached(s, d, iters))
+
+  private def bpeTrainLedgerUncached(
       s: SparkSession,
       d: String,
       iters: Int
@@ -3267,9 +3286,15 @@ object TextOps {
                  FROM syms$it WHERE len(syms) >= 2)
            GROUP BY 1, 2 ORDER BY weight DESC, sym_l, sym_r LIMIT 1
          ), vocab$it AS (
+           -- coalesce to a never-matching chr(3) sentinel: on a corpus
+           -- that trains fewer than N merges, top$it is empty and the
+           -- scalar subquery is NULL — a raw NULL pattern would
+           -- NULL-cascade every seq, where the Spark loop simply skips
+           -- the empty pick (seq unchanged; row$it is naturally absent
+           -- on both sides since it selects FROM top$it)
            SELECT n, replace(seq,
-             chr(1) || (SELECT sym_l FROM top$it) || chr(2) || chr(1) || (SELECT sym_r FROM top$it) || chr(2),
-             chr(1) || (SELECT sym_l FROM top$it) || (SELECT sym_r FROM top$it) || chr(2)) AS seq
+             chr(1) || coalesce((SELECT sym_l FROM top$it), chr(3)) || chr(2) || chr(1) || coalesce((SELECT sym_r FROM top$it), chr(3)) || chr(2),
+             chr(1) || coalesce((SELECT sym_l FROM top$it), chr(3)) || coalesce((SELECT sym_r FROM top$it), chr(3)) || chr(2)) AS seq
            FROM vocab$p
          ), row$it AS (
            SELECT $it AS iter, sym_l, sym_r, weight,
@@ -3304,8 +3329,8 @@ object TextOps {
       sb.append(
         s""", d$it AS (
            SELECT doc_id, nch, replace(seq,
-             chr(1) || (SELECT sym_l FROM top$it) || chr(2) || chr(1) || (SELECT sym_r FROM top$it) || chr(2),
-             chr(1) || (SELECT sym_l FROM top$it) || (SELECT sym_r FROM top$it) || chr(2)) AS seq
+             chr(1) || coalesce((SELECT sym_l FROM top$it), chr(3)) || chr(2) || chr(1) || coalesce((SELECT sym_r FROM top$it), chr(3)) || chr(2),
+             chr(1) || coalesce((SELECT sym_l FROM top$it), chr(3)) || coalesce((SELECT sym_r FROM top$it), chr(3)) || chr(2)) AS seq
            FROM d$p
          )"""
       )

@@ -380,6 +380,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "t47 lost its partial aggregate")
   }
 
+  test("t63's encode pass is join-free — the trained merge list rides the expression") {
+    // the corpus encode must stay ONE scan + a doc-grain aggregate: the
+    // N merges are literal-embedded replaces, so any Join operator means
+    // the merge list degraded to a broadcast table (or worse)
+    val p = plan("t63_bpe_encode")
+    assert(!p.contains("Join"), s"t63 planned a join:\n$p")
+    assert(p.contains("HashAggregate"), "t63 lost its doc-grain partial aggregate")
+    // t62's declared OUTPUT is the driver-held merge ledger (the
+    // sequential-loop class: each pick is driver state by nature) — its
+    // cluster work happens during construction, and the returned frame
+    // must stay a local table, never a recomputation
+    assert(plan("t62_bpe_train").contains("LocalTableScan"),
+      "t62's ledger should be a driver-local frame")
+  }
+
   test("t41/t55 read the persisted signature store — no per-run signature agg in the plan") {
     // The round-9 amortization, pinned structurally: the 8-permutation
     // min-agg (recognizable by the t41A hash-family constant 1103515245)
