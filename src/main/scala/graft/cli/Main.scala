@@ -58,7 +58,15 @@ object Main {
           val key = if (flag.drop(2) == "list") "list" else "dry_run"
           go(tail, acc + (key -> "true"))
         case key :: value :: tail if key.startsWith("--") =>
+          // click's greedy pairing, kept verbatim: mid-sequence, the next
+          // token IS the value even when it spells another option
+          // (spec-pinned by the '--note --dry_run' case)
           go(tail, acc + (key.drop(2) -> value))
+        case key :: Nil if key.startsWith("--") =>
+          // ...but a value-taking option as the LAST token is where click
+          // aborts ("Option '--key' requires an argument") — silently
+          // dropping it once made a trailing --output vanish
+          throw new IllegalArgumentException(s"option $key requires an argument")
         case _ :: tail => go(tail, acc) // stray token (click would abort)
       }
     go(args.toList, Map.empty)
@@ -220,22 +228,31 @@ object Main {
       cfg
     )
     val out = opts("output")
+    // cache: the two artifacts derive from one pipeline result, and each
+    // is collected exactly ONCE — validation runs on the collected rows'
+    // key set (the reference validates rows it already fetched,
+    // user_activity.py:85-90). The earlier shape re-executed the full
+    // 8-way-join DAG six times (two anti-join collects per artifact plus
+    // the export collect).
     val exported =
-      result.filter(col("country_name").isin(exportCountries: _*))
-    val fx = JsonExport.fxhealthRows(exported)
-    val wu = JsonExport.webusageRows(exported)
-    JsonExport.validateCountries(fx, exportCountries)
-    JsonExport.validateCountries(wu, exportCountries)
-    Seq((fx, "fxhealth.json"), (wu, "webusage.json")).foreach { case (df, name) =>
-      val schema = df.schema
-      val asMap = scala.collection.immutable.ListMap(
-        df.collect().toSeq.map { r =>
-          r.getString(0) -> JsonWriter.rowToAny(r.get(1), schema(1).dataType)
-        }: _*
-      )
-      JsonExport.writeArtifact(out, name, JsonWriter.write(asMap),
-        archiveDate(opts), isDryRun(opts))
-    }
+      result.filter(col("country_name").isin(exportCountries: _*)).cache()
+    try {
+      Seq(
+        (JsonExport.fxhealthRows(exported), "fxhealth.json"),
+        (JsonExport.webusageRows(exported), "webusage.json")
+      ).foreach { case (df, name) =>
+        val schema = df.schema
+        val rows = df.collect().toSeq
+        JsonExport.validateCountries(rows.map(_.getString(0)), exportCountries)
+        val asMap = scala.collection.immutable.ListMap(
+          rows.map { r =>
+            r.getString(0) -> JsonWriter.rowToAny(r.get(1), schema(1).dataType)
+          }: _*
+        )
+        JsonExport.writeArtifact(out, name, JsonWriter.write(asMap),
+          archiveDate(opts), isDryRun(opts))
+      }
+    } finally exported.unpersist()
   }
 
   /** Annotations job (annotations.py:103-133): version spine + static
@@ -243,17 +260,30 @@ object Main {
   def annotations(spark: SparkSession, opts: Map[String, String]): Unit = {
     val out = opts("output")
     val dateTo = java.sql.Date.valueOf(opts("date_to"))
-    val cfg = UserActivity.Config()
+    // the FULL 160-country allowlist, not the 11-country analysis list:
+    // annotations.py:79,96 fans both fxhealth and webusage annotations
+    // over USER_ACITVITY_COUNTRY_LIST, and the dashboard pairs these
+    // files with fxhealth.json/webusage.json whose key set is validated
+    // to equal that allowlist
+    val countries = CountryList.userActivityCountryList
     val vd = Annotations.versionReleaseDays(
       spark,
       spark.read.parquet(opts("buildhub")),
       dateTo
     )
-    val fx = Annotations.fxhealthAnnotations(vd, cfg.countries)
+    val fx = Annotations.fxhealthAnnotations(vd, countries)
     JsonExport.writeArtifact(
       out,
       "annotations_fxhealth.json",
-      JsonWriter.write(annotationsToJsonShape(fx), indent = 2),
+      // ListMap in allowlist order + sortKeys=false: the reference's
+      // fxhealth dict is built by inserting allowlist keys in order and
+      // dumped WITHOUT sort_keys (annotations.py:77-89), so key order is
+      // the allowlist's — a plain hash Map would serialize in arbitrary
+      // order and break byte-level comparison
+      JsonWriter.write(
+        annotationsToJsonShape(fx, orderedKeys = Some(countries)),
+        indent = 2
+      ),
       archiveDate(opts),
       isDryRun(opts)
     )
@@ -270,7 +300,7 @@ object Main {
       case None =>
         loadStaticAnnotations(spark, "/graft/static/annotations_webusage.json")
     }
-    val merged = Annotations.usageAnnotations(staticWu, cfg.countries)
+    val merged = Annotations.usageAnnotations(staticWu, countries)
     JsonExport.writeArtifact(
       out,
       "annotations_webusage.json",
@@ -288,16 +318,28 @@ object Main {
   }
 
   private def annotationsToJsonShape(
-      m: Map[String, Seq[(String, Map[String, String])]]
-  ): Map[String, Any] =
-    m.map { case (country, entries) =>
-      country -> entries.map { case (date, ann) =>
+      m: Map[String, Seq[(String, Map[String, String])]],
+      orderedKeys: Option[Seq[String]] = None
+  ): Map[String, Any] = {
+    def shape(entries: Seq[(String, Map[String, String])]): Any =
+      entries.map { case (date, ann) =>
         scala.collection.immutable.ListMap(
           "annotation" -> (ann: Any),
           "date" -> (date: Any)
         )
       }
+    orderedKeys match {
+      // insertion-ordered for sortKeys=false artifacts (fxhealth):
+      // allowlist keys first in list order, then any extras in key order
+      case Some(keys) =>
+        val extras = (m.keySet -- keys).toSeq.sorted
+        scala.collection.immutable.ListMap(
+          (keys.filter(m.contains) ++ extras).map(k => k -> shape(m(k))): _*
+        )
+      case None =>
+        m.map { case (country, entries) => country -> shape(entries) }
     }
+  }
 
   /** Static annotations resource (S4) parsed via from_json — no external
     * JSON library needed. */

@@ -1,6 +1,6 @@
 package graft.export
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Final JSON shaping + country validation — Spark re-expression of
@@ -48,32 +48,43 @@ object JsonExport {
         struct(
           date_format(col("submission_date"), "yyyy-MM-dd").as("date"),
           struct(
-            map_from_entries(
-              transform(
-                col("top_locales"),
-                // Python json.dumps renders a None dict key as "null";
-                // Spark maps reject null keys, so coalesce to match
-                e => struct(
-                  coalesce(e.getField("locale"), lit("null")),
-                  e.getField("ratio") * 100
-                )
-              )
-            ).as("locale"),
-            map_from_entries(
-              transform(
-                col("top_addons"),
-                e => struct(
-                  coalesce(e.getField("addon_name"), lit("null")),
-                  e.getField("ratio") * 100
-                )
-              )
-            ).as("top10addons"),
+            nameRatioMap(col("top_locales"), "locale").as("locale"),
+            nameRatioMap(col("top_addons"), "addon_name").as("top10addons"),
             (col("has_addon_ratio") * 100).as("pct_addon")
           ).as("metrics")
         ).as("rec")
       )
       .groupBy("country_name")
       .agg(sortByDate(collect_list(col("rec"))).as("series"))
+
+  /** name -> ratio*100 map over a top-K struct array, with the
+    * reference's exact dict-comprehension semantics
+    * (user_activity.py:74-79): a None key renders as "null" (Python
+    * json.dumps), and DUPLICATE names dedup LAST-WINS in array order —
+    * top_addons is grouped by (addon_id, addon_name), so one name can
+    * appear under two ids, where Spark's map_from_entries (default
+    * mapKeyDedupPolicy=EXCEPTION) would kill the whole export at
+    * runtime. The filter keeps an entry iff no LATER entry shares its
+    * key, which IS last-wins. */
+  private def nameRatioMap(arr: Column, nameField: String): Column = {
+    val entries = transform(
+      arr,
+      e => struct(
+        coalesce(e.getField(nameField), lit("null")).as("k"),
+        (e.getField("ratio") * 100).as("v")
+      )
+    )
+    map_from_entries(
+      filter(
+        entries,
+        (e, i) =>
+          !exists(
+            slice(entries, i + lit(2), size(entries)),
+            later => later.getField("k") === e.getField("k")
+          )
+      )
+    )
+  }
 
   /** Date-ascending sort of collected records via a comparator on the date
     * field only — the records carry MapType metrics, which are not orderable
@@ -87,19 +98,31 @@ object JsonExport {
           .otherwise(0)
     )
 
-  /** Country-set validation (user_activity.py:85-101): both directions as
-    * DataFrame anti-joins; throws on any mismatch, like the reference. */
+  /** Country-set validation (user_activity.py:85-101): both directions,
+    * throwing on any mismatch, like the reference. The country-key frame
+    * is grouped (≤|allowlist| rows), so one bounded collect feeds the
+    * driver-side set compare. */
   def validateCountries(exported: DataFrame, allowlist: Seq[String]): Unit = {
     val spark = exported.sparkSession
     import spark.implicits._
-    val allow = allowlist.toDF("country_name")
-    val missing = allow
-      .join(exported.select("country_name"), Seq("country_name"), "left_anti")
-      .as[String].collect()
-    val unexpected = exported
-      .select("country_name")
-      .join(allow, Seq("country_name"), "left_anti")
-      .as[String].collect()
+    validateCountries(
+      exported.select("country_name").as[String].collect().toSeq,
+      allowlist
+    )
+  }
+
+  /** Driver-side variant over an already-collected key set — the
+    * reference validates on rows it has already fetched
+    * (user_activity.py:85-90), so a caller that collects the artifact
+    * anyway must not pay two more cluster jobs per artifact just to
+    * re-derive the keys. */
+  def validateCountries(exportedCountries: Seq[String], allowlist: Seq[String])(
+      implicit d: DummyImplicit
+  ): Unit = {
+    val allow = allowlist.toSet
+    val got = exportedCountries.toSet
+    val missing = (allow -- got).toSeq.sorted
+    val unexpected = (got -- allow).toSeq.sorted
     val errors = Seq(
       if (missing.nonEmpty) Some(s"Expected countries missing: ${missing.mkString(", ")}")
       else None,
@@ -142,8 +165,4 @@ object JsonExport {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
-  def toJsonString(df: DataFrame): String = {
-    val rows = df.toJSON.collect()
-    rows.mkString("[\n", ",\n", "\n]")
-  }
 }

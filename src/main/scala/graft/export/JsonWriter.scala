@@ -45,11 +45,13 @@ object JsonWriter {
       case m: scala.collection.Map[_, _] =>
         if (m.isEmpty) "{}"
         else {
-          val keys = m.keys.map(_.toString).toSeq
-          val ordered = if (sortKeys) keys.sorted else keys
-          val entries = ordered.map { k =>
-            val value = m.asInstanceOf[scala.collection.Map[Any, Any]]
-              .find(_._1.toString == k).get._2
+          // iterate entries directly (linear, and collision-correct:
+          // two keys with equal toString each keep their own value) —
+          // the earlier find-by-stringified-key rescan was O(n²) and
+          // silently emitted the first match's value for both
+          val kvs = m.toSeq.map { case (k, value) => (String.valueOf(k), value) }
+          val ordered = if (sortKeys) kvs.sortBy(_._1) else kvs
+          val entries = ordered.map { case (k, value) =>
             s"$pad${esc(k)}: ${write(value, indent, sortKeys, level + 1)}"
           }
           entries.mkString("{\n", ",\n", s"\n$endPad}")

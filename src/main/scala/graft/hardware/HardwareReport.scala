@@ -35,8 +35,13 @@ object HardwareReport {
     "cpu_speed" -> col("cpu_speed"),
     "resolution" -> col("resolution"),
     "memory_gb" -> col("memory_gb").cast("string"),
-    // Python str(bool) capitalization, kept verbatim (hardware_report.py:321)
-    "has_flash" -> when(col("has_flash"), "True").otherwise("False"),
+    // Python str(bool) capitalization, kept verbatim — and str(None) is
+    // a distinct "None" bucket (hardware_report.py:318-321 stringifies
+    // the RAW grouped value): folding null into "False" silently
+    // inflated hasFlash_False and erased the hasFlash_None series
+    "has_flash" -> when(col("has_flash").isNull, "None")
+      .when(col("has_flash"), "True")
+      .otherwise("False"),
     "os_arch" -> F.osArch(col("browser_arch"), col("os"), col("is_wow64")),
     "gfx0_vendor_name" -> F.gpuVendorName(col("gfx0_vendor_id")),
     "gfx0_model" -> deviceFamilyChipset(deviceMap)
@@ -94,7 +99,14 @@ object HardwareReport {
         FROM graft_hw_decoded
         GROUP BY GROUPING SETS ($setList)
       )
-      SELECT dimension, CASE $keyExpr END AS key, client_count
+      SELECT dimension,
+             -- str(metric) semantics (hardware_report.py:318-321): a NULL
+             -- key (null os/cpu_vendor/resolution/... in telemetry) is
+             -- Python's str(None) = a distinct 'None' bucket. Left null
+             -- it would concat-propagate to a null flat_key at export
+             -- and NPE the JSON writer after all weeks computed.
+             coalesce(CASE $keyExpr END, 'None') AS key,
+             client_count
       FROM (SELECT *, CASE gid $gid END AS dimension FROM g)
     """)
   }
@@ -163,6 +175,15 @@ object HardwareReport {
       .agg(coalesce(sum("client_count"), lit(0L)))
       .head()
       .getLong(0)
+    // the reference fails LOUDLY on an empty week (load_data raises
+    // ValueError when client_count is NULL, hardware_report.py:80-83) —
+    // proceeding would exit 0 having written nothing for the week and
+    // re-exported stale JSON as if fresh (a typo'd --date_from, or an
+    // input table that hasn't landed yet)
+    require(
+      sampleCount > 0L,
+      s"No data in input for $dateFrom to $dateTo"
+    )
     val threshold = (sampleCount * 0.01).toLong // int(total * 0.01), :442
     val longDf = aggregateDimensions(week, deviceMap)
     collapseBuckets(longDf, threshold, sampleCount)

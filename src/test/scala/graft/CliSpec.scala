@@ -219,12 +219,15 @@ class CliSpec extends AnyFunSuite {
       s"""  "$name": [
          |${entries.mkString(",\n")}
          |  ]""".stripMargin
-    // sort_keys=True ordering; Worldwide's static entry precedes defaults
-    val golden = (Seq(
-      "Brazil", "China", "France", "Germany", "India", "Indonesia",
-      "Italy", "Poland", "Russia", "United States"
-    ).map(c => country(c, defaults)) :+
-      country("Worldwide", staticWw +: defaults))
+    // sort_keys=True ordering over the FULL 160-country allowlist
+    // (annotations.py:96 extends defaults for every country in
+    // USER_ACITVITY_COUNTRY_LIST); Worldwide's static entry precedes its
+    // defaults (dict value order: static list first, extend() appends)
+    val golden = graft.useractivity.CountryList.userActivityCountryList.sorted
+      .map {
+        case "Worldwide" => country("Worldwide", staticWw +: defaults)
+        case c => country(c, defaults)
+      }
       .mkString("{\n", ",\n", "\n}")
     val wu = Files.readString(java.nio.file.Path.of(s"$tmp/out/annotations_webusage.json"))
     assert(wu == golden,
@@ -354,6 +357,12 @@ class CliSpec extends AnyFunSuite {
     val e = graft.cli.Main.parseArgs(
       Seq("--dry_run", "true", "--output", "/y"))
     assert(e == Map("dry_run" -> "true", "output" -> "/y"))
+    // a value-taking option as the LAST token is click's abort case
+    // ("Option '--output' requires an argument") — not a silent drop
+    val f = intercept[IllegalArgumentException] {
+      graft.cli.Main.parseArgs(Seq("--input", "/x", "--output"))
+    }
+    assert(f.getMessage.contains("--output"))
   }
 
   test("JsonWriter matches python json.dumps conventions") {

@@ -123,4 +123,51 @@ class HardwareReportSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).sameElements(Array("2020-01-13", "2020-01-06")))
     assert(out.map(_.getString(1)).sameElements(Array("ram_16", "osName_Windows_NT-10.0")))
   }
+
+  test("NULL telemetry values become distinct 'None' buckets like Python's str(metric) (:318-321)") {
+    // a client whose resolution, cpu_vendor and has_flash are all null:
+    // the reference stringifies the raw grouped value, so None is its own
+    // bucket — folding it into "False"/losing the key would both diverge
+    // and (for string dims) NPE the JSON writer through a null flat_key
+    val rows = Seq(
+      ("Windows_NT-10.0", "x86-64", 4, null.asInstanceOf[String], "3.6",
+        null.asInstanceOf[String], 14, null.asInstanceOf[java.lang.Boolean],
+        java.lang.Boolean.TRUE, "0x10de", "0x13c2", 4L),
+      ("Windows_NT-10.0", "x86-64", 4, "GenuineIntel", "3.6",
+        "1920x1080", 14, java.lang.Boolean.FALSE, java.lang.Boolean.TRUE,
+        "0x10de", "0x13c2", 6L)
+    ).toDF(
+      "os", "browser_arch", "cpu_cores", "cpu_vendor", "cpu_speed",
+      "resolution", "memory_gb", "has_flash", "is_wow64",
+      "gfx0_vendor_id", "gfx0_device_id", "client_count"
+    )
+    val out = HardwareReport
+      .aggregateDimensions(rows, deviceMap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("resolution", "None")) == 4L)
+    assert(out(("cpu_vendor", "None")) == 4L)
+    assert(out(("has_flash", "None")) == 4L)
+    assert(out(("has_flash", "False")) == 6L)
+    // flatten of a surviving None key concatenates cleanly
+    val flat = HardwareReport.flatten(
+      Seq((java.sql.Date.valueOf("2020-01-06"), "resolution", "None", 0.4))
+        .toDF("date_from", "dimension", "key", "ratio")
+    ).collect()
+    assert(flat(0).getString(1) == "resolution_None")
+  }
+
+  test("runWeek fails loudly on a week with no data, like load_data's ValueError (:80-83)") {
+    val e = intercept[IllegalArgumentException] {
+      HardwareReport.runWeek(
+        inputDf.withColumn("date_from", lit(java.sql.Date.valueOf("2020-01-06")))
+          .withColumn("date_to", lit(java.sql.Date.valueOf("2020-01-13"))),
+        deviceMap,
+        java.sql.Date.valueOf("1999-01-04"), // week with no rows
+        java.sql.Date.valueOf("1999-01-11")
+      )
+    }
+    assert(e.getMessage.contains("No data"))
+  }
 }

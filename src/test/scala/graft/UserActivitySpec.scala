@@ -259,4 +259,53 @@ class UserActivitySpec extends AnyFunSuite {
     }
     assert(stray.getMessage.contains("not in allowlist"))
   }
+
+  test("top10addons dedups duplicate addon names LAST-WINS like the reference's dict comprehension") {
+    // user_activity.py:77-79 builds {addon_name: ratio} over the rank-
+    // ordered array — one addon under two ids keeps the LAST entry's
+    // value; Spark's map_from_entries (mapKeyDedupPolicy=EXCEPTION)
+    // would instead kill the whole export at runtime
+    val addonEntry = StructType(Seq(
+      StructField("addon_name", StringType),
+      StructField("ratio", DoubleType)
+    ))
+    val localeEntry = StructType(Seq(
+      StructField("locale", StringType),
+      StructField("ratio", DoubleType)
+    ))
+    val schema = StructType(Seq(
+      StructField("country_name", StringType),
+      StructField("submission_date", DateType),
+      StructField("top_locales", ArrayType(localeEntry)),
+      StructField("top_addons", ArrayType(addonEntry)),
+      StructField("has_addon_ratio", DoubleType)
+    ))
+    val rows = Seq(
+      Row(
+        "Germany",
+        Date.valueOf("2020-01-06"),
+        Seq(Row("de", 0.5), Row("en-US", 0.25)),
+        Seq(
+          Row("Shared Name", 0.30),
+          Row("Unique", 0.20),
+          Row("Shared Name", 0.10), // same name, different addon_id upstream
+          Row(null, 0.05) // null name -> "null" key (json.dumps of None)
+        ),
+        0.4
+      )
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      schema
+    )
+    val wu = JsonExport.webusageRows(df).collect()(0)
+    val series = wu.getSeq[Row](1)
+    val metrics = series(0).getStruct(1)
+    val addons = metrics.getMap[String, Double](1)
+    assert(addons.size == 3, s"expected 3 deduped keys, got $addons")
+    assert(math.abs(addons("Shared Name") - 10.0) < 1e-12,
+      s"last-wins should keep ratio 0.10*100, got ${addons("Shared Name")}")
+    assert(math.abs(addons("Unique") - 20.0) < 1e-12)
+    assert(addons.contains("null"))
+  }
 }
