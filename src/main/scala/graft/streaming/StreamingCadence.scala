@@ -48,7 +48,7 @@ object StreamingCadence {
     ): Iterator[GapOut] = {
       val (tpe, userId) = key
       val sorted = rows
-        .map(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id))
+        .map(e => (EventTime.micros(e.ts), e.event_id))
         .toArray
         .sortBy(identity)
       val out = Seq.newBuilder[GapOut]
@@ -68,7 +68,16 @@ object StreamingCadence {
       .groupByKey(e => (e.event_type, e.user_id))
       .flatMapGroupsWithState(
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout
+        // EventTimeTimeout with NO timers registered: the module needs no
+        // timeout, but Spark applies the late-row watermark filter inside
+        // flatMapGroupsWithState ONLY under EventTimeTimeout (verified in
+        // the 4.1.2 source) — under NoTimeout a past-watermark arrival
+        // would reach update() and silently mutate emitted history, where
+        // the documented contract (and the late-data spec) says it is
+        // dropped and counted in numRowsDroppedByWatermark before the
+        // operator. No setTimeoutTimestamp call anywhere => no timer ever
+        // fires; batch mode is unaffected (ScdIntervals' precedent).
+        GroupStateTimeout.EventTimeTimeout
       )(update)
   }
 }

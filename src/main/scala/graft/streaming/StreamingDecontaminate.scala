@@ -44,14 +44,22 @@ object StreamingDecontaminate {
   /** Wire a (doc_id, text) stream through the screen; `onBatch` receives
     * each micro-batch's contaminated (doc_id, eval_id, inter, jaccard)
     * pairs (a sink write in production, a memory table in tests). */
+  /** `checkpoint`: None = ephemeral (tests, ad-hoc audits — Spark uses a
+    * temp dir and the query restarts from scratch); pass Some(dir) for
+    * the production screen, or a restart re-reads the source from offset
+    * zero with batch ids restarting at 0 and double-delivers every
+    * contaminated-pair row to the sink (the sibling runners all take
+    * one — round-10 review). */
   def run(
       docs: DataFrame,
       idx: EvalIndex,
-      onBatch: (DataFrame, Long) => Unit
-  ): StreamingQuery =
-    docs.writeStream
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None
+  ): StreamingQuery = {
+    val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         onBatch(screenBatch(batch, idx), id)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

@@ -53,14 +53,20 @@ object StreamingDriftMonitor {
     * receives each micro-batch's per-language drift rows
     * (lang, n_prior, n_current, n_bins, tv6) — an alerting sink in
     * production, a memory table in tests. */
+  /** `checkpoint`: None = ephemeral (tests, ad-hoc audits); pass
+    * Some(dir) in production so a restart resumes from the committed
+    * offset instead of re-reading the source from zero and re-emitting
+    * every batch's drift rows (round-10 review). */
   def run(
       docs: DataFrame,
       reference: DataFrame,
-      onBatch: (DataFrame, Long) => Unit
-  ): StreamingQuery =
-    docs.writeStream
+      onBatch: (DataFrame, Long) => Unit,
+      checkpoint: Option[String] = None
+  ): StreamingQuery = {
+    val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         onBatch(driftBatch(batch, reference), id)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 }

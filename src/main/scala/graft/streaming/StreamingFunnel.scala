@@ -101,7 +101,7 @@ object StreamingFunnel {
         Iterator.empty
       } else {
         val sorted = rows
-          .map(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id, e.event_type))
+          .map(e => (EventTime.micros(e.ts), e.event_id, e.event_type))
           .toArray
           .sortBy(t => (t._1, t._2))
         val out = Seq.newBuilder[FunnelOut]

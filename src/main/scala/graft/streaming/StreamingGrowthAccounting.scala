@@ -78,7 +78,7 @@ object StreamingGrowthAccounting {
         else Iterator(GaOut(tpe, userId, s.lastWeekDays + 7, "churned"))
       } else {
         val weeks = rows
-          .map(e => weekDays(e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000))
+          .map(e => weekDays(EventTime.micros(e.ts)))
           .toArray
           .distinct
           .sorted

@@ -63,7 +63,7 @@ object StreamingLastTouch {
       val sorted = rows
         .map(e =>
           (
-            e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000,
+            EventTime.micros(e.ts),
             e.event_id,
             e.event_type,
             // HALF_UP, matching F.fixed4 / SQL round — math.round is
@@ -96,7 +96,16 @@ object StreamingLastTouch {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout
+        // EventTimeTimeout with NO timers registered: the module needs no
+        // timeout, but Spark applies the late-row watermark filter inside
+        // flatMapGroupsWithState ONLY under EventTimeTimeout (verified in
+        // the 4.1.2 source) — under NoTimeout a past-watermark arrival
+        // would reach update() and silently mutate emitted history, where
+        // the documented contract (and the late-data spec) says it is
+        // dropped and counted in numRowsDroppedByWatermark before the
+        // operator. No setTimeoutTimestamp call anywhere => no timer ever
+        // fires; batch mode is unaffected (ScdIntervals' precedent).
+        GroupStateTimeout.EventTimeTimeout
       )(update)
   }
 }

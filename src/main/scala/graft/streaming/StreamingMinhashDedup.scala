@@ -38,13 +38,32 @@ object StreamingMinhashDedup {
     * first epoch lands. Existence is probed through the session's Hadoop
     * FileSystem, not java.nio — indexDir may be HDFS/S3, where a local
     * Files.exists would always take the empty branch and silently ignore
-    * every persisted signature. */
-  def readIndex(spark: SparkSession, dir: String): DataFrame = {
+    * every persisted signature.
+    *
+    * `excludeEpoch` drops exactly the CURRENT batch's partition from the
+    * probe (partition-pruned): a checkpoint-replayed batch whose previous
+    * attempt already appended its own epoch must not probe its own
+    * signatures — an intra-batch original would band-collide with its
+    * sibling via the index and flip from `unique` to `dup_index`, the
+    * replay-divergence the epoch layout exists to prevent (round-10
+    * review). Exclusion is by equality, not `<`: batches commit in
+    * order, so only the current id can be a stale self-append — and
+    * BOOTSTRAP epochs (an index pre-seeded before the stream starts,
+    * conventionally negative) stay probe-visible even against batch 0.
+    * Default MinValue = exclude nothing (audit/spec reads). */
+  def readIndex(
+      spark: SparkSession,
+      dir: String,
+      excludeEpoch: Long = Long.MinValue
+  ): DataFrame = {
     import spark.implicits._
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(path))
-      spark.read.parquet(dir).select(col("doc_id").as("old_id"), col("band"), col("bkey"))
+      spark.read
+        .parquet(dir)
+        .filter(col("epoch") =!= lit(excludeEpoch))
+        .select(col("doc_id").as("old_id"), col("band"), col("bkey"))
     else
       Seq.empty[(Long, Int, Long)].toDF("old_id", "band", "bkey")
   }
@@ -85,8 +104,20 @@ object StreamingMinhashDedup {
           val verifySide = corpus
             .select("doc_id", "text")
             .unionByName(b.select("doc_id", "text"))
-          val verdicts =
-            TextOps.minhashVerdicts(b, readIndex(b.sparkSession, indexDir), verifySide)
+          // localCheckpoint(eager): materialize the verdicts against the
+          // pre-append index before appendEpoch mutates it — without the
+          // cut, an onBatch consumer evaluating the frame lazily would
+          // re-plan readIndex against the GROWN index and flip an
+          // intra-batch original from unique to dup_index (the exact
+          // hazard the semantic sibling cut in round 9). Verdicts are
+          // arrival-sized, so the materialization is micro-batch cost.
+          val verdicts = TextOps
+            .minhashVerdicts(
+              b,
+              readIndex(b.sparkSession, indexDir, excludeEpoch = id),
+              verifySide
+            )
+            .localCheckpoint(true)
           onBatch(verdicts, id)
           appendEpoch(b, indexDir, id)
         } finally { b.unpersist(); () }

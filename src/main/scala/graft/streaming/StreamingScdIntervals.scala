@@ -65,19 +65,31 @@ object StreamingScdIntervals {
     ): Iterator[ScdOut] = {
       if (state.hasTimedOut) {
         val s = state.get
-        state.remove()
+        // keep a CLOSED tombstone (n == 0) carrying the last ordinal:
+        // remove() here restarted seg_id at 1 on the user's next event,
+        // seating two different rows under one (user_id, seg_id) key and
+        // two CURRENT versions (round-10 review). The tombstone is O(1)
+        // per user — the same lifetime class as GrowthAccounting's
+        // per-user state — and registers no timer, so it never re-fires.
+        state.update(s.copy(n = 0L))
         Iterator(ScdOut(userId, s.segId, s.tpe, s.fromUs, None, s.n))
       } else {
         val sorted = rows
-          .map(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id, e.event_type))
+          .map(e => (EventTime.micros(e.ts), e.event_id, e.event_type))
           .toArray
           .sortBy(t => (t._1, t._2))
         val emitted = Seq.newBuilder[ScdOut]
         var open = state.getOption.orNull
+        // a tombstone is "no open segment, but the ordinal continues"
+        var closedOrdinal = 0L
+        if (open != null && open.n == 0L) {
+          closedOrdinal = open.segId
+          open = null
+        }
         sorted.foreach { case (us, _, tpe) =>
           open match {
             case null =>
-              open = OpenSeg(tpe, us, us, 1, 1L)
+              open = OpenSeg(tpe, us, us, 1, closedOrdinal + 1L)
             case o if tpe != o.tpe =>
               // the arriving type change proves the open version closed:
               // its valid_to is the successor's valid_from

@@ -62,24 +62,42 @@ object StreamingSemanticDedup {
 
   /** The stored band table as (old_id, band, bh); empty-but-typed before
     * the first epoch lands. Existence goes through the session's Hadoop
-    * FileSystem (indexDir may be HDFS/S3). */
-  def readBands(spark: SparkSession, dir: String): DataFrame = {
+    * FileSystem (indexDir may be HDFS/S3). `excludeEpoch` drops exactly the
+    * current batch's partition from the probe (partition-pruned): a
+    * checkpoint-replayed batch whose previous attempt already appended
+    * must not probe its own partition, or intra-batch originals flip
+    * unique -> dup_index on replay (round-10 review). Equality, not `<`,
+    * so pre-seeded bootstrap epochs (conventionally negative) stay
+    * visible against batch 0; default MinValue = exclude nothing. */
+  def readBands(
+      spark: SparkSession,
+      dir: String,
+      excludeEpoch: Long = Long.MinValue
+  ): DataFrame = {
     import spark.implicits._
     val (f, p) = fs(spark, s"$dir/bands")
     if (f.exists(p))
       spark.read
         .parquet(s"$dir/bands")
+        .filter(col("epoch") =!= lit(excludeEpoch))
         .select(col("vec_id").as("old_id"), col("band"), col("bh"))
     else Seq.empty[(Long, Int, Long)].toDF("old_id", "band", "bh")
   }
 
   /** The stored vector table as (old_id, embedding, nrm); empty-but-typed
     * before the first epoch lands. */
-  def readVecs(spark: SparkSession, dir: String): DataFrame = {
+  /** `excludeEpoch`: see [[readBands]] — replayed batches must not probe
+    * their own previous attempt's partition. */
+  def readVecs(
+      spark: SparkSession,
+      dir: String,
+      excludeEpoch: Long = Long.MinValue
+  ): DataFrame = {
     val (f, p) = fs(spark, s"$dir/vecs")
     if (f.exists(p))
       spark.read
         .parquet(s"$dir/vecs")
+        .filter(col("epoch") =!= lit(excludeEpoch))
         .select(col("vec_id").as("old_id"), col("embedding"), col("nrm"))
     else {
       import spark.implicits._
@@ -180,8 +198,8 @@ object StreamingSemanticDedup {
               .semanticVerdicts(
                 b.select("vec_id"),
                 vecs,
-                readBands(spark, indexDir),
-                readVecs(spark, indexDir),
+                readBands(spark, indexDir, excludeEpoch = id),
+                readVecs(spark, indexDir, excludeEpoch = id),
                 nBands,
                 bandBits,
                 tau

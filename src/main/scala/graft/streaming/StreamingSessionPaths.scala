@@ -75,7 +75,7 @@ object StreamingSessionPaths {
         Iterator(toOut(userId, s.events))
       } else {
         val arrived = rows.map { e =>
-          (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id, e.event_type)
+          (EventTime.micros(e.ts), e.event_id, e.event_type)
         }.toVector
         // merge the open session with the arrivals and re-sort: a late
         // in-watermark event takes its TRUE (us, event_id) position

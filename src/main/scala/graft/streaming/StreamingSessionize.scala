@@ -62,7 +62,7 @@ object StreamingSessionize {
         Iterator(SessionOut(userId, s.startUs, s.lastUs, s.nEvents))
       } else {
         val sorted = rows
-          .map(e => e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000)
+          .map(e => EventTime.micros(e.ts))
           .toArray
           .sorted
         var open = state.getOption.orNull

@@ -50,7 +50,12 @@ object StreamingSnapshot {
   ): StreamingQuery =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "7 days").as("w"), col("event_type"))
+      // "4 days" startTime shifts the epoch-anchored (Thursday) tumbling
+      // window onto MONDAY weeks — the repo-wide weekly convention
+      // (WeeklyActivity / F.weekDays, the reference's
+      // is_last_day_of_week). Without it this snapshot table disagreed
+      // with every other weekly surface on 3 of 7 days at each boundary.
+      .groupBy(window(col("ts"), "7 days", "7 days", "4 days").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users")

@@ -45,6 +45,17 @@ class StreamingCadenceSpec extends AnyFunSuite {
       val markers = spark.table("cad_test").as[(String, Long, Int, Long)].collect()
         .filter(_._3 == -1)
       assert(markers.length == 1, "out-of-order arrival must be counted via the marker row")
+
+      // LATE DATA (round-10 review): a PAST-WATERMARK arrival is dropped
+      // before the operator — not even a marker row. Under NoTimeout the
+      // watermark never filtered, so arbitrarily-late events could still
+      // mutate the published histogram. Watermark here is 2h behind
+      // 10:00:03, so 2024-01-01 07:00:00 is late.
+      val before = spark.table("cad_test").count()
+      stream.addData(CadenceEvent(1L, "click", 104L, ts("2024-01-01 07:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("cad_test").count() == before,
+        "past-watermark arrival must produce no row at all")
     } finally q.stop()
   }
 

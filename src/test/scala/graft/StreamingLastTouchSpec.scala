@@ -45,6 +45,15 @@ class StreamingLastTouchSpec extends AnyFunSuite {
         ),
         s"got $got"
       )
+      // LATE DATA (round-10 review): a purchase older than the watermark
+      // (11:00 − 1h = 10:00 after the last batch) must be dropped BEFORE
+      // the operator — under GroupStateTimeout.NoTimeout Spark skipped
+      // this filter entirely and the stale purchase would attribute
+      // 'direct' into the emitted ledger
+      stream.addData(TouchEvent(1L, 104L, "purchase", ts("2024-01-01 09:00:00"), 9.0))
+      q.processAllAvailable()
+      val after = spark.table("lt_test").as[(Long, Long, Long, String, Long)].collect().toSet
+      assert(after == got, s"past-watermark purchase leaked into the ledger: ${after -- got}")
     } finally q.stop()
   }
 

@@ -98,6 +98,36 @@ class StreamingMinhashDedupSpec extends AnyFunSuite {
       s"replayed arrivals self-matched against their own signatures: $verdicts")
   }
 
+  test("a replayed batch does not probe its own prior attempt's epoch (sibling pairs keep their labels)") {
+    // The self-pair guard is not enough (round-10 review): a replayed
+    // batch containing near-dup SIBLINGS A < B would find B's previously
+    // appended signatures via the index and flip A from unique to
+    // dup_index-of-B. run() therefore probes with excludeEpoch = the
+    // batch id; this pins the verdict equality directly.
+    val nearDup =
+      "the quick brown fox jumps over the lazy dog while rain falls softly"
+    val docs = Seq(
+      (1L, nearDup),
+      (2L, nearDup + " today")
+    ).toDF("doc_id", "text")
+    val dir = tmp("graft-smd-sibling")
+    StreamingMinhashDedup.appendEpoch(docs, dir, 3L) // the prior attempt
+    def verdicts(idx: org.apache.spark.sql.DataFrame) = graft.operators.TextOps
+      .minhashVerdicts(docs, idx, docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+      .sortBy(_._1)
+    val replayed = verdicts(StreamingMinhashDedup.readIndex(spark, dir, excludeEpoch = 3L))
+    assert(replayed == Seq((1L, "unique"), (2L, "dup_batch")),
+      s"replay must reproduce the first attempt's verdicts: $replayed")
+    // and WITHOUT the exclusion the original demonstrably flips — the
+    // failure mode the parameter exists to prevent
+    val poisoned = verdicts(StreamingMinhashDedup.readIndex(spark, dir))
+    assert(poisoned.exists { case (id, v) => id == 1L && v == "dup_index" },
+      s"fixture no longer reproduces the unguarded flip: $poisoned")
+  }
+
   test("arrivals absent from the corpus frame still verify (postings from the batch)") {
     // the verify side must carry the arrivals' own postings: a streamed
     // doc missing from `corpus` would lose its sizes/intersection rows
@@ -107,7 +137,10 @@ class StreamingMinhashDedupSpec extends AnyFunSuite {
       (10L, "the quick brown fox jumps over the lazy dog today")
     ).toDF("doc_id", "text")
     val dir = tmp("graft-smd-absent")
-    StreamingMinhashDedup.appendEpoch(indexed, dir, 0L)
+    // bootstrap epochs are NEGATIVE (readIndex's convention): the stream's
+    // own batch ids start at 0, and batch 0's probe excludes epoch 0 as
+    // its own potential prior-attempt append
+    StreamingMinhashDedup.appendEpoch(indexed, dir, -1L)
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()

@@ -52,6 +52,22 @@ class StreamingScdIntervalsSpec extends AnyFunSuite {
       assert(current.toSeq == Seq(
         (1L, 2L, "paid", us("2024-01-01 10:20:00"), None, 1L)
       ), s"quiet timeout should emit the current 'paid' version: ${all.toSeq}")
+
+      // ordinal CONTINUES after the timeout (round-10 review): user 1's
+      // next event must open seg_id 3, not restart at 1 — a restart would
+      // seat two different rows under (user 1, seg 1) and leave two
+      // CURRENT versions in the emitted SCD table
+      stream.addData(ScdEvent(1L, 103L, "paid", ts("2024-01-01 11:32:00")))
+      q.processAllAvailable()
+      // close it with a type change so the new ordinal is observable
+      stream.addData(ScdEvent(1L, 104L, "free", ts("2024-01-01 11:40:00")))
+      q.processAllAvailable()
+      val reopened = spark.table("scd_test")
+        .as[(Long, Long, String, Long, Option[Long], Long)].collect()
+        .filter(r => r._1 == 1L && r._3 == "paid" && r._5.isDefined)
+      assert(reopened.toSeq == Seq(
+        (1L, 3L, "paid", us("2024-01-01 11:32:00"), Some(us("2024-01-01 11:40:00")), 1L)
+      ), s"post-timeout segment must take ordinal 3: ${reopened.toSeq}")
     } finally q.stop()
   }
 

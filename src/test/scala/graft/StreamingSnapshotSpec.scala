@@ -27,7 +27,7 @@ class StreamingSnapshotSpec extends AnyFunSuite {
       watermark = "1 day"
     )
     try {
-      // week of 2024-01-04 (unix weeks are Thursday-anchored): 3 events
+      // Monday week of 2024-01-01 (the repo-wide weekly anchor): 3 events
       stream.addData(
         SnapshotEv(ts("2024-01-04 10:00:00"), 1L, "click"),
         SnapshotEv(ts("2024-01-05 11:00:00"), 2L, "click"),
