@@ -376,8 +376,13 @@ case class BandHashesFloat(
 
 /** Stub media featurizer as ONE native expression —
   * `graft_byte_embed(payload)` returns the 64-dim float embedding whose
-  * dim i is payload byte ⌊i·n/64⌋ (unsigned) scaled to [-1, 1] by
-  * b/63.5 − 1. Bit-identical to the composed form it replaces (64
+  * dim i is payload byte ⌊i·n/64⌋ (unsigned) scaled by b/63.5 − 1 —
+  * [-1, 1] for the 7-bit (ASCII) payloads the stub corpus ships, up to
+  * 3.02 for real 8-bit bytes (an [-1, 1] contract over full bytes would
+  * need 127.5, but 63.5 is BAKED into the m7 oracle's SQL and the
+  * hash-parity contract; a real featurizer replaces this stub wholesale,
+  * so the divisor documents history rather than inviting a fix).
+  * Bit-identical to the composed form it replaces (64
   * separate `conv(hex(substring(...)))` columns — each a per-byte string
   * round-trip): same double arithmetic, same float cast. An empty
   * payload reads as all-zero bytes → all −1.0 dims (the composed form
@@ -406,7 +411,8 @@ case class ByteEmbed(child: Expression)
     val out = new Array[Float](dims)
     var i = 0
     while (i < dims) {
-      val b = if (n == 0) 0 else a((i * n) / dims) & 0xff
+      // long arithmetic: i * n overflows Int past ~34 MB payloads
+      val b = if (n == 0) 0 else a(((i.toLong * n) / dims).toInt) & 0xff
       out(i) = (b.toDouble / 63.5 - 1.0).toFloat
       i += 1
     }
@@ -426,7 +432,7 @@ case class ByteEmbed(child: Expression)
         int $n = $a.length;
         float[] $out = new float[$dims];
         for (int $i = 0; $i < $dims; $i++) {
-          int $b = $n == 0 ? 0 : ($a[($i * $n) / $dims] & 0xff);
+          int $b = $n == 0 ? 0 : ($a[(int) (((long) $i * $n) / $dims)] & 0xff);
           $out[$i] = (float) ((double) $b / 63.5 - 1.0);
         }
         ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -462,6 +468,8 @@ case class SignPack(child: Expression, offset: Int)
         s"graft_sign_pack expects array<float>, got ${other.simpleString}"
       )
   }
+
+  require(offset >= 0, s"graft_sign_pack: negative offset $offset")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
@@ -652,6 +660,11 @@ object GraftFunctions {
     "graft_sign_pack"
   )
 
+  val bitmapAndCountInfo = new ExpressionInfo(
+    classOf[BitmapAndCount].getName,
+    "graft_bitmap_and_count"
+  )
+
   val projectInfo = new ExpressionInfo(
     classOf[ProjectPlanes].getName,
     "graft_project"
@@ -700,12 +713,18 @@ object GraftFunctions {
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
-      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), 3),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"graft_shingles takes 1 argument (got ${exprs.length}); the 3-gram width is fixed — extra args were previously IGNORED silently")
+        ShingleHashes(exprs(0), 3)
+      },
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow",
-      (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), 3, 4),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"graft_winnow takes 1 argument (got ${exprs.length}); the (3,4) geometry is fixed — extra args were previously IGNORED silently")
+        WinnowFingerprints(exprs(0), 3, 4)
+      },
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -730,7 +749,10 @@ object GraftFunctions {
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_mmr",
-      (exprs: Seq[Expression]) => MmrSelect(exprs(0), 8, 0.7),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"graft_mmr takes 1 argument (got ${exprs.length}); (k=8, lambda=0.7) are fixed — extra args were previously IGNORED silently")
+        MmrSelect(exprs(0), 8, 0.7)
+      },
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -804,14 +826,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (
         FunctionIdentifier("graft_shingles"),
         GraftFunctions.shinglesInfo,
-        (exprs: Seq[Expression]) => ShingleHashes(exprs(0), 3)
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"graft_shingles takes 1 argument (got ${exprs.length})")
+          ShingleHashes(exprs(0), 3)
+        }
       )
     )
     ext.injectFunction(
       (
         FunctionIdentifier("graft_winnow"),
         GraftFunctions.winnowInfo,
-        (exprs: Seq[Expression]) => WinnowFingerprints(exprs(0), 3, 4)
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"graft_winnow takes 1 argument (got ${exprs.length})")
+          WinnowFingerprints(exprs(0), 3, 4)
+        }
       )
     )
     ext.injectFunction(
@@ -846,7 +874,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (
         FunctionIdentifier("graft_mmr"),
         GraftFunctions.mmrInfo,
-        (exprs: Seq[Expression]) => MmrSelect(exprs(0), 8, 0.7)
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"graft_mmr takes 1 argument (got ${exprs.length})")
+          MmrSelect(exprs(0), 8, 0.7)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        // round-10 review: this was registered per-session but never
+        // injected — a cluster configured via spark.sql.extensions alone
+        // failed EventOps' bitmap queries with "Undefined function"
+        FunctionIdentifier("graft_bitmap_and_count"),
+        GraftFunctions.bitmapAndCountInfo,
+        (exprs: Seq[Expression]) => BitmapAndCount(exprs(0), exprs(1))
       )
     )
     ext.injectFunction(

@@ -158,14 +158,20 @@ object IvfAnn {
     // the probe set is queries x nProbe — broadcast it so the INDEX side
     // never shuffles (at scale the inverted lists are the 100 TB side and
     // a sort-merge join on cid would reshuffle all of them)
-    broadcast(probes)
-      .join(indexed, Seq("cid"))
+    // norms hoisted to ONCE PER ROW on each side before the join (v1's
+    // pattern): inside the join condition each sqrt(dot) re-ran its
+    // 64-mult fold per PAIR — a candidate probed by k queries paid its
+    // norm k times (round-10 review). sqrt(a)·sqrt(b) is the identical
+    // double op sequence, so cos is bit-for-bit unchanged.
+    broadcast(probes.withColumn("qn", sqrt(call_function("graft_dot", col("qe"), col("qe")))))
+      .join(
+        indexed.withColumn("cn", sqrt(call_function("graft_dot", col("embedding"), col("embedding")))),
+        Seq("cid")
+      )
       .filter(col("vec_id") =!= col("qid"))
       .withColumn(
         "cos",
-        call_function("graft_dot", col("qe"), col("embedding")) /
-          (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
-            sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+        call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("cn"))
       )
       .withColumn("rnk", row_number().over(wr).cast("long"))
       .filter(col("rnk") <= 5)
@@ -233,7 +239,12 @@ object IvfAnn {
       )
       .withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= 10)
-      // exact re-rank touches only the 10 survivors per query
+      // exact re-rank touches only the 10 survivors per query; norms
+      // stay inline HERE by design — hoisting the full-precision
+      // embedding norm onto the index side would compute it for every
+      // probed row when only <=10 survivors per query ever need it
+      // (the coarse pass reads the stored qn; this is the one site
+      // where per-pair is the cheaper side of the trade)
       .withColumn(
         "cos",
         call_function("graft_dot", col("qe"), col("embedding")) /

@@ -122,14 +122,21 @@ object VectorOps {
       .withColumn("cid", col("p.cid"))
       .withColumn("probe_rank", col("pos") + 1)
       .drop("p", "pos")
-    val cand = broadcast(probed)
-      .join(indexed, Seq("cid"))
+    // norms hoisted once per side (v1's pattern, round-10 review): the
+    // sweep scores every probed candidate, so a per-pair sqrt(dot) paid
+    // each side's 64-mult fold |pairs| times; sqrt(a)*sqrt(b) in the same
+    // order keeps cos bit-identical
+    val cand = broadcast(
+      probed.withColumn("qn", sqrt(call_function("graft_dot", col("qe"), col("qe"))))
+    )
+      .join(
+        indexed.withColumn("cn", sqrt(call_function("graft_dot", col("embedding"), col("embedding")))),
+        Seq("cid")
+      )
       .filter(col("vec_id") =!= col("qid"))
       .withColumn(
         "cos",
-        call_function("graft_dot", col("qe"), col("embedding")) /
-          (sqrt(call_function("graft_dot", col("qe"), col("qe"))) *
-            sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+        call_function("graft_dot", col("qe"), col("embedding")) / (col("qn") * col("cn"))
       )
     val sweep = cand.withColumn(
       "n_probe",
@@ -247,18 +254,22 @@ object VectorOps {
     val bands = 8
     val rows = nPerm / bands
     val sh = TextOps.shingleHashRows(Tables.documents(s, d)).cache()
-      // 64-bit shingle fingerprints: joins/aggregations key on a long, not a
-      // ~20-byte string (collision odds at 100 TB-scale shingle counts are
-      // ~n^2/2^65 — negligible; the exact-string path is t4).
+      // shingleHashRows already emits 64-bit xxhash64 longs (one per
+      // distinct (doc, shingle)); the second xxhash64 here is this
+      // pipeline's BASE hash of its permutation family, kept verbatim:
+      // removing it would re-roll which pairs band-collide, and the
+      // banded==exact spec equality is pinned under THIS family — the
+      // re-hash is load-bearing for the certified recall, not for
+      // dedup semantics (round-10 review corrected the stale
+      // string-keying comment that used to stand here).
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-    val hashed = sh.withColumn("h", col("shingle"))
     // signature: for each permutation i, min over shingles of xxhash64(i, h)
-    val sig = hashed
+    val sig = sh
       .groupBy("doc_id")
       .agg(
-        min(xxhash64(lit(0), col("h"))).as("m0"),
+        min(xxhash64(lit(0), col("shingle"))).as("m0"),
         (1 until nPerm)
-          .map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*
+          .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"m$i")): _*
       )
     val banded = sig.select(
       col("doc_id"),
@@ -629,8 +640,13 @@ object VectorOps {
       maxMiss: Double = 0.01
   ): (Int, Int) = {
     val p = 1.0 - math.acos(tau) / math.Pi
+    // snap to a 1e-9 grid before ceil (round-10 review): ln/log1p/pow are
+    // not correctly-rounded, and the v12c oracle re-runs this arithmetic
+    // in DuckDB — an ulp sitting under an integer boundary would flip
+    // ceil and pick a different geometry than the SQL solve, a
+    // solver-boundary hash flake rather than a pipeline bug
     def bandsFor(bits: Int): Int =
-      math.max(1, math.ceil(math.log(maxMiss) / math.log1p(-math.pow(p, bits))).toInt)
+      math.max(1, math.ceil(math.round(math.log(maxMiss) / math.log1p(-math.pow(p, bits)) * 1e9) / 1e9).toInt)
     var bits = 8
     while (bits < 24 &&
       n.toDouble * bandsFor(bits) / math.pow(2, bits) > targetCandPerVec)
@@ -663,8 +679,9 @@ object VectorOps {
       fanOut: Int = 1
   ): (Int, Int) = {
     val p1 = 1.0 - math.acos(tau) / math.Pi
+    // same 1e-9 snap as bandGeometry's (one solver discipline)
     def bandsFor(bits: Int): Int =
-      math.max(1, math.ceil(math.log(maxMiss) / math.log1p(-math.pow(p1, bits))).toInt)
+      math.max(1, math.ceil(math.round(math.log(maxMiss) / math.log1p(-math.pow(p1, bits)) * 1e9) / 1e9).toInt)
     def bg(bits: Int): Double = {
       val m = epb.getOrElse(bits, math.pow(0.5, bits))
       if (java.lang.Double.isNaN(m) || m <= 0.0) math.pow(0.5, bits) else m
@@ -837,6 +854,11 @@ object VectorOps {
     * stays the default at bench scale because this corpus's τ=0.45 sits
     * near the random-pair background where banding can't prune (see
     * [[cosinePairsBanded]]); the clustering stage is identical either way. */
+  // NOTE on .cache() inside declared queries that RETURN lazy frames
+  // (v12 family, v4, v22): the builder cannot unpersist what the caller
+  // has not yet executed. Freed by session clearCache (Bench's between-
+  // query hygiene) or LRU eviction; long-lived serving sessions wrap
+  // catalog calls with their own cache scope (round-10 review).
   private def v12SemanticClusters(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
@@ -1582,14 +1604,18 @@ object VectorOps {
       )
       .select("query_id", "qx")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    // corpus norm once per row, expanded-query norm once per query
+    // (round-10 review): the scan scored |corpus|x|queries| pairs with
+    // both norms recomputed per pair
     emb
-      .crossJoin(broadcast(expanded))
+      .withColumn("cn", sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(
+        expanded.withColumn("qxn", sqrt(call_function("graft_dot", col("qx"), col("qx"))))
+      ))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn(
         "cos",
-        call_function("graft_dot", col("qx"), col("embedding")) /
-          (sqrt(call_function("graft_dot", col("qx"), col("qx"))) *
-            sqrt(call_function("graft_dot", col("embedding"), col("embedding"))))
+        call_function("graft_dot", col("qx"), col("embedding")) / (col("qxn") * col("cn"))
       )
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
@@ -3194,8 +3220,8 @@ object VectorOps {
          |), nn AS (
          |  SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
          |), geo AS (
-         |  SELECT bits, greatest(1, CAST(ceil(
-         |      ln(0.01) / ln(1 - power(1 - acos(0.9) / pi(), bits))
+         |  SELECT bits, greatest(1, CAST(ceil(round(
+         |      ln(0.01) / ln(1 - power(1 - acos(0.9) / pi(), bits)), 9)
          |    ) AS INTEGER)) AS bands
          |  FROM (SELECT unnest(range(8, 25)) AS bits)
          |), pick AS (
