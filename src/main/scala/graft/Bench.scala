@@ -99,12 +99,28 @@ object Bench {
     // Guarded to FULL-catalog, best-of-2, default-SF runs only — a
     // filtered SCALING sweep or single-query iteration must never
     // clobber the canonical map it exists to track.
-    val isCanonicalRun = only.isEmpty && !singleRun &&
-      sfDir == "/root/testdata/sf0.1" && new java.io.File("bench").isDirectory
-    if (isCanonicalRun)
+    // repo root = nearest ancestor of the CWD holding build.sbt, so a run
+    // launched from a subdirectory still finds the tracked map; canonical
+    // SF is matched on the resolved real path, so a symlinked or relocated
+    // fixture tree doesn't silently skip the update it exists to make.
+    val repoRoot = Iterator
+      .iterate(new java.io.File(".").getCanonicalFile)(_.getParentFile)
+      .takeWhile(_ != null)
+      .find(d => new java.io.File(d, "build.sbt").isFile)
+    val canonicalSf =
+      try java.nio.file.Paths.get(sfDir).toRealPath().toString.endsWith("/sf0.1")
+      catch { case _: java.io.IOException => false }
+    val isCanonicalRun = only.isEmpty && !singleRun && canonicalSf
+    val benchDir = repoRoot.map(r => new java.io.File(r, "bench"))
+    if (isCanonicalRun && benchDir.exists(_.isDirectory))
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench/bench_full.json"),
+        benchDir.get.toPath.resolve("bench_full.json"),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else if (only.isEmpty && !singleRun)
+      // a full-catalog best-of-2 run that is NOT updating the tracked map
+      // must say so — a silently-missing update looks like a fresh map
+      System.err.println(
+        s"NOTE: tracked bench/bench_full.json NOT updated (sfDir=$sfDir, repoRoot=$repoRoot)")
     val slowest5 = results.sortBy(-_._2).take(5)
     val compact =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jsonMap(slowest5)},"sf":"$sfDir"}"""

@@ -38,9 +38,9 @@ object JsonExport {
       .agg(sortByDate(collect_list(col("rec"))).as("series"))
 
   /** webusage.json rows: locale/addon ratio maps x100 + pct_addon
-    * (user_activity.py:70-83). Map values must share one type, so the
-    * heterogeneous metric block stays a struct; the name->pct maps are
-    * map_from_entries over the top-K arrays. */
+    * (user_activity.py:70-83). The name->pct maps travel as ORDERED
+    * k/v struct arrays (not MapType) so Python-dict insertion order
+    * survives collect — see [[nameRatioEntries]]. */
   def webusageRows(userActivity: DataFrame): DataFrame =
     userActivity
       .select(
@@ -48,8 +48,8 @@ object JsonExport {
         struct(
           date_format(col("submission_date"), "yyyy-MM-dd").as("date"),
           struct(
-            nameRatioMap(col("top_locales"), "locale").as("locale"),
-            nameRatioMap(col("top_addons"), "addon_name").as("top10addons"),
+            nameRatioEntries(col("top_locales"), "locale").as("locale"),
+            nameRatioEntries(col("top_addons"), "addon_name").as("top10addons"),
             (col("has_addon_ratio") * 100).as("pct_addon")
           ).as("metrics")
         ).as("rec")
@@ -57,16 +57,19 @@ object JsonExport {
       .groupBy("country_name")
       .agg(sortByDate(collect_list(col("rec"))).as("series"))
 
-  /** name -> ratio*100 map over a top-K struct array, with the
-    * reference's exact dict-comprehension semantics
+  /** Ordered name -> ratio*100 entries over a top-K struct array, with
+    * the reference's exact dict-comprehension semantics
     * (user_activity.py:74-79): a None key renders as "null" (Python
-    * json.dumps), and DUPLICATE names dedup LAST-WINS in array order —
-    * top_addons is grouped by (addon_id, addon_name), so one name can
-    * appear under two ids, where Spark's map_from_entries (default
-    * mapKeyDedupPolicy=EXCEPTION) would kill the whole export at
-    * runtime. The filter keeps an entry iff no LATER entry shares its
-    * key, which IS last-wins. */
-  private def nameRatioMap(arr: Column, nameField: String): Column = {
+    * json.dumps), and DUPLICATE names — top_addons is grouped by
+    * (addon_id, addon_name), so one name can appear under two ids —
+    * dedup the way a Python dict does: the FIRST occurrence's insertion
+    * POSITION carries the LAST occurrence's VALUE. Returned as an ordered
+    * array<struct<k,v>> rather than MapType: a MapType round-trips
+    * through a scala HashMap on collect (insertion order lost above 4
+    * keys), while webusage.json is dumped WITHOUT sort_keys, so key
+    * order is part of the artifact. JsonWriter.rowToAny renders k/v
+    * struct arrays as insertion-ordered JSON objects. */
+  private def nameRatioEntries(arr: Column, nameField: String): Column = {
     val entries = transform(
       arr,
       e => struct(
@@ -74,14 +77,22 @@ object JsonExport {
         (e.getField("ratio") * 100).as("v")
       )
     )
-    map_from_entries(
-      filter(
-        entries,
-        (e, i) =>
-          !exists(
-            slice(entries, i + lit(2), size(entries)),
-            later => later.getField("k") === e.getField("k")
-          )
+    val firstOccurrences = filter(
+      entries,
+      (e, i) =>
+        !exists(
+          slice(entries, lit(1), i),
+          earlier => earlier.getField("k") === e.getField("k")
+        )
+    )
+    transform(
+      firstOccurrences,
+      e => struct(
+        e.getField("k").as("k"),
+        element_at(
+          filter(entries, x => x.getField("k") === e.getField("k")),
+          -1
+        ).getField("v").as("v")
       )
     )
   }

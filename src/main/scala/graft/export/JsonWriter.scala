@@ -81,6 +81,18 @@ object JsonWriter {
           k.toString -> rowToAny(v, mt.valueType)
         }: _*
       )
+    // the ordered-JSON-object convention: MapType cannot carry insertion
+    // order through collect (scala HashMap above 4 keys), so exports that
+    // need Python-dict key order emit an array<struct<k,v>> instead and
+    // it serializes as an object in entry order
+    case (s: scala.collection.Seq[_], ArrayType(st: StructType, _))
+        if st.fields.length == 2 &&
+          st.fields(0).name == "k" && st.fields(1).name == "v" =>
+      scala.collection.immutable.ListMap(
+        s.toSeq.map { case r: Row =>
+          String.valueOf(r.get(0)) -> rowToAny(r.get(1), st.fields(1).dataType)
+        }: _*
+      )
     case (s: scala.collection.Seq[_], at: ArrayType) =>
       s.toSeq.map(e => rowToAny(e, at.elementType))
     case (d: java.sql.Date, _) => d.toString

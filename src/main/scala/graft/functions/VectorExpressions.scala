@@ -757,7 +757,10 @@ object GraftFunctions {
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bitmap_and_count",
-      (exprs: Seq[Expression]) => BitmapAndCount(exprs(0), exprs(1)),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"graft_bitmap_and_count takes 2 arguments (got ${exprs.length})")
+        BitmapAndCount(exprs(0), exprs(1))
+      },
       "built-in"
     )
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -887,7 +890,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         // failed EventOps' bitmap queries with "Undefined function"
         FunctionIdentifier("graft_bitmap_and_count"),
         GraftFunctions.bitmapAndCountInfo,
-        (exprs: Seq[Expression]) => BitmapAndCount(exprs(0), exprs(1))
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"graft_bitmap_and_count takes 2 arguments (got ${exprs.length})")
+          BitmapAndCount(exprs(0), exprs(1))
+        }
       )
     )
     ext.injectFunction(

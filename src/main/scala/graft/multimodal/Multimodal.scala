@@ -1028,8 +1028,8 @@ object MultimodalOps {
        |)""".stripMargin
 
   /** round(.,6)-snapped p = 1 − acos(cos)/π, then the explicit
-    * ((p4·p4)·p4)·p2 multiplication chain floored to the 1e-12 integer
-    * scale — stage-for-stage the Spark side's `contrib`. */
+    * ((p4·p4)·p4)·p2 multiplication chain floored to the 1e-9 integer
+    * scale (×1e9) — stage-for-stage the Spark side's `contrib`. */
   private def m7dChain(src: String, name: String): String =
     s"""${name}_p AS (
        |  SELECT round(1.0 - acos(least(1.0, greatest(-1.0, cos))) / pi(), 6) AS p

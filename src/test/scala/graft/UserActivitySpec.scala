@@ -260,11 +260,12 @@ class UserActivitySpec extends AnyFunSuite {
     assert(stray.getMessage.contains("not in allowlist"))
   }
 
-  test("top10addons dedups duplicate addon names LAST-WINS like the reference's dict comprehension") {
+  test("top10addons dedups duplicate addon names like the reference's dict comprehension: first position, last value") {
     // user_activity.py:77-79 builds {addon_name: ratio} over the rank-
-    // ordered array — one addon under two ids keeps the LAST entry's
-    // value; Spark's map_from_entries (mapKeyDedupPolicy=EXCEPTION)
-    // would instead kill the whole export at runtime
+    // ordered array — a Python dict keeps one addon under two ids at the
+    // FIRST occurrence's position with the LAST entry's value, and
+    // webusage.json is dumped without sort_keys so the position is part
+    // of the artifact
     val addonEntry = StructType(Seq(
       StructField("addon_name", StringType),
       StructField("ratio", DoubleType)
@@ -301,11 +302,26 @@ class UserActivitySpec extends AnyFunSuite {
     val wu = JsonExport.webusageRows(df).collect()(0)
     val series = wu.getSeq[Row](1)
     val metrics = series(0).getStruct(1)
-    val addons = metrics.getMap[String, Double](1)
-    assert(addons.size == 3, s"expected 3 deduped keys, got $addons")
+    val addonEntries =
+      metrics.getSeq[Row](1).map(r => r.getString(0) -> r.getDouble(1))
+    assert(addonEntries.size == 3, s"expected 3 deduped keys, got $addonEntries")
+    assert(addonEntries.map(_._1) == Seq("Shared Name", "Unique", "null"),
+      s"keys must sit at their FIRST-occurrence positions, got $addonEntries")
+    val addons = addonEntries.toMap
     assert(math.abs(addons("Shared Name") - 10.0) < 1e-12,
-      s"last-wins should keep ratio 0.10*100, got ${addons("Shared Name")}")
+      s"dict semantics keep the LAST value 0.10*100, got ${addons("Shared Name")}")
     assert(math.abs(addons("Unique") - 20.0) < 1e-12)
-    assert(addons.contains("null"))
+    // the serialized artifact renders k/v entries as an ordered object
+    val json = graft.export.JsonWriter.write(
+      graft.export.JsonWriter.rowToAny(metrics, JsonExport.webusageRows(df)
+        .schema(1).dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType](1).dataType)
+    )
+    val sharedIdx = json.indexOf("\"Shared Name\"")
+    val uniqueIdx = json.indexOf("\"Unique\"")
+    val nullIdx = json.indexOf("\"null\"")
+    assert(sharedIdx >= 0 && sharedIdx < uniqueIdx && uniqueIdx < nullIdx,
+      s"JSON must serialize keys in insertion order:\n$json")
+    assert(json.contains("\"Shared Name\": 10.0"), json)
   }
 }
