@@ -670,6 +670,11 @@ object GraftFunctions {
     "graft_project"
   )
 
+  val bpeEncodeInfo = new ExpressionInfo(
+    classOf[GraftBpeEncode].getName,
+    "graft_bpe_encode"
+  )
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sign_pack",
@@ -768,6 +773,11 @@ object GraftFunctions {
       // nDims must be a literal — it sizes the plane table at plan time
       (exprs: Seq[Expression]) =>
         ProjectPlanes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_encode",
+      GraftBpeEncode.build _,
       "built-in"
     )
   }
@@ -902,6 +912,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         GraftFunctions.projectInfo,
         (exprs: Seq[Expression]) =>
           ProjectPlanes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_bpe_encode"),
+        GraftFunctions.bpeEncodeInfo,
+        (exprs: Seq[Expression]) => GraftBpeEncode.build(exprs)
       )
     )
   }

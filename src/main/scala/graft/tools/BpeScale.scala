@@ -1,0 +1,181 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Production-vocabulary measurement for `graft_bpe_encode` (SCALING.md's
+  * BPE row): train N merges on a bounded word-count SAMPLE driver-side —
+  * the real pipeline shape: a tokenizer trains on a sample once, the
+  * trained artifact encodes the full corpus forever — then time the
+  * corpus-wide encode with the merge list compiled into the expression.
+  *
+  * t62's in-cluster trainer exists to prove the training loop's plan
+  * shape; its per-iteration collect makes N=1k+ a thousand Spark jobs.
+  * For a MEASUREMENT of the encode (the verb that actually touches 100 TB)
+  * the trainer is scaffolding, so this tool trains the classic way: BPE
+  * over a capped word-count dictionary in driver memory (GPT-2's trainer
+  * fits in one process too — vocabularies are small, corpora are not).
+  *
+  * Usage: runMain graft.tools.BpeScale <sfDir> <nMerges> [sampleWords]
+  * Prints one JSON line: corpus totals + train/encode seconds.
+  */
+object BpeScale {
+
+  /** Classic driver-side BPE trainer over (word, count) pairs with t62's
+    * exact pick rule: max weight, ties broken (l asc, r asc). Returns
+    * rank-ordered NUL-joined merge entries. O(N × Σ symbols) — fine for
+    * the ≤100k-word samples this tool feeds it. */
+  def trainOnSample(wordCounts: Seq[(String, Long)], nMerges: Int): Array[String] = {
+    // vocab entries: symbol arrays (code points at the base) + weight
+    var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, n) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), n)
+    }.toArray
+    val merges = Array.newBuilder[String]
+    var it = 0
+    var exhausted = false
+    while (it < nMerges && !exhausted) {
+      val weights = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          weights.merge(k, n, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (weights.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        weights.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (k._1 < best._1._1 ||
+              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+        }
+        val (l, r) = best._1
+        merges += (l + "\u0000" + r)
+        vocab = vocab.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), n)
+          }
+        }
+        it += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The fixture corpus has a 31-stem vocabulary: training EXHAUSTS at a
+    * few hundred merges (every distinct word fully merged). To measure
+    * the encode at a production vocabulary size anyway, ranks past
+    * exhaustion are synthesized as well-formed pairs over the TRAINED
+    * symbol inventory (what a richer corpus would ship) — they populate
+    * the rank map like real merges do; whether they occur is the
+    * corpus's business, which is exactly the point being measured: the
+    * kernel's per-word cost follows occurrences, not N. */
+  def padMerges(trained: Array[String], target: Int): Array[String] = {
+    if (trained.length >= target) return trained
+    val inventory = (trained.map { m =>
+      val i = m.indexOf('\u0000'); m.substring(0, i) + m.substring(i + 1)
+    } ++ trained.flatMap { m =>
+      val i = m.indexOf('\u0000'); Seq(m.substring(0, i), m.substring(i + 1))
+    }).distinct
+    val used = scala.collection.mutable.HashSet(trained: _*)
+    val out = scala.collection.mutable.ArrayBuffer(trained: _*)
+    var i = 0
+    while (out.length < target && i < inventory.length * inventory.length) {
+      val l = inventory(i % inventory.length)
+      val r = inventory((i / inventory.length + i) % inventory.length)
+      val m = l + "\u0000" + r
+      if (!used.contains(m)) { used += m; out += m }
+      i += 1
+    }
+    out.toArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(1024)
+    val sampleWords = args.lift(2).map(_.toInt).getOrElse(100000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val toks = graft.functions.F.wsTokens(col("text"))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+
+    // sample = top-K distinct words by count: bounded driver state
+    // (vocabularies are ~1e5 regardless of corpus bytes — Heaps' law)
+    val t0 = System.nanoTime()
+    val sample = docs
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(sampleWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val tSample = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val trained = trainOnSample(sample, nMerges)
+    val merges = padMerges(trained, nMerges)
+    val tTrain = (System.nanoTime() - t1) / 1e9
+
+    // the measured verb: ONE corpus scan, merge list compiled into the
+    // expression — the plan a 10k-merge production tokenizer would run
+    val t2 = System.nanoTime()
+    val enc = docs
+      .select(explode(toks).as("w"))
+      .select(call_function("graft_bpe_encode", col("w"), lit(merges)).as("syms"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(size(col("syms"))).as("n_symbols"))
+      .collect()(0)
+    val tEncode = (System.nanoTime() - t2) / 1e9
+
+    // optional contrast: t63's plan shape (one replace node per merge) at
+    // a chain length that still analyzes — SPARK_GRAFT_BPE_CHAIN_N=0 skips
+    val chainN = sys.env.get("SPARK_GRAFT_BPE_CHAIN_N").map(_.toInt).getOrElse(0)
+    val chainStats = if (chainN <= 0) "" else {
+      val SOH = "\u0001"; val STX = "\u0002"
+      val seq0 = expr(
+        s"concat_ws('', transform(sequence(1, length(w)), i -> concat('$SOH', substring(w, i, 1), '$STX')))")
+      val seqN = merges.take(chainN).foldLeft(seq0) { (c, m) =>
+        val i = m.indexOf('\u0000'); val l = m.substring(0, i); val r = m.substring(i + 1)
+        call_function("replace", c, lit(s"$SOH$l$STX$SOH$r$STX"), lit(s"$SOH$l$r$STX"))
+      }
+      val t3 = System.nanoTime()
+      docs.select(explode(toks).as("w"))
+        .select(seqN.as("seq"))
+        .agg(sum(length(col("seq")) -
+          length(call_function("replace", col("seq"), lit(SOH), lit("")))).as("n"))
+        .collect()
+      val tChain = (System.nanoTime() - t3) / 1e9
+      s""","chain_n":$chainN,"chain_sec":${f"$tChain%.1f"}"""
+    }
+
+    println(
+      s"""{"tool":"bpe_scale","sf":"$sfDir","n_merges":${merges.length},""" +
+        s""""n_trained":${trained.length},""" +
+        s""""sample_words":${sample.length},"n_tokens":${enc.getLong(0)},""" +
+        s""""n_symbols":${enc.getLong(1)},"sample_sec":${f"$tSample%.1f"},""" +
+        s""""train_sec":${f"$tTrain%.1f"},"encode_sec":${f"$tEncode%.1f"}$chainStats}""")
+    spark.stop()
+  }
+}
