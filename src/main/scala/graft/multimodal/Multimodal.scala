@@ -489,6 +489,68 @@ object MultimodalOps {
     verifiedPairs(cand, emb)
   }
 
+  /** m7e — BAND-SHARDED m7b: the continuation SCALING.md round 10 named
+    * for the regime where m7d says no-go (corpus-wide banding stays the
+    * production plan) but the corpus outgrows one box's disk — the sf30
+    * one-shot died at the solver-predicted ~72 GB signature spill.
+    * The solved geometry's B bands run in `shards` SEQUENTIAL groups
+    * ([[graft.operators.VectorOps.bandedCandidateStreamRange]]), each
+    * group's verified survivors are MATERIALIZED to a scratch store
+    * before the next group starts, and the union is the result. Exact by
+    * per-band independence: candidates(all bands) = ∪ candidates(group),
+    * the cosine verify is a per-pair filter, and the closing distinct
+    * collapses pairs that collide in bands of different groups —
+    * spec-pinned equal to the one-shot m7b at both driver SFs.
+    *
+    * Why materialize instead of unioning S lazy branches: one unioned
+    * job keeps every branch's exchange files alive until the job ends —
+    * the PEAK disk is the one-shot's again. Sequential write jobs bound
+    * peak at one group's volume (plus survivor parquet, which is tiny at
+    * any τ); the explicit GC between groups lets the ContextCleaner drop
+    * the finished group's shuffle files before the next one spills. The
+    * trade is recomputing the featurize + plane dots per group (CPU-
+    * linear, never the binding resource — and the featurized embeddings
+    * are cache()d once across all groups anyway). */
+  def semanticDedupBandedShardedQuery(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupBandedSharded(spark, dir, shards = 4)
+
+  private[graft] def semanticDedupBandedSharded(
+      spark: SparkSession,
+      dir: String,
+      shards: Int,
+      scratch: Option[String] = None
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = gramEmbeddings(docs).cache()
+    val (nBands, bandBits) =
+      graft.operators.VectorOps.bandGeometry(
+        emb.count(),
+        tau = 0.85,
+        targetCandPerVec = 256,
+        maxMiss = 1e-6
+      )
+    val out = scratch.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-m7e").toString)
+    val perShard = (nBands + shards - 1) / shards
+    var s = 0
+    while (s * perShard < nBands) {
+      val lo = s * perShard
+      val hi = math.min(nBands, lo + perShard)
+      val cand = graft.operators.VectorOps.bandedCandidateStreamRange(
+        emb.select("vec_id", "embedding"),
+        nBands, bandBits, lo, hi
+      )
+      verifiedPairs(cand, emb)
+        .write.mode(if (s == 0) "overwrite" else "append").parquet(out)
+      // nudge the ContextCleaner: this group's shuffle files are
+      // unreachable once its job finished, but cleanup fires on GC
+      System.gc()
+      s += 1
+    }
+    spark.read.parquet(out).distinct().orderBy("id_a", "id_b")
+  }
+
   /** m7c — IVF-PRUNED banded semantic media dedup: "cluster first, band
     * within clusters", the composition SCALING.md round 9 named after
     * measuring-and-rejecting the featurizer-dims lever. Deterministic
@@ -935,6 +997,7 @@ object MultimodalOps {
     "m7_semantic_dedup" -> ((s, d) => semanticDedupQuery(s, d)),
     "m7b_semantic_dedup_banded" -> ((s, d) => semanticDedupBandedQuery(s, d)),
     "m7c_semantic_dedup_ivf" -> ((s, d) => semanticDedupIvfQuery(s, d)),
+    "m7e_semantic_dedup_sharded" -> ((s, d) => semanticDedupBandedShardedQuery(s, d)),
     "m7d_ivf_probe_decision" -> ((s, d) => ivfProbeDecisionQuery(s, d)),
     "m1_multimodal_meta" -> ((s, d) => Multimodal.metaQuery(s, d)),
     "m2_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
@@ -1177,6 +1240,9 @@ object MultimodalOps {
     // and engine-identical.
     "m7b_semantic_dedup_banded" -> exactGramPairSql,
     "m7c_semantic_dedup_ivf" -> exactGramPairSql,
+    // m7e's sharded union is exact by per-band independence, so it
+    // certifies against the same exact criterion as m7b/m7c
+    "m7e_semantic_dedup_sharded" -> exactGramPairSql,
     // m7d replays the WHOLE probe in SQL: gram chain, m7c's nLists
     // formula, id-ordered seeds + 2 unrolled Lloyd iterations
     // (float-rounded centroids, v6's discipline), top-4 probe

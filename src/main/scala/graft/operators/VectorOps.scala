@@ -782,6 +782,47 @@ object VectorOps {
       bandBits: Int
   ): DataFrame = bandedCandidateStreamKeyed(emb, Nil, nBands, bandBits)
 
+  /** [[bandedCandidateStream]] restricted to bands [bandLo, bandHiExcl) —
+    * the SHARDED banding primitive (SCALING.md round 10 named it as m7b's
+    * continuation past one box's disk): bands are independent, so running
+    * the solved geometry's B bands in S sequential groups and unioning
+    * the survivors is EXACT by construction, while each group's signature
+    * exchange carries only its fraction of the one-shot's spill volume —
+    * the resource that actually killed the sf30 one-shot. The full
+    * `graft_band_hashes` array is still computed per pass (plane dots are
+    * CPU-linear and were never the binding resource); the SLICE keeps the
+    * off-range rows out of the exchange, which is where the bytes bind. */
+  def bandedCandidateStreamRange(
+      emb: DataFrame,
+      nBands: Int,
+      bandBits: Int,
+      bandLo: Int,
+      bandHiExcl: Int
+  ): DataFrame = {
+    require(
+      0 <= bandLo && bandLo < bandHiExcl && bandHiExcl <= nBands,
+      s"band range [$bandLo, $bandHiExcl) outside geometry ${nBands}x$bandBits"
+    )
+    val banded = emb
+      .select(
+        col("vec_id"),
+        posexplode(
+          slice(
+            call_function("graft_band_hashes", col("embedding"), lit(nBands), lit(bandBits)),
+            bandLo + 1,
+            bandHiExcl - bandLo
+          )
+        ).as(Seq("pos", "bh"))
+      )
+      .select(col("vec_id"), (col("pos") + lit(bandLo)).as("band"), col("bh"))
+      .repartition(col("band"), col("bh"))
+    banded
+      .as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+  }
+
   /** [[bandedCandidateStream]] with extra JOIN KEYS ahead of (band, bh) —
     * the IVF-pruned form's primitive: keyed by a cluster id, collisions
     * can only form INSIDE a list (m7c passes Seq("cid")). One definition

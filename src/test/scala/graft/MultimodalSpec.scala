@@ -199,6 +199,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m7e band-sharded dedup equals one-shot m7b at both driver SFs, at uneven shard counts") {
+    // Exactness-by-construction still deserves a gate: the union over
+    // band GROUPS must reproduce the one-shot pair set including pairs
+    // that collide in bands of DIFFERENT groups (the closing distinct's
+    // job), and the last group being narrower than the rest (nBands not
+    // divisible by shards) must not drop a band. shards=3 exercises both
+    // at these SFs' solved geometries.
+    import graft.multimodal.MultimodalOps
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val oneShot = MultimodalOps
+        .semanticDedupBandedQuery(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val sharded = MultimodalOps
+        .semanticDedupBandedSharded(spark, sf, shards = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(oneShot.nonEmpty, s"no pairs at $sf — the gate would be vacuous")
+      assert(sharded == oneShot,
+        s"sharded != one-shot at $sf: missed=${oneShot -- sharded} extra=${sharded -- oneShot}")
+    }
+  }
+
   test("m7b plan has no all-pairs stage (no cartesian/broadcast-NL join)") {
     val plan = graft.multimodal.MultimodalOps
       .semanticDedupBandedQuery(spark, "/root/testdata/sf0.001")
