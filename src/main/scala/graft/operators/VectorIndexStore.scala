@@ -36,7 +36,7 @@ object VectorIndexStore {
   /** Build the IVF index from `emb` (id-seeded deterministic Lloyd — the
     * exact v6/v10 build) and persist `table` (inverted lists, partitioned
     * by cid) plus `table_centroids` (k rows). */
-  def write(emb: DataFrame, table: String): Unit = {
+  def write(emb: DataFrame, table: String, nLists: Int = IvfAnn.k): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -44,7 +44,7 @@ object VectorIndexStore {
     // tiny table from the collected rows — materializing the centroid
     // DataFrame twice (write + collect) would run the whole iterative
     // build a second time
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb, nLists))
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
     centArr.toSeq
       .toDF("cid", "centroid")
