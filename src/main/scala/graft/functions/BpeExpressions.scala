@@ -98,6 +98,12 @@ object BpeKernel {
     *
     * Symbols are Unicode code points at the base (matching Spark's and
     * DuckDB's character-indexed `substring`), merged strings after.
+    * Contract note: merge-list symbols cannot contain U+0000 (BpeRanks
+    * rejects entries with more than one separator), and corpus text is
+    * assumed free of it (t62's existing control-char assumption) — a
+    * word symbol containing NUL could alias another pair's rank-map key,
+    * costing a wasted loop iteration (the apply pass re-checks the real
+    * pair, so the OUTPUT stays correct and the pointer still advances).
     */
   def encode(word: UTF8String, ranks: BpeRanks): ArrayData = {
     val s = word.toString
