@@ -3231,7 +3231,190 @@ object TextOps {
       .orderBy("rule_a", "rule_b")
   }
 
+  /** Span length (tokens) for the suffix-rank dedup family (t65/t66) —
+    * a power of two so the doubling loop lands on it exactly. */
+  val suffixSpanL = 16
+
+  /** Order-consistent dense ids 1..N for the DISTINCT `keys` rows of
+    * `df`, with NO global window and NO driver collect: range-exchange
+    * the distinct keys (equal keys land in one partition by the range
+    * partitioner's contract), rank inside each range partition — the
+    * windows run in parallel because they partition on the range
+    * partition id — then shift each partition's local ranks by a prefix
+    * sum over the P-row partition census (P = shuffle partitions; the
+    * census window is single-partition but bounded by P, never by data).
+    * The ids depend only on the global sort order of the distinct keys,
+    * so they are deterministic whatever boundaries the range sampler
+    * picks. This is the scalable dense_rank the suffix-doubling loop
+    * needs — a naive `dense_rank() OVER (ORDER BY ...)` would funnel the
+    * corpus through one task. */
+  private[graft] def denseIds(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    val parts = df
+      .select(kcols: _*)
+      .distinct()
+      .repartitionByRange(kcols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy("_pid").orderBy(kcols: _*)
+    val local = parts.withColumn("_lr", row_number().over(wLocal).cast("long"))
+    val wOff = Window
+      .orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy("_pid")
+      .agg(max("_lr").as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(wOff), lit(0L)))
+      .select("_pid", "_off")
+    local
+      .join(broadcast(offsets), "_pid")
+      .withColumn("rank_id", col("_off") + col("_lr"))
+      .select(kcols :+ col("rank_id"): _*)
+  }
+
+  /** Token-level suffix ranks by PREFIX DOUBLING, refined to depth
+    * `suffixSpanL`: after the loop, two positions carry the same rank
+    * iff their forward token windows (doc-end padded) agree on the
+    * first 16 tokens. This is the distributed suffix-array construction
+    * (Manber–Myers doubling re-expressed as log L Spark rounds): rank_1
+    * = dense token id; each round pairs every position's rank with the
+    * rank `step` ahead in ITS document (`lead` over the doc window — no
+    * self-join) and re-ranks the pairs with [[denseIds]]. Suffixes never
+    * cross documents (rank 0 pads past the doc end — the concatenated-
+    * corpus separator of the suffix-array dedup literature).
+    *
+    * Why doubling instead of materializing 16-gram strings (t22's shape
+    * at n=6): an L-token gram string multiplies the corpus bytes by ~L
+    * through every exchange; doubling ships two longs per position per
+    * round, so the total traffic is 2·log2(L) longs — at L=16 that is
+    * 8 longs vs ~16 tokens of text, and the gap widens linearly in L
+    * while the rounds grow only logarithmically. Per round: one
+    * doc-keyed exchange (the lead window), one range exchange of the
+    * DISTINCT pairs (vocabulary-of-pairs-sized, ≤ positions), one hash
+    * join back on the pair. All integer state end to end.
+    *
+    * Returns (doc_id, n_tokens, pos 1-based, r). */
+  private[graft] def suffixRankTable(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
+    val tokpos = words
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        posexplode(col("w")).as(Seq("p0", "tok"))
+      )
+      .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val r0 = tokpos
+      .join(denseIds(tokpos.select("tok"), Seq("tok")), "tok")
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
+    var cur = r0
+    var step = 1
+    while (step < suffixSpanL) {
+      val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+      val paired = cur.withColumn(
+        "rn",
+        coalesce(lead("r", step).over(wdoc), lit(0L))
+      )
+      cur = paired
+        .join(denseIds(paired.select("r", "rn"), Seq("r", "rn")), Seq("r", "rn"))
+        .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
+      step *= 2
+    }
+    cur
+  }
+
+  /** t65 — SUFFIX-RANK duplicate profile: how much of each document sits
+    * under a 16-token window that appears elsewhere in the corpus. The
+    * per-position dup verdict comes from the doubling ranks (group size
+    * ≥ 2 among full-length positions ⟺ the 16-token prefix occurs ≥ 2
+    * times — the depth-16 rank equality theorem), NOT from gram strings;
+    * the DuckDB oracle takes the direct 16-gram-counting route, so the
+    * hash gate is an independent proof of the equivalence, not a replay
+    * of the same algorithm. Docs shorter than the window report
+    * n_full = 0 with a NULL ratio (no silent drop).
+    *
+    * Scale: log2(16) = 4 doubling rounds (costs in [[suffixRankTable]]),
+    * one rank-keyed count window, one doc-keyed aggregation. The exact
+    * long-span complement to t22's fixed n=6 approximation — this is the
+    * candidate-finding half of the Lee et al. ExactSubstr dedup, at the
+    * span length that paper actually uses (50 BPE tokens ≈ tens of
+    * words) where gram-string materialization stops being an option. */
+  private def t65SuffixRanks(s: SparkSession, d: String): DataFrame = {
+    val L = suffixSpanL
+    val rt = suffixRankTable(s, d)
+    val wR = Window.partitionBy("r")
+    val flagged = rt
+      .withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
+      .withColumn("grp_full", sum("fullp").over(wR))
+    val perDoc = flagged
+      .filter(col("fullp") === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_full"),
+        sum(when(col("grp_full") >= 2, 1L).otherwise(0L)).as("n_dup")
+      )
+    val base = Tables
+      .documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    base
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_full"), lit(0L)).as("n_full"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup")
+      )
+      .withColumn(
+        "dup_pct10k",
+        when(col("n_full") > 0, expr("(10000 * n_dup) div n_full"))
+      )
+      .orderBy("doc_id")
+  }
+
+  /** t66 — ExactSubstr span REMOVAL (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): every token covered by a
+    * duplicated ≥16-token window is removed, and the operator reports
+    * per document how many tokens went and in how many maximal spans.
+    * Dup starts come from t65's doubling ranks; coverage is the t22
+    * bounded-window trick (`max(is_start) OVER (ROWS L-1 PRECEDING)`), so
+    * overlapping spans cost one window pass, not an interval explosion;
+    * span heads are a lag() edge detect on the coverage bitmap. Output is
+    * all-integer (counts), so the oracle parity is exact. */
+  private def t66RepeatedSpans(s: SparkSession, d: String): DataFrame = {
+    val L = suffixSpanL
+    val rt = suffixRankTable(s, d)
+    val wR = Window.partitionBy("r")
+    val marked = rt
+      .withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
+      .withColumn("grp_full", sum("fullp").over(wR))
+      .withColumn(
+        "is_start",
+        (col("fullp") === 1 && col("grp_full") >= 2).cast("int")
+      )
+    val wCov = Window
+      .partitionBy("doc_id")
+      .orderBy("pos")
+      .rowsBetween(-(L - 1), 0)
+    val wLag = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("covered", max("is_start").over(wCov))
+      .withColumn(
+        "span_head",
+        (col("covered") === 1 &&
+          coalesce(lag("covered", 1).over(wLag), lit(0)) === 0).cast("long")
+      )
+      .groupBy("doc_id")
+      .agg(
+        max("n_tokens").as("n_tokens"),
+        sum("covered").cast("long").as("n_removed"),
+        sum("span_head").as("n_spans")
+      )
+      .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+      .select("doc_id", "n_tokens", "n_removed", "n_spans", "n_kept")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t65_suffix_ranks" -> (t65SuffixRanks _),
+    "t66_repeated_spans" -> (t66RepeatedSpans _),
     "t60_filter_overlap" -> (t60FilterOverlap _),
     "t61_phrase_search" -> (t61PhraseSearch _),
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
@@ -3402,7 +3585,79 @@ object TextOps {
     sb.toString
   }
 
+  /** Shared CTE prefix for t65/t66: tokenized docs, every full-length
+    * 16-token window as a joined gram string, and the corpus-wide window
+    * counts. The ORACLE takes the direct gram-string route on purpose —
+    * the Spark side derives the same dup verdicts from prefix-doubling
+    * rank equality, so the hash gate proves the doubling theorem instead
+    * of replaying the implementation. */
+  private val suffixGramCtes: String =
+    s"""docs AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |                x -> length(x) > 0) AS w
+       |  FROM documents
+       |), sized AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM docs
+       |), starts AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |         array_to_string(w[pos:pos+15], ' ') AS g
+       |  FROM (SELECT doc_id, n_tokens, w,
+       |          unnest(generate_series(1, n_tokens - 15)) AS pos
+       |        FROM sized)
+       |), gc AS (
+       |  SELECT g, count(*) AS c FROM starts GROUP BY g
+       |)""".stripMargin
+
+  private val t65OracleSql: String =
+    s"""WITH $suffixGramCtes,
+       |dup AS (
+       |  SELECT s.doc_id, count(*) AS n_dup
+       |  FROM starts s JOIN gc USING (g) WHERE gc.c >= 2
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(greatest(d.n_tokens - 15, 0) AS BIGINT) AS n_full,
+       |  CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CASE WHEN d.n_tokens >= 16
+       |    THEN (10000 * CAST(coalesce(u.n_dup, 0) AS BIGINT))
+       |           // (d.n_tokens - 15)
+       |  END AS dup_pct10k
+       |FROM sized d LEFT JOIN dup u USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  private val t66OracleSql: String =
+    s"""WITH $suffixGramCtes,
+       |dupstart AS (
+       |  SELECT s.doc_id, s.pos FROM starts s JOIN gc USING (g)
+       |  WHERE gc.c >= 2
+       |), tokpos AS (
+       |  SELECT doc_id, n_tokens,
+       |         unnest(generate_series(1, n_tokens)) AS pos
+       |  FROM sized
+       |), cov AS (
+       |  SELECT t.doc_id, t.n_tokens, t.pos,
+       |    max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS covered
+       |  FROM tokpos t LEFT JOIN dupstart d
+       |    ON d.doc_id = t.doc_id AND d.pos = t.pos
+       |), headed AS (
+       |  SELECT doc_id, n_tokens, covered,
+       |    CASE WHEN covered = 1 AND coalesce(lag(covered) OVER
+       |      (PARTITION BY doc_id ORDER BY pos), 0) = 0
+       |    THEN 1 ELSE 0 END AS span_head
+       |  FROM cov
+       |)
+       |SELECT doc_id, max(n_tokens) AS n_tokens,
+       |  CAST(sum(covered) AS BIGINT) AS n_removed,
+       |  CAST(sum(span_head) AS BIGINT) AS n_spans,
+       |  CAST(max(n_tokens) - sum(covered) AS BIGINT) AS n_kept
+       |FROM headed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "t65_suffix_ranks" -> t65OracleSql,
+    "t66_repeated_spans" -> t66OracleSql,
     "t62_bpe_train" -> t62OracleSql,
     "t63_bpe_encode" -> t63OracleSql,
     // t64 shares t63's oracle verbatim: the native expression's contract

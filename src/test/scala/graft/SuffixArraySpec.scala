@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextOps
+
+/** Unit + differential coverage for the prefix-doubling suffix-rank
+  * family (t65/t66) beyond the value-level oracle: hand-computed span
+  * geometry on a crafted corpus (cross-doc repeats, in-doc repeats,
+  * overlap coverage, short docs, whitespace docs), the doubling-vs-
+  * direct-gram equivalence at position grain on the sf0.001 fixture,
+  * and the denseIds primitive's order-consistency contract.
+  */
+class SuffixArraySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-suffix").toString
+    rows
+      .map { case (id, text) => (id, text, "en", "synthetic", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t65/t66 span geometry on a crafted corpus") {
+    val s = (1 to 20).map(i => s"s$i") // the 20-token run shared by A and B
+    val docA = ((1 to 4).map(i => s"p$i") ++ s ++ (1 to 6).map(i => s"q$i")).mkString(" ")
+    val docB = (s ++ (1 to 10).map(i => s"r$i")).mkString(" ")
+    val docC = (1 to 10).map(i => s"c$i").mkString(" ") // shorter than L
+    val t = (1 to 16).map(i => s"t$i")
+    val docD = (t ++ Seq("z") ++ t).mkString(" ") // in-doc repeat, 33 tokens
+    val dir = writeDocs(Seq(0L -> docA, 1L -> docB, 2L -> docC, 3L -> docD, 4L -> "   "))
+
+    val t65 = TextOps
+      .queries("t65_suffix_ranks")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    // A and B share S (20 tokens): 5 full 16-windows inside S each side
+    assert(t65(0L).getLong(1) == 30 && t65(0L).getLong(2) == 15 && t65(0L).getLong(3) == 5)
+    assert(t65(1L).getLong(1) == 30 && t65(1L).getLong(2) == 15 && t65(1L).getLong(3) == 5)
+    // C is shorter than the window: no full positions, NULL ratio
+    assert(t65(2L).getLong(2) == 0 && t65(2L).getLong(3) == 0 && t65(2L).isNullAt(4))
+    // D repeats its 16-token block at pos 1 and 18: exactly those 2 starts
+    assert(t65(3L).getLong(1) == 33 && t65(3L).getLong(2) == 18 && t65(3L).getLong(3) == 2)
+    // whitespace-only doc is present with zeros, not silently dropped
+    assert(t65(4L).getLong(1) == 0 && t65(4L).getLong(2) == 0)
+
+    val t66 = TextOps
+      .queries("t66_repeated_spans")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    // A: starts 5..9 merge into ONE maximal span covering exactly S
+    assert(t66(0L).getLong(2) == 20 && t66(0L).getLong(3) == 1 && t66(0L).getLong(4) == 10)
+    // B: starts 1..5 cover tokens 1..20
+    assert(t66(1L).getLong(2) == 20 && t66(1L).getLong(3) == 1 && t66(1L).getLong(4) == 10)
+    // C: untouched
+    assert(t66(2L).getLong(2) == 0 && t66(2L).getLong(3) == 0 && t66(2L).getLong(4) == 10)
+    // D: two disjoint spans (1..16 and 18..33) leave only the separator
+    assert(t66(3L).getLong(2) == 32 && t66(3L).getLong(3) == 2 && t66(3L).getLong(4) == 1)
+    // the whitespace doc has no token rows, so it is absent here — same
+    // as the oracle's generate_series(1, 0) emptiness
+    assert(!t66.contains(4L))
+  }
+
+  test("doubling ranks and direct 16-gram grouping agree at position grain (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    val L = TextOps.suffixSpanL
+    val rt = TextOps.suffixRankTable(spark, d)
+    val full = rt.filter(col("pos") + (L - 1) <= col("n_tokens"))
+    val byRank = full
+      .withColumn("grp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("r")))
+      .filter(col("grp") >= 2)
+      .select("doc_id", "pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val words = graft.sources.Tables
+      .documents(spark, d)
+      .select(col("doc_id"), graft.functions.F.wsTokens(col("text")).as("w"))
+    val grams = words
+      .filter(size(col("w")) >= L)
+      .withColumn("p", explode(sequence(lit(1), size(col("w")) - (L - 1))))
+      .select(
+        col("doc_id"),
+        col("p").cast("long").as("pos"),
+        concat_ws(" ", slice(col("w"), col("p"), lit(L))).as("g")
+      )
+    val dupG = grams
+      .withColumn("grp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("grp") >= 2)
+      .select("doc_id", "pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(byRank.nonEmpty, "fixture should contain at least one repeated span")
+    assert(byRank == dupG)
+  }
+
+  test("denseIds assigns order-consistent dense ids without a global window") {
+    import spark.implicits._
+    val df = Seq("b", "a", "b", "c", "a", "bb").toDF("k")
+    val ids = TextOps
+      .denseIds(df, Seq("k"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(ids == Map("a" -> 1L, "b" -> 2L, "bb" -> 3L, "c" -> 4L))
+    // two-column form: lexicographic over (r, rn)
+    val df2 = Seq((2L, 0L), (1L, 5L), (2L, 0L), (1L, 3L)).toDF("r", "rn")
+    val ids2 = TextOps
+      .denseIds(df2, Seq("r", "rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(ids2 == Map((1L, 3L) -> 1L, (1L, 5L) -> 2L, (2L, 0L) -> 3L))
+  }
+}
