@@ -1956,7 +1956,176 @@ object VectorOps {
       .orderBy("anchor_id", "rnk")
   }
 
+  /** v35/v36 trainer configuration: 4 batch-GD iterations over a bias +
+    * 7-dim feature slice at learning rate 0.5. Small on purpose — the
+    * oracle unrolls one CTE pair per iteration and one column per
+    * weight; the PLAN is invariant in both (one slim scan + one
+    * map-side-combined agg per iteration, whatever K and F are). */
+  val logregIters = 4
+  val logregFeatures = 7
+  val logregLr = 0.5
+
+  private def logregP: Int = logregFeatures + 1
+
+  /** The (bias, embedding dims, binary label) projection both the trainer
+    * and the scorer read: x0 = 1.0, x1..x7 = dims 0..6 widened
+    * float→double (exact). At 100 TB this is the ONLY shape the
+    * iterations touch — F+2 doubles per row, not the raw 64-dim vector.
+    *
+    * The target is the TEACHER rule y = [x1 + x2 > 0] rather than the
+    * fixture's label parity: the synthetic labels carry no linear signal
+    * in any dim (per-class means differ by ~0.01 — measured), so a
+    * parity-trained model degenerates to the majority class and the gate
+    * would certify a trainer that provably learned nothing. The teacher
+    * target has a known recoverable separator, so the correctness gate
+    * can also assert DESCENT (96% accuracy vs the 50% majority floor,
+    * weights concentrated on w1/w2 — spec-pinned). Real quality labels
+    * (human/LLM-annotated) swap in as a column, changing nothing in the
+    * plan. */
+  private[graft] def logregFeatureFrame(s: SparkSession, d: String): DataFrame = {
+    val x = (j: Int) => col("embedding").getItem(j - 1).cast("double")
+    val cols =
+      Seq(col("vec_id").cast("long").as("vec_id"), lit(1.0).as("x0")) ++
+        (1 to logregFeatures).map(j => x(j).as(s"x$j")) :+
+        when(x(1) + x(2) > 0, 1.0).otherwise(0.0).as("y")
+    Tables.embeddings(s, d).select(cols: _*)
+  }
+
+  /** The margin w·x under the CURRENT weights, built left-associated
+    * (w0*x0 + w1*x1 + ...) so the float addition order is pinned — the
+    * oracle writes the identical chain and IEEE doubles make the two
+    * engines agree bit for bit (no transcendentals anywhere in this
+    * family: the sigmoid is the RATIONAL z/(1+|z|) form). */
+  private def logregMargin(w: Array[Double]): Column =
+    (0 until logregP).map(j => lit(w(j)) * col(s"x$j")).reduceLeft(_ + _)
+
+  /** One GD iteration's gradient over `feats` under weights `w`: per-row
+    * error from the rational sigmoid, per-feature contribution floored
+    * to the 1e-9 integer grid, summed as BIGINTs — so the corpus-wide
+    * gradient is EXACT and independent of partitioning and summation
+    * order (the t62/m7d ledger discipline applied to learning).
+    * Returns (per-feature gradient sums ×1e9, row count). */
+  private[graft] def logregGradients(
+      feats: DataFrame,
+      w: Array[Double]
+  ): (Array[Long], Long) = {
+    val z = logregMargin(w)
+    val err = (lit(0.5) * (z / (lit(1.0) + abs(z)) + lit(1.0))) - col("y")
+    val aggs = (0 until logregP).map(j =>
+      sum(floor((col("err") * col(s"x$j")) * lit(1.0e9)).cast("long")).as(s"g$j")
+    ) :+ count(lit(1)).as("n")
+    val row = feats.withColumn("err", err).agg(aggs.head, aggs.tail: _*).collect()(0)
+    ((0 until logregP).map(row.getLong).toArray, row.getLong(logregP))
+  }
+
+  private val logregCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Int, Array[Long], Long, Array[Double])]]
+
+  /** Content fingerprint of `d/embeddings.parquet` — the bpeLedgerCache
+    * key discipline: a regenerated fixture dir yields fresh training,
+    * never silently stale weights. */
+  private def embeddingsSnapshot(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(d, "embeddings.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"$d|", "|", "")
+  }
+
+  /** The v35 trainer loop: K batch-GD iterations, each ONE slim-scan
+    * aggregation collecting a single (F+2)-column row; the weight vector
+    * is driver state like t62's merge picks. Memoized per fixture
+    * content so train-once-score-many (v36, the schema gate) reuses the
+    * picks. Returns per iteration (iter, gradient sums, n, weights
+    * AFTER the update). */
+  private def logregLedger(
+      s: SparkSession,
+      d: String
+  ): Seq[(Int, Array[Long], Long, Array[Double])] =
+    logregCache.getOrElseUpdate(
+      embeddingsSnapshot(d), {
+        val feats = logregFeatureFrame(s, d).cache()
+        try {
+          var w = Array.fill(logregP)(0.0)
+          val out = Seq.newBuilder[(Int, Array[Long], Long, Array[Double])]
+          for (it <- 1 to logregIters) {
+            val (g, n) = logregGradients(feats, w)
+            w = (0 until logregP).map { j =>
+              w(j) - logregLr * ((g(j).toDouble / n.toDouble) / 1.0e9)
+            }.toArray
+            out += ((it, g, n, w))
+          }
+          out.result()
+        } finally { feats.unpersist(); () }
+      }
+    )
+
+  /** v35 — supervised QUALITY-CLASSIFIER TRAINING (distributed batch
+    * gradient descent for logistic regression): the missing half of the
+    * corpus-filter story — t47 serves a linear model, v35 FITS one, the
+    * way the fastText-style quality classifiers behind DCLM / FineWeb-Edu
+    * filtering are fit on labeled documents. Emits the training ledger:
+    * per (iteration, weight) the exact integer gradient sum and the
+    * updated weight on the 1e-9 grid.
+    *
+    * Cross-engine determinism is designed, not hoped for: the sigmoid is
+    * the RATIONAL approximation 0.5·(z/(1+|z|)+1) — only +,*,/,abs, all
+    * IEEE-correctly-rounded, so both engines compute bit-equal doubles
+    * where exp() would drift by ULPs — and every per-row gradient
+    * contribution is floored to an integer before the sum, so the
+    * reduction is order-independent (same ledger whatever the partition
+    * count; spec-pinned). The oracle unrolls the SAME loop as CTE pairs
+    * generated from the same constants, so K and the update algebra
+    * cannot drift between engines.
+    *
+    * Scale: the corpus is projected ONCE to (bias, F dims, y) and
+    * cached; each iteration is one map-side-combined agg returning ONE
+    * row (F+1 longs). K scans of an (F+2)-double projection — the plan
+    * MLlib's own batch LBFGS/GD runs per step, with the model as driver
+    * state. Cost is K·F per row inside WholeStageCodegen; no shuffle
+    * beyond the F+1-column partial-agg exchange of 1 row per task. */
+  private def v35LogregFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    logregLedger(s, d)
+      .flatMap { case (it, g, _, w) =>
+        (0 until logregP).map { j =>
+          (it.toLong, j.toLong, g(j), math.floor(w(j) * 1.0e9).toLong)
+        }
+      }
+      .toDF("iter", "j", "g_sum", "w_after9")
+      .orderBy("iter", "j")
+  }
+
+  /** v36 — the trained classifier's SCORING pass + confusion matrix:
+    * v35's final weights ride the scan as literals (join-free, the t47
+    * serving plan with LEARNED weights), every vector gets its margin
+    * z = w·x, and the output is the (true label, predicted) confusion
+    * matrix with exact integer margin sums. The decision threshold is
+    * z ≥ 0 — the rational sigmoid crosses 0.5 exactly at z = 0, so the
+    * verdict needs no float comparison beyond the sign. */
+  private def v36LogregScore(s: SparkSession, d: String): DataFrame = {
+    val w = logregLedger(s, d).last._4
+    logregFeatureFrame(s, d)
+      .withColumn("z", logregMargin(w))
+      .select(
+        col("y").cast("long").as("label_bin"),
+        (col("z") >= 0).cast("long").as("pred_pos"),
+        col("z")
+      )
+      .groupBy("label_bin", "pred_pos")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("z") * lit(1.0e9)).cast("long")).as("sum_margin9")
+      )
+      .orderBy("label_bin", "pred_pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "v35_logreg_fit" -> (v35LogregFit _),
+    "v36_logreg_score" -> (v36LogregScore _),
     "v27_hard_negatives" -> (v27HardNegatives _),
     "v26_hamming_rerank" -> (v26HammingRerank _),
     "v24_hamming_ann" -> (v24HammingAnn _),
@@ -2538,7 +2707,95 @@ object VectorOps {
        |), $steps""".stripMargin
   }
 
+  /** The v35 trainer unrolled as CTE pairs (g_i = exact integer gradient
+    * sums under w_{i-1}; w_i = the update), GENERATED from the same
+    * constants as the Spark loop so iteration count, feature slice and
+    * update algebra cannot drift. Weight tables are ONE-ROW pivoted CTEs
+    * (w0..w7 as columns), so the margin is the same left-associated
+    * `w0*x0 + w1*x1 + ...` chain the Spark side builds — the float
+    * addition order is pinned on both engines. */
+  private def logregOracleCtes: String = {
+    val p = logregP
+    val sb = new StringBuilder
+    sb.append(
+      s"""feats AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, 1.0 AS x0,
+         |    ${(1 to logregFeatures)
+          .map(j => s"CAST(embedding[$j] AS DOUBLE) AS x$j")
+          .mkString(",\n    ")},
+         |    CASE WHEN CAST(embedding[1] AS DOUBLE)
+         |             + CAST(embedding[2] AS DOUBLE) > 0
+         |         THEN 1.0 ELSE 0.0 END AS y
+         |  FROM embeddings
+         |), w0t AS (SELECT ${(0 until p).map(j => s"0.0 AS w$j").mkString(", ")})""".stripMargin
+    )
+    for (it <- 1 to logregIters) {
+      val prevW = if (it == 1) "w0t" else s"w${it - 1}t"
+      val zExpr = (0 until p).map(j => s"w.w$j * f.x$j").mkString(" + ")
+      sb.append(
+        s""",
+           |g$it AS (
+           |  SELECT ${(0 until p)
+            .map(j =>
+              s"CAST(sum(CAST(floor((err * x$j) * 1000000000.0) AS BIGINT)) AS BIGINT) AS g$j")
+            .mkString(",\n    ")},
+           |    count(*) AS n
+           |  FROM (
+           |    SELECT 0.5 * (z / (1.0 + abs(z)) + 1.0) - y AS err,
+           |      ${(0 until p).map(j => s"x$j").mkString(", ")}
+           |    FROM (SELECT $zExpr AS z, f.* FROM feats f CROSS JOIN $prevW w)
+           |  )
+           |),
+           |w${it}t AS (
+           |  SELECT ${(0 until p)
+            .map(j =>
+              s"w.w$j - $logregLr * ((CAST(g.g$j AS DOUBLE) / CAST(g.n AS DOUBLE)) / 1000000000.0) AS w$j")
+            .mkString(",\n    ")}
+           |  FROM $prevW w CROSS JOIN g$it g
+           |)""".stripMargin
+      )
+    }
+    sb.toString
+  }
+
+  private def v35OracleSql: String = {
+    val p = logregP
+    val iterSelects = (1 to logregIters)
+      .map { it =>
+        s"""SELECT CAST($it AS BIGINT) AS iter,
+           |  unnest([${(0 until p).map(j => s"CAST($j AS BIGINT)").mkString(", ")}]) AS j,
+           |  unnest([${(0 until p).map(j => s"g.g$j").mkString(", ")}]) AS g_sum,
+           |  unnest([${(0 until p)
+            .map(j => s"CAST(floor(w.w$j * 1000000000.0) AS BIGINT)")
+            .mkString(", ")}]) AS w_after9
+           |FROM g$it g CROSS JOIN w${it}t w""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${logregOracleCtes}
+       |SELECT * FROM (
+       |$iterSelects
+       |) ORDER BY iter, j""".stripMargin
+  }
+
+  private def v36OracleSql: String = {
+    val p = logregP
+    val zExpr = (0 until p).map(j => s"w.w$j * f.x$j").mkString(" + ")
+    s"""WITH ${logregOracleCtes},
+       |scored AS (
+       |  SELECT f.y, $zExpr AS z
+       |  FROM feats f CROSS JOIN w${logregIters}t w
+       |)
+       |SELECT CAST(y AS BIGINT) AS label_bin,
+       |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_pos,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(floor(z * 1000000000.0) AS BIGINT)) AS BIGINT)
+       |    AS sum_margin9
+       |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "v35_logreg_fit" -> v35OracleSql,
+    "v36_logreg_score" -> v36OracleSql,
     // identical position-indexed sign packing (bit 31 max — no sign-bit
     // shifts, so overflow-checked BIGINT agrees with Spark), then
     // XOR+popcount ranking; every output column is an integer
