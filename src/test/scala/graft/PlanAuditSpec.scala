@@ -331,6 +331,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"v33 grew a join:\n$p")
   }
 
+  test("v36 serves the trained model join-free — weights ride the scan as literals") {
+    // the learned weights must compile into the margin expression (t47's
+    // serving shape); a Join means the model regressed to a weight-table
+    // join, which shuffles the corpus at 100 TB for an 8-row side
+    val p = plan("v36_logreg_score")
+    assert(!p.contains("Join"), s"v36 grew a join:\n$p")
+  }
+
+  test("the doubling-rank primitive range-exchanges and ranks per partition") {
+    // denseIds' contract (t65/t66's inner loop): the rank assignment
+    // range-partitions the distinct keys and ranks inside each partition
+    // in parallel; losing the range exchange means a global dense_rank
+    // funneled the corpus through one task. The only SinglePartition
+    // exchange permitted is the P-row partition census. (t65's FINAL plan
+    // hides these stages behind its localCheckpoint lineage cuts, so the
+    // pin targets the primitive's own plan.)
+    val df = spark.range(1000).selectExpr("id % 37 AS r", "id % 11 AS rn")
+    val p = graft.operators.TextOps
+      .denseIds(df, Seq("r", "rn"))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(p.contains("rangepartitioning"), s"denseIds lost its range exchange:\n$p")
+    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 1, s"denseIds grew $singles single-partition exchanges:\n$p")
+    assert(p.contains("row_number"), s"denseIds lost its per-partition ranking:\n$p")
+  }
+
   test("v22's edge list is built once and cached across rank iterations") {
     // three power iterations re-read the kNN edges; without the cache the
     // whole IVF fit + probe + rank pipeline (the most expensive subplan
