@@ -3235,40 +3235,32 @@ object TextOps {
     * a power of two so the doubling loop lands on it exactly. */
   val suffixSpanL = 16
 
-  /** Order-consistent dense ids 1..N for the DISTINCT `keys` rows of
-    * `df`, with NO global window and NO driver collect: range-exchange
-    * the distinct keys (equal keys land in one partition by the range
-    * partitioner's contract), rank inside each range partition — the
-    * windows run in parallel because they partition on the range
-    * partition id — then shift each partition's local ranks by a prefix
-    * sum over the P-row partition census (P = shuffle partitions; the
-    * census window is single-partition but bounded by P, never by data).
-    * The ids depend only on the global sort order of the distinct keys,
-    * so they are deterministic whatever boundaries the range sampler
-    * picks. This is the scalable dense_rank the suffix-doubling loop
-    * needs — a naive `dense_rank() OVER (ORDER BY ...)` would funnel the
-    * corpus through one task. */
+  /** Order-consistent unique ids (≥ 1) for the DISTINCT `keys` rows of
+    * `df`, with NO global window and NO driver collect: dedup the keys
+    * (which also bounds skew — a corpus-hot key becomes ONE row), range-
+    * exchange them, sort inside each range partition, and read the id
+    * straight off `monotonically_increasing_id()` (partition index in
+    * the high bits, in-partition ordinal in the low bits — on range-
+    * sorted input that IS a global order embedding). Ids are strictly
+    * increasing with key order but not dense (gaps across partitions),
+    * which is all the doubling loop needs: rank comparisons are equality
+    * + the 0 sentinel staying below every real id.
+    *
+    * The first cut ranked per-partition with a window keyed on
+    * spark_partition_id plus a census prefix-sum join; the window forced
+    * a SECOND full exchange (hash on _pid right after the range
+    * exchange), the census a SinglePartition exchange and a broadcast
+    * join back — measured at 3 extra stages per doubling round. The mid
+    * form is one exchange and zero joins. A naive global
+    * `dense_rank() OVER (ORDER BY ...)` remains wrong at any scale: it
+    * funnels the corpus through one task. */
   private[graft] def denseIds(df: DataFrame, keys: Seq[String]): DataFrame = {
     val kcols = keys.map(col)
-    val parts = df
-      .select(kcols: _*)
+    df.select(kcols: _*)
       .distinct()
       .repartitionByRange(kcols: _*)
-      .withColumn("_pid", spark_partition_id())
-    val wLocal = Window.partitionBy("_pid").orderBy(kcols: _*)
-    val local = parts.withColumn("_lr", row_number().over(wLocal).cast("long"))
-    val wOff = Window
-      .orderBy("_pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local
-      .groupBy("_pid")
-      .agg(max("_lr").as("_n"))
-      .withColumn("_off", coalesce(sum("_n").over(wOff), lit(0L)))
-      .select("_pid", "_off")
-    local
-      .join(broadcast(offsets), "_pid")
-      .withColumn("rank_id", col("_off") + col("_lr"))
-      .select(kcols :+ col("rank_id"): _*)
+      .sortWithinPartitions(kcols: _*)
+      .withColumn("rank_id", monotonically_increasing_id() + 1L)
   }
 
   /** Token-level suffix ranks by PREFIX DOUBLING, refined to depth
@@ -3304,7 +3296,13 @@ object TextOps {
     * (pDC3 and friends materialize between rounds). The table is memoized
     * per (session, fixture content) so t65 and t66 share one build.
     *
-    * Returns (doc_id, n_tokens, pos 1-based, r). */
+    * The LAST round is rank-free: depth-16 equality is exactly equality
+    * of the depth-8 PAIR (r, r 8 ahead), so the final table carries the
+    * pair as two columns and consumers group on (r, rn) — the whole
+    * fourth ranking round (distinct + exchange + join-back) never runs.
+    *
+    * Returns (doc_id, n_tokens, pos 1-based, r, rn) where (r, rn) is the
+    * depth-16 window identity. */
   private[graft] def suffixRankTable(s: SparkSession, d: String): DataFrame =
     suffixRankCache.getOrElseUpdate(
       (System.identityHashCode(s), documentsSnapshot(d)), {
@@ -3320,9 +3318,9 @@ object TextOps {
           .join(denseIds(tokpos.select("tok"), Seq("tok")), "tok")
           .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
         var cur = r0.localCheckpoint()
+        val wdoc = Window.partitionBy("doc_id").orderBy("pos")
         var step = 1
-        while (step < suffixSpanL) {
-          val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        while (step * 2 < suffixSpanL) {
           val paired = cur.withColumn(
             "rn",
             coalesce(lead("r", step).over(wdoc), lit(0L))
@@ -3334,6 +3332,8 @@ object TextOps {
           step *= 2
         }
         cur
+          .withColumn("rn", coalesce(lead("r", step).over(wdoc), lit(0L)))
+          .localCheckpoint()
       }
     )
 
@@ -3359,7 +3359,7 @@ object TextOps {
   private def t65SuffixRanks(s: SparkSession, d: String): DataFrame = {
     val L = suffixSpanL
     val rt = suffixRankTable(s, d)
-    val wR = Window.partitionBy("r")
+    val wR = Window.partitionBy("r", "rn")
     val flagged = rt
       .withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
       .withColumn("grp_full", sum("fullp").over(wR))
@@ -3400,7 +3400,7 @@ object TextOps {
   private def t66RepeatedSpans(s: SparkSession, d: String): DataFrame = {
     val L = suffixSpanL
     val rt = suffixRankTable(s, d)
-    val wR = Window.partitionBy("r")
+    val wR = Window.partitionBy("r", "rn")
     val marked = rt
       .withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
       .withColumn("grp_full", sum("fullp").over(wR))

