@@ -1956,6 +1956,72 @@ object VectorOps {
       .orderBy("anchor_id", "rnk")
   }
 
+  /** v37 — BM25 top-k lexical retrieval: the standard probabilistic
+    * lexical scorer (k1 = 1.2, b = 0.75) that v14's tf·idf arm
+    * approximates — term-frequency SATURATION (a 50th occurrence adds
+    * almost nothing) and document-LENGTH normalization (a match in a
+    * short doc outweighs the same match in a long one), neither of which
+    * tf·idf has. Queries are the doc_id < 10 probe docs; output is
+    * (query_id, rnk, doc_id, score6), top-5.
+    *
+    * Determinism discipline: idf6 = round(ln(1+(N−df+0.5)/(df+0.5))·1e6)
+    * as an integer (v14's ln anchor pattern, with Lucene's +1 floor —
+    * idf stays positive at ANY df, so no model-side term drop is needed;
+    * the driver fixture's 31-term vocabulary would otherwise empty 9 of
+    * 10 queries, exactly the degeneracy the +1 exists to avoid); the
+    * saturation factor is pure +,*,/ on doubles in a pinned expression
+    * order (bit-equal across engines); each term's contribution floors
+    * to an integer BEFORE the per-(query, doc) sum, so the aggregation
+    * is order-independent.
+    *
+    * Scale: v14's inverted-index shape — tf/df aggregations on the term
+    * key, broadcast query side, candidates bounded by shared terms.
+    * Hot-term COST capping stays available through the same dictionary
+    * (v14/v14b's df cap + observability) when a deployment wants it; the
+    * SCORING model itself no longer forces one. The length norm adds one
+    * doc-keyed join against the corpus-sized dl table, co-partitioned
+    * with the candidate aggregation's own key. */
+  private def v37Bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (tf0, dftN) = termTfAndDict(docs)
+    // tf feeds four consumers (dictionary weights, dl, the corpus total,
+    // the query side) — cache it or the tokenize+agg re-derives per
+    // branch (measured 20.8 s → 4.7 s single-run at sf1)
+    val tf = tf0.cache()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tot = dl.agg(sum("dl").as("sum_dl"))
+    val wt = tf
+      .join(dftN, "term")
+      .withColumn(
+        "idf6",
+        round(
+          log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) * 1e6
+        ).cast("long")
+      )
+    val qterms = wt
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val sat = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        ((col("dl").cast("double") * col("n_docs")) / col("sum_dl"))))
+    val wTop = Window
+      .partitionBy("query_id")
+      .orderBy(col("score6").desc, col("doc_id").asc)
+    broadcast(qterms)
+      .join(wt.select(col("doc_id"), col("term"), col("tf"), col("n_docs"), col("idf6")), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib6", floor(col("idf6").cast("double") * sat).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib6").as("score6"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "rnk", "doc_id", "score6")
+      .orderBy("query_id", "rnk")
+  }
+
   /** v35/v36 trainer configuration: 4 batch-GD iterations over a bias +
     * 7-dim feature slice at learning rate 0.5. Small on purpose — the
     * oracle unrolls one CTE pair per iteration and one column per
@@ -2126,6 +2192,7 @@ object VectorOps {
   val queries: Map[String, Q] = Map(
     "v35_logreg_fit" -> (v35LogregFit _),
     "v36_logreg_score" -> (v36LogregScore _),
+    "v37_bm25_topk" -> (v37Bm25Topk _),
     "v27_hard_negatives" -> (v27HardNegatives _),
     "v26_hamming_rerank" -> (v26HammingRerank _),
     "v24_hamming_ann" -> (v24HammingAnn _),
@@ -2796,6 +2863,50 @@ object VectorOps {
   val oracles: Map[String, String] = Map(
     "v35_logreg_fit" -> v35OracleSql,
     "v36_logreg_score" -> v36OracleSql,
+    // BM25 with the v14 dictionary conventions: idf6 is the rounded-ln
+    // integer anchor (Lucene +1 floor: positive at any df, no term
+    // drop), the saturation factor repeats the Spark side's pinned
+    // double expression order, and contributions floor to integers
+    // BEFORE the sum so neither engine's aggregation order matters.
+    "v37_bm25_topk" ->
+      s"""WITH toksq AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> length(x) > 0)) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM toksq GROUP BY 1, 2
+         ), dft AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), n AS (
+           SELECT count(*) AS n_docs FROM documents
+         ), dlt AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(dl) AS BIGINT) AS sum_dl FROM dlt
+         ), wt AS (
+           SELECT doc_id, term, tf, n_docs,
+             CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+                           / (df + 0.5)) * 1e6) AS BIGINT) AS idf6
+           FROM tf JOIN dft USING (term) CROSS JOIN n
+         ), scored AS (
+           SELECT q.doc_id AS query_id, c.doc_id,
+             CAST(sum(CAST(floor(CAST(c.idf6 AS DOUBLE) *
+               ((c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 *
+                 ((CAST(d.dl AS DOUBLE) * c.n_docs) / t.sum_dl))))
+             ) AS BIGINT)) AS BIGINT) AS score6
+           FROM wt q JOIN wt c USING (term)
+             JOIN dlt d ON d.doc_id = c.doc_id
+             CROSS JOIN tot t
+           WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT query_id, rnk, doc_id, score6 FROM (
+           SELECT query_id, doc_id, score6, CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score6 DESC, doc_id) AS BIGINT)
+             AS rnk
+           FROM scored) WHERE rnk <= 5
+         ORDER BY query_id, rnk""",
     // identical position-indexed sign packing (bit 31 max — no sign-bit
     // shifts, so overflow-checked BIGINT agrees with Spark), then
     // XOR+popcount ranking; every output column is an integer
