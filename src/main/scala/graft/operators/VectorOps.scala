@@ -2075,13 +2075,14 @@ object VectorOps {
       feats: DataFrame,
       w: Array[Double]
   ): (Array[Long], Long) = {
-    val z = logregMargin(w)
+    val p = w.length
+    val z = (0 until p).map(j => lit(w(j)) * col(s"x$j")).reduceLeft(_ + _)
     val err = (lit(0.5) * (z / (lit(1.0) + abs(z)) + lit(1.0))) - col("y")
-    val aggs = (0 until logregP).map(j =>
+    val aggs = (0 until p).map(j =>
       sum(floor((col("err") * col(s"x$j")) * lit(1.0e9)).cast("long")).as(s"g$j")
     ) :+ count(lit(1)).as("n")
     val row = feats.withColumn("err", err).agg(aggs.head, aggs.tail: _*).collect()(0)
-    ((0 until logregP).map(row.getLong).toArray, row.getLong(logregP))
+    ((0 until p).map(row.getLong).toArray, row.getLong(p))
   }
 
   private val logregCache =
