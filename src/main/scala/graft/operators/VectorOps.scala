@@ -2048,13 +2048,19 @@ object VectorOps {
     * weights concentrated on w1/w2 — spec-pinned). Real quality labels
     * (human/LLM-annotated) swap in as a column, changing nothing in the
     * plan. */
-  private[graft] def logregFeatureFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def logregFeatureFrame(s: SparkSession, d: String): DataFrame =
+    logregProject(Tables.embeddings(s, d))
+
+  /** The projection applied to ANY (vec_id, embedding) frame — shared
+    * with the streaming trainer so batch and stream score the identical
+    * feature/label definition. */
+  private[graft] def logregProject(df: DataFrame): DataFrame = {
     val x = (j: Int) => col("embedding").getItem(j - 1).cast("double")
     val cols =
       Seq(col("vec_id").cast("long").as("vec_id"), lit(1.0).as("x0")) ++
         (1 to logregFeatures).map(j => x(j).as(s"x$j")) :+
         when(x(1) + x(2) > 0, 1.0).otherwise(0.0).as("y")
-    Tables.embeddings(s, d).select(cols: _*)
+    df.select(cols: _*)
   }
 
   /** The margin w·x under the CURRENT weights, built left-associated
