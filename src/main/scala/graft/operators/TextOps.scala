@@ -3296,16 +3296,29 @@ object TextOps {
     * (pDC3 and friends materialize between rounds). The table is memoized
     * per (session, fixture content) so t65 and t66 share one build.
     *
-    * The LAST round is rank-free: depth-16 equality is exactly equality
-    * of the depth-8 PAIR (r, r 8 ahead), so the final table carries the
-    * pair as two columns and consumers group on (r, rn) — the whole
-    * fourth ranking round (distinct + exchange + join-back) never runs.
+    * The LAST round is rank-free, which is also what makes ARBITRARY
+    * span lengths exact (Lee et al. run L = 50, not a power of two):
+    * rounds double only while 2·depth < L, and the final table carries
+    * the OVERLAPPING-window pair (r_depth[i], r_depth[i + L − depth]).
+    * Since 2·depth ≥ L at loop exit, the two depth-windows cover
+    * [0, L) with overlap, so pair equality between FULL-length
+    * positions ⟺ first-L-token equality — the classic overlapping-
+    * window argument, and for L = 16 exactly the (depth 8, offset 8)
+    * pair. The whole last ranking round (distinct + exchange +
+    * join-back) never runs at any L.
     *
-    * Returns (doc_id, n_tokens, pos 1-based, r, rn) where (r, rn) is the
-    * depth-16 window identity. */
-  private[graft] def suffixRankTable(s: SparkSession, d: String): DataFrame =
+    * Returns (doc_id, n_tokens, pos 1-based, r, rn) where (r, rn) is
+    * the depth-`spanL` window identity (valid for verdicts on positions
+    * with ≥ spanL tokens remaining — shorter tails pad with the 0
+    * sentinel and are excluded by the consumers' fullp filter). */
+  private[graft] def suffixRankTable(
+      s: SparkSession,
+      d: String,
+      spanL: Int = suffixSpanL
+  ): DataFrame = {
+    require(spanL >= 2, s"suffixRankTable: span must be >= 2, got $spanL")
     suffixRankCache.getOrElseUpdate(
-      (System.identityHashCode(s), documentsSnapshot(d)), {
+      (System.identityHashCode(s), documentsSnapshot(d), spanL), {
         val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
         val tokpos = words
           .select(
@@ -3319,26 +3332,29 @@ object TextOps {
           .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
         var cur = r0.localCheckpoint()
         val wdoc = Window.partitionBy("doc_id").orderBy("pos")
-        var step = 1
-        while (step * 2 < suffixSpanL) {
+        var depth = 1
+        while (depth * 2 < spanL) {
           val paired = cur.withColumn(
             "rn",
-            coalesce(lead("r", step).over(wdoc), lit(0L))
+            coalesce(lead("r", depth).over(wdoc), lit(0L))
           )
           cur = paired
             .join(denseIds(paired.select("r", "rn"), Seq("r", "rn")), Seq("r", "rn"))
             .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
             .localCheckpoint()
-          step *= 2
+          depth *= 2
         }
+        // overlapping-window pair: offsets 0 and spanL − depth cover
+        // [0, spanL) because 2·depth ≥ spanL here
         cur
-          .withColumn("rn", coalesce(lead("r", step).over(wdoc), lit(0L)))
+          .withColumn("rn", coalesce(lead("r", spanL - depth).over(wdoc), lit(0L)))
           .localCheckpoint()
       }
     )
+  }
 
   private val suffixRankCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
 
   /** t65 — SUFFIX-RANK duplicate profile: how much of each document sits
     * under a 16-token window that appears elsewhere in the corpus. The

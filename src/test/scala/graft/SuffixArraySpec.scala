@@ -102,6 +102,44 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(byRank == dupG)
   }
 
+  test("arbitrary (non-power-of-two) spans: L=20 pair identity equals direct 20-grams") {
+    // the overlapping-window theorem at Lee et al.'s kind of span length:
+    // rounds stop at depth 16, the final pair reads offsets (0, 4), and
+    // the dup-position set must equal direct 20-gram grouping exactly
+    val d = "/root/testdata/sf0.001"
+    val L = 20
+    val rt = TextOps.suffixRankTable(spark, d, spanL = L)
+    val byRank = rt
+      .filter(col("pos") + (L - 1) <= col("n_tokens"))
+      .withColumn("grp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("r", "rn")))
+      .filter(col("grp") >= 2)
+      .select("doc_id", "pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val words = graft.sources.Tables
+      .documents(spark, d)
+      .select(col("doc_id"), graft.functions.F.wsTokens(col("text")).as("w"))
+    val dupG = words
+      .filter(size(col("w")) >= L)
+      .withColumn("p", explode(sequence(lit(1), size(col("w")) - (L - 1))))
+      .select(
+        col("doc_id"),
+        col("p").cast("long").as("pos"),
+        concat_ws(" ", slice(col("w"), col("p"), lit(L))).as("g")
+      )
+      .withColumn("grp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("grp") >= 2)
+      .select("doc_id", "pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(dupG.nonEmpty, "fixture should contain a repeated 20-token span")
+    assert(byRank == dupG)
+  }
+
   test("denseIds assigns order-consistent unique ids ≥ 1 without a global window") {
     import spark.implicits._
     val df = Seq("b", "a", "b", "c", "a", "bb").toDF("k")
