@@ -3254,7 +3254,7 @@ object TextOps {
     * form is one exchange and zero joins. A naive global
     * `dense_rank() OVER (ORDER BY ...)` remains wrong at any scale: it
     * funnels the corpus through one task. */
-  private[graft] def denseIds(df: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def orderIds(df: DataFrame, keys: Seq[String]): DataFrame = {
     val kcols = keys.map(col)
     df.select(kcols: _*)
       .distinct()
@@ -3270,7 +3270,7 @@ object TextOps {
     * (Manber–Myers doubling re-expressed as log L Spark rounds): rank_1
     * = dense token id; each round pairs every position's rank with the
     * rank `step` ahead in ITS document (`lead` over the doc window — no
-    * self-join) and re-ranks the pairs with [[denseIds]]. Suffixes never
+    * self-join) and re-ranks the pairs with [[orderIds]]. Suffixes never
     * cross documents (rank 0 pads past the doc end — the concatenated-
     * corpus separator of the suffix-array dedup literature).
     *
@@ -3328,7 +3328,7 @@ object TextOps {
           )
           .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
         val r0 = tokpos
-          .join(denseIds(tokpos.select("tok"), Seq("tok")), "tok")
+          .join(orderIds(tokpos.select("tok"), Seq("tok")), "tok")
           .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
         var cur = r0.localCheckpoint()
         val wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -3339,7 +3339,7 @@ object TextOps {
             coalesce(lead("r", depth).over(wdoc), lit(0L))
           )
           cur = paired
-            .join(denseIds(paired.select("r", "rn"), Seq("r", "rn")), Seq("r", "rn"))
+            .join(orderIds(paired.select("r", "rn"), Seq("r", "rn")), Seq("r", "rn"))
             .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
             .localCheckpoint()
           depth *= 2

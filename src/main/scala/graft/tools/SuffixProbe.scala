@@ -36,7 +36,7 @@ object SuffixProbe {
           posexplode(col("w")).as(Seq("p0", "tok")))
         .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
       val r0 = tokpos
-        .join(graft.operators.TextOps.denseIds(tokpos.select("tok"), Seq("tok")), "tok")
+        .join(graft.operators.TextOps.orderIds(tokpos.select("tok"), Seq("tok")), "tok")
         .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
       var cur = t("r0 checkpoint")(r0.localCheckpoint())
       val wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -44,7 +44,7 @@ object SuffixProbe {
       while (step * 2 < 16) {
         val paired = cur.withColumn("rn", coalesce(lead("r", step).over(wdoc), lit(0L)))
         val next = paired
-          .join(graft.operators.TextOps.denseIds(paired.select("r", "rn"), Seq("r", "rn")), Seq("r", "rn"))
+          .join(graft.operators.TextOps.orderIds(paired.select("r", "rn"), Seq("r", "rn")), Seq("r", "rn"))
           .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
         cur = t(s"round step=$step checkpoint")(next.localCheckpoint())
         step *= 2

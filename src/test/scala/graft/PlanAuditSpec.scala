@@ -340,7 +340,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("the doubling-rank primitive is dedup + range exchange — no window, no join") {
-    // denseIds' contract (t65/t66's inner loop): dedup the keys (skew
+    // orderIds' contract (t65/t66's inner loop): dedup the keys (skew
     // bound), range-exchange, sort within partitions, read the id off
     // monotonically_increasing_id. Any Window/Join/SinglePartition node
     // here means the primitive regressed toward the census/global-rank
@@ -350,14 +350,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // lineage cuts, so the pin targets the primitive's own plan.)
     val df = spark.range(1000).selectExpr("id % 37 AS r", "id % 11 AS rn")
     val p = graft.operators.TextOps
-      .denseIds(df, Seq("r", "rn"))
+      .orderIds(df, Seq("r", "rn"))
       .queryExecution
       .executedPlan
       .toString
-    assert(p.contains("rangepartitioning"), s"denseIds lost its range exchange:\n$p")
-    assert(!p.contains("Exchange SinglePartition"), s"denseIds grew a global funnel:\n$p")
-    assert(!p.contains("Window") && !p.contains("Join"), s"denseIds grew extra stages:\n$p")
-    assert(p.contains("monotonically_increasing_id"), s"denseIds lost its inline ids:\n$p")
+    assert(p.contains("rangepartitioning"), s"orderIds lost its range exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"orderIds grew a global funnel:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), s"orderIds grew extra stages:\n$p")
+    assert(p.contains("monotonically_increasing_id"), s"orderIds lost its inline ids:\n$p")
   }
 
   test("v22's edge list is built once and cached across rank iterations") {

@@ -9,7 +9,7 @@ import graft.operators.TextOps
   * geometry on a crafted corpus (cross-doc repeats, in-doc repeats,
   * overlap coverage, short docs, whitespace docs), the doubling-vs-
   * direct-gram equivalence at position grain on the sf0.001 fixture,
-  * and the denseIds primitive's order-consistency contract.
+  * and the orderIds primitive's order-consistency contract.
   */
 class SuffixArraySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -140,11 +140,11 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(byRank == dupG)
   }
 
-  test("denseIds assigns order-consistent unique ids ≥ 1 without a global window") {
+  test("orderIds assigns order-consistent unique ids ≥ 1 without a global window") {
     import spark.implicits._
     val df = Seq("b", "a", "b", "c", "a", "bb").toDF("k")
     val ids = TextOps
-      .denseIds(df, Seq("k"))
+      .orderIds(df, Seq("k"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
@@ -157,7 +157,7 @@ class SuffixArraySpec extends AnyFunSuite {
     // two-column form: lexicographic over (r, rn)
     val df2 = Seq((2L, 0L), (1L, 5L), (2L, 0L), (1L, 3L)).toDF("r", "rn")
     val ids2 = TextOps
-      .denseIds(df2, Seq("r", "rn"))
+      .orderIds(df2, Seq("r", "rn"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
