@@ -1983,11 +1983,17 @@ object VectorOps {
     * with the candidate aggregation's own key. */
   private def v37Bm25Topk(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val (tf0, dftN) = termTfAndDict(docs)
-    // tf feeds four consumers (dictionary weights, dl, the corpus total,
-    // the query side) — cache it or the tokenize+agg re-derives per
-    // branch (measured 20.8 s → 4.7 s single-run at sf1)
-    val tf = tf0.cache()
+    // tf feeds every consumer (dictionary df, dl, the corpus total, the
+    // query side) — cache it, and derive df from the CACHED frame, or
+    // the tokenize+agg re-derives per branch (the first cut took
+    // termTfAndDict's df off the uncached tf and measured 20.8 s
+    // single-run at sf1; caching tf alone still left two re-derivations
+    // through the df lineage)
+    val tf = termTfAndDict(docs)._1.cache()
+    val dftN = tf
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val tot = dl.agg(sum("dl").as("sum_dl"))
     val wt = tf
@@ -2159,7 +2165,13 @@ object VectorOps {
     * row (F+1 longs). K scans of an (F+2)-double projection — the plan
     * MLlib's own batch LBFGS/GD runs per step, with the model as driver
     * state. Cost is K·F per row inside WholeStageCodegen; no shuffle
-    * beyond the F+1-column partial-agg exchange of 1 row per task. */
+    * beyond the F+1-column partial-agg exchange of 1 row per task.
+    * Multiclass (the FineWeb-Edu-style 0–5 scorer) is the same plan with
+    * C·(F+1) sum columns in the one agg — one-vs-rest trains every class
+    * in the same single scan per iteration; it is not declared as a query
+    * because the fixture labels carry no linear signal to recover
+    * (measured 12.8% one-vs-rest accuracy on all 64 dims vs the 10%
+    * floor — the gate would certify noise). */
   private def v35LogregFit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     logregLedger(s, d)

@@ -49,9 +49,10 @@ object StreamingLogreg {
     @volatile private var wCur: Array[Double] = Array.fill(p)(0.0)
     private val applied = scala.collection.mutable.SortedSet.empty[Long]
 
-    // resume: replay the persisted ledger (dedup on batch_id — a retried
-    // append can leave a duplicate file; max(step) per id wins, though
-    // rows for one id are identical by determinism)
+    // resume: replay the persisted ledger in batch order (dedup on
+    // batch_id — a retried append can leave a duplicate file; the first
+    // occurrence wins, and rows for one id are identical anyway because
+    // the step is a deterministic function of (batch rows, weights))
     locally {
       val dir = new java.io.File(ledgerDir)
       if (dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet"))) {

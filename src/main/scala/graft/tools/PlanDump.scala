@@ -12,7 +12,7 @@ object PlanDump {
       val p = graft.SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
       println(p.linesIterator.filter(l =>
         l.contains("Join") || l.contains("Exchange") || l.contains("Scan parquet") ||
-        l.contains("Window") || l.contains("HashAggregate") || l.contains("Reused")).mkString("\n"))
+        l.contains("Window") || l.contains("HashAggregate") || l.contains("Reused") || l.contains("InMemory")).mkString("\n"))
     }
     spark.stop()
   }
