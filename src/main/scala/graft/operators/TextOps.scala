@@ -3337,24 +3337,51 @@ object TextOps {
         // (the next round's window), so it stays lazy. Same reasoning
         // checkpoints tokpos: the token ranking branches over it.
         val tp = tokpos.localCheckpoint()
+        val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        val wGrp = Window.partitionBy("r")
+        // amb = this position's CURRENT rank group still has company.
+        // The textbook prefix-doubling refinement: positions whose rank
+        // is already unique corpus-wide ("settled") can never become
+        // dup starts and never need re-ranking — only the lead window
+        // stays O(n) per round; the distinct/range/join-back exchanges
+        // shrink to the ambiguous minority, which collapses fast on
+        // real corpora (most depth-8 windows are unique). Settled rows
+        // keep their old rank; new ids are tagged with the round depth
+        // in the high bits, so kept and fresh ids can never collide —
+        // equality is the only contract the final pair grouping needs.
+        // Two positions sharing their first spanL tokens stay in one
+        // group at every depth < spanL, so both remain ambiguous and
+        // re-key together: dup detection is EXACT, not approximated
+        // (pinned by the L=16/L=20 direct-gram differentials).
         var cur = tp
           .join(orderIds(tp.select("tok"), Seq("tok")), "tok")
           .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
-        val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+          .withColumn("amb", count(lit(1)).over(wGrp) > 1)
         var depth = 1
         while (depth * 2 < spanL) {
           val paired = cur
             .withColumn("rn", coalesce(lead("r", depth).over(wdoc), lit(0L)))
             .localCheckpoint()
-          cur = paired
-            .join(orderIds(paired.select("r", "rn"), Seq("r", "rn")), Seq("r", "rn"))
+          val ambRows = paired.filter(col("amb"))
+          val tagged = orderIds(ambRows.select("r", "rn"), Seq("r", "rn"))
+            .withColumn("rank_id", col("rank_id") + lit(depth.toLong << 48))
+          val rekeyed = ambRows
+            .join(tagged, Seq("r", "rn"))
             .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
+            .withColumn("amb", count(lit(1)).over(wGrp) > 1)
+          val settled = paired
+            .filter(!col("amb"))
+            .select(col("doc_id"), col("n_tokens"), col("pos"), col("r"), col("amb"))
+          cur = rekeyed
+            .select("doc_id", "n_tokens", "pos", "r", "amb")
+            .union(settled)
           depth *= 2
         }
         // overlapping-window pair: offsets 0 and spanL − depth cover
         // [0, spanL) because 2·depth ≥ spanL here
         cur
           .withColumn("rn", coalesce(lead("r", spanL - depth).over(wdoc), lit(0L)))
+          .drop("amb")
           .localCheckpoint()
       }
     )

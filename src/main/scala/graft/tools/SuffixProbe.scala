@@ -23,8 +23,10 @@ object SuffixProbe {
       println(f"[probe] $label: ${(System.nanoTime - s) / 1e9}%.2f s")
       r
     }
-    // replicate the build with per-round timers (same ops as
-    // TextOps.suffixRankTable — keep in sync when probing)
+    // replicate the build with per-round timers + ambiguity census (same
+    // ops as TextOps.suffixRankTable — keep in sync when probing): the
+    // settled-rank refinement's payoff is exactly the amb fraction's
+    // collapse, so the probe reports it per round
     {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
@@ -35,22 +37,37 @@ object SuffixProbe {
         .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
           posexplode(col("w")).as(Seq("p0", "tok")))
         .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-      val r0 = tokpos
-        .join(graft.operators.TextOps.orderIds(tokpos.select("tok"), Seq("tok")), "tok")
-        .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
-      var cur = t("r0 checkpoint")(r0.localCheckpoint())
+      val tp = tokpos.localCheckpoint()
       val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+      val wGrp = Window.partitionBy("r")
+      var cur = tp
+        .join(graft.operators.TextOps.orderIds(tp.select("tok"), Seq("tok")), "tok")
+        .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
+        .withColumn("amb", count(lit(1)).over(wGrp) > 1)
       var step = 1
       while (step * 2 < 16) {
-        val paired = cur.withColumn("rn", coalesce(lead("r", step).over(wdoc), lit(0L)))
-        val next = paired
-          .join(graft.operators.TextOps.orderIds(paired.select("r", "rn"), Seq("r", "rn")), Seq("r", "rn"))
+        val paired = t(s"round step=$step paired checkpoint")(
+          cur.withColumn("rn", coalesce(lead("r", step).over(wdoc), lit(0L))).localCheckpoint())
+        val nAll = paired.count()
+        val nAmb = paired.filter(col("amb")).count()
+        println(f"[probe] round step=$step ambiguity: $nAmb / $nAll (${100.0 * nAmb / nAll}%.1f%%)")
+        val ambRows = paired.filter(col("amb"))
+        val tagged = graft.operators.TextOps
+          .orderIds(ambRows.select("r", "rn"), Seq("r", "rn"))
+          .withColumn("rank_id", col("rank_id") + lit(step.toLong << 48))
+        val rekeyed = ambRows
+          .join(tagged, Seq("r", "rn"))
           .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
-        cur = t(s"round step=$step checkpoint")(next.localCheckpoint())
+          .withColumn("amb", count(lit(1)).over(wGrp) > 1)
+        cur = rekeyed
+          .select("doc_id", "n_tokens", "pos", "r", "amb")
+          .union(paired.filter(!col("amb"))
+            .select(col("doc_id"), col("n_tokens"), col("pos"), col("r"), col("amb")))
         step *= 2
       }
       t("final pair checkpoint")(
-        cur.withColumn("rn", coalesce(lead("r", step).over(wdoc), lit(0L))).localCheckpoint())
+        cur.withColumn("rn", coalesce(lead("r", 16 - step).over(wdoc), lit(0L)))
+          .drop("amb").localCheckpoint())
     }
     val rt = t("rank table build (memoized: first call pays)") {
       graft.operators.TextOps.suffixRankTable(spark, dir)
