@@ -3481,9 +3481,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t67 — REPEATED-SPAN extraction: the report half of the suffix-rank
+    * family — WHAT is duplicated, not just how much. Top-20 repeated
+    * 16-token windows by occurrence count, each with its document reach
+    * and first occurrence, the span text reconstructed from that first
+    * occurrence's token slice (one small join — the rank table never
+    * carries strings). The boilerplate-discovery artifact a pipeline
+    * owner reads before deciding removal policy; pairs with t59's
+    * per-document provenance the way t65 pairs with t66.
+    *
+    * Scale: rides the memoized rank table; one (r, rn)-keyed agg over
+    * full positions, a top-20 TakeOrderedAndProject, and a 20-row
+    * broadcast join back to the corpus for text. Deterministic order:
+    * (n_occ DESC, span_text) — span_text is unique per group by the
+    * rank-equality theorem. */
+  private def t67DupSpans(s: SparkSession, d: String): DataFrame = {
+    val L = suffixSpanL
+    val rt = suffixRankTable(s, d)
+    val full = rt.filter(col("pos") + (L - 1) <= col("n_tokens"))
+    val grp = full
+      .groupBy("r", "rn")
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"),
+        min(struct(col("doc_id"), col("pos"))).as("first")
+      )
+      .filter(col("n_occ") >= 2)
+      .select(
+        col("n_occ"),
+        col("n_docs"),
+        col("first.doc_id").as("doc_id"),
+        col("first.pos").as("pos")
+      )
+    val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
+    grp
+      .join(words, "doc_id")
+      .withColumn(
+        "span_text",
+        concat_ws(" ", slice(col("w"), col("pos").cast("int"), lit(L)))
+      )
+      .select("n_occ", "n_docs", "span_text", "doc_id", "pos")
+      .orderBy(col("n_occ").desc, col("span_text").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "t65_suffix_ranks" -> (t65SuffixRanks _),
     "t66_repeated_spans" -> (t66RepeatedSpans _),
+    "t67_dup_spans" -> (t67DupSpans _),
     "t60_filter_overlap" -> (t60FilterOverlap _),
     "t61_phrase_search" -> (t61PhraseSearch _),
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
@@ -3724,9 +3769,28 @@ object TextOps {
        |  CAST(max(n_tokens) - sum(covered) AS BIGINT) AS n_kept
        |FROM headed GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val t67OracleSql: String =
+    s"""WITH $suffixGramCtes,
+       |grp AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_occ,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM starts GROUP BY g HAVING count(*) >= 2
+       |),
+       |firsts AS (
+       |  SELECT g, doc_id, pos FROM (
+       |    SELECT g, doc_id, pos, row_number() OVER (
+       |      PARTITION BY g ORDER BY doc_id, pos) AS rn1
+       |    FROM starts) WHERE rn1 = 1
+       |)
+       |SELECT grp.n_occ, grp.n_docs, grp.g AS span_text,
+       |  f.doc_id, CAST(f.pos AS BIGINT) AS pos
+       |FROM grp JOIN firsts f USING (g)
+       |ORDER BY n_occ DESC, span_text LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t65_suffix_ranks" -> t65OracleSql,
     "t66_repeated_spans" -> t66OracleSql,
+    "t67_dup_spans" -> t67OracleSql,
     "t62_bpe_train" -> t62OracleSql,
     "t63_bpe_encode" -> t63OracleSql,
     // t64 shares t63's oracle verbatim: the native expression's contract

@@ -64,6 +64,20 @@ class SuffixArraySpec extends AnyFunSuite {
     // the whitespace doc has no token rows, so it is absent here — same
     // as the oracle's generate_series(1, 0) emptiness
     assert(!t66.contains(4L))
+
+    // t67 report: A/B's shared 20-token run yields 5 sliding dup windows
+    // (each twice, across 2 docs); D's block repeats within ONE doc
+    val t67 = TextOps
+      .queries("t67_dup_spans")(spark, dir)
+      .collect()
+      .map(r => r.getString(2) -> (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(t67.size == 6)
+    val dSpan = t.mkString(" ")
+    assert(t67(dSpan) == ((2L, 1L, 3L, 1L))) // twice, one doc, first at (3,1)
+    val sSpan = (1 to 16).map(i => s"s$i").mkString(" ")
+    // the S-prefix window: first occurrence is docA pos 5 (A lists S from pos 5)
+    assert(t67(sSpan) == ((2L, 2L, 0L, 5L)))
   }
 
   test("doubling ranks and direct 16-gram grouping agree at position grain (sf0.001)") {
