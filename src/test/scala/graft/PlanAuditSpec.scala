@@ -360,6 +360,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("monotonically_increasing_id"), s"orderIds lost its inline ids:\n$p")
   }
 
+  test("t67's top-20 heap-selects — never a global sort of the span groups") {
+    // orderBy + limit over the (r, rn) group aggregate must plan
+    // TakeOrderedAndProject (per-partition heap + merge); a range-sorted
+    // global ordering here would shuffle every dup group at corpus scale
+    val p = plan("t67_dup_spans")
+    assert(p.contains("TakeOrderedAndProject"), s"t67 regressed to a global sort:\n$p")
+  }
+
   test("v22's edge list is built once and cached across rank iterations") {
     // three power iterations re-read the kNN edges; without the cache the
     // whole IVF fit + probe + rank pipeline (the most expensive subplan

@@ -154,6 +154,29 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(byRank == dupG)
   }
 
+  test("orderIds order-consistency holds on randomized multisets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816)
+    (1 to 5).foreach { _ =>
+      val n = 50 + rnd.nextInt(400)
+      val keys = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(7).toLong))
+      val ids = TextOps
+        .orderIds(keys.toDF("r", "rn"), Seq("r", "rn"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val distinctSorted = keys.distinct.sorted
+      assert(ids.keySet == distinctSorted.toSet)
+      assert(ids.values.forall(_ >= 1L))
+      // strictly increasing along the sorted distinct keys — the full
+      // order-consistency contract, not just pairwise spot checks
+      distinctSorted.sliding(2).foreach {
+        case Seq(a, b) => assert(ids(a) < ids(b), s"$a/$b order violated")
+        case _         =>
+      }
+    }
+  }
+
   test("orderIds assigns order-consistent unique ids ≥ 1 without a global window") {
     import spark.implicits._
     val df = Seq("b", "a", "b", "c", "a", "bb").toDF("k")
