@@ -24,7 +24,10 @@ class GraftSqlSpec extends AnyFunSuite {
         "v6_ann_ivf",
         "m7b_semantic_dedup_banded",
         "t61_phrase_search",
-        "j10b_concurrency_profile"
+        "j10b_concurrency_profile",
+        "t65_suffix_ranks",
+        "v35_logreg_fit",
+        "v37_bm25_topk"
       )
     )
     for (
@@ -34,7 +37,10 @@ class GraftSqlSpec extends AnyFunSuite {
         "v6_ann_ivf",
         "m7b_semantic_dedup_banded",
         "t61_phrase_search",
-        "j10b_concurrency_profile"
+        "j10b_concurrency_profile",
+        "t65_suffix_ranks",
+        "v35_logreg_fit",
+        "v37_bm25_topk"
       )
     ) {
       val viaSql = rows(spark.sql(s"SELECT * FROM graft_$name"))
