@@ -3253,8 +3253,35 @@ object TextOps {
     * join back — measured at 3 extra stages per doubling round. The mid
     * form is one exchange and zero joins. A naive global
     * `dense_rank() OVER (ORDER BY ...)` remains wrong at any scale: it
-    * funnels the corpus through one task. */
+    * funnels the corpus through one task.
+    *
+    * Id-space contract (what the doubling loop's round tags rely on):
+    * every id stays BELOW 2^59. `monotonically_increasing_id` packs the
+    * partition index from bit 33 up, so the ceiling holds iff the range
+    * exchange has < 2^26 partitions — guarded here at CONSTRUCTION time
+    * against the session's effective shuffle-partition ceiling (the
+    * static `spark.sql.shuffle.partitions` and AQE's
+    * `initialPartitionNum`, which bound what `repartitionByRange` can
+    * produce; AQE only coalesces DOWN from there). 2^26 partitions is
+    * ~8 PB of shuffle at 128 MB each — 80× past the 100 TB design
+    * target, so the require is a tripwire, not a practical limit. */
+  private[graft] val orderIdCeiling: Long = 1L << 59
+
   private[graft] def orderIds(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val conf = df.sparkSession.conf
+    val shufP = conf.get("spark.sql.shuffle.partitions", "200").toLong
+    val initP = conf
+      .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum", shufP.toString)
+      .toLong
+    val maxParts = math.max(shufP, initP)
+    require(
+      maxParts < (1L << 26),
+      s"orderIds: $maxParts shuffle partitions would push " +
+        "monotonically_increasing_id (partition index at bit 33) past the " +
+        "2^59 id ceiling that keeps ids clear of the doubling loop's round " +
+        "tags — lower spark.sql.shuffle.partitions / AQE initialPartitionNum " +
+        "below 2^26 for this exchange"
+    )
     val kcols = keys.map(col)
     df.select(kcols: _*)
       .distinct()
@@ -3262,6 +3289,20 @@ object TextOps {
       .sortWithinPartitions(kcols: _*)
       .withColumn("rank_id", monotonically_increasing_id() + 1L)
   }
+
+  /** Round tag for re-keyed rank ids: the ROUND INDEX (log2(depth) + 1 —
+    * 1, 2, 3… as depth walks 1, 2, 4…) packed at bit 59, ABOVE
+    * [[orderIdCeiling]], so kept (untagged, < 2^59) and fresh (tagged)
+    * ids can never collide, and two different rounds' tags differ in
+    * bits ≥ 59 where base ids are zero. The first cut tagged with
+    * `depth << 48`, which monotonically_increasing_id's partition-index
+    * bits (bit 33 up) reach at 2^15 range partitions — a silent
+    * false-duplicate merge at exactly the partition counts a 100 TB
+    * corpus needs (round-11 verdict #1). Bits 59..62 hold indices up to
+    * 15, i.e. any spanL ≤ 2^15 — enforced by [[suffixRankTable]]'s
+    * spanL require long before that. */
+  private[graft] def suffixRoundTag(depth: Int): Long =
+    (java.lang.Integer.numberOfTrailingZeros(depth).toLong + 1L) << 59
 
   /** Token-level suffix ranks by PREFIX DOUBLING, refined to depth
     * `suffixSpanL`: after the loop, two positions carry the same rank
@@ -3290,11 +3331,15 @@ object TextOps {
     * the distinct-pair ranking), and without the cut those branches
     * re-derive the whole chain — measured as zero ReusedExchange and a
     * 2^rounds recompute of the deepest stages. With the cut, every round
-    * reads the previous round's materialized table; at cluster scale the
-    * same boundary is where a reliable checkpoint/shuffle-materialization
-    * goes, exactly like every published distributed suffix-array build
-    * (pDC3 and friends materialize between rounds). The table is memoized
-    * per (session, fixture content) so t65 and t66 share one build.
+    * reads the previous round's materialized table. The cut is
+    * [[cutLineage]]: localCheckpoint on one box, a RELIABLE
+    * `checkpoint()` at the same boundaries when
+    * `spark.graft.suffix.checkpointDir` is set — the cluster mode, where
+    * executor loss must replay from the last round's table instead of
+    * killing the build (exactly like every published distributed
+    * suffix-array build: pDC3 and friends materialize between rounds).
+    * The table is memoized per (session, fixture content) so t65 and
+    * t66 share one build.
     *
     * The LAST round is rank-free, which is also what makes ARBITRARY
     * span lengths exact (Lee et al. run L = 50, not a power of two):
@@ -3317,78 +3362,141 @@ object TextOps {
       spanL: Int = suffixSpanL
   ): DataFrame = {
     require(spanL >= 2, s"suffixRankTable: span must be >= 2, got $spanL")
-    suffixRankCache.getOrElseUpdate(
-      (System.identityHashCode(s), documentsSnapshot(d), spanL), {
-        val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
-        val tokpos = words
-          .select(
-            col("doc_id"),
-            size(col("w")).cast("long").as("n_tokens"),
-            posexplode(col("w")).as(Seq("p0", "tok"))
-          )
-          .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-        // The checkpoint sits on the PAIRED frame — the point where the
-        // plan branches three ways (the range partitioner's sample job,
-        // the distinct-pairs exchange, and the join-back probe side).
-        // Cutting after the join instead left the lead window inside all
-        // three branches: measured 3× window evaluations per round and a
-        // 13× decade slope at sf10; with the cut on paired the window
-        // runs once per round. The join output itself has ONE consumer
-        // (the next round's window), so it stays lazy. Same reasoning
-        // checkpoints tokpos: the token ranking branches over it.
-        val tp = tokpos.localCheckpoint()
-        val wdoc = Window.partitionBy("doc_id").orderBy("pos")
-        val wGrp = Window.partitionBy("r")
-        // amb = this position's CURRENT rank group still has company.
-        // The textbook prefix-doubling refinement: positions whose rank
-        // is already unique corpus-wide ("settled") can never become
-        // dup starts and never need re-ranking — only the lead window
-        // stays O(n) per round; the distinct/range/join-back exchanges
-        // shrink to the ambiguous minority, which collapses fast on
-        // real corpora (most depth-8 windows are unique). Settled rows
-        // keep their old rank; new ids are tagged with the round depth
-        // in the high bits, so kept and fresh ids can never collide —
-        // equality is the only contract the final pair grouping needs.
-        // Two positions sharing their first spanL tokens stay in one
-        // group at every depth < spanL, so both remain ambiguous and
-        // re-key together: dup detection is EXACT, not approximated
-        // (pinned by the L=16/L=20 direct-gram differentials).
-        var cur = tp
-          .join(orderIds(tp.select("tok"), Seq("tok")), "tok")
-          .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
-          .withColumn("amb", count(lit(1)).over(wGrp) > 1)
-        var depth = 1
-        while (depth * 2 < spanL) {
-          val paired = cur
-            .withColumn("rn", coalesce(lead("r", depth).over(wdoc), lit(0L)))
-            .localCheckpoint()
-          val ambRows = paired.filter(col("amb"))
-          val tagged = orderIds(ambRows.select("r", "rn"), Seq("r", "rn"))
-            .withColumn("rank_id", col("rank_id") + lit(depth.toLong << 48))
-          val rekeyed = ambRows
-            .join(tagged, Seq("r", "rn"))
-            .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
-            .withColumn("amb", count(lit(1)).over(wGrp) > 1)
-          val settled = paired
-            .filter(!col("amb"))
-            .select(col("doc_id"), col("n_tokens"), col("pos"), col("r"), col("amb"))
-          cur = rekeyed
-            .select("doc_id", "n_tokens", "pos", "r", "amb")
-            .union(settled)
-          depth *= 2
-        }
-        // overlapping-window pair: offsets 0 and spanL − depth cover
-        // [0, spanL) because 2·depth ≥ spanL here
-        cur
-          .withColumn("rn", coalesce(lead("r", spanL - depth).over(wdoc), lit(0L)))
-          .drop("amb")
-          .localCheckpoint()
-      }
+    require(
+      spanL <= 4096,
+      s"suffixRankTable: span $spanL exceeds 4096 — the round tag packs " +
+        "log2(depth)+1 at bits 59..62 (see suffixRoundTag), which caps the " +
+        "doubling depth; no published span policy comes near this (Lee et " +
+        "al. use 50)"
+    )
+    // One application-end listener per SparkContext: cached frames pin
+    // checkpoint blocks that die with the app anyway — clearing on
+    // ApplicationEnd drops the dangling frames instead of holding them
+    // for the JVM lifetime (round-11 advice #2). The weak ref in the
+    // value guards the identityHashCode key against hash reuse by a NEW
+    // session object: same hash + different session ⇒ rebuild, never a
+    // frame bound to a dead session.
+    if (suffixCacheListenerOn.add(System.identityHashCode(s.sparkContext)))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          suffixRankCache.clear()
+      })
+    val key = (System.identityHashCode(s), documentsSnapshot(d), spanL)
+    val hit = suffixRankCache.get(key).flatMap { case (ref, df) =>
+      Option(ref.get()).filter(_ eq s).map(_ => df)
+    }
+    hit.getOrElse {
+      val built = buildSuffixRankTable(s, d, spanL)
+      suffixRankCache.update(
+        key,
+        (new java.lang.ref.WeakReference(s), built))
+      built
+    }
+  }
+
+  private def buildSuffixRankTable(
+      s: SparkSession,
+      d: String,
+      spanL: Int
+  ): DataFrame = {
+    val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
+    val tokpos = words
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        posexplode(col("w")).as(Seq("p0", "tok"))
+      )
+      .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    // The checkpoint sits on the PAIRED frame — the point where the
+    // plan branches three ways (the range partitioner's sample job,
+    // the distinct-pairs exchange, and the join-back probe side).
+    // Cutting after the join instead left the lead window inside all
+    // three branches: measured 3× window evaluations per round and a
+    // 13× decade slope at sf10; with the cut on paired the window
+    // runs once per round. The join output itself has ONE consumer
+    // (the next round's window), so it stays lazy. Same reasoning
+    // checkpoints tokpos: the token ranking branches over it.
+    val tp = cutLineage(tokpos)
+    val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    val wGrp = Window.partitionBy("r")
+    // amb = this position's CURRENT rank group still has company.
+    // The textbook prefix-doubling refinement: positions whose rank
+    // is already unique corpus-wide ("settled") can never become
+    // dup starts and never need re-ranking — only the lead window
+    // stays O(n) per round; the distinct/range/join-back exchanges
+    // shrink to the ambiguous minority, which collapses fast on
+    // real corpora (most depth-8 windows are unique). Settled rows
+    // keep their old rank; new ids are tagged with the round index
+    // at bit 59 (suffixRoundTag — above orderIds' guarded 2^59 id
+    // ceiling), so kept and fresh ids can never collide — equality
+    // is the only contract the final pair grouping needs.
+    // Two positions sharing their first spanL tokens stay in one
+    // group at every depth < spanL, so both remain ambiguous and
+    // re-key together: dup detection is EXACT, not approximated
+    // (pinned by the L=16/L=20 direct-gram differentials).
+    var cur = tp
+      .join(orderIds(tp.select("tok"), Seq("tok")), "tok")
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
+      .withColumn("amb", count(lit(1)).over(wGrp) > 1)
+    var depth = 1
+    while (depth * 2 < spanL) {
+      val paired = cutLineage(
+        cur.withColumn("rn", coalesce(lead("r", depth).over(wdoc), lit(0L)))
+      )
+      val ambRows = paired.filter(col("amb"))
+      val tagged = orderIds(ambRows.select("r", "rn"), Seq("r", "rn"))
+        .withColumn("rank_id", col("rank_id") + lit(suffixRoundTag(depth)))
+      val rekeyed = ambRows
+        .join(tagged, Seq("r", "rn"))
+        .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))
+        .withColumn("amb", count(lit(1)).over(wGrp) > 1)
+      val settled = paired
+        .filter(!col("amb"))
+        .select(col("doc_id"), col("n_tokens"), col("pos"), col("r"), col("amb"))
+      cur = rekeyed
+        .select("doc_id", "n_tokens", "pos", "r", "amb")
+        .union(settled)
+      depth *= 2
+    }
+    // overlapping-window pair: offsets 0 and spanL − depth cover
+    // [0, spanL) because 2·depth ≥ spanL here
+    cutLineage(
+      cur
+        .withColumn("rn", coalesce(lead("r", spanL - depth).over(wdoc), lit(0L)))
+        .drop("amb")
     )
   }
 
+  /** Lineage cut between doubling rounds. Default: `localCheckpoint` —
+    * correct and cheap on one box, but its blocks live in executor
+    * storage and die with an executor, so at cluster scale a lost node
+    * restarts the whole doubling chain. When
+    * `spark.graft.suffix.checkpointDir` is set, the SAME branch points
+    * write a RELIABLE `checkpoint()` under that directory instead (HDFS
+    * or object store on a real cluster): executor loss replays from the
+    * last round's materialized table — the between-rounds
+    * materialization every published distributed suffix-array build
+    * (pDC3 and friends) does. An already-configured SparkContext
+    * checkpoint dir is respected; otherwise the conf value is installed
+    * once. Reliable-mode overhead is measured in SCALING.md round 12. */
+  private def cutLineage(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.suffix.checkpointDir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   private val suffixRankCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String, Int), (java.lang.ref.WeakReference[SparkSession], DataFrame)]
+
+  private val suffixCacheListenerOn =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   /** t65 — SUFFIX-RANK duplicate profile: how much of each document sits
     * under a 16-token window that appears elsewhere in the corpus. The

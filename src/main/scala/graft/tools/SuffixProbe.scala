@@ -54,7 +54,8 @@ object SuffixProbe {
         val ambRows = paired.filter(col("amb"))
         val tagged = graft.operators.TextOps
           .orderIds(ambRows.select("r", "rn"), Seq("r", "rn"))
-          .withColumn("rank_id", col("rank_id") + lit(step.toLong << 48))
+          .withColumn("rank_id",
+            col("rank_id") + lit(graft.operators.TextOps.suffixRoundTag(step)))
         val rekeyed = ambRows
           .join(tagged, Seq("r", "rn"))
           .select(col("doc_id"), col("n_tokens"), col("pos"), col("rank_id").as("r"))

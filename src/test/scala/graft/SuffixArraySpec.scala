@@ -177,6 +177,82 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("orderIds ids stay below the 2^59 round-tag ceiling across many range partitions") {
+    import spark.implicits._
+    // adversarial shape for the id space: enough distinct keys that the
+    // range exchange uses multiple partitions, so ids carry non-zero
+    // partition-index bits (bit 33 up) — the exact bits that collided
+    // with the old depth<<48 tag at >=2^15 partitions
+    val keys = (0 until 5000).map(i => f"k$i%05d")
+    // AQE coalesces a 5000-row exchange to one partition — exactly what
+    // a 100 TB exchange never gets; pin coalescing off so the ids carry
+    // real partition-index bits
+    val ids =
+      try {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        TextOps.orderIds(keys.toDF("k"), Seq("k")).collect().map(_.getLong(1))
+      } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    assert(ids.length == 5000)
+    assert(ids.forall(id => id >= 1L && id < TextOps.orderIdCeiling))
+    assert(ids.exists(_ >= (1L << 33)), "expected ids from a second range partition")
+    // round tags sit above every untagged id and never alias across rounds
+    val base = ids.toSet
+    val tagged = (0 to 6).map(r => ids.map(_ + TextOps.suffixRoundTag(1 << r)).toSet)
+    tagged.foreach(t => assert(t.intersect(base).isEmpty, "tagged id aliased an untagged id"))
+    tagged.combinations(2).foreach {
+      case Seq(a, b) => assert(a.intersect(b).isEmpty, "two rounds' tags aliased")
+      case _         =>
+    }
+  }
+
+  test("orderIds refuses a shuffle-partition ceiling that could breach the tag space") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", (1 << 26).toString)
+      val e = intercept[IllegalArgumentException] {
+        TextOps.orderIds(Seq("a", "b").toDF("k"), Seq("k"))
+      }
+      assert(e.getMessage.contains("2^59"), s"wrong guard message: ${e.getMessage}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("reliable checkpoint mode writes round tables to the conf'd dir, same verdicts") {
+    // spark.graft.suffix.checkpointDir swaps localCheckpoint for a
+    // reliable checkpoint() at the SAME branch points — the cluster
+    // durability mode. Same corpus bytes in a second fixture dir (cache
+    // keys carry the content snapshot, so this forces a fresh build
+    // under the conf), identical t65 rows out, and the checkpoint dir
+    // must actually hold RDD files.
+    val s16 = (1 to 20).map(i => s"s$i")
+    val rows = Seq(
+      0L -> ((1 to 4).map(i => s"p$i") ++ s16).mkString(" "),
+      1L -> (s16 ++ (1 to 6).map(i => s"r$i")).mkString(" "),
+      2L -> (1 to 30).map(i => s"u$i").mkString(" ")
+    )
+    val dirA = writeDocs(rows)
+    val dirB = writeDocs(rows)
+    val expected = TextOps
+      .queries("t65_suffix_ranks")(spark, dirA)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val ck = java.nio.file.Files.createTempDirectory("graft-suffix-ck").toString
+    try {
+      spark.conf.set("spark.graft.suffix.checkpointDir", ck)
+      val got = TextOps
+        .queries("t65_suffix_ranks")(spark, dirB)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == expected, "reliable-mode t65 diverged from localCheckpoint mode")
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files) else Seq(f)
+      assert(files(new java.io.File(ck)).nonEmpty,
+        "reliable mode set but no checkpoint files were written")
+    } finally spark.conf.unset("spark.graft.suffix.checkpointDir")
+  }
+
   test("orderIds assigns order-consistent unique ids ≥ 1 without a global window") {
     import spark.implicits._
     val df = Seq("b", "a", "b", "c", "a", "bb").toDF("k")
