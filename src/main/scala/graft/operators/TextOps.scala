@@ -3514,9 +3514,21 @@ object TextOps {
     * candidate-finding half of the Lee et al. ExactSubstr dedup, at the
     * span length that paper actually uses (50 BPE tokens ≈ tens of
     * words) where gram-string materialization stops being an option. */
-  private def t65SuffixRanks(s: SparkSession, d: String): DataFrame = {
-    val L = suffixSpanL
-    val rt = suffixRankTable(s, d)
+  private def t65SuffixRanks(s: SparkSession, d: String): DataFrame =
+    t65SuffixRanksAt(s, d, suffixSpanL)
+
+  /** t65b — t65's duplicate profile at L = 50, the span Lee et al.
+    * actually run ExactSubstr with in production (50 BPE tokens). 50 is
+    * not a power of two, so this is the declared-oracle exercise of the
+    * OVERLAPPING-window pair ([[suffixRankTable]]'s last round reads
+    * offsets (0, 18) at depth 32) — previously covered only by the L=20
+    * ScalaTest differential, now hash-gated end to end against the
+    * direct 50-gram DuckDB route (round-11 verdict #2). */
+  private def t65bSuffixRanksL50(s: SparkSession, d: String): DataFrame =
+    t65SuffixRanksAt(s, d, 50)
+
+  private def t65SuffixRanksAt(s: SparkSession, d: String, L: Int): DataFrame = {
+    val rt = suffixRankTable(s, d, L)
     val wR = Window.partitionBy("r", "rn")
     val flagged = rt
       .withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
@@ -3555,9 +3567,17 @@ object TextOps {
     * overlapping spans cost one window pass, not an interval explosion;
     * span heads are a lag() edge detect on the coverage bitmap. Output is
     * all-integer (counts), so the oracle parity is exact. */
-  private def t66RepeatedSpans(s: SparkSession, d: String): DataFrame = {
-    val L = suffixSpanL
-    val rt = suffixRankTable(s, d)
+  private def t66RepeatedSpans(s: SparkSession, d: String): DataFrame =
+    t66RepeatedSpansAt(s, d, suffixSpanL)
+
+  /** t66b — ExactSubstr removal at Lee et al.'s production L = 50 (see
+    * [[t65bSuffixRanksL50]] for why the non-power-of-two span matters:
+    * it drives the overlapping-window pair under the hash gate). */
+  private def t66bRepeatedSpansL50(s: SparkSession, d: String): DataFrame =
+    t66RepeatedSpansAt(s, d, 50)
+
+  private def t66RepeatedSpansAt(s: SparkSession, d: String, L: Int): DataFrame = {
+    val rt = suffixRankTable(s, d, L)
     val wR = Window.partitionBy("r", "rn")
     val marked = rt
       .withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
@@ -3635,7 +3655,9 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "t65_suffix_ranks" -> (t65SuffixRanks _),
+    "t65b_suffix_ranks_l50" -> (t65bSuffixRanksL50 _),
     "t66_repeated_spans" -> (t66RepeatedSpans _),
+    "t66b_repeated_spans_l50" -> (t66bRepeatedSpansL50 _),
     "t67_dup_spans" -> (t67DupSpans _),
     "t60_filter_overlap" -> (t60FilterOverlap _),
     "t61_phrase_search" -> (t61PhraseSearch _),
@@ -3813,7 +3835,7 @@ object TextOps {
     * the Spark side derives the same dup verdicts from prefix-doubling
     * rank equality, so the hash gate proves the doubling theorem instead
     * of replaying the implementation. */
-  private val suffixGramCtes: String =
+  private def suffixGramCtesAt(L: Int): String =
     s"""docs AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(trim(text), '\\s+'),
@@ -3823,33 +3845,37 @@ object TextOps {
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM docs
        |), starts AS (
        |  SELECT doc_id, n_tokens, pos,
-       |         array_to_string(w[pos:pos+15], ' ') AS g
+       |         array_to_string(w[pos:pos+${L - 1}], ' ') AS g
        |  FROM (SELECT doc_id, n_tokens, w,
-       |          unnest(generate_series(1, n_tokens - 15)) AS pos
+       |          unnest(generate_series(1, n_tokens - ${L - 1})) AS pos
        |        FROM sized)
        |), gc AS (
        |  SELECT g, count(*) AS c FROM starts GROUP BY g
        |)""".stripMargin
 
-  private val t65OracleSql: String =
-    s"""WITH $suffixGramCtes,
+  private val suffixGramCtes: String = suffixGramCtesAt(suffixSpanL)
+
+  private def t65OracleSqlAt(L: Int): String =
+    s"""WITH ${suffixGramCtesAt(L)},
        |dup AS (
        |  SELECT s.doc_id, count(*) AS n_dup
        |  FROM starts s JOIN gc USING (g) WHERE gc.c >= 2
        |  GROUP BY s.doc_id
        |)
        |SELECT d.doc_id, d.n_tokens,
-       |  CAST(greatest(d.n_tokens - 15, 0) AS BIGINT) AS n_full,
+       |  CAST(greatest(d.n_tokens - ${L - 1}, 0) AS BIGINT) AS n_full,
        |  CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup,
-       |  CASE WHEN d.n_tokens >= 16
+       |  CASE WHEN d.n_tokens >= $L
        |    THEN (10000 * CAST(coalesce(u.n_dup, 0) AS BIGINT))
-       |           // (d.n_tokens - 15)
+       |           // (d.n_tokens - ${L - 1})
        |  END AS dup_pct10k
        |FROM sized d LEFT JOIN dup u USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
-  private val t66OracleSql: String =
-    s"""WITH $suffixGramCtes,
+  private val t65OracleSql: String = t65OracleSqlAt(suffixSpanL)
+
+  private def t66OracleSqlAt(L: Int): String =
+    s"""WITH ${suffixGramCtesAt(L)},
        |dupstart AS (
        |  SELECT s.doc_id, s.pos FROM starts s JOIN gc USING (g)
        |  WHERE gc.c >= 2
@@ -3861,7 +3887,7 @@ object TextOps {
        |  SELECT t.doc_id, t.n_tokens, t.pos,
        |    max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
-       |            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS covered
+       |            ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS covered
        |  FROM tokpos t LEFT JOIN dupstart d
        |    ON d.doc_id = t.doc_id AND d.pos = t.pos
        |), headed AS (
@@ -3876,6 +3902,8 @@ object TextOps {
        |  CAST(sum(span_head) AS BIGINT) AS n_spans,
        |  CAST(max(n_tokens) - sum(covered) AS BIGINT) AS n_kept
        |FROM headed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val t66OracleSql: String = t66OracleSqlAt(suffixSpanL)
 
   private val t67OracleSql: String =
     s"""WITH $suffixGramCtes,
@@ -3897,7 +3925,12 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t65_suffix_ranks" -> t65OracleSql,
+    // the L=50 pair shares the generated oracle template — the direct
+    // gram-counting route parameterizes trivially, so the hash gate at
+    // 50 proves the overlapping-window pair, not a replay of doubling
+    "t65b_suffix_ranks_l50" -> t65OracleSqlAt(50),
     "t66_repeated_spans" -> t66OracleSql,
+    "t66b_repeated_spans_l50" -> t66OracleSqlAt(50),
     "t67_dup_spans" -> t67OracleSql,
     "t62_bpe_train" -> t62OracleSql,
     "t63_bpe_encode" -> t63OracleSql,
