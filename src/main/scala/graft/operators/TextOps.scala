@@ -3619,10 +3619,18 @@ object TextOps {
     * per-document provenance the way t65 pairs with t66.
     *
     * Scale: rides the memoized rank table; one (r, rn)-keyed agg over
-    * full positions, a top-20 TakeOrderedAndProject, and a 20-row
-    * broadcast join back to the corpus for text. Deterministic order:
-    * (n_occ DESC, span_text) — span_text is unique per group by the
-    * rank-equality theorem. */
+    * full positions, then an EXACT pre-prune before any text is touched:
+    * the 20th-largest occurrence count (a heap-select over the count
+    * column alone, one broadcast scalar) bounds the groups that join the
+    * corpus to ≤ 20 plus count-ties — no group outside it can enter the
+    * top 20 under the (n_occ DESC, span_text) order, and every tie
+    * survives for the text tiebreak. On a boilerplate-heavy corpus the
+    * dup-group count is huge and the text slicing is the expensive part;
+    * the first cut joined EVERY group and sliced text below the heap
+    * (round-11 verdict #3). The final join ships the bounded frame as
+    * the broadcast side over one linear corpus scan; deterministic
+    * order: (n_occ DESC, span_text) — span_text is unique per group by
+    * the rank-equality theorem. */
   private def t67DupSpans(s: SparkSession, d: String): DataFrame = {
     val L = suffixSpanL
     val rt = suffixRankTable(s, d)
@@ -3641,9 +3649,21 @@ object TextOps {
         col("first.doc_id").as("doc_id"),
         col("first.pos").as("pos")
       )
+    // exact cutoff: min n_occ among the top-20 counts (ties at the
+    // cutoff INCLUDED by >=); empty grp ⇒ NULL threshold ⇒ no matches,
+    // same empty result as before. Lazy: one TakeOrderedAndProject over
+    // (n_occ) + a 1-row broadcast — never a driver collect.
+    val thr = grp
+      .select("n_occ")
+      .orderBy(col("n_occ").desc)
+      .limit(20)
+      .agg(min("n_occ").as("occ_thr"))
+    val pruned = grp
+      .join(broadcast(thr), col("n_occ") >= col("occ_thr"))
+      .drop("occ_thr")
     val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
-    grp
-      .join(words, "doc_id")
+    words
+      .join(broadcast(pruned), "doc_id")
       .withColumn(
         "span_text",
         concat_ws(" ", slice(col("w"), col("pos").cast("int"), lit(L)))

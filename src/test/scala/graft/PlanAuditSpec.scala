@@ -366,6 +366,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // global ordering here would shuffle every dup group at corpus scale
     val p = plan("t67_dup_spans")
     assert(p.contains("TakeOrderedAndProject"), s"t67 regressed to a global sort:\n$p")
+    // the corpus-text join must see the BOUNDED frame (threshold-pruned
+    // to <= 20 + count-ties, shipped broadcast): a plan where every dup
+    // group reaches the text slice re-opens the round-11 finding — on a
+    // boilerplate-heavy corpus the group count is huge and text slicing
+    // is the expensive part
+    assert(p.contains("BroadcastHashJoin"),
+      s"t67's text join lost its broadcast of the pruned groups:\n$p")
   }
 
   test("v22's edge list is built once and cached across rank iterations") {
