@@ -47,38 +47,46 @@ object StreamingLogreg {
   ) extends Serializable {
 
     @volatile private var wCur: Array[Double] = Array.fill(p)(0.0)
-    private val applied = scala.collection.mutable.SortedSet.empty[Long]
+    // Replay state is ONE long, not a set: foreachBatch ids are monotone
+    // (Spark's batch counter), so "already applied" ⟺ id ≤ high-water
+    // mark. The first cut kept a SortedSet of every applied id — O(batches)
+    // driver growth for a stream whose whole pitch is O(1) model state
+    // (round-11 verdict #4); crash recovery still has the full ledger.
+    @volatile private var hwm: Long = -1L
 
-    // resume: replay the persisted ledger in batch order (dedup on
-    // batch_id — a retried append can leave a duplicate file; the first
-    // occurrence wins, and rows for one id are identical anyway because
-    // the step is a deterministic function of (batch rows, weights))
+    // resume: the ledger's highest batch row IS the trainer state —
+    // weights after that step plus the replay watermark. (Rows for a
+    // duplicated id — a retried append — are identical anyway because
+    // the step is a deterministic function of (batch rows, weights).)
     locally {
       val dir = new java.io.File(ledgerDir)
       if (dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet"))) {
-        val rows = spark.read
+        val last = spark.read
           .parquet(ledgerDir)
-          .orderBy(col("batch_id"))
+          .orderBy(col("batch_id").desc)
+          .limit(1)
           .collect()
-        rows.foreach { r =>
-          val id = r.getAs[Long]("batch_id")
-          if (!applied.contains(id)) {
-            applied += id
-            wCur = r.getSeq[Double](r.fieldIndex("w_after")).toArray
-          }
+        if (last.nonEmpty) {
+          hwm = last(0).getAs[Long]("batch_id")
+          wCur = last(0).getSeq[Double](last(0).fieldIndex("w_after")).toArray
         }
       }
     }
 
     def weights: Array[Double] = wCur.clone()
-    def appliedBatches: Seq[Long] = applied.toSeq
+
+    /** Highest applied batch id (−1 before any batch): the replay
+      * watermark — with monotone foreachBatch ids it answers
+      * "was this id applied" exactly, in O(1) state. */
+    def highWater: Long = hwm
 
     /** Apply one micro-batch: one distributed gradient agg + one driver
-      * update + one ledger append. Replays are no-ops. Empty batches
-      * are ledgered (n = 0, weights unchanged) so the applied set is
-      * gap-free under replay. */
+      * update + one ledger append. Replays (id ≤ high-water mark,
+      * including out-of-order re-deliveries of any older id) are no-ops.
+      * Empty batches are ledgered (n = 0, weights unchanged) so the
+      * watermark is gap-free under replay. */
     def handleBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-      if (applied.contains(batchId)) return
+      if (batchId <= hwm) return
       val feats = VectorOps.logregProject(batch)
       val (g, n) = VectorOps.logregGradients(feats, wCur)
       val wNext =
@@ -95,7 +103,7 @@ object StreamingLogreg {
         .mode("append")
         .parquet(ledgerDir)
       wCur = wNext
-      applied += batchId
+      hwm = batchId
     }
   }
 

@@ -56,7 +56,7 @@ class StreamingLogregSpec extends AnyFunSuite {
     finally q.stop()
 
     val (wRef, steps) = StreamingLogreg.trainSlices(slices())
-    assert(trainer.appliedBatches.size == 3)
+    assert(trainer.highWater == 2L) // batches 0, 1, 2 applied
     assert(trainer.weights.toSeq == wRef.toSeq) // bit-exact doubles
     val ledger = spark.read
       .parquet(s"$root/ledger")
@@ -96,16 +96,25 @@ class StreamingLogregSpec extends AnyFunSuite {
     // "restart": a fresh trainer over the same ledger dir
     val t2 = new StreamingLogreg.Trainer(spark, s"$root/ledger")
     assert(t2.weights.toSeq == wAfter)
-    assert(t2.appliedBatches == Seq(0L, 1L))
+    assert(t2.highWater == 1L)
 
     // checkpoint re-delivery of batch 1: nothing moves
     t2.handleBatch(s(1), 1L)
     assert(t2.weights.toSeq == wAfter)
     assert(spark.read.parquet(s"$root/ledger").count() == 2)
 
+    // OUT-OF-ORDER replay of an older id (0 after 1 is applied): the
+    // high-water mark must treat ANY id at or below it as a replay —
+    // the O(1) state that replaced the O(batches) applied-id set
+    t2.handleBatch(s(0), 0L)
+    assert(t2.weights.toSeq == wAfter)
+    assert(t2.highWater == 1L)
+    assert(spark.read.parquet(s"$root/ledger").count() == 2)
+
     // the next real batch continues the fold exactly where t1 stopped
     t2.handleBatch(s(2), 2L)
     val (wRef, _) = StreamingLogreg.trainSlices(s)
     assert(t2.weights.toSeq == wRef.toSeq)
+    assert(t2.highWater == 2L)
   }
 }
