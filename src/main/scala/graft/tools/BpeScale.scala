@@ -137,12 +137,27 @@ object BpeScale {
     val merges = padMerges(trained, nMerges)
     val tTrain = (System.nanoTime() - t1) / 1e9
 
+    // merges.txt interchange: the trained artifact leaves through the
+    // declared file boundary and the encode consumes the LOADED list —
+    // the real pipeline shape, where a tokenizer's published merges.txt
+    // is the input, not in-process trainer state
+    val mergesFile = sys.env.getOrElse(
+      "SPARK_GRAFT_BPE_MERGES",
+      java.nio.file.Files.createTempFile("graft-merges", ".txt").toString)
+    val pairs = merges.toSeq.map { m =>
+      val i = m.indexOf(0.toChar); (m.substring(0, i), m.substring(i + 1))
+    }
+    graft.functions.BpeMerges.write(pairs, mergesFile)
+    val loaded = graft.functions.BpeMerges
+      .packed(graft.functions.BpeMerges.read(mergesFile))
+    require(loaded.toSeq == merges.toSeq, "merges.txt round-trip drifted")
+
     // the measured verb: ONE corpus scan, merge list compiled into the
     // expression — the plan a 10k-merge production tokenizer would run
     val t2 = System.nanoTime()
     val enc = docs
       .select(explode(toks).as("w"))
-      .select(call_function("graft_bpe_encode", col("w"), lit(merges)).as("syms"))
+      .select(call_function("graft_bpe_encode", col("w"), lit(loaded)).as("syms"))
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(size(col("syms"))).as("n_symbols"))
@@ -172,7 +187,7 @@ object BpeScale {
 
     println(
       s"""{"tool":"bpe_scale","sf":"$sfDir","n_merges":${merges.length},""" +
-        s""""n_trained":${trained.length},""" +
+        s""""n_trained":${trained.length},"merges_file":"$mergesFile",""" +
         s""""sample_words":${sample.length},"n_tokens":${enc.getLong(0)},""" +
         s""""n_symbols":${enc.getLong(1)},"sample_sec":${f"$tSample%.1f"},""" +
         s""""train_sec":${f"$tTrain%.1f"},"encode_sec":${f"$tEncode%.1f"}$chainStats}""")
