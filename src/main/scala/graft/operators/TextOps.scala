@@ -2819,22 +2819,28 @@ object TextOps {
     * claims it and who superseded it: exact duplicate (t3's non-canonical
     * copies, ref = canonical), near-duplicate (t16/t28's cluster
     * non-representatives, ref = representative), contained excerpt
-    * (t54's smaller side), or kept. The "why was my document dropped"
-    * explainer every curation pipeline owes its data suppliers — one
-    * queryable verdict per doc with fixed precedence (exact > near >
-    * contained), so the stages' overlapping claims resolve
-    * deterministically instead of depending on run order.
+    * (t54's smaller side), ExactSubstr-trimmed (t66's span removal took
+    * ≥ 1 token but the doc survives), or kept. The "why was my document
+    * dropped (or shortened)" explainer every curation pipeline owes its
+    * data suppliers — one queryable verdict per doc with fixed
+    * precedence (exact > near > contained > exactsubstr_removed), so the
+    * stages' overlapping claims resolve deterministically instead of
+    * depending on run order. The ExactSubstr columns (removed-token
+    * count, first claiming span position) are reported for EVERY doc,
+    * whatever the verdict — a near-dup can also be span-trimmed, and
+    * the audit should say so.
     *
     * Scale: pure composition — every stage is a declared operator's
     * plan (t3 one content-hash window, t28 = t4's exact-prefix pairs +
-    * CC + one quality window, t54's count-in-join containment), glued
-    * by doc_id-keyed joins; no new shuffle classes, no new pair
-    * sources. */
+    * CC + one quality window, t54's count-in-join containment, t66's
+    * coverage over the memoized rank table), glued by doc_id-keyed
+    * joins; no new shuffle classes, no new pair sources. */
   private def t59DedupProvenance(s: SparkSession, d: String): DataFrame =
     provenanceVerdicts(
       t3DedupExact(s, d),
       t28ClusterRepr(s, d),
-      t54ContainmentDedup(s, d)
+      t54ContainmentDedup(s, d),
+      exactSubstrClaims(s, d)
     )
 
   /** The t59 verdict frame as a pure function of the three dedup STAGE
@@ -2849,7 +2855,8 @@ object TextOps {
   private[graft] def provenanceVerdicts(
       exactStage: DataFrame,
       nearStage: DataFrame,
-      containStage: DataFrame
+      containStage: DataFrame,
+      exactSubstrStage: DataFrame
   ): DataFrame = {
     val exact = exactStage.select(col("doc_id"), col("canonical_id"), col("is_duplicate"))
     val near = nearStage.select(col("doc_id"), col("repr_id"), col("is_kept"))
@@ -2858,14 +2865,18 @@ object TextOps {
       .select(when(col("sz_a") < col("sz_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
       .distinct()
       .withColumn("contained", lit(true))
+    val exsub = exactSubstrStage
+      .select(col("doc_id"), col("exsub_removed"), col("exsub_first_pos"))
     exact
       .join(near, Seq("doc_id"))
       .join(cont, Seq("doc_id"), "left")
+      .join(exsub, Seq("doc_id"), "left")
       .withColumn(
         "verdict",
         when(col("is_duplicate"), "exact_dup")
           .when(!col("is_kept"), "near_dup")
           .when(col("contained"), "contained")
+          .when(coalesce(col("exsub_removed"), lit(0L)) > 0, "exactsubstr_removed")
           .otherwise("kept")
       )
       .withColumn(
@@ -2873,7 +2884,13 @@ object TextOps {
         when(col("is_duplicate"), col("canonical_id"))
           .when(!col("is_kept"), col("repr_id"))
       )
-      .select("doc_id", "verdict", "ref_id")
+      .select(
+        col("doc_id"),
+        col("verdict"),
+        col("ref_id"),
+        coalesce(col("exsub_removed"), lit(0L)).as("exsub_removed"),
+        col("exsub_first_pos")
+      )
       .orderBy("doc_id")
   }
 
@@ -3576,7 +3593,26 @@ object TextOps {
   private def t66bRepeatedSpansL50(s: SparkSession, d: String): DataFrame =
     t66RepeatedSpansAt(s, d, 50)
 
-  private def t66RepeatedSpansAt(s: SparkSession, d: String, L: Int): DataFrame = {
+  private def t66RepeatedSpansAt(s: SparkSession, d: String, L: Int): DataFrame =
+    suffixCoverageAt(s, d, L)
+      .groupBy("doc_id")
+      .agg(
+        max("n_tokens").as("n_tokens"),
+        sum("covered").cast("long").as("n_removed"),
+        sum("span_head").as("n_spans")
+      )
+      .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+      .select("doc_id", "n_tokens", "n_removed", "n_spans", "n_kept")
+      .orderBy("doc_id")
+
+  /** Per-position ExactSubstr coverage at span L — (doc_id, n_tokens,
+    * pos, is_start, covered, span_head): is_start marks positions whose
+    * L-token window repeats corpus-wide (from the doubling ranks),
+    * covered is the t22 bounded-window coverage bitmap, span_head the
+    * lag() edge detect. Shared by t66/t66b (the removal reports) and
+    * [[exactSubstrClaims]] (t59's provenance extension) so the span
+    * semantics can never fork between the report and the audit. */
+  private def suffixCoverageAt(s: SparkSession, d: String, L: Int): DataFrame = {
     val rt = suffixRankTable(s, d, L)
     val wR = Window.partitionBy("r", "rn")
     val marked = rt
@@ -3598,16 +3634,20 @@ object TextOps {
         (col("covered") === 1 &&
           coalesce(lag("covered", 1).over(wLag), lit(0)) === 0).cast("long")
       )
+  }
+
+  /** Per-document ExactSubstr CLAIMS for the t59 provenance audit:
+    * how many tokens the span-removal stage takes (t66's coverage sum)
+    * and the first claiming span's start position — the "which span got
+    * my text" pointer. One row per doc with ≥ 1 token; docs the stage
+    * never touches report 0/NULL through t59's left join. */
+  private[graft] def exactSubstrClaims(s: SparkSession, d: String): DataFrame =
+    suffixCoverageAt(s, d, suffixSpanL)
       .groupBy("doc_id")
       .agg(
-        max("n_tokens").as("n_tokens"),
-        sum("covered").cast("long").as("n_removed"),
-        sum("span_head").as("n_spans")
+        sum("covered").cast("long").as("exsub_removed"),
+        min(when(col("is_start") === 1, col("pos"))).as("exsub_first_pos")
       )
-      .withColumn("n_kept", col("n_tokens") - col("n_removed"))
-      .select("doc_id", "n_tokens", "n_removed", "n_spans", "n_kept")
-      .orderBy("doc_id")
-  }
 
   /** t67 — REPEATED-SPAN extraction: the report half of the suffix-rank
     * family — WHAT is duplicated, not just how much. Top-20 repeated
@@ -4045,7 +4085,8 @@ object TextOps {
          JOIN diag db ON db.bit = m.bit_b
          ORDER BY rule_a, rule_b""",
     // t3's fingerprint window + t28's closure/representative CTEs +
-    // t54's blocked containment, resolved by the same precedence CASE
+    // t54's blocked containment + t66's 16-gram span coverage (the
+    // exactsubstr claims), resolved by the same precedence CASE
     "t59_dedup_provenance" ->
       """WITH RECURSIVE words AS (
            SELECT doc_id,
@@ -4118,18 +4159,49 @@ object TextOps {
            JOIN bsizes sa ON sa.doc_id = doc_a
            JOIN bsizes sb ON sb.doc_id = doc_b
            WHERE binter * 5 >= least(sa.bsz, sb.bsz) * 4
+         ), sstarts AS (
+           SELECT doc_id, pos, array_to_string(w[pos:pos+15], ' ') AS g
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - 15)) AS pos
+                 FROM words)
+         ), sgc AS (
+           SELECT g, count(*) AS c FROM sstarts GROUP BY g
+         ), sdup AS (
+           SELECT s.doc_id, s.pos FROM sstarts s JOIN sgc USING (g)
+           WHERE sgc.c >= 2
+         ), stok AS (
+           SELECT doc_id, unnest(generate_series(1, len(w))) AS pos
+           FROM words
+         ), scov AS (
+           SELECT t.doc_id, t.pos,
+             max(CASE WHEN d2.pos IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                     ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS covered
+           FROM stok t LEFT JOIN sdup d2
+             ON d2.doc_id = t.doc_id AND d2.pos = t.pos
+         ), exsub AS (
+           SELECT doc_id, CAST(sum(covered) AS BIGINT) AS exsub_removed
+           FROM scov GROUP BY doc_id
+         ), exfirst AS (
+           SELECT doc_id, CAST(min(pos) AS BIGINT) AS exsub_first_pos
+           FROM sdup GROUP BY doc_id
          )
          SELECT g.doc_id,
            CASE WHEN g.canonical_id <> g.doc_id THEN 'exact_dup'
                 WHEN lab.repr_id <> g.doc_id THEN 'near_dup'
                 WHEN c.doc_id IS NOT NULL THEN 'contained'
+                WHEN coalesce(x.exsub_removed, 0) > 0 THEN 'exactsubstr_removed'
                 ELSE 'kept' END AS verdict,
            CASE WHEN g.canonical_id <> g.doc_id THEN g.canonical_id
                 WHEN lab.repr_id <> g.doc_id THEN lab.repr_id
-           END AS ref_id
+           END AS ref_id,
+           CAST(coalesce(x.exsub_removed, 0) AS BIGINT) AS exsub_removed,
+           xf.exsub_first_pos
          FROM exg g
          JOIN lab ON lab.doc_id = g.doc_id
          LEFT JOIN contained c ON c.doc_id = g.doc_id
+         LEFT JOIN exsub x ON x.doc_id = g.doc_id
+         LEFT JOIN exfirst xf ON xf.doc_id = g.doc_id
          ORDER BY g.doc_id""",
     // t20's gram CTEs split by t14's formula; logp6 is the identical
     // round(ln·1e6) at model-table grain, so the language rollup sums

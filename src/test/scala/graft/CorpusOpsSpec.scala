@@ -456,23 +456,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     TextOps.queries("t3_dedup_exact")(spark, sf).write.parquet(s"$dir/stage_exact")
     TextOps.queries("t28_cluster_repr")(spark, sf).write.parquet(s"$dir/stage_near")
     TextOps.queries("t54_containment_dedup")(spark, sf).write.parquet(s"$dir/stage_contain")
+    TextOps.exactSubstrClaims(spark, sf).write.parquet(s"$dir/stage_exsub")
     val stored = TextOps.provenanceVerdicts(
       spark.read.parquet(s"$dir/stage_exact"),
       spark.read.parquet(s"$dir/stage_near"),
-      spark.read.parquet(s"$dir/stage_contain")
+      spark.read.parquet(s"$dir/stage_contain"),
+      spark.read.parquet(s"$dir/stage_exsub")
     )
     val plan = stored.queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"stored-stage audit must not re-shingle:\n$plan")
-    val inline = TextOps
-      .queries("t59_dedup_provenance")(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+        r.getLong(3), Option(r.get(4))))
       .toSeq
-    val got = stored
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
-      .toSeq
+    val inline = rows(TextOps.queries("t59_dedup_provenance")(spark, sf))
+    val got = rows(stored)
     assert(got.nonEmpty && got == inline, "stored-stage provenance diverged from inline t59")
+    // the suffix stage's claims actually surface: some doc must be
+    // exactsubstr-trimmed (or at least carry a removed-token count) on
+    // a fixture that t65/t66 prove has repeated 16-token spans
+    assert(inline.exists(_._4 > 0L), "no exactsubstr claims surfaced in t59")
   }
 
   test("t62 trainer: iteration 1 equals t34's pick and t48's corpus symbol ledger; merges compound") {
