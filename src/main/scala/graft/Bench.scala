@@ -32,6 +32,12 @@ object Bench {
     // catch let a broken query time out at ~0s, shrink the total, and exit
     // rc=0. Every error is recorded per query and the run exits non-zero.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // every timed sample is kept per query (not just the best): the
+    // round-10/11 adjudications both had to RE-RUN queries to tell
+    // session-tail load from plan regressions, because the artifact
+    // carried only the min — with the full sample list the spread is
+    // visible in the artifact itself (round-11 verdict #7)
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -40,8 +46,15 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      samples.update(name, samples.getOrElse(name, Nil) :+ dt)
       dt
     }
+    // load context: 1/5/15-minute system load around the run, so a judge
+    // can tell a loaded box from a regression without re-running
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
     // optional comma-separated filter for local single-query iteration
     // (the driver never sets it — full catalog by default)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -81,8 +94,15 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val runsJson = samples
+      .map { case (k, vs) =>
+        jsonStr(k) + ":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+      }
+      .mkString("{", ",", "}")
+    val loadJson =
+      s"""{"start":${jsonStr(loadStart)},"end":${jsonStr(loadavg())},"cpus":"$cpus"}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"runs":$runsJson,"load":$loadJson,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver parses a bounded TAIL of captured stdout, so the full
     // ~3.4 KB per-query line gets its head truncated there (BENCH_r02
     // "parsed": null). Primary channel split: the full map goes to a file,
