@@ -546,11 +546,20 @@ object MultimodalOps {
         .write.mode(if (s == 0) "overwrite" else "append").parquet(out)
       // nudge the ContextCleaner: this group's shuffle files are
       // unreachable once its job finished, but cleanup fires on GC.
-      // Gated on corpus size — the gc exists to bound DISK between
-      // groups, which only binds when a group's exchange is large; at
-      // driver-fixture scale it was 6 forced full GCs per bench run
-      // for shuffle files measured in megabytes
-      if (nVecs > 1000000L) System.gc()
+      // Gated on the group's SIGNATURE-ROW volume (vectors × bands in
+      // the group), the actual driver of per-group exchange bytes — a
+      // plain corpus-size gate missed that a sub-threshold corpus with
+      // a wide solved geometry re-creates the disk accumulation the gc
+      // exists to bound. Default 8M signature rows (the old 1M-vector
+      // gate at the typical ~8-band group); tunable for deployments
+      // whose executors spill earlier via spark.graft.m7e.gcSigRows.
+      // At driver-fixture scale the old always-on gc was 6 forced full
+      // GCs per bench run for shuffle files measured in megabytes.
+      val gcSigRows = spark.conf
+        .getOption("spark.graft.m7e.gcSigRows")
+        .map(_.toLong)
+        .getOrElse(8000000L)
+      if (nVecs * (hi - lo) > gcSigRows) System.gc()
       s += 1
     }
     spark.read.parquet(out).distinct().orderBy("id_a", "id_b")

@@ -896,10 +896,15 @@ object VectorOps {
     * near the random-pair background where banding can't prune (see
     * [[cosinePairsBanded]]); the clustering stage is identical either way. */
   // NOTE on .cache() inside declared queries that RETURN lazy frames
-  // (v12 family, v4, v22): the builder cannot unpersist what the caller
-  // has not yet executed. Freed by session clearCache (Bench's between-
-  // query hygiene) or LRU eviction; long-lived serving sessions wrap
-  // catalog calls with their own cache scope (round-10 review).
+  // (v12 family, v4, v22, v37's tf base): the builder cannot unpersist
+  // what the caller has not yet executed. Freed by session clearCache
+  // (Bench's between-query hygiene) or LRU eviction; long-lived serving
+  // sessions wrap catalog calls with their own cache scope (round-10
+  // review). The suffix family's memoized rank tables are the related
+  // long-lived state: checkpoint-backed, session-validated by reference,
+  // and cleared on application end (TextOps.suffixRankCache) — serving
+  // sessions that regenerate fixtures in place get fresh builds through
+  // the content snapshot in the cache key.
   private def v12SemanticClusters(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
