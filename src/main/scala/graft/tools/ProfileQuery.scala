@@ -17,6 +17,12 @@ object ProfileQuery {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session confs (comma-separated k=v), e.g. the suffix
+    // family's reliable-checkpoint mode for overhead measurements
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (q <- args; rnd <- 1 to 2) {
       val s = System.nanoTime
