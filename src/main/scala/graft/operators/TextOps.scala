@@ -3377,6 +3377,27 @@ object TextOps {
       s: SparkSession,
       d: String,
       spanL: Int = suffixSpanL
+  ): DataFrame =
+    suffixRankTableOn(
+      s,
+      Tables.documents(s, d).select(col("doc_id"), toks.as("w")),
+      documentsSnapshot(d),
+      spanL
+    )
+
+  /** The doubling loop over an ARBITRARY (doc_id, w: array<string>)
+    * frame — t65/t66 run it on the fixture corpus; t69 re-runs it on
+    * the REWRITTEN corpus (t68's output) to measure residual
+    * duplication, which is what proves the operator composes instead of
+    * being welded to the documents table. `cacheTag` keys the memo
+    * alongside (session, spanL): callers must change it when the
+    * frame's CONTENT changes — fixture-backed frames use the directory
+    * snapshot, derived frames suffix it with their derivation. */
+  private[graft] def suffixRankTableOn(
+      s: SparkSession,
+      words: DataFrame,
+      cacheTag: String,
+      spanL: Int
   ): DataFrame = {
     require(spanL >= 2, s"suffixRankTable: span must be >= 2, got $spanL")
     require(
@@ -3399,12 +3420,12 @@ object TextOps {
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           suffixRankCache.clear()
       })
-    val key = (System.identityHashCode(s), documentsSnapshot(d), spanL)
+    val key = (System.identityHashCode(s), cacheTag, spanL)
     val hit = suffixRankCache.get(key).flatMap { case (ref, df) =>
       Option(ref.get()).filter(_ eq s).map(_ => df)
     }
     hit.getOrElse {
-      val built = buildSuffixRankTable(s, d, spanL)
+      val built = buildSuffixRankTable(words, spanL)
       suffixRankCache.update(
         key,
         (new java.lang.ref.WeakReference(s), built))
@@ -3413,11 +3434,9 @@ object TextOps {
   }
 
   private def buildSuffixRankTable(
-      s: SparkSession,
-      d: String,
+      words: DataFrame,
       spanL: Int
   ): DataFrame = {
-    val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
     val tokpos = words
       .select(
         col("doc_id"),
@@ -3544,19 +3563,24 @@ object TextOps {
   private def t65bSuffixRanksL50(s: SparkSession, d: String): DataFrame =
     t65SuffixRanksAt(s, d, 50)
 
-  private def t65SuffixRanksAt(s: SparkSession, d: String, L: Int): DataFrame = {
-    val rt = suffixRankTable(s, d, L)
+  /** Per-doc (n_full, n_dup) under span L from a rank table: how many
+    * full-length window positions the doc has and how many of them sit
+    * in corpus-wide repeated groups. Shared by t65/t65b and t69 (which
+    * profiles the REWRITTEN corpus's rank table the same way). */
+  private def dupProfileOf(rt: DataFrame, L: Int): DataFrame = {
     val wR = Window.partitionBy("r", "rn")
-    val flagged = rt
-      .withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
+    rt.withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
       .withColumn("grp_full", sum("fullp").over(wR))
-    val perDoc = flagged
       .filter(col("fullp") === 1)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_full"),
         sum(when(col("grp_full") >= 2, 1L).otherwise(0L)).as("n_dup")
       )
+  }
+
+  private def t65SuffixRanksAt(s: SparkSession, d: String, L: Int): DataFrame = {
+    val perDoc = dupProfileOf(suffixRankTable(s, d, L), L)
     val base = Tables
       .documents(s, d)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
@@ -3649,6 +3673,102 @@ object TextOps {
         min(when(col("is_start") === 1, col("pos"))).as("exsub_first_pos")
       )
 
+  /** t68 — ExactSubstr REWRITE: the verb t66 only counts. Materialize
+    * each document's post-removal text — every token under a duplicated
+    * 16-token window dropped, survivors rejoined in original order.
+    * This is the pass that actually produces the deduplicated training
+    * corpus in Lee et al.'s pipeline; t66 is its accounting, t59 its
+    * audit, t69 its convergence check. A doc with zero surviving tokens
+    * (fully covered, or no tokens to begin with) reports NULL text —
+    * never an empty string masquerading as content.
+    *
+    * Scale: one (doc_id, pos)-keyed join between the coverage frame and
+    * the token stream (both corpus-sized, same key — one co-partitioned
+    * exchange class, no pair blowup), then a doc-grain agg whose state
+    * is the kept tokens. Reassembly is deterministic by construction:
+    * tokens ride (pos, tok) structs through sort_array — never
+    * collect_list arrival order. */
+  private def t68ExactSubstrRewrite(s: SparkSession, d: String): DataFrame = {
+    val L = suffixSpanL
+    val cov = suffixCoverageAt(s, d, L).select("doc_id", "pos", "covered")
+    val tokpos = Tables
+      .documents(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = tokpos
+      .join(cov, Seq("doc_id", "pos"))
+      .filter(col("covered") === 0)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")
+          )
+        ).as("clean_text")
+      )
+    Tables
+      .documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_text")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** t69 — residual-duplication audit: rerun the suffix-rank profile on
+    * the REWRITTEN corpus (t68's output) and report, per document, the
+    * dup-start count before vs after removal. This is the question Lee
+    * et al. leave to iteration policy — does ONE ExactSubstr pass
+    * converge, or does stitching survivors across removed gaps (and
+    * docs collapsing to the same residue) mint NEW repeated windows
+    * that need another pass? The audit quantifies it instead of
+    * assuming; a pipeline owner reads Σ n_dup_after to decide.
+    *
+    * Scale: a SECOND doubling-loop build over the rewritten corpus —
+    * strictly smaller than the first (removal only deletes tokens), so
+    * the audit costs less than 2× the t65 build it extends; both tables
+    * memoize independently (the rewritten one under a derived cache
+    * tag). Exercises [[suffixRankTableOn]] on a frame that is not the
+    * documents table — the operator composes, it is not welded to the
+    * fixture. */
+  private def t69ResidualDupAudit(s: SparkSession, d: String): DataFrame = {
+    val L = suffixSpanL
+    val before = dupProfileOf(suffixRankTable(s, d, L), L)
+      .select(col("doc_id"), col("n_dup").as("n_dup_before"))
+    val rewritten = t68ExactSubstrRewrite(s, d)
+    val words2 = rewritten.select(
+      col("doc_id"),
+      F.wsTokens(coalesce(col("clean_text"), lit(""))).as("w")
+    )
+    val rt2 = suffixRankTableOn(
+      s,
+      words2,
+      documentsSnapshot(d) + "|exsub_rewrite",
+      L
+    )
+    val after = dupProfileOf(rt2, L)
+      .select(col("doc_id"), col("n_dup").as("n_dup_after"))
+    rewritten
+      .select("doc_id", "n_tokens", "n_kept")
+      .join(before, Seq("doc_id"), "left")
+      .join(after, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_kept"),
+        coalesce(col("n_dup_before"), lit(0L)).as("n_dup_before"),
+        coalesce(col("n_dup_after"), lit(0L)).as("n_dup_after")
+      )
+      .orderBy("doc_id")
+  }
+
   /** t67 — REPEATED-SPAN extraction: the report half of the suffix-rank
     * family — WHAT is duplicated, not just how much. Top-20 repeated
     * 16-token windows by occurrence count, each with its document reach
@@ -3719,6 +3839,8 @@ object TextOps {
     "t66_repeated_spans" -> (t66RepeatedSpans _),
     "t66b_repeated_spans_l50" -> (t66bRepeatedSpansL50 _),
     "t67_dup_spans" -> (t67DupSpans _),
+    "t68_exactsubstr_rewrite" -> (t68ExactSubstrRewrite _),
+    "t69_residual_dup_audit" -> (t69ResidualDupAudit _),
     "t60_filter_overlap" -> (t60FilterOverlap _),
     "t61_phrase_search" -> (t61PhraseSearch _),
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
@@ -3965,6 +4087,77 @@ object TextOps {
 
   private val t66OracleSql: String = t66OracleSqlAt(suffixSpanL)
 
+  /** Shared CTE tail for t68/t69: dup starts → per-token coverage (with
+    * the token string riding along) → kept tokens reassembled in order.
+    * Built on [[suffixGramCtesAt]]'s docs/sized/starts/gc prefix. */
+  private def suffixRewriteCtesAt(L: Int): String =
+    s"""dupstart AS (
+       |  SELECT s.doc_id, s.pos FROM starts s JOIN gc USING (g)
+       |  WHERE gc.c >= 2
+       |), tokst AS (
+       |  SELECT doc_id, n_tokens, pos, w[pos] AS tok
+       |  FROM (SELECT doc_id, n_tokens, w,
+       |          unnest(generate_series(1, n_tokens)) AS pos
+       |        FROM sized)
+       |), cov AS (
+       |  SELECT t.doc_id, t.n_tokens, t.pos, t.tok,
+       |    max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+       |            ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS covered
+       |  FROM tokst t LEFT JOIN dupstart d
+       |    ON d.doc_id = t.doc_id AND d.pos = t.pos
+       |), kept AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM cov WHERE covered = 0 GROUP BY doc_id
+       |)""".stripMargin
+
+  private val t68OracleSql: String =
+    s"""WITH ${suffixGramCtesAt(suffixSpanL)},
+       |${suffixRewriteCtesAt(suffixSpanL)}
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  k.clean_text
+       |FROM sized d LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  private val t69OracleSql: String =
+    s"""WITH ${suffixGramCtesAt(suffixSpanL)},
+       |${suffixRewriteCtesAt(suffixSpanL)},
+       |dupb AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_dup_before
+       |  FROM starts s JOIN gc USING (g) WHERE gc.c >= 2
+       |  GROUP BY s.doc_id
+       |), w2 AS (
+       |  SELECT d.doc_id,
+       |    list_filter(string_split_regex(trim(coalesce(k.clean_text, '')),
+       |                '\\s+'), x -> length(x) > 0) AS w
+       |  FROM sized d LEFT JOIN kept k USING (doc_id)
+       |), sized2 AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS nt2, w FROM w2
+       |), starts2 AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(w[pos:pos+${suffixSpanL - 1}], ' ') AS g
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(1, nt2 - ${suffixSpanL - 1})) AS pos
+       |        FROM sized2)
+       |), gc2 AS (
+       |  SELECT g, count(*) AS c FROM starts2 GROUP BY g
+       |), dupa AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_dup_after
+       |  FROM starts2 s JOIN gc2 USING (g) WHERE gc2.c >= 2
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id, d.n_tokens,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(b.n_dup_before, 0) AS BIGINT) AS n_dup_before,
+       |  CAST(coalesce(a.n_dup_after, 0) AS BIGINT) AS n_dup_after
+       |FROM sized d
+       |LEFT JOIN kept k USING (doc_id)
+       |LEFT JOIN dupb b ON b.doc_id = d.doc_id
+       |LEFT JOIN dupa a ON a.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   private val t67OracleSql: String =
     s"""WITH $suffixGramCtes,
        |grp AS (
@@ -3992,6 +4185,12 @@ object TextOps {
     "t66_repeated_spans" -> t66OracleSql,
     "t66b_repeated_spans_l50" -> t66OracleSqlAt(50),
     "t67_dup_spans" -> t67OracleSql,
+    // t68/t69 compose the gram + coverage CTEs with the token string
+    // riding the coverage window; t69 re-derives 16-grams from the
+    // REASSEMBLED clean text — the residual audit is independent of the
+    // doubling implementation on both sides of the hash gate
+    "t68_exactsubstr_rewrite" -> t68OracleSql,
+    "t69_residual_dup_audit" -> t69OracleSql,
     "t62_bpe_train" -> t62OracleSql,
     "t63_bpe_encode" -> t63OracleSql,
     // t64 shares t63's oracle verbatim: the native expression's contract

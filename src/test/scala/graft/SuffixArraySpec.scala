@@ -177,6 +177,56 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("t68 rewrite drops exactly the covered tokens and reassembles in order") {
+    val s = (1 to 20).map(i => s"s$i")
+    val docA = ((1 to 4).map(i => s"p$i") ++ s ++ (1 to 6).map(i => s"q$i")).mkString(" ")
+    val docB = (s ++ (1 to 10).map(i => s"r$i")).mkString(" ")
+    val docC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val t = (1 to 16).map(i => s"t$i")
+    val docD = (t ++ Seq("z") ++ t).mkString(" ")
+    val dir = writeDocs(Seq(0L -> docA, 1L -> docB, 2L -> docC, 3L -> docD, 4L -> "   "))
+    val got = TextOps
+      .queries("t68_exactsubstr_rewrite")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), Option(r.get(3))))
+      .toMap
+    assert(got(0L) == ((30L, 10L,
+      Some(((1 to 4).map(i => s"p$i") ++ (1 to 6).map(i => s"q$i")).mkString(" ")))))
+    assert(got(1L) == ((30L, 10L, Some((1 to 10).map(i => s"r$i").mkString(" ")))))
+    // untouched doc: clean text IS the original tokenization
+    assert(got(2L) == ((10L, 10L, Some(docC))))
+    // in-doc repeat: both 16-blocks go, only the separator survives
+    assert(got(3L) == ((33L, 1L, Some("z"))))
+    // zero surviving tokens (here: zero tokens at all) → NULL, not ""
+    assert(got(4L) == ((0L, 0L, None)))
+  }
+
+  test("t69 catches NEW duplicates minted by stitching survivors across removed gaps") {
+    // d0 = P S Q, d1 = P T Q with S ≠ T but each duplicated elsewhere
+    // (d2 = S, d3 = T): one removal pass deletes S/T from d0/d1, whose
+    // residues then AGREE on a fresh 16-token window — the
+    // non-convergence case the audit exists to quantify
+    val P = (1 to 8).map(i => s"p$i"); val Q = (1 to 8).map(i => s"q$i")
+    val S = (1 to 16).map(i => s"s$i"); val T = (1 to 16).map(i => s"u$i")
+    val dir = writeDocs(Seq(
+      0L -> (P ++ S ++ Q).mkString(" "),
+      1L -> (P ++ T ++ Q).mkString(" "),
+      2L -> S.mkString(" "),
+      3L -> T.mkString(" ")
+    ))
+    val got = TextOps
+      .queries("t69_residual_dup_audit")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // before: exactly the S window (d0 pos 9 == d2 pos 1) and T window;
+    // after: d0/d1 residues are both "p1..p8 q1..q8" — a NEW dup pair
+    assert(got(0L) == ((32L, 16L, 1L, 1L)))
+    assert(got(1L) == ((32L, 16L, 1L, 1L)))
+    assert(got(2L) == ((16L, 0L, 1L, 0L)))
+    assert(got(3L) == ((16L, 0L, 1L, 0L)))
+  }
+
   test("orderIds ids stay below the 2^59 round-tag ceiling across many range partitions") {
     import spark.implicits._
     // adversarial shape for the id space: enough distinct keys that the
