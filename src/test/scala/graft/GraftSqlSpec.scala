@@ -27,7 +27,11 @@ class GraftSqlSpec extends AnyFunSuite {
         "j10b_concurrency_profile",
         "t65_suffix_ranks",
         "v35_logreg_fit",
-        "v37_bm25_topk"
+        "v37_bm25_topk",
+        "t65b_suffix_ranks_l50",
+        "t68_exactsubstr_rewrite",
+        "t69_residual_dup_audit",
+        "t59_dedup_provenance"
       )
     )
     for (
@@ -40,7 +44,11 @@ class GraftSqlSpec extends AnyFunSuite {
         "j10b_concurrency_profile",
         "t65_suffix_ranks",
         "v35_logreg_fit",
-        "v37_bm25_topk"
+        "v37_bm25_topk",
+        "t65b_suffix_ranks_l50",
+        "t68_exactsubstr_rewrite",
+        "t69_residual_dup_audit",
+        "t59_dedup_provenance"
       )
     ) {
       val viaSql = rows(spark.sql(s"SELECT * FROM graft_$name"))

@@ -42,6 +42,36 @@ class JsonlCorpusSpec extends AnyFunSuite {
     assert(validScan.count() == labeled.filter(col("split") === "valid").count())
   }
 
+  test("the ExactSubstr-cleaned corpus exits through the JSONL edge and survives readback") {
+    // the end-to-end cleaning pipeline a curation team actually ships:
+    // t68 rewrites the corpus, the survivors leave as JSONL (tokenizer
+    // workers consume THIS, not parquet), and the readback is the
+    // cleaned corpus exactly — zero-survivor docs are dropped by the
+    // export filter, not smuggled through as empty strings
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-clean").toString
+    val meta = Tables.documents(spark, sf).select("doc_id", "lang", "source")
+    val split = TextOps.queries("t14_hash_split")(spark, sf).select("doc_id", "split")
+    val cleaned = TextOps
+      .queries("t68_exactsubstr_rewrite")(spark, sf)
+      .filter(col("clean_text").isNotNull)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .join(meta, "doc_id")
+      .join(split, "doc_id")
+      .select("doc_id", "text", "lang", "source", "n_chars", "split")
+    JsonlCorpus.write(cleaned, dir)
+    val back = JsonlCorpus.read(spark, dir)
+    val a = cleaned.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && b == a, "cleaned-corpus JSONL round-trip diverged")
+    // the export is the REWRITTEN text: total chars strictly under the
+    // original corpus's (the fixture provably has repeated spans)
+    val origChars = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val cleanChars = back.agg(sum(length(col("text")))).collect()(0).getLong(0)
+    assert(cleanChars < origChars, "rewrite exported but nothing was removed")
+  }
+
   test("a corrupt line fails the read loudly instead of becoming a null row") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/split=train"))
