@@ -526,6 +526,44 @@ object TextOps {
       .orderBy("shard")
   }
 
+  /** t70 — SEQUENCE-PACKING provenance (concat-and-chunk): the assembly
+    * step that turns a tokenized corpus into fixed-length training
+    * examples — every document's tokens concatenated in doc_id order
+    * and cut into 512-token context windows (GPT-style packing, no
+    * padding). Per document: the chunk its first and last token land
+    * in, how many chunks it spans, and whether it crosses an example
+    * boundary — the truncation-exposure question a data owner asks
+    * before choosing packing policy (and the reason libraries offer
+    * document-boundary-respecting variants). Zero-token docs report
+    * NULL chunks: they contribute to no example.
+    *
+    * Scale: rides [[twoPhaseShards]] (t9/t44's bucket-totals +
+    * broadcast-offsets + in-bucket-window prefix sum — NO global
+    * window); the chunk ids are pure arithmetic on the cumsum, so the
+    * whole query adds zero shuffle classes to the sharder it reuses. */
+  private def t70SequencePacking(s: SparkSession, d: String): DataFrame = {
+    val B = 512L
+    val nTok = Tables
+      .documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    twoPhaseShards(nTok, budget = B)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        when(col("n_tokens") > 0, col("shard")).as("chunk_first"),
+        when(col("n_tokens") > 0, expr(s"(cum_tokens - 1) DIV $B")).as("chunk_last")
+      )
+      .withColumn(
+        "n_chunks",
+        when(col("n_tokens") > 0, col("chunk_last") - col("chunk_first") + 1L)
+      )
+      .withColumn(
+        "crosses",
+        when(col("n_tokens") > 0, (col("chunk_last") > col("chunk_first")).cast("int"))
+      )
+      .orderBy("doc_id")
+  }
+
   /** PII redaction — the scrub pass a training corpus runs before release:
     * emails, IPv4 addresses and long digit runs are replaced with typed
     * placeholder tokens, and the per-type match counts are emitted so
@@ -3841,6 +3879,7 @@ object TextOps {
     "t67_dup_spans" -> (t67DupSpans _),
     "t68_exactsubstr_rewrite" -> (t68ExactSubstrRewrite _),
     "t69_residual_dup_audit" -> (t69ResidualDupAudit _),
+    "t70_sequence_packing" -> (t70SequencePacking _),
     "t60_filter_overlap" -> (t60FilterOverlap _),
     "t61_phrase_search" -> (t61PhraseSearch _),
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
@@ -4191,6 +4230,33 @@ object TextOps {
     // doubling implementation on both sides of the hash gate
     "t68_exactsubstr_rewrite" -> t68OracleSql,
     "t69_residual_dup_audit" -> t69OracleSql,
+    // the cumsum is CAST BIGINT before the chunk arithmetic: DuckDB's
+    // windowed SUM returns HUGEINT, which would drift every derived
+    // column's type (the round-7 postmortem rule at window grain)
+    "t70_sequence_packing" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), counts AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM words
+         ), cums AS (
+           SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM counts
+         )
+         SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens > 0 THEN (cum - n_tokens) // 512 END AS chunk_first,
+           CASE WHEN n_tokens > 0 THEN (cum - 1) // 512 END AS chunk_last,
+           CASE WHEN n_tokens > 0
+             THEN (cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+           END AS n_chunks,
+           CASE WHEN n_tokens > 0
+             THEN CAST((cum - 1) // 512 > (cum - n_tokens) // 512 AS INTEGER)
+           END AS crosses
+         FROM cums ORDER BY doc_id""",
     "t62_bpe_train" -> t62OracleSql,
     "t63_bpe_encode" -> t63OracleSql,
     // t64 shares t63's oracle verbatim: the native expression's contract

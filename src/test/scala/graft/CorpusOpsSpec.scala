@@ -479,6 +479,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(inline.exists(_._4 > 0L), "no exactsubstr claims surfaced in t59")
   }
 
+  test("t70 packing is a contiguous partition of the concatenated corpus") {
+    val rows = TextOps
+      .queries("t70_sequence_packing")(spark, sf)
+      .collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total > 512L, "fixture should span multiple chunks")
+    val chunked = rows.filter(!_.isNullAt(2))
+    // the last token's chunk is exactly ceil-arithmetic on the corpus total
+    assert(chunked.map(_.getLong(3)).max == (total - 1) / 512)
+    // every chunk id in [0, max] is someone's home — no gaps, no padding
+    val covered = chunked
+      .flatMap(r => r.getLong(2) to r.getLong(3))
+      .toSet
+    assert(covered == (0L to (total - 1) / 512).toSet, "chunk coverage has gaps")
+    chunked.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2) + 1, s"n_chunks wrong: $r")
+      assert((r.getInt(5) == 1) == (r.getLong(3) > r.getLong(2)), s"crosses wrong: $r")
+    }
+    // zero-token docs contribute to no example
+    rows.filter(_.getLong(1) == 0).foreach(r => assert(r.isNullAt(2) && r.isNullAt(5)))
+  }
+
   test("t62 trainer: iteration 1 equals t34's pick and t48's corpus symbol ledger; merges compound") {
     val ledger = TextOps
       .queries("t62_bpe_train")(spark, sf)

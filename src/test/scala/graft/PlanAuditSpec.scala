@@ -375,6 +375,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t67's text join lost its broadcast of the pruned groups:\n$p")
   }
 
+  test("t70's corpus-order cumsum never funnels through one partition") {
+    // the packing cumsum must stay the two-phase prefix sum (bucket
+    // totals + broadcast offsets + in-bucket window) — a global
+    // `ORDER BY` window here is the classic one-task corpus funnel
+    val p = plan("t70_sequence_packing")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"t70 grew a single-partition funnel:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"t70 lost its broadcast bucket offsets:\n$p")
+  }
+
   test("v22's edge list is built once and cached across rank iterations") {
     // three power iterations re-read the kNN edges; without the cache the
     // whole IVF fit + probe + rank pipeline (the most expensive subplan
