@@ -3463,12 +3463,56 @@ object TextOps {
       Option(ref.get()).filter(_ eq s).map(_ => df)
     }
     hit.getOrElse {
-      val built = buildSuffixRankTable(words, spanL)
+      // the memoized value is a localCheckpoint OF the store read: the
+      // store gives cross-session reuse (parquet outlives the JVM), the
+      // checkpoint gives in-session consumers block-speed reads (t59's
+      // warm run measured +1.3 s at sf0.1 reading the store per
+      // consumer); lineage is one parquet scan deep, so executor loss
+      // just re-reads the store
+      val built = suffixRankStore(s, words, cacheTag, spanL).localCheckpoint()
       suffixRankCache.update(
         key,
         (new java.lang.ref.WeakReference(s), built))
       built
     }
+  }
+
+  /** Cross-session PERSISTED rank tables — [[minhashSigStore]]'s
+    * discipline applied to the suffix family, because at corpus scale
+    * the doubling build is hours while the audits that consume it
+    * (t59/t65/t66/t67/t69) are minutes: one ingest pays the build, every
+    * session after reads parquet. Sits between the in-session memo and
+    * the build: memo hit → zero I/O; store hit → one parquet read (no
+    * doubling rounds, no checkpoints, no window state); miss → build +
+    * overwrite write + read. The key is md5(content tag, spanL) with the
+    * same regenerated-in-place MISS semantics as the signature store;
+    * stale dirs for dead fingerprints are inert. Rank-id VALUES are
+    * build-relative (orderIds rides the exchange's partitioning), but
+    * consumers use only id equality and a stored table is
+    * self-consistent by construction. */
+  private def suffixRankStore(
+      s: SparkSession,
+      words: DataFrame,
+      cacheTag: String,
+      spanL: Int
+  ): DataFrame = {
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$cacheTag|$spanL".getBytes("UTF-8"))
+      .take(6)
+      .map(b => f"${b & 0xff}%02x")
+      .mkString
+    val store = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_suffix_ranks_$key"
+    )
+    val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val complete = fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))
+    if (!complete)
+      buildSuffixRankTable(words, spanL).write
+        .mode("overwrite")
+        .parquet(store.toString)
+    s.read.parquet(store.toString)
   }
 
   private def buildSuffixRankTable(

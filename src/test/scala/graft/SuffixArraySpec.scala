@@ -227,6 +227,41 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got(3L) == ((16L, 0L, 1L, 0L)))
   }
 
+  test("the persisted rank store serves a NEW session without rebuilding") {
+    // session-hash memo misses (different session object) but the
+    // parquet store hits: same verdicts out, and the store's files are
+    // untouched — a rebuild would overwrite them (mtime/name churn)
+    val rows = Seq(
+      0L -> ((1 to 20).map(i => s"a$i") ++ (1 to 20).map(i => s"s$i")).mkString(" "),
+      1L -> ((1 to 20).map(i => s"s$i") ++ (1 to 4).map(i => s"b$i")).mkString(" ")
+    )
+    val dir = writeDocs(rows)
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    def stores(): Set[String] =
+      Option(warehouse.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("graft_suffix_ranks_"))
+        .map(_.getName).toSet
+    val before = stores()
+    val first = TextOps.queries("t65_suffix_ranks")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val created = stores() -- before
+    assert(created.nonEmpty, "build did not persist a rank store")
+    def sig(name: String): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(warehouse, name))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val fingerprint = created.toSeq.sorted.map(sig)
+    val fresh = spark.newSession()
+    val second = TextOps.queries("t65_suffix_ranks")(fresh, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(second == first, "store-served session diverged from the builder")
+    assert(created.toSeq.sorted.map(sig) == fingerprint,
+      "new session REBUILT the store instead of reading it")
+  }
+
   test("orderIds ids stay below the 2^59 round-tag ceiling across many range partitions") {
     import spark.implicits._
     // adversarial shape for the id space: enough distinct keys that the
