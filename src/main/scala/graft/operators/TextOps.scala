@@ -3394,7 +3394,9 @@ object TextOps {
     * killing the build (exactly like every published distributed
     * suffix-array build: pDC3 and friends materialize between rounds).
     * The table is memoized per (session, fixture content) so t65 and
-    * t66 share one build.
+    * t66 share one build, and PERSISTED as parquet across sessions
+    * ([[suffixRankStore]]) so one ingest pays the build and every audit
+    * session after reads the store.
     *
     * The LAST round is rank-free, which is also what makes ARBITRARY
     * span lengths exact (Lee et al. run L = 50, not a power of two):
