@@ -49,13 +49,24 @@ object BpeMerges {
     )
   }
 
-  /** Read a merges.txt back as the rank-ordered pair list. `#`-prefixed
-    * header lines and blank trailing lines are skipped; anything else
-    * that is not exactly `left right` fails with its line number. */
+  /** Read a merges.txt back as the rank-ordered pair list. ONLY line 1
+    * may be a `#`-prefixed header (the `#version` convention — what
+    * write() always emits); blank lines are skipped; anything else that
+    * is not exactly `left right` fails with its line number. A `#` on
+    * any later line is DATA: code corpora legitimately produce merges
+    * whose left symbol starts with `#` (write() accepts them), and the
+    * earlier skip-every-`#`-line rule silently dropped those merges on
+    * readback — the list shrank with no error and every downstream
+    * `graft_bpe_encode` budget was computed against a corrupted
+    * tokenizer (round-12 advice #1). Residual ambiguity is the FORMAT's,
+    * not ours: a headerless external file whose first merge starts with
+    * `#` is indistinguishable from a header line ("#version: 0.2" parses
+    * as two fields too) — write() always emits the header, so every
+    * graft-written file round-trips exactly. */
   def read(path: String): Seq[(String, String)] = {
     val raw = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala.toSeq
     val merges = raw.zipWithIndex.flatMap { case (line, i) =>
-      if (line.startsWith("#") || line.trim.isEmpty) None
+      if ((i == 0 && line.startsWith("#")) || line.trim.isEmpty) None
       else {
         val parts = line.split(" ", -1)
         require(

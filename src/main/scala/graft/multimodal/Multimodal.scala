@@ -562,7 +562,19 @@ object MultimodalOps {
       if (nVecs * (hi - lo) > gcSigRows) System.gc()
       s += 1
     }
-    spark.read.parquet(out).distinct().orderBy("id_a", "id_b")
+    val res = spark.read.parquet(out).distinct().orderBy("id_a", "id_b")
+    if (scratch.isDefined) res
+    else {
+      // self-created temp dir: pin the survivors off it (they are tiny
+      // at any τ — the distinct'd pair list, not the per-group scratch)
+      // and DELETE it, instead of leaking per-run scratch parquet that
+      // at sf30 volumes is real GBs per run (round-12 verdict finding
+      // #3). A caller-provided scratch dir is caller-owned and kept.
+      val pinned = res.localCheckpoint()
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      pinned
+    }
   }
 
   /** m7c — IVF-PRUNED banded semantic media dedup: "cluster first, band

@@ -3465,13 +3465,19 @@ object TextOps {
       Option(ref.get()).filter(_ eq s).map(_ => df)
     }
     hit.getOrElse {
-      // the memoized value is a localCheckpoint OF the store read: the
-      // store gives cross-session reuse (parquet outlives the JVM), the
-      // checkpoint gives in-session consumers block-speed reads (t59's
-      // warm run measured +1.3 s at sf0.1 reading the store per
-      // consumer); lineage is one parquet scan deep, so executor loss
-      // just re-reads the store
-      val built = suffixRankStore(s, words, cacheTag, spanL).localCheckpoint()
+      // the memoized value is a lineage CUT of the store read: the store
+      // gives cross-session reuse (parquet outlives the JVM), the cut
+      // gives in-session consumers block-speed reads (t59's warm run
+      // measured +1.3 s at sf0.1 reading the store per consumer). The
+      // cut is cutLineage, NOT a bare localCheckpoint: localCheckpoint
+      // blocks die with their executor and are NOT recomputable, so on
+      // a cluster a lost node would fail every consumer instead of
+      // re-reading the store — when spark.graft.suffix.checkpointDir is
+      // set (the cluster mode) the cut is a RELIABLE checkpoint and
+      // executor loss replays from it (round-12 advice #2; the reliable
+      // copy duplicates the store's bytes under the checkpoint dir, an
+      // accepted cost next to the hours-long build it protects)
+      val built = cutLineage(suffixRankStore(s, words, cacheTag, spanL))
       suffixRankCache.update(
         key,
         (new java.lang.ref.WeakReference(s), built))
@@ -3486,9 +3492,19 @@ object TextOps {
     * session after reads parquet. Sits between the in-session memo and
     * the build: memo hit → zero I/O; store hit → one parquet read (no
     * doubling rounds, no checkpoints, no window state); miss → build +
-    * overwrite write + read. The key is md5(content tag, spanL) with the
-    * same regenerated-in-place MISS semantics as the signature store;
-    * stale dirs for dead fingerprints are inert. Rank-id VALUES are
+    * atomic publish + read. The key is the FULL md5 of
+    * (format version, content tag, spanL) — the first cut truncated to
+    * 48 bits, where two different corpus snapshots birthday-colliding
+    * would silently serve the wrong rank table; the full digest costs
+    * nothing (round-12 verdict finding #1). The content tag is the
+    * fixture's name:size:mtime snapshot, with the same
+    * regenerated-in-place MISS semantics as the signature store — an
+    * in-place rewrite that preserves every file's size AND mtime (a
+    * copied-back fixture with `cp -p`) aliases to the old table; that
+    * is standard cache-key practice, stated here per round-12 finding
+    * #2 (hash file CONTENTS into the tag if a deployment can't rule it
+    * out). Stale dirs for dead fingerprints are inert until
+    * [[suffixStorePurge]] collects them. Rank-id VALUES are
     * build-relative (orderIds rides the exchange's partitioning), but
     * consumers use only id equality and a stored table is
     * self-consistent by construction. */
@@ -3497,24 +3513,109 @@ object TextOps {
       words: DataFrame,
       cacheTag: String,
       spanL: Int
-  ): DataFrame = {
-    val key = java.security.MessageDigest
+  ): DataFrame =
+    storedOrBuilt(s, s"graft_suffix_ranks_${suffixStoreKey(cacheTag, spanL)}") {
+      buildSuffixRankTable(words, spanL)
+    }
+
+  /** Format-version salt folded into every persisted suffix-family store
+    * key: bump it whenever the stored table's OUTPUT CONTRACT changes
+    * (schema, rank-tag semantics — the round-12 bit-48 → bit-59 move is
+    * exactly the class of change that would otherwise silently serve
+    * stale cross-session stores built by old code; round-12 advice #4).
+    * v2 = bit-59 round tags + full-md5 keys. */
+  private[graft] val suffixStoreVersion = "v2"
+
+  private[graft] def suffixStoreKey(cacheTag: String, spanL: Int): String =
+    java.security.MessageDigest
       .getInstance("MD5")
-      .digest(s"$cacheTag|$spanL".getBytes("UTF-8"))
-      .take(6)
+      .digest(s"$suffixStoreVersion|$cacheTag|$spanL".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x")
       .mkString
-    val store = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"),
-      s"graft_suffix_ranks_$key"
-    )
+
+  /** Read-or-build with ATOMIC publish for the suffix-family warehouse
+    * stores. The first cut's check-then-overwrite raced: two JVMs (Bench
+    * vs Verify locally; a second ingest racing an hours-long cluster
+    * build) could both see no `_SUCCESS` and interleave writes under the
+    * SAME path, handing concurrent readers a torn store (round-12 advice
+    * #5). Here the build lands in a dot-prefixed temp dir and a directory
+    * RENAME publishes it, so readers only ever observe a complete store;
+    * the losing racer's temp is deleted (if the winner's store is
+    * complete) or promoted (if the winner tore). Directory rename is
+    * atomic on HDFS and local filesystems; an object-store deployment
+    * without atomic rename wants a lock file here instead. */
+  private def storedOrBuilt(s: SparkSession, dirName: String)(
+      build: => DataFrame
+  ): DataFrame = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val store = new org.apache.hadoop.fs.Path(warehouse, dirName)
     val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val complete = fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))
-    if (!complete)
-      buildSuffixRankTable(words, spanL).write
-        .mode("overwrite")
-        .parquet(store.toString)
+    def complete =
+      fs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))
+    if (!complete) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        warehouse,
+        s".${dirName}_tmp_${java.util.UUID.randomUUID}"
+      )
+      build.write.mode("overwrite").parquet(tmp.toString)
+      // rename is guarded by an existence check: Hadoop's local-FS
+      // rename onto an EXISTING directory moves the source INSIDE it
+      // (POSIX mv semantics) instead of refusing — publish() refuses
+      // explicitly so a pre-existing destination is adjudicated below
+      def publish(): Boolean = !fs.exists(store) && fs.rename(tmp, store)
+      if (!publish()) {
+        // the destination appeared meanwhile (or pre-existed torn): a
+        // concurrent builder won — use theirs if complete, replace a
+        // torn one, and never leave the temp behind either way
+        if (complete) fs.delete(tmp, true)
+        else {
+          fs.delete(store, true)
+          if (!publish()) fs.delete(tmp, true)
+        }
+      }
+      require(
+        complete,
+        s"suffix store $store is incomplete after build+publish — " +
+          "a concurrent writer tore it; remove the directory and rerun"
+      )
+    }
     s.read.parquet(store.toString)
+  }
+
+  /** Store-lifecycle verbs — VectorIndexStore's delete/purge discipline
+    * applied to the suffix family (round-12 verdict ask #4): without
+    * them, one warehouse dir per (format version, corpus content, spanL)
+    * accumulates FOREVER — every testdata regeneration or code-version
+    * bump strands the previous store. `suffixStoreList` inventories the
+    * family's dirs (name, bytes); `suffixStorePurge` deletes all of them
+    * except `keep` (matched on full dir name) and returns what it
+    * removed. Covers both the rank-table stores and t72's gram-index
+    * stores (same `graft_suffix_` prefix); in-flight temp dirs are
+    * dot-prefixed and matched too — a crashed builder's temp is exactly
+    * the garbage this verb exists for. */
+  def suffixStoreList(s: SparkSession): Seq[(String, Long)] = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(warehouse)) Seq.empty
+    else
+      fs.listStatus(warehouse)
+        .toSeq
+        .filter(st => st.getPath.getName.stripPrefix(".").startsWith("graft_suffix_"))
+        .map(st =>
+          (st.getPath.getName, fs.getContentSummary(st.getPath).getLength))
+        .sortBy(_._1)
+  }
+
+  def suffixStorePurge(s: SparkSession, keep: Set[String] = Set.empty): Seq[String] = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+    suffixStoreList(s)
+      .map(_._1)
+      .filterNot(keep)
+      .map { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(warehouse, name), true)
+        name
+      }
   }
 
   private def buildSuffixRankTable(
@@ -3905,9 +4006,20 @@ object TextOps {
     val pruned = grp
       .join(broadcast(thr), col("n_occ") >= col("occ_thr"))
       .drop("occ_thr")
+    // ties at the cutoff are unbounded: on the boilerplate-heavy corpus
+    // this operator targets, thousands of groups can share the 20th
+    // count (all at n_occ=2 is the degenerate norm), and broadcasting
+    // an unbounded tie set OOMs where the old shuffle join degraded
+    // gracefully (round-12 advice #3). One bounded count adjudicates:
+    // small tie set → broadcast side (the common case, one linear
+    // corpus scan); past the cap → plain shuffle join on doc_id. The
+    // count is one agg over the memoized rank table — cheap, and the
+    // final orderBy/limit keeps correctness identical on both paths.
     val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
+    val prunedSide =
+      if (pruned.count() <= 100000L) broadcast(pruned) else pruned
     words
-      .join(broadcast(pruned), "doc_id")
+      .join(prunedSide, "doc_id")
       .withColumn(
         "span_text",
         concat_ws(" ", slice(col("w"), col("pos").cast("int"), lit(L)))

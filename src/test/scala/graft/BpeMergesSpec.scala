@@ -62,6 +62,22 @@ class BpeMergesSpec extends AnyFunSuite {
     assert(fromFile == inEngine, "file-loaded merges encode diverged from t64")
   }
 
+  test("merges with '#'-leading symbols survive the round trip") {
+    // code corpora legitimately train merges like ("#", "include") —
+    // the old read() skipped EVERY '#'-prefixed line as a header and
+    // silently shrank the list (round-12 advice #1); only line 1 is
+    // header now
+    val merges = Seq(("#", "include"), ("a", "b"), ("#include", "<stdio"))
+    val f = tmpFile()
+    BpeMerges.write(merges, f)
+    assert(BpeMerges.read(f) == merges, "a '#'-leading merge was dropped")
+    // and a '#' merge landing on the FIRST data line (line 2, after the
+    // always-written header) still round-trips
+    val f2 = tmpFile()
+    BpeMerges.write(Seq(("#", "define")), f2)
+    assert(BpeMerges.read(f2) == Seq(("#", "define")))
+  }
+
   test("malformed and degenerate files fail loudly") {
     def writeRaw(lines: Seq[String]): String = {
       val f = tmpFile()

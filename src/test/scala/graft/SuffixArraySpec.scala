@@ -262,6 +262,62 @@ class SuffixArraySpec extends AnyFunSuite {
       "new session REBUILT the store instead of reading it")
   }
 
+  test("store keys are full-digest and version-salted; purge removes and rebuild restores") {
+    // full 32-hex md5 (the 48-bit truncation could birthday-collide two
+    // corpus snapshots and silently serve the wrong table) and distinct
+    // across tag, span, AND format version
+    val k1 = TextOps.suffixStoreKey("tagA", 16)
+    assert(k1.length == 32 && k1.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    assert(k1 != TextOps.suffixStoreKey("tagB", 16))
+    assert(k1 != TextOps.suffixStoreKey("tagA", 50))
+
+    val dir = writeDocs(Seq(
+      0L -> ((1 to 20).map(i => s"x$i") ++ (1 to 20).map(i => s"y$i")).mkString(" "),
+      1L -> ((1 to 20).map(i => s"y$i") ++ (1 to 4).map(i => s"w$i")).mkString(" ")
+    ))
+    val first = TextOps.queries("t65_suffix_ranks")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val listed = TextOps.suffixStoreList(spark).map(_._1)
+    assert(listed.exists(_.startsWith("graft_suffix_ranks_")),
+      "lifecycle list missed the store the build just wrote")
+    assert(TextOps.suffixStoreList(spark).forall(_._2 > 0L), "store sizes not reported")
+    // purge everything, then a FRESH session (the memo would otherwise
+    // mask the deletion) must rebuild and agree
+    val removed = TextOps.suffixStorePurge(spark)
+    assert(removed.toSet == listed.toSet, "purge removed a different set than listed")
+    assert(TextOps.suffixStoreList(spark).isEmpty)
+    val again = TextOps.queries("t65_suffix_ranks")(spark.newSession(), dir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == first, "post-purge rebuild diverged")
+    // keep-set is honored
+    val keepOne = TextOps.suffixStoreList(spark).map(_._1).take(1).toSet
+    val removed2 = TextOps.suffixStorePurge(spark, keep = keepOne)
+    assert(removed2.toSet.intersect(keepOne).isEmpty)
+    assert(TextOps.suffixStoreList(spark).map(_._1).toSet == keepOne)
+  }
+
+  test("a torn store directory (no _SUCCESS) is rebuilt, not served") {
+    val dir = writeDocs(Seq(
+      0L -> ((1 to 20).map(i => s"m$i") ++ (1 to 20).map(i => s"n$i")).mkString(" "),
+      1L -> ((1 to 20).map(i => s"n$i") ++ (1 to 4).map(i => s"o$i")).mkString(" ")
+    ))
+    val expect = TextOps.queries("t65_suffix_ranks")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val stores = Option(warehouse.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("graft_suffix_ranks_"))
+    assert(stores.nonEmpty)
+    // tear every store: delete its _SUCCESS marker (the crashed-writer
+    // shape the atomic rename makes impossible going forward, and the
+    // completeness check must still refuse to serve)
+    stores.foreach(st => new java.io.File(st, "_SUCCESS").delete())
+    val again = TextOps.queries("t65_suffix_ranks")(spark.newSession(), dir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == expect, "torn store was served or rebuilt wrong")
+    TextOps.suffixStorePurge(spark)
+  }
+
   test("orderIds ids stay below the 2^59 round-tag ceiling across many range partitions") {
     import spark.implicits._
     // adversarial shape for the id space: enough distinct keys that the
