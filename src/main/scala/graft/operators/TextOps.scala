@@ -492,7 +492,16 @@ object TextOps {
     * Scale shape: every stage is a declared operator's plan (t7's blocked
     * pair stages, t10's broadcast eval side, t9's two-phase shards) —
     * composition adds joins on doc_id only, no new shuffle classes. */
-  private def t44CleanToShards(s: SparkSession, d: String): DataFrame = {
+  private def t44CleanToShards(s: SparkSession, d: String): DataFrame =
+    // smaller budget than t9's: the cleaned set is a fraction of the
+    // corpus and the shard GRAIN is the verification surface here
+    shardReport(twoPhaseShards(t44CleanSet(s, d), budget = 2000L))
+
+  /** t44's CLEAN SET — (doc_id, n_tokens) after quality gate, exact-dedup
+    * canonicalization, near-dup removal, eval-slice exclusion and
+    * decontamination — factored so t44b runs the IDENTICAL selection
+    * before composing the ExactSubstr fixed point on top. */
+  private[graft] def t44CleanSet(s: SparkSession, d: String): DataFrame = {
     val survivors = t7CorpusDedupPipeline(s, d)
       .filter(col("doc_id") % 10 =!= 0)
     val sh = shingleRows(Tables.documents(s, d))
@@ -509,13 +518,15 @@ object TextOps {
       .distinct()
     val nTok = Tables.documents(s, d)
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
-    val clean = survivors
+    survivors
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(nTok, "doc_id")
       .select("doc_id", "n_tokens")
-    // smaller budget than t9's: the cleaned set is a fraction of the
-    // corpus and the shard GRAIN is the verification surface here
-    twoPhaseShards(clean, budget = 2000L)
+  }
+
+  /** Shard-grain rollup shared by t44 and t44b. */
+  private def shardReport(sharded: DataFrame): DataFrame =
+    sharded
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -524,6 +535,35 @@ object TextOps {
         max("doc_id").as("last_doc")
       )
       .orderBy("shard")
+
+  /** t44b — the capstone with ExactSubstr COMPOSED IN (the pipeline the
+    * suffix family exists for, round-12 verdict ask #5): t44's cleaned
+    * survivor set, then the fixed-point span removal ([[
+    * exactSubstrConvergeOn]], same L=16 / 4-pass budget as t71) run ON
+    * THE SURVIVING SUBCORPUS — dup verdicts are relative to what
+    * actually ships, not to documents dedup already removed — and the
+    * POST-REWRITE token counts packed into ~2k-token shards by the same
+    * two-phase sharder. Docs rewritten to zero tokens stay in the
+    * report (0-token rows — provenance, not silence). The token ledger
+    * tie (Σ shard_tokens == clean-set tokens − Σ per-pass removals) is
+    * spec-pinned in CorpusOpsSpec.
+    *
+    * Scale shape: t44's stages + the t71 loop + t9's sharder — pure
+    * composition, zero new shuffle classes; the converge memoizes per
+    * (content, subcorpus tag), so t44b's repeat cost is the shard
+    * rollup. */
+  private def t44bShardsConverged(s: SparkSession, d: String): DataFrame = {
+    val words0 = Tables
+      .documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .join(t44CleanSet(s, d).select("doc_id"), "doc_id")
+    val base = documentsSnapshot(d)
+    val tagOf = (k: Int) => base + "|t44b" + (if (k == 0) "" else s"|p$k")
+    val (_, finalWords) =
+      exactSubstrConvergeOn(s, words0, tagOf, suffixSpanL, exsubMaxPasses)
+    val nTok2 =
+      finalWords.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+    shardReport(twoPhaseShards(nTok2, budget = 2000L))
   }
 
   /** t70 — SEQUENCE-PACKING provenance (concat-and-chunk): the assembly
@@ -1778,7 +1818,7 @@ object TextOps {
   /** Cheap fingerprint of `d/documents.parquet` (file or directory):
     * sorted name:size:mtime lines. Listing a fixture dir is O(files) —
     * microseconds next to the training jobs it guards. */
-  private def documentsSnapshot(d: String): String = {
+  private[graft] def documentsSnapshot(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
@@ -1789,7 +1829,7 @@ object TextOps {
       .mkString(s"$d|", "|", "")
   }
 
-  private def bpeTrainLedger(
+  private[graft] def bpeTrainLedger(
       s: SparkSession,
       d: String,
       iters: Int
@@ -1797,6 +1837,141 @@ object TextOps {
     bpeLedgerCache.getOrElseUpdate(
       (documentsSnapshot(d), iters),
       bpeTrainLedgerUncached(s, d, iters))
+
+  /** t62b's trainer: the (word, count) vocabulary collected ONCE (it is
+    * Heaps-sublinear in corpus bytes — the one table that always fits on
+    * the driver), then the whole merge loop runs in driver memory via
+    * [[bpeDriverMergeLoop]]. Same memo discipline as t62's ledger. */
+  private val bpeDriverLedgerCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int), Seq[(Int, String, String, Long, Long)]]
+
+  private[graft] def bpeTrainLedgerDriver(
+      s: SparkSession,
+      d: String,
+      iters: Int
+  ): Seq[(Int, String, String, Long, Long)] =
+    bpeDriverLedgerCache.getOrElseUpdate(
+      (documentsSnapshot(d), iters), {
+        val vocab = Tables
+          .documents(s, d)
+          .select(explode(toks).as("w"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .toSeq
+        bpeDriverMergeLoop(vocab, iters)
+      })
+
+  /** The classic single-process BPE merge loop over (word, count) pairs —
+    * what GPT-2's and SentencePiece's trainers actually run — emitting
+    * t62's EXACT ledger schema and pick sequence: per iteration the
+    * max-weight adjacent symbol pair (ALL adjacent occurrences counted,
+    * t62's pair-explode semantics; ties broken l asc then r asc), merged
+    * greedily left-to-right non-overlapping, with the corpus-wide symbol
+    * count after each merge.
+    *
+    * This is the PRODUCTION-N trainer (round-12 verdict ask #3): t62's
+    * in-engine loop is one Spark job per merge — the right plan-shape
+    * proof, but 10k merges = 10k sequential jobs. Here the corpus is
+    * touched once (the word-count agg the caller collects) and each
+    * merge is in-memory: pair weights live in a hash map kept
+    * INCREMENTALLY (a merge re-counts only the words that contained the
+    * picked pair, found via a pair→words posting index — stale postings
+    * are tolerated, a no-op word just re-adds its unchanged pairs), and
+    * the pick comes from an ordered set mirror of the weight map
+    * (O(log P) per weight update, O(1) per pick) rather than a full
+    * scan per iteration. Exhaustion (every word fully merged) ends the
+    * ledger early, exactly like t62's empty-top skip.
+    *
+    * Parity with t62 is spec-pinned bit-equal at small N (CorpusOpsSpec),
+    * which is what certifies this loop so t63/t64's encode can consume
+    * its merges unchanged. */
+  private[graft] def bpeDriverMergeLoop(
+      wordCounts: Seq[(String, Long)],
+      iters: Int
+  ): Seq[(Int, String, String, Long, Long)] = {
+    val words: Array[Array[String]] = wordCounts.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }.toArray
+    val counts: Array[Long] = wordCounts.map(_._2).toArray
+    var totalSyms = 0L
+    var i = 0
+    while (i < words.length) { totalSyms += counts(i) * words(i).length; i += 1 }
+    val weight = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val posting =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    // ordered mirror of the weight map: (weight desc, l asc, r asc) —
+    // head() IS t62's orderBy(...).limit(1) pick
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val byWeight = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+    def bump(k: (String, String), delta: Long): Unit = {
+      val w0 = weight.getOrElse(k, 0L)
+      if (w0 != 0L) byWeight.remove((w0, k._1, k._2))
+      val w1 = w0 + delta
+      if (w1 == 0L) weight.remove(k)
+      else {
+        weight.update(k, w1)
+        byWeight.add((w1, k._1, k._2))
+      }
+    }
+    def addPairs(idx: Int, sign: Long): Unit = {
+      val sy = words(idx)
+      val n = counts(idx) * sign
+      var j = 0
+      while (j < sy.length - 1) {
+        val k = (sy(j), sy(j + 1))
+        bump(k, n)
+        if (sign > 0) posting.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += idx
+        j += 1
+      }
+    }
+    i = 0
+    while (i < words.length) { addPairs(i, 1L); i += 1 }
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var it = 1
+    while (it <= iters && byWeight.nonEmpty) {
+      val (w, l, r) = byWeight.head
+      val affected = posting.getOrElse((l, r), scala.collection.mutable.Set.empty[Int]).toArray
+      java.util.Arrays.sort(affected)
+      affected.foreach { idx =>
+        addPairs(idx, -1L)
+        val sy = words(idx)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < sy.length) {
+          if (j < sy.length - 1 && sy(j) == l && sy(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += sy(j); j += 1 }
+        }
+        val merged = out.result()
+        totalSyms -= counts(idx) * (sy.length - merged.length)
+        words(idx) = merged
+        addPairs(idx, 1L)
+      }
+      posting.remove((l, r))
+      ledger += ((it, l, r, w, totalSyms))
+      it += 1
+    }
+    ledger.toSeq
+  }
+
+  /** t62b — the BPE trainer at PRODUCTION merge counts: t62's ledger,
+    * trained driver-side from the once-collected vocabulary instead of
+    * one Spark job per merge. t62 remains the declared plan-shape proof
+    * (and this query's oracle is t62's generated CTE chain verbatim —
+    * the certified-sibling pattern: same truth, different physical
+    * path); this is the path a real 10k–50k-merge tokenizer trains
+    * through (BpeScale drives it to N=10k at sf0.1), after which t63/
+    * t64's encode consumes the merges unchanged. */
+  private def t62bBpeTrainDriver(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrainLedgerDriver(s, d, iters = 3)
+      .toDF("iter", "sym_l", "sym_r", "weight", "n_symbols_after")
+      .orderBy("iter")
+  }
 
   private def bpeTrainLedgerUncached(
       s: SparkSession,
@@ -3821,8 +3996,14 @@ object TextOps {
     * lag() edge detect. Shared by t66/t66b (the removal reports) and
     * [[exactSubstrClaims]] (t59's provenance extension) so the span
     * semantics can never fork between the report and the audit. */
-  private def suffixCoverageAt(s: SparkSession, d: String, L: Int): DataFrame = {
-    val rt = suffixRankTable(s, d, L)
+  private def suffixCoverageAt(s: SparkSession, d: String, L: Int): DataFrame =
+    coverageOfRankTable(suffixRankTable(s, d, L), L)
+
+  /** [[suffixCoverageAt]] over an ARBITRARY rank table — the form the
+    * fixed-point driver ([[exactSubstrConvergeOn]]) runs per pass, where
+    * the table belongs to pass k's rewritten corpus, not the documents
+    * fixture. */
+  private def coverageOfRankTable(rt: DataFrame, L: Int): DataFrame = {
     val wR = Window.partitionBy("r", "rn")
     val marked = rt
       .withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
@@ -3954,6 +4135,283 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The ExactSubstr FIXED POINT over an arbitrary (doc_id, w) frame —
+    * Lee et al.'s actual procedure, which t68 (one rewrite) and t69 (the
+    * proof one pass is not enough: stitching survivors across removed
+    * gaps mints NEW repeated windows) only bracket. Iterates
+    * rewrite → audit until the corpus has zero residual duplicate starts
+    * or `maxPasses` is hit, and returns (per-pass ledger, final corpus).
+    *
+    * Ledger row per EXECUTED pass: (pass, dup_starts_in, docs_touched,
+    * tokens_removed, residual_starts) — residual_starts is the dup-start
+    * count of the corpus the pass PRODUCED (pass k+1's input), so a
+    * pipeline owner reads the last row's residual to know whether the
+    * clean converged or the pass budget ran out. Pass k executes iff
+    * k == 1 or pass k−1 left residual > 0; an already-clean corpus
+    * reports one all-zero row rather than nothing (no silent no-op).
+    *
+    * Scale shape (the t62/v32 sequential-loop class — pass k+1's input
+    * IS pass k's output, an irreducible dependency): each pass is one
+    * doubling-loop build over a corpus that only SHRINKS (removal
+    * deletes tokens, so the pass-over-pass cost is strictly decreasing),
+    * plus one coverage window and one (doc_id, pos)-keyed rewrite join.
+    * Every pass's rank table rides [[suffixRankTableOn]]'s memo AND the
+    * persisted store (tagged per pass via `tagOf`), so re-running the
+    * audit after an ingest pays only the passes whose corpora changed;
+    * the evolving corpus frame is lineage-cut per pass (the iterative-
+    * loop discipline — without the cut, pass k's plan re-derives every
+    * earlier rewrite). The whole ledger is maxPasses × 5 longs of
+    * driver state; memoized per (content tag, L, maxPasses) because the
+    * loop runs eager jobs at construction time. */
+  private val exsubConvergeCache =
+    scala.collection.concurrent.TrieMap.empty[
+      (Int, String, Int, Int),
+      (java.lang.ref.WeakReference[SparkSession],
+       Seq[(Long, Long, Long, Long, Long)],
+       DataFrame)
+    ]
+
+  private[graft] def exactSubstrConvergeOn(
+      s: SparkSession,
+      words0: DataFrame,
+      tagOf: Int => String,
+      L: Int,
+      maxPasses: Int
+  ): (Seq[(Long, Long, Long, Long, Long)], DataFrame) = {
+    require(maxPasses >= 1, s"exactSubstrConvergeOn: maxPasses must be >= 1, got $maxPasses")
+    val key = (System.identityHashCode(s), tagOf(0), L, maxPasses)
+    val hit = exsubConvergeCache.get(key).flatMap { case (ref, led, df) =>
+      Option(ref.get()).filter(_ eq s).map(_ => (led, df))
+    }
+    hit.getOrElse {
+      val ledger =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var words = words0
+      var k = 1
+      var done = false
+      while (!done && k <= maxPasses) {
+        val cov = coverageOfRankTable(suffixRankTableOn(s, words, tagOf(k - 1), L), L)
+        val stats = cov
+          .agg(
+            sum("is_start").cast("long").as("starts"),
+            sum("covered").cast("long").as("removed"),
+            countDistinct(when(col("covered") === 1, col("doc_id"))).as("touched")
+          )
+          .head()
+        val startsIn = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+        if (startsIn == 0L) {
+          // only reachable at k == 1 (later passes are gated on
+          // residual > 0): the corpus was already clean — say so
+          ledger += ((k.toLong, 0L, 0L, 0L, 0L))
+          done = true
+        } else {
+          val removed = stats.getLong(1)
+          val touched = stats.getLong(2)
+          words = cutLineage(rewriteWordsByCoverage(words, cov))
+          val residual = dupStartCount(suffixRankTableOn(s, words, tagOf(k), L), L)
+          ledger += ((k.toLong, startsIn, touched, removed, residual))
+          if (residual == 0L) done = true
+          k += 1
+        }
+      }
+      val out = (ledger.toSeq, words)
+      exsubConvergeCache.update(
+        key,
+        (new java.lang.ref.WeakReference(s), out._1, out._2))
+      out
+    }
+  }
+
+  /** Count of corpus-wide duplicated L-window starts in a rank table —
+    * the convergence criterion (0 ⟺ no L-token window occurs twice). */
+  private def dupStartCount(rt: DataFrame, L: Int): Long = {
+    val wR = Window.partitionBy("r", "rn")
+    rt.withColumn("fullp", (col("pos") + (L - 1) <= col("n_tokens")).cast("int"))
+      .withColumn("grp_full", sum("fullp").over(wR))
+      .filter(col("fullp") === 1 && col("grp_full") >= 2)
+      .count()
+  }
+
+  /** t68's rewrite verb at FRAME grain: drop every covered token, rejoin
+    * survivors in original order, keep every input doc (zero survivors →
+    * empty token array, so the fixed point's next pass still sees the
+    * doc). Token-sequence-identical to t69's wsTokens(clean_text) route:
+    * tokens contain no whitespace by construction, so array reassembly
+    * and text round-trip agree — which is what lets the fixed point
+    * share pass-1's memoized/persisted rank table with t69. */
+  private def rewriteWordsByCoverage(words: DataFrame, cov: DataFrame): DataFrame = {
+    val tokpos = words
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = tokpos
+      .join(cov.select("doc_id", "pos", "covered"), Seq("doc_id", "pos"))
+      .filter(col("covered") === 0)
+      .groupBy("doc_id")
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")
+        ).as("w2")
+      )
+    words
+      .select("doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("w2"), typedlit(Seq.empty[String])).as("w")
+      )
+  }
+
+  /** t71 — ExactSubstr CONVERGENCE: run the fixed point on the documents
+    * corpus (L = 16, pass budget 4) and emit the per-pass ledger. This
+    * is the operator t69 exists to motivate: the residual audit proved
+    * one pass can mint new duplicates; this drives rewrite → audit to
+    * residual = 0 (or the budget) the way Lee et al. iterate, and the
+    * ledger is the artifact a pipeline owner reads — how many passes a
+    * corpus needs, what each pass cost in tokens, whether it converged.
+    * Pass 1 shares t65/t69's memoized+persisted rank tables (same
+    * content tags), so the marginal cost over t69 is only the passes
+    * beyond the first. The DuckDB oracle is PASS-UNROLLED generated SQL
+    * (the t62 precedent): each pass re-derives grams, coverage and the
+    * rewritten corpus from first principles, with each row emitted under
+    * the same executed-iff-previous-residual-positive rule — so the hash
+    * gate proves the driver's stopping rule, not just one pass. */
+  private def t71ExactSubstrConverge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = documentsSnapshot(d)
+    val tagOf = (k: Int) =>
+      if (k == 0) base
+      else if (k == 1) base + "|exsub_rewrite"
+      else base + s"|exsub_rewrite$k"
+    val words0 = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
+    val (ledger, _) =
+      exactSubstrConvergeOn(s, words0, tagOf, suffixSpanL, maxPasses = exsubMaxPasses)
+    ledger
+      .toDF("pass", "dup_starts_in", "docs_touched", "tokens_removed", "residual_starts")
+      .orderBy("pass")
+  }
+
+  /** Pass budget for the declared fixed-point queries — 4 is generous
+    * (the driver fixtures converge in 2; Lee et al. report few passes in
+    * practice) while keeping the unrolled oracle SQL bounded. */
+  private[graft] val exsubMaxPasses = 4
+
+  /** PERSISTED gram-fingerprint index over a corpus's distinct L-token
+    * windows — the INCREMENTAL-MAINTENANCE contract for the suffix
+    * family (round-12 verdict ask #2). True incremental rank-table
+    * maintenance is unsound: rank ids encode corpus-WIDE window identity,
+    * so any ingest delta can re-split every group — the honest form is
+    * the AUDIT: derive, once per ingest, a probeable index of the served
+    * corpus's distinct windows, and let arrivals get dup verdicts against
+    * it with ZERO rank rebuilds (the t23/t41 arrivals-vs-persisted-index
+    * pattern at window grain). The rebuild schedule is t41's: arrivals
+    * accumulate against the frozen index; fold them in by rebuilding the
+    * rank store at the next ingest (SCALING.md round 13 adjudicates).
+    *
+    * Derivation rides the PERSISTED rank table (one more reason the
+    * store exists): distinct (r, rn) full groups ARE distinct L-grams by
+    * the rank-equality theorem, so one rep per group joins its document,
+    * slices the window once, and hashes it — gram text exists only in
+    * that bounded projection, never in an exchange, and the index is one
+    * 16-byte md5 + one count per DISTINCT window (constant bytes per
+    * window, the affordable-at-100 TB shape; n_occ rides along so a probe
+    * can also say "already duplicated in base"). Same storedOrBuilt
+    * atomic-publish + version-salt + purge lifecycle as the rank store. */
+  private[graft] def suffixGramIndexOn(
+      s: SparkSession,
+      words: DataFrame,
+      cacheTag: String,
+      L: Int
+  ): DataFrame =
+    storedOrBuilt(s, s"graft_suffix_grams_${suffixStoreKey(cacheTag + "|grams", L)}") {
+      val rt = suffixRankTableOn(s, words, cacheTag, L)
+      val reps = rt
+        .filter(col("pos") + (L - 1) <= col("n_tokens"))
+        .groupBy("r", "rn")
+        .agg(
+          count(lit(1)).as("n_occ"),
+          min(struct(col("doc_id"), col("pos"))).as("first")
+        )
+        .select(
+          col("n_occ"),
+          col("first.doc_id").as("doc_id"),
+          col("first.pos").as("pos")
+        )
+      reps
+        .join(words, "doc_id")
+        .select(
+          md5(concat_ws(" ", slice(col("w"), col("pos").cast("int"), lit(L)))).as("ghash"),
+          col("n_occ")
+        )
+    }
+
+  /** Per-arrival dup verdicts against a gram index: for each arriving
+    * doc, how many of its full L-windows already exist in the served
+    * corpus. The ARRIVALS side pays the gram materialization the
+    * doubling build avoids corpus-wide — arrivals are the small side by
+    * definition of the pattern, and each window ships as one md5. Shared
+    * verbatim by batch t72 and the streaming probe
+    * ([[graft.streaming.StreamingSuffixProbe]]) so the two can never
+    * fork. Batch-mate overlap is deliberately out of scope (t41's
+    * dup_batch handles it at near-dup grain): the contract here is
+    * verdicts against the PERSISTED corpus. */
+  private[graft] def suffixProbeVerdicts(
+      arrivals: DataFrame,
+      idx: DataFrame,
+      L: Int
+  ): DataFrame = {
+    val awin = arrivals
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .filter(col("n_tokens") >= L)
+      .select(
+        col("doc_id"),
+        col("w"),
+        explode(sequence(lit(1), (col("n_tokens") - (L - 1)).cast("int"))).as("pos")
+      )
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", slice(col("w"), col("pos"), lit(L)))).as("ghash")
+      )
+    val hits = awin
+      .join(idx.select("ghash"), "ghash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    arrivals
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .withColumn("n_full", greatest(col("n_tokens") - (L - 1), lit(0L)))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_full"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit")
+      )
+      .withColumn("hit_pct10k", when(col("n_full") > 0, expr("(10000 * n_hit) div n_full")))
+  }
+
+  /** t72 — INCREMENTAL suffix-dedup probe: arriving documents
+    * (doc_id % 4 == 0, t41/t23's arrivals split) get ExactSubstr-grain
+    * dup verdicts against the PERSISTED base corpus (the other 3/4)
+    * without rebuilding anything — per arrival, how many of its 16-token
+    * windows already exist in the base. This is the ingest-time gate a
+    * pipeline runs between full rank-store rebuilds: a high hit ratio
+    * says the arrival is boilerplate the corpus already has. The oracle
+    * takes the direct route (base distinct 16-grams ⋈ arrival 16-grams),
+    * so the hash gate independently proves the rank-table-derived index
+    * enumerates EXACTLY the distinct windows. */
+  private def t72IncrementalSuffixProbe(s: SparkSession, d: String): DataFrame = {
+    val L = suffixSpanL
+    val all = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
+    val idx = suffixGramIndexOn(
+      s,
+      all.filter(col("doc_id") % 4 =!= 0),
+      documentsSnapshot(d) + "|base_mod4",
+      L
+    )
+    suffixProbeVerdicts(all.filter(col("doc_id") % 4 === 0), idx, L)
+      .orderBy("doc_id")
+  }
+
   /** t67 — REPEATED-SPAN extraction: the report half of the suffix-rank
     * family — WHAT is duplicated, not just how much. Top-20 repeated
     * 16-token windows by occurrence count, each with its document reach
@@ -4038,6 +4496,8 @@ object TextOps {
     "t68_exactsubstr_rewrite" -> (t68ExactSubstrRewrite _),
     "t69_residual_dup_audit" -> (t69ResidualDupAudit _),
     "t70_sequence_packing" -> (t70SequencePacking _),
+    "t71_exactsubstr_converge" -> (t71ExactSubstrConverge _),
+    "t72_incremental_suffix_probe" -> (t72IncrementalSuffixProbe _),
     "t60_filter_overlap" -> (t60FilterOverlap _),
     "t61_phrase_search" -> (t61PhraseSearch _),
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
@@ -4060,6 +4520,7 @@ object TextOps {
     "t36_corpus_diff" -> (t36CorpusDiff _),
     "t34_bpe_merge_stats" -> (t34BpeMergeStats _),
     "t62_bpe_train" -> (t62BpeTrain _),
+    "t62b_bpe_train_driver" -> (t62bBpeTrainDriver _),
     "t63_bpe_encode" -> (t63BpeEncode _),
     "t64_bpe_encode_native" -> (t64BpeEncodeNative _),
     "t48_bpe_apply_merge" -> (t48BpeApplyMerge _),
@@ -4098,6 +4559,7 @@ object TextOps {
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
     "t7_corpus_dedup_pipeline" -> (t7CorpusDedupPipeline _),
     "t44_clean_to_shards" -> (t44CleanToShards _),
+    "t44b_clean_shards_converged" -> (t44bShardsConverged _),
     "t8_normalize" -> (t8Normalize _),
     "t9_token_shards" -> (t9TokenShards _),
     "t10_decontaminate" -> (t10Decontaminate _)
@@ -4355,6 +4817,157 @@ object TextOps {
        |LEFT JOIN dupa a ON a.doc_id = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Pass-unrolled fixed-point oracle (the t62 generated-CTE precedent):
+    * corpora w1..w{P+1}, per-pass gram/dup/coverage/rewrite CTEs, and a
+    * probe (grams + dup-start count) for the final corpus. Pass k's row
+    * is emitted iff k == 1 or pass k's input still has dup starts —
+    * exactly the driver's executed-iff-residual-positive rule, so the
+    * hash gate certifies the STOPPING RULE, not just the per-pass math.
+    * Skipped passes' CTEs evaluate on an unchanged corpus (a rewrite
+    * with zero dup starts is the identity), so unrolling to the full
+    * budget is safe. */
+  private def t71OracleSqlAt(L: Int, maxPasses: Int): String = {
+    val w1 =
+      """  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> length(x) > 0) AS w
+        |  FROM documents""".stripMargin
+    val arms = (1 to maxPasses).map { k =>
+      val guard = if (k == 1) "" else s"\nWHERE st$k.n > 0"
+      s"""SELECT CAST($k AS BIGINT) AS pass, st$k.n AS dup_starts_in,
+         |  r$k.touched AS docs_touched, r$k.removed AS tokens_removed,
+         |  st${k + 1}.n AS residual_starts
+         |FROM st$k, r$k, st${k + 1}$guard""".stripMargin
+    }
+    s"""WITH ${exsubPassCtes(L, maxPasses, w1)}
+       |SELECT * FROM (
+       |${arms.mkString("\nUNION ALL\n")}
+       |) ORDER BY pass""".stripMargin
+  }
+
+  /** The fixed-point CTE chain over a caller-supplied pass-1 corpus
+    * (`w1Body` must select (doc_id, w)): corpora w1..w{P+1}, per-pass
+    * gram/dup/coverage/rewrite CTEs, and a dup-start probe per corpus.
+    * Shared by t71 (full corpus, ledger arms) and t44b (clean subcorpus,
+    * final-corpus sharding — unreferenced probe CTEs cost nothing). */
+  private def exsubPassCtes(L: Int, maxPasses: Int, w1Body: String): String = {
+    def corpus(k: Int): String =
+      if (k == 1)
+        s"""w1 AS MATERIALIZED (
+           |$w1Body
+           |)""".stripMargin
+      else
+        s"""w$k AS MATERIALIZED (
+           |  SELECT ws.doc_id, coalesce(k2.w, CAST([] AS VARCHAR[])) AS w
+           |  FROM (SELECT doc_id FROM w${k - 1}) ws
+           |  LEFT JOIN (
+           |    SELECT doc_id, list(tok ORDER BY pos) AS w
+           |    FROM c${k - 1} WHERE covered = 0 GROUP BY doc_id
+           |  ) k2 USING (doc_id)
+           |)""".stripMargin
+    def probe(k: Int): String =
+      s"""s$k AS MATERIALIZED (
+         |  SELECT doc_id, pos, array_to_string(w[pos:pos+${L - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, w,
+         |          unnest(generate_series(1, len(w) - ${L - 1})) AS pos
+         |        FROM w$k)
+         |), g$k AS (
+         |  SELECT g, count(*) AS c FROM s$k GROUP BY g
+         |), d$k AS MATERIALIZED (
+         |  SELECT s.doc_id, s.pos FROM s$k s JOIN g$k USING (g)
+         |  WHERE g$k.c >= 2
+         |), st$k AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM d$k
+         |)""".stripMargin
+    def pass(k: Int): String =
+      s"""t$k AS (
+         |  SELECT doc_id, pos, w[pos] AS tok
+         |  FROM (SELECT doc_id, w,
+         |          unnest(generate_series(1, len(w))) AS pos
+         |        FROM w$k)
+         |), c$k AS MATERIALIZED (
+         |  SELECT t.doc_id, t.pos, t.tok,
+         |    max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY t.doc_id ORDER BY t.pos
+         |            ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS covered
+         |  FROM t$k t LEFT JOIN d$k d
+         |    ON d.doc_id = t.doc_id AND d.pos = t.pos
+         |), r$k AS (
+         |  SELECT CAST(coalesce(sum(covered), 0) AS BIGINT) AS removed,
+         |    CAST(count(DISTINCT CASE WHEN covered = 1 THEN doc_id END)
+         |      AS BIGINT) AS touched
+         |  FROM c$k
+         |)""".stripMargin
+    ((1 to maxPasses).map(k => Seq(corpus(k), probe(k), pass(k)).mkString(",\n")) :+
+      Seq(corpus(maxPasses + 1), probe(maxPasses + 1)).mkString(",\n"))
+      .mkString(",\n")
+  }
+
+  /** t44's selection chain as CTEs ending at `clean` (doc_id, n_tokens) —
+    * shared by the t44 oracle and t44b's (which composes the fixed-point
+    * chain on top of the same clean set). */
+  private val t44CleanCtes: String =
+    """words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), sh AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+           FROM words WHERE len(w) >= 3
+         ), sizes AS (
+           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+         ), inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b USING (shingle)
+           WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), pairs AS (
+           SELECT doc_a, doc_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
+         ), quality AS (
+           SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS n_stopwords
+           FROM documents
+         ), quality_pass AS (
+           SELECT doc_id, text FROM quality
+           WHERE (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
+                 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 >= 0.75
+         ), canon AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+             FROM quality_pass
+           ) WHERE doc_id = canonical_id
+         ), survivors AS (
+           SELECT doc_id FROM canon
+           WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+             AND doc_id % 10 <> 0
+         ), cont_pairs AS (
+           SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS i2
+           FROM sh t JOIN sh e USING (shingle)
+           WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
+           GROUP BY 1, 2
+         ), contaminated AS (
+           SELECT DISTINCT p.doc_id
+           FROM cont_pairs p
+           JOIN sizes st ON st.doc_id = p.doc_id
+           JOIN sizes se ON se.doc_id = p.eval_id
+           WHERE CAST(i2 AS DOUBLE) / (st.sz + se.sz - i2) > 0.8
+         ), clean AS MATERIALIZED (
+           SELECT s.doc_id, q.n_tokens
+           FROM survivors s JOIN quality q USING (doc_id)
+           WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         )"""
+
   private val t67OracleSql: String =
     s"""WITH $suffixGramCtes,
        |grp AS (
@@ -4388,6 +5001,44 @@ object TextOps {
     // doubling implementation on both sides of the hash gate
     "t68_exactsubstr_rewrite" -> t68OracleSql,
     "t69_residual_dup_audit" -> t69OracleSql,
+    "t71_exactsubstr_converge" -> t71OracleSqlAt(suffixSpanL, exsubMaxPasses),
+    // the direct route on the oracle side: base DISTINCT 16-grams joined
+    // to arrival 16-grams — the engine derives its index from the
+    // persisted rank table, so the gate proves the rank groups enumerate
+    // exactly the distinct windows
+    "t72_incremental_suffix_probe" ->
+      s"""WITH words AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |                x -> length(x) > 0) AS w
+         |  FROM documents
+         |), base AS (
+         |  SELECT doc_id, w FROM words WHERE doc_id % 4 <> 0
+         |), arr AS (
+         |  SELECT doc_id, w FROM words WHERE doc_id % 4 = 0
+         |), bg AS (
+         |  SELECT DISTINCT array_to_string(w[pos:pos+15], ' ') AS g
+         |  FROM (SELECT doc_id, w,
+         |          unnest(generate_series(1, len(w) - 15)) AS pos
+         |        FROM base)
+         |), ag AS (
+         |  SELECT doc_id, array_to_string(w[pos:pos+15], ' ') AS g
+         |  FROM (SELECT doc_id, w,
+         |          unnest(generate_series(1, len(w) - 15)) AS pos
+         |        FROM arr)
+         |), hits AS (
+         |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ag a JOIN bg USING (g) GROUP BY a.doc_id
+         |)
+         |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+         |  CAST(greatest(len(d.w) - 15, 0) AS BIGINT) AS n_full,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CASE WHEN len(d.w) >= 16
+         |    THEN (10000 * CAST(coalesce(h.n_hit, 0) AS BIGINT))
+         |           // (len(d.w) - 15)
+         |  END AS hit_pct10k
+         |FROM arr d LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // the cumsum is CAST BIGINT before the chunk arithmetic: DuckDB's
     // windowed SUM returns HUGEINT, which would drift every derived
     // column's type (the round-7 postmortem rule at window grain)
@@ -4416,6 +5067,10 @@ object TextOps {
            END AS crosses
          FROM cums ORDER BY doc_id""",
     "t62_bpe_train" -> t62OracleSql,
+    // t62b shares t62's generated oracle verbatim (the t64 certified-
+    // sibling pattern): the driver-side trainer's contract IS t62's
+    // ledger — same picks, same tie-breaks, same symbol accounting
+    "t62b_bpe_train_driver" -> t62OracleSql,
     "t63_bpe_encode" -> t63OracleSql,
     // t64 shares t63's oracle verbatim: the native expression's contract
     // IS the replace chain, so the certified-sibling pattern (m7b/m7c
@@ -6199,66 +6854,7 @@ object TextOps {
     // global-window sharder (the two-phase Spark plan's oracle), rolled
     // to shard grain; CASTs per the HUGEINT rule
     "t44_clean_to_shards" ->
-      """WITH words AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'),
-                         x -> length(x) > 0) AS w
-           FROM documents
-         ), sh AS (
-           SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(w) - 1),
-                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-           FROM words WHERE len(w) >= 3
-         ), sizes AS (
-           SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-         ), inter AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-           FROM sh a JOIN sh b USING (shingle)
-           WHERE a.doc_id < b.doc_id
-           GROUP BY 1, 2
-         ), pairs AS (
-           SELECT doc_a, doc_b
-           FROM inter
-           JOIN sizes sa ON sa.doc_id = doc_a
-           JOIN sizes sb ON sb.doc_id = doc_b
-           WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) > 0.8
-         ), quality AS (
-           SELECT doc_id, text,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                  x -> length(x) > 0)) AS BIGINT) AS n_tokens,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                  x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS n_stopwords
-           FROM documents
-         ), quality_pass AS (
-           SELECT doc_id, text FROM quality
-           WHERE (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.5
-                 + least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.5 >= 0.75
-         ), canon AS (
-           SELECT doc_id FROM (
-             SELECT doc_id,
-               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
-             FROM quality_pass
-           ) WHERE doc_id = canonical_id
-         ), survivors AS (
-           SELECT doc_id FROM canon
-           WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
-             AND doc_id % 10 <> 0
-         ), cont_pairs AS (
-           SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS i2
-           FROM sh t JOIN sh e USING (shingle)
-           WHERE e.doc_id % 10 = 0 AND t.doc_id % 10 <> 0
-           GROUP BY 1, 2
-         ), contaminated AS (
-           SELECT DISTINCT p.doc_id
-           FROM cont_pairs p
-           JOIN sizes st ON st.doc_id = p.doc_id
-           JOIN sizes se ON se.doc_id = p.eval_id
-           WHERE CAST(i2 AS DOUBLE) / (st.sz + se.sz - i2) > 0.8
-         ), clean AS (
-           SELECT s.doc_id, q.n_tokens
-           FROM survivors s JOIN quality q USING (doc_id)
-           WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
-         ), packed AS (
+      s"""WITH $t44CleanCtes, packed AS (
            SELECT doc_id, n_tokens,
              CAST(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -6271,6 +6867,27 @@ object TextOps {
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
          FROM packed GROUP BY 1 ORDER BY shard""",
+    // t44's clean set, then the UNROLLED fixed point (t71's generated
+    // chain over the clean subcorpus), then the same packing formula on
+    // the FINAL corpus's token counts
+    "t44b_clean_shards_converged" -> {
+      val w1 = "  SELECT w.doc_id, w.w FROM words w JOIN clean USING (doc_id)"
+      s"""WITH $t44CleanCtes,
+         |${exsubPassCtes(suffixSpanL, exsubMaxPasses, w1)},
+         |packed2 AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(w)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM w${exsubMaxPasses + 1}
+         |)
+         |SELECT (cum - n_tokens) // 2000 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc
+         |FROM packed2 GROUP BY 1 ORDER BY shard""".stripMargin
+    },
     "t1_token_stats" ->
       """WITH base AS (
            SELECT doc_id,

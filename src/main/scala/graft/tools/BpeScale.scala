@@ -23,54 +23,17 @@ object BpeScale {
 
   /** Classic driver-side BPE trainer over (word, count) pairs with t62's
     * exact pick rule: max weight, ties broken (l asc, r asc). Returns
-    * rank-ordered NUL-joined merge entries. O(N × Σ symbols) — fine for
-    * the ≤100k-word samples this tool feeds it. */
-  def trainOnSample(wordCounts: Seq[(String, Long)], nMerges: Int): Array[String] = {
-    // vocab entries: symbol arrays (code points at the base) + weight
-    var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, n) =>
-      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), n)
-    }.toArray
-    val merges = Array.newBuilder[String]
-    var it = 0
-    var exhausted = false
-    while (it < nMerges && !exhausted) {
-      val weights = new java.util.HashMap[(String, String), Long]()
-      vocab.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          weights.merge(k, n, (a, b) => a + b)
-          i += 1
-        }
-      }
-      if (weights.isEmpty) exhausted = true
-      else {
-        var best: ((String, String), Long) = null
-        weights.forEach { (k, v) =>
-          if (best == null || v > best._2 ||
-            (v == best._2 && (k._1 < best._1._1 ||
-              (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
-        }
-        val (l, r) = best._1
-        merges += (l + "\u0000" + r)
-        vocab = vocab.map { case (syms, n) =>
-          if (syms.length < 2) (syms, n)
-          else {
-            val out = Array.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += (l + r); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.result(), n)
-          }
-        }
-        it += 1
-      }
-    }
-    merges.result()
-  }
+    * rank-ordered NUL-joined merge entries. Since round 13 this
+    * DELEGATES to the declared t62b merge loop
+    * ([[graft.operators.TextOps.bpeDriverMergeLoop]] -- incremental pair
+    * counts + an ordered pick set instead of the old full recount per
+    * iteration, and spec-pinned bit-equal to t62) so the tool and the
+    * operator can never fork. */
+  def trainOnSample(wordCounts: Seq[(String, Long)], nMerges: Int): Array[String] =
+    graft.operators.TextOps
+      .bpeDriverMergeLoop(wordCounts, nMerges)
+      .map { case (_, l, r, _, _) => l + "\u0000" + r }
+      .toArray
 
   /** The fixture corpus has a 31-stem vocabulary: training EXHAUSTS at a
     * few hundred merges (every distinct word fully merged). To measure
@@ -104,7 +67,10 @@ object BpeScale {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val nMerges = args.lift(1).map(_.toInt).getOrElse(1024)
-    val sampleWords = args.lift(2).map(_.toInt).getOrElse(100000)
+    // 0 = FULL vocabulary (the t62b in-engine trainer path — default
+    // since round 13: the vocab is Heaps-bounded driver state anyway, so
+    // capping is a measurement lever, not a necessity)
+    val sampleWords = args.lift(2).map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder()
@@ -119,17 +85,28 @@ object BpeScale {
     val toks = graft.functions.F.wsTokens(col("text"))
     val docs = graft.sources.Tables.documents(spark, sfDir)
 
-    // sample = top-K distinct words by count: bounded driver state
-    // (vocabularies are ~1e5 regardless of corpus bytes — Heaps' law)
+    // vocabulary = bounded driver state regardless of corpus bytes
+    // (Heaps' law); sampleWords > 0 caps it to the top-K (the old
+    // measurement lever), 0 collects the FULL vocab and trains through
+    // the declared t62b operator path
     val t0 = System.nanoTime()
-    val sample = docs
-      .select(explode(toks).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w").asc)
-      .limit(sampleWords)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .toSeq
+    val sample =
+      if (sampleWords > 0)
+        docs
+          .select(explode(toks).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w").asc)
+          .limit(sampleWords)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .toSeq
+      else
+        docs
+          .select(explode(toks).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .toSeq
     val tSample = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()

@@ -541,4 +541,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(encode.getLong(0) < encode.getLong(1),
       "encoded symbols must be fewer than raw chars once any merge applied")
   }
+
+  test("t44b ledger tie: shard totals == clean-set tokens minus the fixed point's removals") {
+    import org.apache.spark.sql.functions.{sum => fsum, col => fcol}
+    // t44's shard totals ARE the clean-set token count (packing moves
+    // tokens, never drops them), so the tie is: t44 total − Σ per-pass
+    // tokens_removed (the converge ledger over the SAME subcorpus) ==
+    // t44b total. This is the accounting that says the composed
+    // pipeline removed exactly what the fixed point claims — no tokens
+    // lost or invented between stages.
+    val cleanTotal = TextOps.queries("t44_clean_to_shards")(spark, sf)
+      .agg(fsum("shard_tokens")).collect()(0).getLong(0)
+    val packedTotal = TextOps.queries("t44b_clean_shards_converged")(spark, sf)
+      .agg(fsum("shard_tokens")).collect()(0).getLong(0)
+    val words0 = graft.sources.Tables.documents(spark, sf)
+      .select(fcol("doc_id"), graft.functions.F.wsTokens(fcol("text")).as("w"))
+      .join(TextOps.t44CleanSet(spark, sf).select("doc_id"), "doc_id")
+    val base = TextOps.documentsSnapshot(sf)
+    val tagOf = (k: Int) => base + "|t44b" + (if (k == 0) "" else s"|p$k")
+    val (ledger, _) = TextOps.exactSubstrConvergeOn(
+      spark, words0, tagOf, 16, TextOps.exsubMaxPasses)
+    assert(ledger.nonEmpty, "converge emitted no ledger")
+    val removed = ledger.map(_._4).sum
+    assert(cleanTotal - removed == packedTotal,
+      s"token ledger broke: clean=$cleanTotal removed=$removed packed=$packedTotal")
+    assert(ledger.last._5 == 0L || ledger.length == TextOps.exsubMaxPasses,
+      s"ledger neither converged nor exhausted the budget: $ledger")
+  }
+
+  test("t62b driver trainer is bit-equal to t62's in-engine loop, at N=3 and deeper") {
+    // the certified-sibling gate: same picks, same tie-breaks, same
+    // corpus symbol accounting — this equality is what licenses t62b to
+    // share t62's oracle and t63/t64 to consume its merges unchanged
+    val engine3 = TextOps.bpeTrainLedger(spark, sf, iters = 3)
+    val driver3 = TextOps.bpeTrainLedgerDriver(spark, sf, iters = 3)
+    assert(driver3 == engine3,
+      s"N=3 ledgers diverged:\nengine=$engine3\ndriver=$driver3")
+    // deeper than the declared query: 8 in-engine iterations (8 Spark
+    // jobs — cheap at sf0.001) vs the driver loop, still bit-equal
+    val engine8 = TextOps.bpeTrainLedger(spark, sf, iters = 8)
+    val driver8 = TextOps.bpeTrainLedgerDriver(spark, sf, iters = 8)
+    assert(driver8 == engine8,
+      s"N=8 ledgers diverged:\nengine=$engine8\ndriver=$driver8")
+    // and the loop runs at production N without exhaust errors: ledger
+    // ends at vocabulary exhaustion, every step still compresses
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.F.wsTokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val big = TextOps.bpeDriverMergeLoop(vocab, iters = 10000)
+    assert(big.nonEmpty && big.length < 10000,
+      s"fixture vocab should exhaust below N=10000, got ${big.length}")
+    assert(big.sliding(2).forall {
+      case Seq(a, b) => b._5 < a._5
+      case _         => true
+    }, "driver loop must strictly compress until exhaustion")
+    assert(big.take(8) == engine8, "prefix of the deep run drifted from the engine loop")
+  }
 }

@@ -262,6 +262,46 @@ class SuffixArraySpec extends AnyFunSuite {
       "new session REBUILT the store instead of reading it")
   }
 
+  test("t71 drives the stitching fixture to convergence at pass 2, with an exact ledger") {
+    // t69's fixture: one pass removes S from d0/d2 and T from d1/d3,
+    // and the d0/d1 residues (P ++ Q) then AGREE on a fresh 16-token
+    // window — the fixed point must run a SECOND pass and stop at
+    // residual 0
+    val P = (1 to 8).map(i => s"p$i"); val Q = (1 to 8).map(i => s"q$i")
+    val S = (1 to 16).map(i => s"s$i"); val T = (1 to 16).map(i => s"u$i")
+    val dir = writeDocs(Seq(
+      0L -> (P ++ S ++ Q).mkString(" "),
+      1L -> (P ++ T ++ Q).mkString(" "),
+      2L -> S.mkString(" "),
+      3L -> T.mkString(" ")
+    ))
+    val rows = TextOps
+      .queries("t71_exactsubstr_converge")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // pass 1: 4 dup starts (S in d0/d2, T in d1/d3), 16 tokens removed
+    // from each of the 4 docs, residual 2 (the minted P++Q window pair);
+    // pass 2: removes both residues entirely, residual 0 — converged
+    assert(rows == Seq(
+      (1L, 4L, 4L, 64L, 2L),
+      (2L, 2L, 2L, 32L, 0L)
+    ), s"unexpected ledger: $rows")
+  }
+
+  test("t71 reports one all-zero row on an already-clean corpus") {
+    val dir = writeDocs(Seq(
+      0L -> (1 to 20).map(i => s"a$i").mkString(" "),
+      1L -> (1 to 20).map(i => s"b$i").mkString(" ")
+    ))
+    val rows = TextOps
+      .queries("t71_exactsubstr_converge")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(rows == Seq((1L, 0L, 0L, 0L, 0L)), s"unexpected ledger: $rows")
+  }
+
   test("store keys are full-digest and version-salted; purge removes and rebuild restores") {
     // full 32-hex md5 (the 48-bit truncation could birthday-collide two
     // corpus snapshots and silently serve the wrong table) and distinct
