@@ -110,8 +110,25 @@ object Bench {
       .mkString("{", ",", "}")
     val loadJson =
       s"""{"start":${jsonStr(loadStart)},"end":${jsonStr(loadavg())},"cpus":"$cpus"}"""
+    // self-certifying canonical sync (round-12 verdict ask #7): the
+    // committed map and the driver artifact kept diverging by box-phase
+    // noise that only re-runs could adjudicate — now a run whose START
+    // load exceeds the threshold (default 25% of the bench's cores:
+    // idle boxes read ~0, a concurrent build reads cores-ish) REFUSES
+    // to update the tracked map, and every artifact carries the verdict
+    // so a reader knows whether the map it's diffing was load-certified
+    val maxLoad = sys.env
+      .get("SPARK_GRAFT_BENCH_MAXLOAD")
+      .map(_.toDouble)
+      .getOrElse(cpus.toDouble * 0.25)
+    val startLoad1 =
+      try loadStart.split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadOk = startLoad1 < 0 || startLoad1 <= maxLoad
+    val loadVerdict =
+      s""""load_ok":$loadOk,"max_load":${f"$maxLoad%.1f"}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"runs":$runsJson,"load":$loadJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"runs":$runsJson,"load":$loadJson,$loadVerdict,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver parses a bounded TAIL of captured stdout, so the full
     // ~3.4 KB per-query line gets its head truncated there (BENCH_r02
     // "parsed": null). Primary channel split: the full map goes to a file,
@@ -141,7 +158,14 @@ object Bench {
       catch { case _: java.io.IOException => false }
     val isCanonicalRun = only.isEmpty && !singleRun && canonicalSf
     val benchDir = repoRoot.map(r => new java.io.File(r, "bench"))
-    if (isCanonicalRun && benchDir.exists(_.isDirectory))
+    if (isCanonicalRun && !loadOk)
+      // the load guard: a loaded box produces a noise-inflated map that
+      // the next round would misread as a plan regression — refuse the
+      // sync (the scratch artifact still records the run + its verdict)
+      System.err.println(
+        s"NOTE: tracked bench/bench_full.json NOT updated — start load " +
+          s"$startLoad1 exceeds threshold $maxLoad (SPARK_GRAFT_BENCH_MAXLOAD)")
+    else if (isCanonicalRun && benchDir.exists(_.isDirectory))
       java.nio.file.Files.write(
         benchDir.get.toPath.resolve("bench_full.json"),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
