@@ -4412,6 +4412,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t73 — CROSS-SOURCE window-overlap matrix: where is literal
+    * boilerplate shared FROM? For every source pair (diagonal included),
+    * the number of DISTINCT repeated 16-token windows present in both —
+    * t35's source-overlap provenance question re-asked at ExactSubstr
+    * grain (t35's unit is whole near-dup documents; this counts the
+    * exact shared spans a t66/t68 removal would cut, so a pipeline owner
+    * sees which source pair the span removal is really deduplicating).
+    * A diagonal cell counts windows repeated WITHIN the source (≥2
+    * occurrences there); an off-diagonal cell counts windows occurring
+    * in both sources at least once each.
+    *
+    * Scale: rides the memoized/persisted rank table — zero gram text
+    * anywhere: one (r, rn, source)-grain agg, then a within-group
+    * self-join whose fanout is bounded by (#sources)² PER WINDOW
+    * (sources are a handful; never a pair blowup), then a sources²-sized
+    * rollup. The oracle takes the direct gram route, so the gate again
+    * proves rank-group identity == gram identity, now at source grain. */
+  private def t73SourceWindowOverlap(s: SparkSession, d: String): DataFrame = {
+    val L = suffixSpanL
+    val rt = suffixRankTable(s, d, L)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val grpSrc = rt
+      .filter(col("pos") + (L - 1) <= col("n_tokens"))
+      .join(src, "doc_id")
+      .groupBy("r", "rn", "source")
+      .agg(count(lit(1)).as("n_occ"))
+    val a = grpSrc.select(col("r"), col("rn"), col("source").as("source_a"), col("n_occ").as("occ_a"))
+    val b = grpSrc.select(col("r"), col("rn"), col("source").as("source_b"), col("n_occ").as("occ_b"))
+    a.join(b, Seq("r", "rn"))
+      .filter(
+        col("source_a") < col("source_b") ||
+          (col("source_a") === col("source_b") && col("occ_a") >= 2)
+      )
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        // occurrences attributable to the pair: both sides' counts for a
+        // cross pair, the source's own count once for the diagonal
+        sum(
+          when(col("source_a") === col("source_b"), col("occ_a"))
+            .otherwise(col("occ_a") + col("occ_b"))
+        ).as("n_occurrences")
+      )
+      .orderBy("source_a", "source_b")
+  }
+
   /** t67 — REPEATED-SPAN extraction: the report half of the suffix-rank
     * family — WHAT is duplicated, not just how much. Top-20 repeated
     * 16-token windows by occurrence count, each with its document reach
@@ -4498,6 +4544,7 @@ object TextOps {
     "t70_sequence_packing" -> (t70SequencePacking _),
     "t71_exactsubstr_converge" -> (t71ExactSubstrConverge _),
     "t72_incremental_suffix_probe" -> (t72IncrementalSuffixProbe _),
+    "t73_source_window_overlap" -> (t73SourceWindowOverlap _),
     "t60_filter_overlap" -> (t60FilterOverlap _),
     "t61_phrase_search" -> (t61PhraseSearch _),
     "t57_heldout_perplexity" -> (t57HeldoutPerplexity _),
@@ -5002,6 +5049,25 @@ object TextOps {
     "t68_exactsubstr_rewrite" -> t68OracleSql,
     "t69_residual_dup_audit" -> t69OracleSql,
     "t71_exactsubstr_converge" -> t71OracleSqlAt(suffixSpanL, exsubMaxPasses),
+    // direct gram route at (gram, source) grain — the engine derives the
+    // same matrix from rank groups, so the gate proves rank identity ==
+    // gram identity at source grain
+    "t73_source_window_overlap" ->
+      s"""WITH ${suffixGramCtesAt(suffixSpanL)},
+         |gs AS (
+         |  SELECT s.g, d.source, CAST(count(*) AS BIGINT) AS n_occ
+         |  FROM starts s JOIN documents d USING (doc_id)
+         |  GROUP BY s.g, d.source
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN a.source = b.source THEN a.n_occ
+         |                ELSE a.n_occ + b.n_occ END) AS BIGINT)
+         |    AS n_occurrences
+         |FROM gs a JOIN gs b USING (g)
+         |WHERE a.source < b.source
+         |   OR (a.source = b.source AND a.n_occ >= 2)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the direct route on the oracle side: base DISTINCT 16-grams joined
     // to arrival 16-grams — the engine derives its index from the
     // persisted rank table, so the gate proves the rank groups enumerate

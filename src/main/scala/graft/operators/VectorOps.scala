@@ -1327,6 +1327,102 @@ object VectorOps {
       .orderBy("vec_id", "rnk")
   }
 
+  /** v38 — GRAPH-EXPANSION ANN serving: IVF seeds refined over the v17
+    * kNN graph, the deployed shape of the DiskANN/HNSW idea and the
+    * missing member of the index family (IVF v6, PQ v11, LSH v3,
+    * Hamming v24). The query's 4 probed lists supply exact top-5 SEEDS
+    * (v6's serving answer); the seeds' graph neighbors — and one more
+    * beam-of-4 hop of theirs — join the candidate set, which is exactly
+    * reranked for the served top-5. The graph edges are what recover
+    * the classic IVF miss: a true neighbor in an UNPROBED list is
+    * reachable as the graph neighbor of a probed seed. Because the
+    * served set reranks a SUPERSET of the seeds, recall is provably
+    * >= v6's on any corpus (gated in LshRecallSpec, with a 0.9 floor on
+    * the clustered fixture); a COLD graph walk instead (no IVF seeds)
+    * measured recall 0.0 there — a plain kNN graph of well-separated
+    * clusters has no cross-cluster edges to navigate, the textbook
+    * reason HNSW/DiskANN add long-range structure, adjudicated in the
+    * Scaladoc rather than shipped.
+    *
+    * Scale shape: the graph is the PRE-BUILT artifact (v17's build — at
+    * 100 TB a stored table like the IVF index); serving adds, on top of
+    * v6's probed-list scan, at most seeds + 5·k + beam·k ≈ 32 graph
+    * candidates per query (n_visited, the integer cost anchor) fetched
+    * by point-lookup joins — independent of corpus size. Rank-only
+    * output, v1's float-noise-immune convention; the oracle unrolls
+    * seeds and both hops over the v17 graph CTEs. */
+  private def v38GraphAnn(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    graphAnnOn(Tables.embeddings(s, d))
+  }
+
+  /** The v38 pipeline over any (vec_id, embedding) frame — shared with
+    * the clustered-corpus recall pin (LshRecallSpec), which needs the
+    * REAL plan on a fixture whose cluster geometry it controls. */
+  private[graft] def graphAnnOn(embRaw: DataFrame): DataFrame = {
+    val emb = embRaw.withColumn(
+      "nrm",
+      sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
+    )
+    val edges = knnGraph(embRaw)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
+    val indexed = IvfAnn
+      .assignTo(centArr)(embRaw)
+      .select(col("cid"), col("vec_id").as("cand"))
+    val q = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cand = emb
+      .select(col("vec_id").as("cand"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // exact cosine over a (query_id, cand) pair frame; the query side is
+    // a broadcast (<=10 rows), the cand side one point-lookup join
+    def scoredPairs(pairs: DataFrame): DataFrame =
+      pairs
+        .join(broadcast(q), "query_id")
+        .join(cand, "cand")
+        .filter(col("cand") =!= col("query_id"))
+        .withColumn(
+          "cos",
+          call_function("graft_dot", col("qe"), col("ce")) / (col("qn") * col("cn"))
+        )
+        .select("query_id", "cand", "cos")
+    def beamOf(scored: DataFrame, width: Int): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand").asc)
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= width)
+        .select("query_id", "cand")
+    }
+    def expand(visited: DataFrame, beam: DataFrame): DataFrame =
+      visited
+        .union(
+          beam
+            .join(edges, beam("cand") === edges("src"))
+            .select(col("query_id"), col("dst").as("cand")))
+        .distinct()
+    // seeds = v6's serving answer: exact top-5 within the query's 4
+    // probed lists (the list scan is v6's documented cost; n_visited
+    // counts only the graph stage's candidate set)
+    val listPairs = IvfAnn
+      .withProbedCids(centArr, "qe")(q)
+      .select(col("query_id"), col("cid"))
+      .join(indexed, Seq("cid"))
+      .select("query_id", "cand")
+    val seeds = beamOf(scoredPairs(listPairs), 5)
+    val v1 = expand(seeds, seeds)
+    val s1 = scoredPairs(v1)
+    val v2 = expand(s1.select("query_id", "cand"), beamOf(s1, 4))
+    val s2 = scoredPairs(v2)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand").asc)
+    val wq = Window.partitionBy("query_id")
+    s2.withColumn("n_visited", count(lit(1)).over(wq))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("cand").as("neighbor_id"), col("n_visited"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** v21 — the k-means FIT itself as a declared, per-vector-certified
     * output: the final Lloyd assignment (vec_id → cid) for the whole
     * corpus plus each cluster's population. Every IVF consumer
@@ -2234,6 +2330,7 @@ object VectorOps {
     "v19_ann_recall_eval" -> (v19AnnRecallEval _),
     "v18_sq_calibrated" -> (v18SqCalibrated _),
     "v17_knn_graph" -> (v17KnnGraph _),
+    "v38_graph_ann" -> (v38GraphAnn _),
     "v16_ann_filtered" -> (v16AnnFiltered _),
     "v15_range_search" -> (v15RangeSearch _),
     "v14_hybrid_rrf" -> (v14HybridRrf _),
@@ -2530,6 +2627,91 @@ object VectorOps {
        |)
        |SELECT src_id AS vec_id, rnk, nbr_id AS neighbor_id
        |FROM ranked WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
+
+  /** v38: the v17 graph CTEs (edges at k=3), the query's probed-list
+    * members off the same fit (v6's seed scan), then the UNROLLED
+    * expansion — seed top-5, neighbor hop, beam-of-4 hop — and the
+    * visited set's exact top-5 with its count. Same rank-only +
+    * integer-anchor hash discipline as v1/v17; duckDot mirrors
+    * graft_dot's double accumulation so beam composition can't drift. */
+  private val v38Oracle: String = {
+    def cosExpr(q: String, c: String) =
+      s"""${duckDot(q, c)}
+         |            / (sqrt(${duckDot(q, q)})
+         |             * sqrt(${duckDot(c, c)}))""".stripMargin
+    def beam(sN: String, bN: String, width: Int) =
+      s"""$bN AS (
+         |  SELECT query_id, cand FROM (
+         |    SELECT query_id, cand, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand ASC) AS rnk
+         |    FROM $sN
+         |  ) WHERE rnk <= $width
+         |)""".stripMargin
+    def rescore(vN: String, sN: String) =
+      s"""$sN AS (
+         |  SELECT v.query_id, v.cand, ${cosExpr("q.qe", "e2.embedding")} AS cos
+         |  FROM $vN v JOIN qs q USING (query_id)
+         |  JOIN embeddings e2 ON e2.vec_id = v.cand
+         |  WHERE v.cand <> v.query_id
+         |)""".stripMargin
+    def expand(prevPairs: String, bN: String, vN: String) =
+      s"""$vN AS (
+         |  SELECT DISTINCT query_id, cand FROM (
+         |    SELECT query_id, cand FROM $prevPairs
+         |    UNION ALL
+         |    SELECT b.query_id, g.dst AS cand
+         |    FROM $bN b JOIN edges0 g ON g.src = b.cand
+         |  )
+         |)""".stripMargin
+    s"""WITH seeds AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+       |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+       |${ivfAssign("cents2", "indexed")},
+       |probes AS (
+       |  SELECT src_id, qe, cid FROM (
+       |    SELECT e.vec_id AS src_id, e.embedding AS qe, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents2 c
+       |  ) WHERE rn <= 4
+       |), gr AS (
+       |  SELECT p.src_id, i.vec_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY p.src_id
+       |      ORDER BY ${duckDot("p.qe", "i.embedding")}
+       |            / (sqrt(${duckDot("p.qe", "p.qe")})
+       |             * sqrt(${duckDot("i.embedding", "i.embedding")})) DESC,
+       |        i.vec_id ASC) AS rnk
+       |  FROM probes p JOIN indexed i USING (cid)
+       |  WHERE i.vec_id <> p.src_id
+       |), edges0 AS (
+       |  SELECT src_id AS src, nbr_id AS dst FROM gr WHERE rnk <= 3
+       |), qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < 10
+       |), v0 AS (
+       |  SELECT DISTINCT p.src_id AS query_id, i.vec_id AS cand
+       |  FROM probes p JOIN indexed i USING (cid)
+       |  WHERE p.src_id < 10
+       |),
+       |${rescore("v0", "s0")},
+       |${beam("s0", "b0", 5)},
+       |${expand("b0", "b0", "v1")},
+       |${rescore("v1", "s1")},
+       |${beam("s1", "b1", 4)},
+       |${expand("s1", "b1", "v2")},
+       |${rescore("v2", "s2")}
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand AS neighbor_id,
+       |  n_visited
+       |FROM (
+       |  SELECT query_id, cand, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand ASC) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_visited
+       |  FROM s2
+       |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** v21: the v6 fit CTEs, then the full-corpus final assignment with a
     * per-cluster population window — every vector's cid is in the hash. */
@@ -3087,6 +3269,7 @@ object VectorOps {
            , 6) END AS cos_keep
          FROM qn ORDER BY vec_id""",
     "v17_knn_graph" -> v17Oracle,
+    "v38_graph_ann" -> v38Oracle,
     "v21_kmeans_fit" -> v21Oracle,
     // v21's fit CTEs + a per-cluster md5-ordered row_number cap — the
     // same growth-stable uniform order (t14) in both engines

@@ -63,6 +63,90 @@ class LshRecallSpec extends AnyFunSuite {
     assert(recall >= minRecall, s"recall=$recall")
   }
 
+  // graph-expansion ANN, property 1: the candidate budget and the
+  // superset guarantee. The graph stage adds at most seeds(5) +
+  // 5·k(15) + beam·k(12) = 32 candidates per query whatever the corpus
+  // (the point of graph refinement), and because the served top-5
+  // reranks a SUPERSET of v6's seeds with the exact metric, recall can
+  // only match or beat v6's — even on this near-random corpus where a
+  // COLD graph walk measured recall at sampling chance (the navigability
+  // adjudication in the v38 Scaladoc).
+  for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    test(s"v38 graph-expansion stays within budget and never loses to its IVF seeds ($sfDir)") {
+      val rows = VectorOps.queries("v38_graph_ann")(spark, sfDir).collect()
+      val nCorpus = graft.sources.Tables.embeddings(spark, sfDir).count()
+      val maxVisited = rows.map(_.getLong(3)).max
+      assert(maxVisited <= 40,
+        s"visited $maxVisited graph candidates — must stay O(beam·k·hops), corpus=$nCorpus")
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+      val exact = VectorOps
+        .queries("v1_ann_bruteforce")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .toSet
+      val v6 = VectorOps
+        .queries("v6_ann_ivf")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .toSet
+      val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val rGot = (exact & got).size.toDouble / exact.size
+      val rV6 = (exact & v6).size.toDouble / exact.size
+      info(s"v38 recall $rGot vs v6 $rV6 at $sfDir")
+      assert(rGot >= rV6 - 1e-9, s"superset rerank lost recall: v38=$rGot v6=$rV6")
+      assert(rGot >= 0.8, s"recall=$rGot")
+    }
+
+  // graph-expansion ANN, property 2: on data with neighborhood STRUCTURE
+  // (the ScaleTechniquesSpec clustered fixture — real embedding corpora
+  // cluster), seeds land in the query's cluster and the graph edges pull
+  // in the cluster-mates the probed lists carry, so the ~2%-of-corpus
+  // graph budget serves near-exact answers.
+  test("v38 graph-ANN recalls >= 0.8 on a clustered corpus at a ~2% visit budget") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(50)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val emb = (0 until 2000).map { i =>
+      val c = centers(i % 50)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.15f).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn(
+        "embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .cache()
+    val got = VectorOps.graphAnnOn(emb).collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got.map(_.getLong(3)).max <= 40, "visit budget exceeded on the fixture")
+    // exact top-5 for the same queries (vec_id < 10)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val a = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("qn", sqrt(call_function("graft_dot", col("qe"), col("qe"))))
+    val b = emb
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+      .withColumn("nn", sqrt(call_function("graft_dot", col("ne"), col("ne"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    val exact = b
+      .crossJoin(a)
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("ne")) / (col("qn") * col("nn"))
+      )
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "nbr_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (exact & gotPairs).size.toDouble / exact.size
+    info(s"v38 clustered-corpus recall@5: $recall (budget ${got.map(_.getLong(3)).max}/2000)")
+    assert(recall >= 0.8, s"graph walk failed to navigate a clustered corpus: recall=$recall")
+  }
+
   // the bulk k-NN graph: per-node top-3 within the 4 probed IVF lists vs
   // the exact all-pairs top-3. Measured 0.59/0.59 at sf0.001/sf0.01 —
   // gated at 0.55, the honest floor for NEAR-RANDOM synthetic vectors
