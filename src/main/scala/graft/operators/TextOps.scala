@@ -2511,14 +2511,12 @@ object TextOps {
       s.conf.get("spark.sql.warehouse.dir"),
       s"graft_minhash_sigs_$key"
     )
-    val sfs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val complete =
-      sfs.exists(new org.apache.hadoop.fs.Path(store, "_SUCCESS"))
-    if (!complete)
-      sigsFromKeyed(minhashKeyed(Tables.documents(s, d))).write
-        .mode("overwrite")
-        .parquet(store.toString)
-    s.read.parquet(store.toString)
+    // atomic temp+rename publish (round 13): the original
+    // check-then-overwrite had the same two-JVM race the suffix store
+    // was flagged for — storedOrBuilt closes it for every family
+    storedOrBuilt(s, store.getName) {
+      sigsFromKeyed(minhashKeyed(Tables.documents(s, d)))
+    }
   }
 
   /** Per-(band, bkey) bucket cap for t41's candidate joins — the same
@@ -3632,8 +3630,12 @@ object TextOps {
     if (suffixCacheListenerOn.add(System.identityHashCode(s.sparkContext)))
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           suffixRankCache.clear()
+          // the converge memo holds checkpointed corpus frames with the
+          // same lifetime hazard — one listener retires both
+          exsubConvergeCache.clear()
+        }
       })
     val key = (System.identityHashCode(s), cacheTag, spanL)
     val hit = suffixRankCache.get(key).flatMap { case (ref, df) =>
@@ -3719,7 +3721,7 @@ object TextOps {
     * complete) or promoted (if the winner tore). Directory rename is
     * atomic on HDFS and local filesystems; an object-store deployment
     * without atomic rename wants a lock file here instead. */
-  private def storedOrBuilt(s: SparkSession, dirName: String)(
+  private[graft] def storedOrBuilt(s: SparkSession, dirName: String)(
       build: => DataFrame
   ): DataFrame = {
     val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
@@ -3768,23 +3770,39 @@ object TextOps {
     * stores (same `graft_suffix_` prefix); in-flight temp dirs are
     * dot-prefixed and matched too — a crashed builder's temp is exactly
     * the garbage this verb exists for. */
-  def suffixStoreList(s: SparkSession): Seq[(String, Long)] = {
+  def suffixStoreList(s: SparkSession): Seq[(String, Long)] =
+    warehouseStoreList(s, "graft_suffix_")
+
+  def suffixStorePurge(s: SparkSession, keep: Set[String] = Set.empty): Seq[String] =
+    warehouseStorePurge(s, keep, "graft_suffix_")
+
+  /** The same verbs over EVERY persisted graft store family (suffix
+    * ranks + gram indexes, minhash signatures, the kNN graph) — the
+    * default prefix sweeps them all; pass a narrower prefix to scope. */
+  def warehouseStoreList(
+      s: SparkSession,
+      prefix: String = "graft_"
+  ): Seq[(String, Long)] = {
     val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(warehouse)) Seq.empty
     else
       fs.listStatus(warehouse)
         .toSeq
-        .filter(st => st.getPath.getName.stripPrefix(".").startsWith("graft_suffix_"))
+        .filter(st => st.getPath.getName.stripPrefix(".").startsWith(prefix))
         .map(st =>
           (st.getPath.getName, fs.getContentSummary(st.getPath).getLength))
         .sortBy(_._1)
   }
 
-  def suffixStorePurge(s: SparkSession, keep: Set[String] = Set.empty): Seq[String] = {
+  def warehouseStorePurge(
+      s: SparkSession,
+      keep: Set[String] = Set.empty,
+      prefix: String = "graft_"
+  ): Seq[String] = {
     val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
-    suffixStoreList(s)
+    warehouseStoreList(s, prefix)
       .map(_._1)
       .filterNot(keep)
       .map { name =>

@@ -1270,6 +1270,38 @@ object VectorOps {
   def ivfListsFor(n: Long, targetListSize: Int = 256): Int =
     math.min(4096L, math.max(IvfAnn.k.toLong, n / targetListSize)).toInt
 
+  /** Cross-session PERSISTED kNN graph — the third index family to get
+    * the warehouse-store treatment (minhash signatures, suffix ranks,
+    * now the graph): at corpus scale the graph build is the expensive
+    * all-nodes probe while its consumers (v17's report, v22's PageRank,
+    * v38's serving walk) are cheap reads, so one ingest pays the build
+    * and every session after reads parquet. Keyed by the full md5 of
+    * (format version, embeddings content stamp, nLists); published
+    * atomically and collected by [[graft.operators.TextOps.warehouseStorePurge]]
+    * — the [[graft.operators.TextOps.storedOrBuilt]] lifecycle verbatim.
+    * The graph rows are deterministic (cosine ranks with id
+    * tie-breaks), so a stored graph is bit-equal to a rebuilt one and
+    * every consumer's oracle stays green either way. */
+  private[graft] def knnGraphFor(s: SparkSession, d: String, nLists: Int): DataFrame = {
+    val stamp = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(d, "embeddings.parquet"))
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(s"$d|", "|", "")
+    }
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"knn-v1|$stamp|$nLists".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x")
+      .mkString
+    TextOps.storedOrBuilt(s, s"graft_knn_graph_$key") {
+      knnGraph(Tables.embeddings(s, d), nLists)
+    }
+  }
+
   private def v17KnnGraph(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
@@ -1286,7 +1318,7 @@ object VectorOps {
           ivfListsFor(emb.count())
         else IvfAnn.k
       )
-    knnGraph(emb, nLists)
+    knnGraphFor(s, d, nLists).orderBy("vec_id", "rnk")
   }
 
   /** The v17 pipeline over any (vec_id, embedding) frame — shared with the
@@ -1353,18 +1385,21 @@ object VectorOps {
     * seeds and both hops over the v17 graph CTEs. */
   private def v38GraphAnn(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    graphAnnOn(Tables.embeddings(s, d))
+    // the graph comes from the PERSISTED store — the "pre-built stored
+    // artifact" the Scaladoc's scale story describes, made literal
+    graphAnnOn(Tables.embeddings(s, d), knnGraphFor(s, d, IvfAnn.k))
   }
 
-  /** The v38 pipeline over any (vec_id, embedding) frame — shared with
-    * the clustered-corpus recall pin (LshRecallSpec), which needs the
-    * REAL plan on a fixture whose cluster geometry it controls. */
-  private[graft] def graphAnnOn(embRaw: DataFrame): DataFrame = {
+  /** The v38 pipeline over any (vec_id, embedding) frame and its kNN
+    * graph (v17 rows: vec_id, rnk, neighbor_id) — shared with the
+    * clustered-corpus recall pin (LshRecallSpec), which needs the REAL
+    * plan on a fixture whose cluster geometry it controls. */
+  private[graft] def graphAnnOn(embRaw: DataFrame, graph: DataFrame): DataFrame = {
     val emb = embRaw.withColumn(
       "nrm",
       sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
     )
-    val edges = knnGraph(embRaw)
+    val edges = graph
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
     val indexed = IvfAnn
@@ -1835,7 +1870,7 @@ object VectorOps {
     val scale = 1000000000000L
     val r0 = scale / n
     val base = 15L * r0 / 100L
-    val edges = knnGraph(emb)
+    val edges = knnGraphFor(s, d, IvfAnn.k)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // one shuffle on src builds both deg and the join; cached because the

@@ -115,7 +115,7 @@ class LshRecallSpec extends AnyFunSuite {
         "embedding",
         org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
       .cache()
-    val got = VectorOps.graphAnnOn(emb).collect()
+    val got = VectorOps.graphAnnOn(emb, VectorOps.knnGraph(emb)).collect()
     val gotPairs = got.map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(got.map(_.getLong(3)).max <= 40, "visit budget exceeded on the fixture")
     // exact top-5 for the same queries (vec_id < 10)
@@ -145,6 +145,34 @@ class LshRecallSpec extends AnyFunSuite {
     val recall = (exact & gotPairs).size.toDouble / exact.size
     info(s"v38 clustered-corpus recall@5: $recall (budget ${got.map(_.getLong(3)).max}/2000)")
     assert(recall >= 0.8, s"graph walk failed to navigate a clustered corpus: recall=$recall")
+  }
+
+  test("the persisted kNN graph serves a NEW session without rebuilding; purge sweeps it") {
+    val sf = "/root/testdata/sf0.001"
+    val first = VectorOps.queries("v17_knn_graph")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    def stores(): Set[String] =
+      Option(warehouse.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("graft_knn_graph_"))
+        .map(_.getName).toSet
+    assert(stores().nonEmpty, "v17 did not persist a graph store")
+    def sig(name: String): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(warehouse, name))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val fp = stores().toSeq.sorted.map(sig)
+    val second = VectorOps.queries("v17_knn_graph")(spark.newSession(), sf)
+      .collect().map(_.toSeq).toSeq
+    assert(second == first, "store-served graph diverged from the builder's")
+    assert(stores().toSeq.sorted.map(sig) == fp,
+      "new session REBUILT the graph store instead of reading it")
+    val removed = graft.operators.TextOps
+      .warehouseStorePurge(spark, prefix = "graft_knn_graph_")
+    assert(removed.nonEmpty && stores().isEmpty, "purge missed the graph store")
   }
 
   // the bulk k-NN graph: per-node top-3 within the 4 probed IVF lists vs

@@ -39,6 +39,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashJoins.isEmpty, s"hash/regex exprs inside join conditions:\n${hashJoins.mkString("\n")}")
   }
 
+  test("the suffix/graph families serve from persisted stores, never gram/graph rebuilds") {
+    // t73's matrix must come from rank-group identity — gram TEXT in its
+    // plan would mean the corpus-wide materialization the doubling build
+    // exists to avoid crept back in
+    assert(!plan("t73_source_window_overlap").contains("concat_ws"),
+      "t73 materialized gram text — must ride rank groups")
+    // t72's probe joins the PERSISTED gram index (arrivals-side gram
+    // hashing is fine; a corpus-side rebuild is not)
+    assert(plan("t72_incremental_suffix_probe").contains("graft_suffix_grams_"),
+      "t72's probe must read the persisted gram index")
+    // v38's \"pre-built stored artifact\" claim, structurally: the graph
+    // side is a parquet scan of the warehouse store
+    assert(plan("v38_graph_ann").contains("graft_knn_graph_"),
+      "v38 must serve from the stored kNN graph")
+  }
+
   test("IVF probe joins build on the broadcast probe side, never shuffling the index") {
     for (q <- Seq("v6_ann_ivf", "v10_ann_ivf_quantized")) {
       val p = plan(q)
