@@ -4294,16 +4294,31 @@ object TextOps {
     * rewritten corpus from first principles, with each row emitted under
     * the same executed-iff-previous-residual-positive rule — so the hash
     * gate proves the driver's stopping rule, not just one pass. */
-  private def t71ExactSubstrConverge(s: SparkSession, d: String): DataFrame = {
+  private def t71ExactSubstrConverge(s: SparkSession, d: String): DataFrame =
+    t71ConvergeAt(s, d, suffixSpanL)
+
+  /** t71b — the fixed point at Lee et al.'s production L = 50 (the
+    * t65b/t66b precedent carried to the convergence driver): pass 1
+    * rides t65b's memoized+persisted L=50 rank table, and the
+    * non-power-of-two span keeps the overlapping-window pair under the
+    * hash gate through EVERY pass of the unrolled oracle. */
+  private def t71bExactSubstrConvergeL50(s: SparkSession, d: String): DataFrame =
+    t71ConvergeAt(s, d, 50)
+
+  private def t71ConvergeAt(s: SparkSession, d: String, L: Int): DataFrame = {
     import s.implicits._
     val base = documentsSnapshot(d)
+    // L=16 keeps the round-12 tag scheme so pass 1 shares t69's table;
+    // other spans get span-qualified tags (pass 1 of L=50 is NOT the
+    // same corpus as pass 1 of L=16 — the rewrites differ)
     val tagOf = (k: Int) =>
       if (k == 0) base
-      else if (k == 1) base + "|exsub_rewrite"
-      else base + s"|exsub_rewrite$k"
+      else if (L == suffixSpanL) {
+        if (k == 1) base + "|exsub_rewrite" else base + s"|exsub_rewrite$k"
+      } else base + s"|exsub${L}_rewrite$k"
     val words0 = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
     val (ledger, _) =
-      exactSubstrConvergeOn(s, words0, tagOf, suffixSpanL, maxPasses = exsubMaxPasses)
+      exactSubstrConvergeOn(s, words0, tagOf, L, maxPasses = exsubMaxPasses)
     ledger
       .toDF("pass", "dup_starts_in", "docs_touched", "tokens_removed", "residual_starts")
       .orderBy("pass")
@@ -4561,6 +4576,7 @@ object TextOps {
     "t69_residual_dup_audit" -> (t69ResidualDupAudit _),
     "t70_sequence_packing" -> (t70SequencePacking _),
     "t71_exactsubstr_converge" -> (t71ExactSubstrConverge _),
+    "t71b_exactsubstr_converge_l50" -> (t71bExactSubstrConvergeL50 _),
     "t72_incremental_suffix_probe" -> (t72IncrementalSuffixProbe _),
     "t73_source_window_overlap" -> (t73SourceWindowOverlap _),
     "t60_filter_overlap" -> (t60FilterOverlap _),
@@ -5067,6 +5083,9 @@ object TextOps {
     "t68_exactsubstr_rewrite" -> t68OracleSql,
     "t69_residual_dup_audit" -> t69OracleSql,
     "t71_exactsubstr_converge" -> t71OracleSqlAt(suffixSpanL, exsubMaxPasses),
+    // the L=50 pair shares the generated fixed-point template — the
+    // t65b precedent at convergence grain
+    "t71b_exactsubstr_converge_l50" -> t71OracleSqlAt(50, exsubMaxPasses),
     // direct gram route at (gram, source) grain — the engine derives the
     // same matrix from rank groups, so the gate proves rank identity ==
     // gram identity at source grain
