@@ -124,7 +124,10 @@ object Bench {
     val startLoad1 =
       try loadStart.split(" ").head.toDouble
       catch { case _: Throwable => -1.0 }
-    val loadOk = startLoad1 < 0 || startLoad1 <= maxLoad
+    // fail CLOSED when the load can't be read: an unknown box state must
+    // not stamp the map load-certified — a run that cannot prove it was
+    // quiet is exactly the run the guard exists to keep out
+    val loadOk = startLoad1 >= 0 && startLoad1 <= maxLoad
     val loadVerdict =
       s""""load_ok":$loadOk,"max_load":${f"$maxLoad%.1f"}"""
     val fullLine =

@@ -570,7 +570,13 @@ object MultimodalOps {
       // and DELETE it, instead of leaking per-run scratch parquet that
       // at sf30 volumes is real GBs per run (round-12 verdict finding
       // #3). A caller-provided scratch dir is caller-owned and kept.
-      val pinned = res.localCheckpoint()
+      // The pin is cutLineage, not a bare localCheckpoint: once the
+      // scratch is gone there is NO recompute path, so on a cluster an
+      // executor losing localCheckpoint blocks would make the result
+      // permanently unrecoverable — with
+      // spark.graft.suffix.checkpointDir set (the cluster mode) the pin
+      // is a RELIABLE checkpoint instead (round-13 review finding #2).
+      val pinned = graft.operators.TextOps.cutLineage(res)
       val p = new org.apache.hadoop.fs.Path(out)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       pinned

@@ -1903,9 +1903,16 @@ object TextOps {
     val posting =
       scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
     // ordered mirror of the weight map: (weight desc, l asc, r asc) —
-    // head() IS t62's orderBy(...).limit(1) pick
+    // head() IS t62's orderBy(...).limit(1) pick. The string legs compare
+    // by CODE POINT, not Java's UTF-16 units: Spark's UTF8String orderBy
+    // and DuckDB both sort strings in UTF-8 binary order, which equals
+    // code-point order — while String.compareTo ranks a surrogate-pair
+    // symbol (e.g. an emoji, lead unit 0xD83D) BELOW a BMP symbol in
+    // U+E000..U+FFFF, flipping tie-broken picks on legal non-ASCII
+    // corpora and silently forking t62b from t62 and the shared oracle
+    // (round-13 review finding #1; differential spec-pinned).
     implicit val ord: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+      Ordering.Tuple3(Ordering.Long.reverse, codePointOrdering, codePointOrdering)
     val byWeight = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
     def bump(k: (String, String), delta: Long): Unit = {
       val w0 = weight.getOrElse(k, 0L)
@@ -1956,6 +1963,23 @@ object TextOps {
       it += 1
     }
     ledger.toSeq
+  }
+
+  /** Code-point lexicographic string order == UTF-8 binary order — the
+    * collation Spark's UTF8String comparisons and DuckDB share. */
+  private[graft] val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
   }
 
   /** t62b — the BPE trainer at PRODUCTION merge counts: t62's ledger,
@@ -3738,16 +3762,31 @@ object TextOps {
       // rename is guarded by an existence check: Hadoop's local-FS
       // rename onto an EXISTING directory moves the source INSIDE it
       // (POSIX mv semantics) instead of refusing — publish() refuses
-      // explicitly so a pre-existing destination is adjudicated below
-      def publish(): Boolean = !fs.exists(store) && fs.rename(tmp, store)
-      if (!publish()) {
-        // the destination appeared meanwhile (or pre-existed torn): a
-        // concurrent builder won — use theirs if complete, replace a
-        // torn one, and never leave the temp behind either way
-        if (complete) fs.delete(tmp, true)
+      // explicitly so a pre-existing destination is adjudicated below.
+      // The check-then-rename still has a window (a racer can publish
+      // between the two calls and our rename lands INSIDE their store),
+      // so publish() post-verifies: a nested dot-dir means we lost the
+      // race — remove it from the winner's store and report failure
+      // (round-13 review finding #3). tmpAlive tracks whether our temp
+      // still exists to delete.
+      var tmpAlive = true
+      def publish(): Boolean =
+        if (fs.exists(store) || !fs.rename(tmp, store)) false
         else {
+          val nested = new org.apache.hadoop.fs.Path(store, tmp.getName)
+          if (fs.exists(nested)) {
+            fs.delete(nested, true); tmpAlive = false; false
+          } else { tmpAlive = false; true }
+        }
+      if (!publish()) {
+        // a concurrent builder won — use theirs if complete, replace a
+        // torn one, and never leave the temp behind either way (the
+        // torn-winner-plus-lost-temp double race falls through to the
+        // loud require below)
+        if (complete) { if (tmpAlive) fs.delete(tmp, true) }
+        else if (tmpAlive) {
           fs.delete(store, true)
-          if (!publish()) fs.delete(tmp, true)
+          if (!publish() && tmpAlive) fs.delete(tmp, true)
         }
       }
       require(
@@ -3802,13 +3841,18 @@ object TextOps {
   ): Seq[String] = {
     val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // only stores that actually deleted are reported removed — a failed
+    // delete (permissions, concurrent handle) silently claimed as swept
+    // would leave stale gigabytes the caller believes are gone
+    // (round-13 review finding #8). Caveat, documented: a dot-prefixed
+    // temp belonging to a LIVE concurrent builder matches the prefix
+    // and purging it fails that build — run purge when no builds are in
+    // flight (the store key makes the failed builder's rerun cheap and
+    // correct either way).
     warehouseStoreList(s, prefix)
       .map(_._1)
       .filterNot(keep)
-      .map { name =>
-        fs.delete(new org.apache.hadoop.fs.Path(warehouse, name), true)
-        name
-      }
+      .filter(name => fs.delete(new org.apache.hadoop.fs.Path(warehouse, name), true))
   }
 
   private def buildSuffixRankTable(
@@ -3894,7 +3938,7 @@ object TextOps {
     * (pDC3 and friends) does. An already-configured SparkContext
     * checkpoint dir is respected; otherwise the conf value is installed
     * once. Reliable-mode overhead is measured in SCALING.md round 12. */
-  private def cutLineage(df: DataFrame): DataFrame = {
+  private[graft] def cutLineage(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.suffix.checkpointDir").filter(_.nonEmpty) match {
       case Some(dir) =>
@@ -4552,9 +4596,15 @@ object TextOps {
     // corpus scan); past the cap → plain shuffle join on doc_id. The
     // count is one agg over the memoized rank table — cheap, and the
     // final orderBy/limit keeps correctness identical on both paths.
+    // persisted so the adjudicating count and the final join pay the
+    // grp/threshold subplan ONCE, not twice (round-13 review finding
+    // #7); bounded by the tie set, spilled to disk past memory, dropped
+    // by clearCache/app end like every cached frame
+    val prunedP =
+      pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
     val prunedSide =
-      if (pruned.count() <= 100000L) broadcast(pruned) else pruned
+      if (prunedP.count() <= 100000L) broadcast(prunedP) else prunedP
     words
       .join(prunedSide, "doc_id")
       .withColumn(

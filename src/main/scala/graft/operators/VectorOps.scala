@@ -1283,18 +1283,12 @@ object VectorOps {
     * tie-breaks), so a stored graph is bit-equal to a rebuilt one and
     * every consumer's oracle stays green either way. */
   private[graft] def knnGraphFor(s: SparkSession, d: String, nLists: Int): DataFrame = {
-    val stamp = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory)
-          Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(d, "embeddings.parquet"))
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString(s"$d|", "|", "")
-    }
+    // the fixture fingerprint is the ONE existing helper — a forked
+    // inline copy would silently diverge the cache-key discipline the
+    // day the fingerprint changes (round-13 review finding #5)
     val key = java.security.MessageDigest
       .getInstance("MD5")
-      .digest(s"knn-v1|$stamp|$nLists".getBytes("UTF-8"))
+      .digest(s"knn-v1|${embeddingsSnapshot(d)}|$nLists".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x")
       .mkString
     TextOps.storedOrBuilt(s, s"graft_knn_graph_$key") {

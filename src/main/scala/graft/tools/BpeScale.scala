@@ -90,23 +90,16 @@ object BpeScale {
     // measurement lever), 0 collects the FULL vocab and trains through
     // the declared t62b operator path
     val t0 = System.nanoTime()
+    val vocabAgg = docs
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
     val sample =
-      if (sampleWords > 0)
-        docs
-          .select(explode(toks).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("w").asc)
-          .limit(sampleWords)
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .toSeq
-      else
-        docs
-          .select(explode(toks).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("n"))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .toSeq
+      (if (sampleWords > 0)
+         vocabAgg.orderBy(col("n").desc, col("w").asc).limit(sampleWords)
+       else vocabAgg)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq
     val tSample = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()

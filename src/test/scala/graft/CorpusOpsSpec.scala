@@ -569,6 +569,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"ledger neither converged nor exhausted the budget: $ledger")
   }
 
+  test("t62b tie-breaks in code-point order, matching Spark/DuckDB on surrogate pairs") {
+    import spark.implicits._
+    // the adversarial collation case: a supplementary-plane symbol
+    // (emoji U+1F600, UTF-16 lead unit 0xD83D) ties against a BMP
+    // symbol in U+E000..U+FFFF (U+FFFD). Java's String order ranks the
+    // emoji FIRST (0xD83D < 0xFFFD); UTF-8 binary / code-point order —
+    // what Spark's orderBy and DuckDB use — ranks U+FFFD first
+    // (0x FFFD < 0x1F600). The driver loop must agree with the engine.
+    val emoji = new String(Character.toChars(0x1F600))
+    val text = s"${emoji}X �X"
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-cp").toString
+    Seq((0L, text, "en", "synthetic", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val engine = TextOps.bpeTrainLedger(spark, dir, iters = 2)
+    val driver = TextOps.bpeTrainLedgerDriver(spark, dir, iters = 2)
+    assert(driver == engine,
+      s"surrogate-pair tie-break diverged:\nengine=$engine\ndriver=$driver")
+    // and the first pick is the code-point-smaller left symbol
+    assert(engine.head._2 == "�",
+      s"expected U+FFFD to win the tie in code-point order, got ${engine.head._2}")
+  }
+
   test("t62b driver trainer is bit-equal to t62's in-engine loop, at N=3 and deeper") {
     // the certified-sibling gate: same picks, same tie-breaks, same
     // corpus symbol accounting — this equality is what licenses t62b to
