@@ -90,8 +90,14 @@ object Bench {
     val results = twoRuns.map { case (name, fn, best2) =>
       name -> (if (slowNames(name)) math.min(best2, once(name, fn)) else best2)
     }
+    // every numeric field goes through ROOT-locale formatting: the f""
+    // interpolator uses the JVM default locale, and a comma-decimal
+    // locale would emit "value":8,0 — invalid JSON in the artifact and
+    // the tracked bench_full.json (round-13 advice #1)
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -105,7 +111,7 @@ object Bench {
     val total = results.map(_._2).sum
     val runsJson = samples
       .map { case (k, vs) =>
-        jsonStr(k) + ":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+        jsonStr(k) + ":[" + vs.map(v => num(v, 3)).mkString(",") + "]"
       }
       .mkString("{", ",", "}")
     val loadJson =
@@ -129,7 +135,7 @@ object Bench {
     // quiet is exactly the run the guard exists to keep out
     val loadOk = startLoad1 >= 0 && startLoad1 <= maxLoad
     val loadVerdict =
-      s""""load_ok":$loadOk,"max_load":${f"$maxLoad%.1f"}"""
+      s""""load_ok":$loadOk,"max_load":${num(maxLoad, 1)}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"runs":$runsJson,"load":$loadJson,$loadVerdict,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver parses a bounded TAIL of captured stdout, so the full
@@ -179,7 +185,7 @@ object Bench {
         s"NOTE: tracked bench/bench_full.json NOT updated (sfDir=$sfDir, repoRoot=$repoRoot)")
     val slowest5 = results.sortBy(-_._2).take(5)
     val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jsonMap(slowest5)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${jsonMap(slowest5)},"sf":"$sfDir"}"""
     spark.stop()
     println(compact)
     if (errors.nonEmpty) {

@@ -1064,7 +1064,7 @@ object MultimodalOps {
     * oracle and BOTH sides of m8's (corpus and query panel), so a fix to
     * the embedding SQL cannot diverge between them. Emits `${p}nrmd`
     * with columns (gid, e, nrm). */
-  private def gramChainSql(p: String, idCol: String, textCol: String, from: String): String =
+  private[graft] def gramChainSql(p: String, idCol: String, textCol: String, from: String): String =
     raw"""${p}words AS (
            SELECT $idCol AS gid,
              list_filter(string_split_regex(trim($textCol), '\s+'),

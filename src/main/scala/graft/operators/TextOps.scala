@@ -604,6 +604,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t70b — DOCUMENT-BOUNDARY-RESPECTING sequence packing: the variant
+    * t70's own Scaladoc motivates (round-13 verdict ask #5). No document
+    * crosses an example boundary: each doc becomes ceil(n/512) examples
+    * of its own, the last one PADDED — packing policy trades t70's
+    * truncation exposure (docs split mid-thought across examples) for
+    * pad waste, and this query surfaces BOTH sides of that trade per
+    * document so the policy decision is a query over the ledger, not a
+    * guess: `pad_waste` (this variant's cost, no-silent-caps) next to
+    * `crosses_t70` (what t70 would have done to the same doc).
+    *
+    * Scale shape: the same [[twoPhaseShards]] prefix-sum machinery run
+    * at budget=1 over per-doc example COUNTS — cum is then the running
+    * example total, so `shard` IS the doc's first 0-based example id
+    * directly — joined doc_id-keyed to t70's token-grain cumsum for the
+    * comparison column. Two two-phase scans, one co-keyed join, no
+    * global window anywhere. */
+  private def t70bDocBoundaryPacking(s: SparkSession, d: String): DataFrame = {
+    val B = 512L
+    val nTok = Tables
+      .documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+    val ex = twoPhaseShards(
+      nTok.select(col("doc_id"), expr(s"(n_tokens + ${B - 1}) DIV $B").as("n_tokens")),
+      budget = 1L
+    ).select(
+      col("doc_id"),
+      col("n_tokens").as("n_examples"),
+      col("cum_tokens").as("cum_ex")
+    )
+    val tok = twoPhaseShards(nTok, budget = B)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens").as("cum_tok"))
+    tok
+      .join(ex, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_examples"),
+        when(col("n_tokens") > 0, col("cum_ex") - col("n_examples")).as("example_first"),
+        when(col("n_tokens") > 0, col("cum_ex") - 1).as("example_last"),
+        (col("n_examples") * B - col("n_tokens")).as("pad_waste"),
+        when(
+          col("n_tokens") > 0,
+          (expr(s"(cum_tok - 1) DIV $B") > expr(s"(cum_tok - n_tokens) DIV $B")).cast("int")
+        ).as("crosses_t70")
+      )
+      .orderBy("doc_id")
+  }
+
   /** PII redaction — the scrub pass a training corpus runs before release:
     * emails, IPv4 addresses and long digit runs are replaced with typed
     * placeholder tokens, and the per-type match counts are emitted so
@@ -784,14 +832,22 @@ object TextOps {
     * Scale: identical shape to t21 — one language-keyed inventory agg,
     * two broadcast scalar frames, fixed-form expressions; the corpus
     * never shuffles. */
-  private def t49TemperatureMixture(s: SparkSession, d: String): DataFrame = {
+  private def t49TemperatureMixture(s: SparkSession, d: String): DataFrame =
+    temperatureMixturePlan(
+      Tables
+        .documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(toks).cast("long")).as("tokens"))
+    )
+
+  /** The τ=2 plan math over ANY (lang, tokens) inventory — factored so
+    * t49 (whitespace grain) and t74b (BPE grain) are the same rule by
+    * construction, not by parallel maintenance. */
+  private def temperatureMixturePlan(invRaw: DataFrame): DataFrame = {
     // a language whose docs all tokenize empty cannot anchor (isqrt 0
     // would null every downstream division) and cannot be sampled —
     // excluded from the plan, in both engines
-    val inv = Tables
-      .documents(s, d)
-      .groupBy("lang")
-      .agg(sum(size(toks).cast("long")).as("tokens"))
+    val inv = invRaw
       .filter(col("tokens") > 0)
       .withColumn("isqrt", floor(sqrt(col("tokens"))).cast("long"))
     val anchor = inv
@@ -1818,15 +1874,46 @@ object TextOps {
   /** Cheap fingerprint of `d/documents.parquet` (file or directory):
     * sorted name:size:mtime lines. Listing a fixture dir is O(files) —
     * microseconds next to the training jobs it guards. */
-  private[graft] def documentsSnapshot(d: String): String = {
+  private[graft] def documentsSnapshot(d: String): String =
+    fixtureSnapshot(d, "documents.parquet")
+
+  /** The fixture fingerprint behind every cross-session store key
+    * (suffix ranks/grams, minhash signatures, the kNN graph, BPE token
+    * counts). Default mode is name:size:mtime — O(files) listing, the
+    * right cost next to the builds it guards — whose ONE documented
+    * aliasing hazard is an in-place rewrite that preserves each file's
+    * size AND mtime (a `cp -p`'d fixture). Deployments that can't rule
+    * that out opt into CONTENT hashing with
+    * `-Dgraft.store.contentHash=true` (round-12 finding #2 / round-13
+    * note #3): the key becomes the md5 of every file's bytes, immune to
+    * metadata aliasing at the price of one full read of the fixture per
+    * key derivation — still cheap next to a store build, but no longer
+    * free, which is why it is the opt-in and not the default. The two
+    * modes produce disjoint key spaces (`content:` marker), so flipping
+    * the flag invalidates — never aliases — existing stores. */
+  private[graft] def fixtureSnapshot(d: String, table: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
-    val root = new java.io.File(d, "documents.parquet")
-    walk(root)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(s"$d|", "|", "")
+    val files = walk(new java.io.File(d, table))
+    if (java.lang.Boolean.getBoolean("graft.store.contentHash")) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.foreach { f =>
+        md.update(s"${f.getName}|".getBytes("UTF-8"))
+        val in = new java.io.FileInputStream(f)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+      s"$d|$table|content:" +
+        md.digest().map(b => f"${b & 0xff}%02x").mkString
+    } else
+      files
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString(s"$d|", "|", "")
   }
 
   private[graft] def bpeTrainLedger(
@@ -2132,10 +2219,17 @@ object TextOps {
     * riding the expression, like a broadcast ledger — zero joins), the
     * encode is ONE corpus scan inside WholeStageCodegen, then the same
     * doc-grain map-side-combined agg as t63. */
+  /** The trained merge list in `graft_bpe_encode`'s NUL-joined wire
+    * shape — one derivation shared by t64, the persisted token-count
+    * store and the t74 family, so "the trained tokenizer" can never
+    * mean two different merge lists in one session. */
+  private def bpeMergeStrings(s: SparkSession, d: String): Seq[String] =
+    bpeTrainLedger(s, d, iters = 3)
+      .map { case (_, l, r, _, _) => l + "\u0000" + r }
+
   private def t64BpeEncodeNative(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val merges = bpeTrainLedger(s, d, iters = 3)
-      .map { case (_, l, r, _, _) => l + "\u0000" + r }
+    val merges = bpeMergeStrings(s, d)
     Tables
       .documents(s, d)
       .select(col("doc_id"), explode(toks).as("w"))
@@ -2151,6 +2245,90 @@ object TextOps {
       )
       .orderBy("doc_id")
   }
+
+  /** Per-document TOKENIZER-token counts under the trained merge list,
+    * served through the persisted `graft_bpe_tokens_*` store — the
+    * encode-once-per-ingest artifact every token-grain budget consumes
+    * (round-13 verdict ask #1). Key = md5(format version | corpus
+    * snapshot | the full merge list), so retraining the tokenizer OR
+    * regenerating the corpus each mint a fresh store instead of
+    * silently serving counts from the wrong (corpus, vocabulary) pair;
+    * publish rides [[storedOrBuilt]]'s atomic rename with `bpe-tokens`
+    * provenance. Build = t64's native encode (one corpus scan inside
+    * WholeStageCodegen, per-word cost independent of merge count)
+    * collapsed to doc grain; at 100 TB this is exactly the "tokenize
+    * the corpus once, bill everything downstream in its units" pass,
+    * and the store is one BIGINT per document — corpus-sublinear by
+    * orders of magnitude. */
+  private[graft] def bpeTokenCounts(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val merges = bpeMergeStrings(s, d)
+    val snap = documentsSnapshot(d)
+    val key = md5Hex((s"bpe-tokens-v1|$snap" +: merges).mkString("|"))
+    storedOrBuilt(s, s"graft_bpe_tokens_$key", builder = "bpe-tokens", source = snap) {
+      Tables
+        .documents(s, d)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .withColumn(
+          "syms",
+          call_function("graft_bpe_encode", col("w"), lit(merges.toArray))
+        )
+        .groupBy("doc_id")
+        .agg(sum(size(col("syms"))).cast("long").as("n_bpe_tokens"))
+    }
+  }
+
+  /** t74 — corpus sharding at TOKENIZER-token grain: t9's two-phase
+    * prefix-sum sharder re-denominated in the unit training actually
+    * bills in. Every budgeted operator before this round counted
+    * whitespace tokens, but the engine trains a real BPE vocabulary
+    * (t62/t62b) and encodes natively (t64) — and Chinchilla budgets,
+    * shard sizes and mixture temperatures are BPE-token quantities in
+    * practice (hardware_report.py:442's threshold discipline: compute
+    * the budget in the unit the consumer bills in). Per document: its
+    * BPE token count, the running corpus total, and the ~10k-BPE-token
+    * shard it lands in.
+    *
+    * Scale shape: the per-doc counts come from the persisted
+    * [[bpeTokenCounts]] store (encode once per ingest; every budget
+    * query after is a store read), and the packing is [[twoPhaseShards]]
+    * unchanged — bucket totals + broadcast offsets + partitioned
+    * windows, no global window, no new shuffle class. The oracle chains
+    * t63's trainer+encode CTEs into t9's naive global-window cumsum. */
+  private def t74BpeTokenShards(s: SparkSession, d: String): DataFrame =
+    twoPhaseShards(
+      bpeTokenCounts(s, d).select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    )
+      .select(
+        col("doc_id"),
+        col("n_tokens").as("n_bpe_tokens"),
+        col("cum_tokens").as("cum_bpe_tokens"),
+        col("shard")
+      )
+      .orderBy("doc_id")
+
+  /** t74b — t49's τ=2 temperature-mixture plan with the language
+    * inventory measured in TOKENIZER tokens (the second verb the
+    * round-13 ask names): target mass ∝ bpe_tokens^(1/2), anchored
+    * acceptance by integer cross-multiplication —
+    * [[temperatureMixturePlan]] verbatim, only the inventory unit
+    * changes. A language whose whitespace and BPE token shares differ
+    * (short words vs long words) gets a DIFFERENT sampling rate here
+    * than under t49 — that delta is the point of billing in tokenizer
+    * units.
+    *
+    * Scale: one doc_id-keyed join of the corpus spine against the
+    * persisted count store, one language-keyed agg, then t49's
+    * broadcast-scalar plan math — the corpus text is never re-read. */
+  private def t74bBpeTemperatureMixture(s: SparkSession, d: String): DataFrame =
+    temperatureMixturePlan(
+      Tables
+        .documents(s, d)
+        .select("doc_id", "lang")
+        .join(bpeTokenCounts(s, d), "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_bpe_tokens").as("tokens"))
+    )
 
   /** Cross-source near-duplicate overlap matrix — for every source pair
     * (including the same-source diagonal), how many near-dup pairs (t4's
@@ -2302,6 +2480,84 @@ object TextOps {
         when(col("overlap") >= 0.8, "contaminated")
           .when(col("overlap") >= 0.2, "partial")
           .otherwise("clean")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** t75 — EMBEDDING-GRAIN decontamination: the paraphrase-leak check
+    * the n-gram family (t10/t19/t38) structurally misses (round-13
+    * verdict ask #2). A benchmark item rewritten with different surface
+    * 3-grams shares no shingles — t38's overlap reads 0 — but its
+    * trigram-feature EMBEDDING direction survives rewording far better,
+    * so the eval slice (doc_id % 10 = 0, the t10 convention) is screened
+    * against the training corpus in embedding space: m7b's featurizer
+    * (`graft_gram_embed`), banded sign-LSH candidates (v12b's machinery)
+    * restricted to eval×train pairs only, then the exact cosine verify
+    * at τ=0.8. Per contaminated training doc: how many eval items it
+    * hits, the strongest one, and the cosine.
+    *
+    * Scale shape: the eval side is benchmark-sized — its band rows AND
+    * its embeddings broadcast (t10's asymmetry), so the training corpus
+    * is touched by one featurize scan + one broadcast-join probe; no
+    * train×train pairs exist anywhere in the plan (the banded join is
+    * eval-keyed, unlike a corpus-internal dedup). Band geometry is
+    * auto-solved from the corpus count (m7b's discipline), and the
+    * oracle is the EXACT eval×train criterion: the solver's ≤10⁻⁶
+    * per-pair miss at design-τ against the corpus's measured pair floor
+    * means the driver's hash check certifies banded == exact end to end
+    * (the m7b pattern — no plane literals needed). */
+  private def t75EmbedDecontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val M = graft.multimodal.MultimodalOps
+    val emb = M
+      .gramEmbedFrame(
+        Tables.documents(s, d).filter(length(col("text")) > 0),
+        col("doc_id"),
+        col("text")
+      )
+      .cache()
+    val (nBands, bandBits) =
+      VectorOps.bandGeometry(emb.count(), tau = 0.85, targetCandPerVec = 256, maxMiss = 1e-6)
+    val ev = emb.filter(col("vec_id") % 10 === 0)
+    val tr = emb.filter(col("vec_id") % 10 =!= 0)
+    val evB = M
+      .bandRows(ev, nBands, bandBits)
+      .select(col("vec_id").as("eval_id"), col("band"), col("bh"))
+    // RAW collision stream (m7b's trade: verify is one codegen dot per
+    // row; the pre-verify distinct would shuffle the candidate stream),
+    // survivors deduped after the τ filter where the frame is tiny
+    val cand = M
+      .bandRows(tr, nBands, bandBits)
+      .join(broadcast(evB), Seq("band", "bh"))
+      .select(col("vec_id").as("doc_id"), col("eval_id"))
+    val scored = cand
+      .join(
+        tr.select(col("vec_id").as("doc_id"), col("embedding").as("te"), col("nrm").as("tn")),
+        "doc_id"
+      )
+      .join(
+        broadcast(
+          ev.select(col("vec_id").as("eval_id"), col("embedding").as("ee"), col("nrm").as("en"))
+        ),
+        "eval_id"
+      )
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("te"), col("ee")) / (col("tn") * col("en"))
+      )
+      .filter(col("cos") > 0.8)
+      .select("doc_id", "eval_id", "cos")
+      .distinct()
+    val wBest = Window.partitionBy("doc_id").orderBy(col("cos").desc, col("eval_id").asc)
+    scored
+      .withColumn("n_eval_hits", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("n_eval_hits"),
+        col("eval_id").as("top_eval_id"),
+        round(col("cos"), 6).as("max_cos")
       )
       .orderBy("doc_id")
   }
@@ -2538,7 +2794,7 @@ object TextOps {
     // atomic temp+rename publish (round 13): the original
     // check-then-overwrite had the same two-JVM race the suffix store
     // was flagged for — storedOrBuilt closes it for every family
-    storedOrBuilt(s, store.getName) {
+    storedOrBuilt(s, store.getName, builder = "minhash-sigs", source = documentsSnapshot(d)) {
       sigsFromKeyed(minhashKeyed(Tables.documents(s, d)))
     }
   }
@@ -3715,7 +3971,11 @@ object TextOps {
       cacheTag: String,
       spanL: Int
   ): DataFrame =
-    storedOrBuilt(s, s"graft_suffix_ranks_${suffixStoreKey(cacheTag, spanL)}") {
+    storedOrBuilt(
+      s,
+      s"graft_suffix_ranks_${suffixStoreKey(cacheTag, spanL)}",
+      builder = "suffix-ranks",
+      source = cacheTag) {
       buildSuffixRankTable(words, spanL)
     }
 
@@ -3727,12 +3987,21 @@ object TextOps {
     * v2 = bit-59 round tags + full-md5 keys. */
   private[graft] val suffixStoreVersion = "v2"
 
-  private[graft] def suffixStoreKey(cacheTag: String, spanL: Int): String =
+  private[graft] def md5Hex(text: String): String =
     java.security.MessageDigest
       .getInstance("MD5")
-      .digest(s"$suffixStoreVersion|$cacheTag|$spanL".getBytes("UTF-8"))
+      .digest(text.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x")
       .mkString
+
+  private[graft] def suffixStoreKey(cacheTag: String, spanL: Int): String =
+    md5Hex(s"$suffixStoreVersion|$cacheTag|$spanL")
+
+  /** Name of the provenance sidecar [[storedOrBuilt]] publishes with
+    * every store. Underscore-prefixed on purpose: Spark's parquet reader
+    * ignores `_`/`.`-prefixed files (the _SUCCESS convention), so the
+    * sidecar rides inside the store dir without touching readback. */
+  private[graft] val storeMetaFile = "_meta.json"
 
   /** Read-or-build with ATOMIC publish for the suffix-family warehouse
     * stores. The first cut's check-then-overwrite raced: two JVMs (Bench
@@ -3745,7 +4014,12 @@ object TextOps {
     * complete) or promoted (if the winner tore). Directory rename is
     * atomic on HDFS and local filesystems; an object-store deployment
     * without atomic rename wants a lock file here instead. */
-  private[graft] def storedOrBuilt(s: SparkSession, dirName: String)(
+  private[graft] def storedOrBuilt(
+      s: SparkSession,
+      dirName: String,
+      builder: String = "",
+      source: String = ""
+  )(
       build: => DataFrame
   ): DataFrame = {
     val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
@@ -3759,6 +4033,19 @@ object TextOps {
         s".${dirName}_tmp_${java.util.UUID.randomUUID}"
       )
       build.write.mode("overwrite").parquet(tmp.toString)
+      // provenance rides INSIDE the temp dir so the rename publishes
+      // data and metadata atomically together (round-13 verdict ask #4):
+      // created-at drives the TTL purge, builder names which ingest
+      // verb produced the store, source carries the md5 of the fixture
+      // fingerprint the key was derived from — enough to adjudicate a
+      // dead key without re-deriving every live key. Builder is a plain
+      // token and source an md5, so the JSON needs no escaping.
+      val metaJson =
+        s"""{"name":"$dirName","created_at_ms":${System.currentTimeMillis},""" +
+          s""""builder":"$builder","source_md5":"${md5Hex(source)}"}"""
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, storeMetaFile), true)
+      try out.write(metaJson.getBytes("UTF-8"))
+      finally out.close()
       // rename is guarded by an existence check: Hadoop's local-FS
       // rename onto an EXISTING directory moves the source INSIDE it
       // (POSIX mv semantics) instead of refusing — publish() refuses
@@ -3851,6 +4138,88 @@ object TextOps {
     // correct either way).
     warehouseStoreList(s, prefix)
       .map(_._1)
+      .filterNot(keep)
+      .filter(name => fs.delete(new org.apache.hadoop.fs.Path(warehouse, name), true))
+  }
+
+  /** One store's provenance row: bytes from the namespace listing,
+    * created-at / builder / source-md5 from the `_meta.json` sidecar
+    * when present. Stores published before the sidecar existed (and
+    * crashed builders' dot-temps, whose meta may or may not have been
+    * written yet) report None — [[warehouseStorePurgeOlderThan]] ages
+    * those by directory mtime instead. */
+  final case class StoreMeta(
+      name: String,
+      bytes: Long,
+      createdAtMs: Option[Long],
+      builder: Option[String],
+      sourceMd5: Option[String]
+  )
+
+  /** [[warehouseStoreList]] with each store's provenance sidecar read
+    * back (round-13 verdict ask #4: (name, bytes) alone could not tell
+    * a dead key from a live one without re-deriving every live key).
+    * The sidecar is our own fixed-shape JSON, so a regex pull per field
+    * reads it without a JSON library on the driver path. */
+  def warehouseStoreMeta(
+      s: SparkSession,
+      prefix: String = "graft_"
+  ): Seq[StoreMeta] = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def field(json: String, key: String): Option[String] =
+      s""""$key":"?([^",}]*)"?""".r.findFirstMatchIn(json).map(_.group(1))
+    warehouseStoreList(s, prefix).map { case (name, bytes) =>
+      val metaPath =
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(warehouse, name), storeMetaFile)
+      val json =
+        if (!fs.exists(metaPath)) None
+        else {
+          val in = fs.open(metaPath)
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val arr = new Array[Byte](4096)
+            var n = in.read(arr)
+            while (n >= 0) { bos.write(arr, 0, n); n = in.read(arr) }
+            Some(new String(bos.toByteArray, "UTF-8"))
+          } finally in.close()
+        }
+      StoreMeta(
+        name,
+        bytes,
+        json.flatMap(field(_, "created_at_ms")).flatMap(_.toLongOption),
+        json.flatMap(field(_, "builder")).filter(_.nonEmpty),
+        json.flatMap(field(_, "source_md5")).filter(_.nonEmpty)
+      )
+    }
+  }
+
+  /** TTL purge — the executable form of the rebuild schedule SCALING.md
+    * documents (round-13 verdict ask #4: the schedule was prose; this
+    * verb runs it). Deletes every store in the prefix namespace older
+    * than `olderThanMs` — age from the `_meta.json` created-at when
+    * present, else the directory's own mtime (pre-sidecar stores and
+    * crashed builders' dot-temp orphans both age this way) — except
+    * names in `keep`. Same honesty contract as [[warehouseStorePurge]]:
+    * only stores that actually deleted are reported, and a LIVE
+    * builder's dot-temp matches the prefix — run with no builds in
+    * flight, or keep the TTL above the longest build. `nowMs` is a
+    * parameter so specs pin the clock. */
+  def warehouseStorePurgeOlderThan(
+      s: SparkSession,
+      olderThanMs: Long,
+      keep: Set[String] = Set.empty,
+      prefix: String = "graft_",
+      nowMs: Long = System.currentTimeMillis
+  ): Seq[String] = {
+    val warehouse = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ages = warehouseStoreMeta(s, prefix).map { m =>
+      val p = new org.apache.hadoop.fs.Path(warehouse, m.name)
+      m.name -> m.createdAtMs.getOrElse(fs.getFileStatus(p).getModificationTime)
+    }
+    ages
+      .collect { case (name, born) if nowMs - born > olderThanMs => name }
       .filterNot(keep)
       .filter(name => fs.delete(new org.apache.hadoop.fs.Path(warehouse, name), true))
   }
@@ -4223,11 +4592,16 @@ object TextOps {
     * the evolving corpus frame is lineage-cut per pass (the iterative-
     * loop discipline — without the cut, pass k's plan re-derives every
     * earlier rewrite). The whole ledger is maxPasses × 5 longs of
-    * driver state; memoized per (content tag, L, maxPasses) because the
-    * loop runs eager jobs at construction time. */
+    * driver state; memoized per (pass-0 tag, pass-1 tag, L, maxPasses)
+    * because the loop runs eager jobs at construction time. The key
+    * carries BOTH tagOf(0) and tagOf(1): two callers sharing a pass-0
+    * tag but supplying different tag FUNCTIONS (so their pass-k corpora
+    * diverge from pass 1 on) must not alias to one cached fixed point
+    * (round-13 verdict finding #2 — latent until a second caller
+    * overlaps base tags, closed before it can go live). */
   private val exsubConvergeCache =
     scala.collection.concurrent.TrieMap.empty[
-      (Int, String, Int, Int),
+      (Int, String, String, Int, Int),
       (java.lang.ref.WeakReference[SparkSession],
        Seq[(Long, Long, Long, Long, Long)],
        DataFrame)
@@ -4241,7 +4615,7 @@ object TextOps {
       maxPasses: Int
   ): (Seq[(Long, Long, Long, Long, Long)], DataFrame) = {
     require(maxPasses >= 1, s"exactSubstrConvergeOn: maxPasses must be >= 1, got $maxPasses")
-    val key = (System.identityHashCode(s), tagOf(0), L, maxPasses)
+    val key = (System.identityHashCode(s), tagOf(0), tagOf(1), L, maxPasses)
     val hit = exsubConvergeCache.get(key).flatMap { case (ref, led, df) =>
       Option(ref.get()).filter(_ eq s).map(_ => (led, df))
     }
@@ -4400,7 +4774,11 @@ object TextOps {
       cacheTag: String,
       L: Int
   ): DataFrame =
-    storedOrBuilt(s, s"graft_suffix_grams_${suffixStoreKey(cacheTag + "|grams", L)}") {
+    storedOrBuilt(
+      s,
+      s"graft_suffix_grams_${suffixStoreKey(cacheTag + "|grams", L)}",
+      builder = "suffix-grams",
+      source = cacheTag) {
       val rt = suffixRankTableOn(s, words, cacheTag, L)
       val reps = rt
         .filter(col("pos") + (L - 1) <= col("n_tokens"))
@@ -4557,6 +4935,13 @@ object TextOps {
     * the broadcast side over one linear corpus scan; deterministic
     * order: (n_occ DESC, span_text) — span_text is unique per group by
     * the rank-equality theorem. */
+  /** t67's persisted tie-set, one per (session, corpus snapshot, L).
+    * If the session later clearCache()s (Bench between runs), the entry
+    * simply recomputes uncached on next use — the map holds lazy plans,
+    * not pinned storage. */
+  private val t67PrunedCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+
   private def t67DupSpans(s: SparkSession, d: String): DataFrame = {
     val L = suffixSpanL
     val rt = suffixRankTable(s, d)
@@ -4598,10 +4983,15 @@ object TextOps {
     // final orderBy/limit keeps correctness identical on both paths.
     // persisted so the adjudicating count and the final join pay the
     // grp/threshold subplan ONCE, not twice (round-13 review finding
-    // #7); bounded by the tie set, spilled to disk past memory, dropped
-    // by clearCache/app end like every cached frame
-    val prunedP =
-      pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // #7); MEMOIZED per (session, corpus snapshot, L) like the rank
+    // table itself, so a long session re-invoking t67 (bench loops,
+    // verify+bench) holds at most ONE cached tie set per corpus instead
+    // of accumulating one per invocation (round-13 advice #2); bounded
+    // by the tie set, spilled to disk past memory
+    val prunedP = t67PrunedCache
+      .getOrElseUpdate(
+        (System.identityHashCode(s), documentsSnapshot(d), L),
+        pruned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val words = Tables.documents(s, d).select(col("doc_id"), toks.as("w"))
     val prunedSide =
       if (prunedP.count() <= 100000L) broadcast(prunedP) else prunedP
@@ -4625,6 +5015,7 @@ object TextOps {
     "t68_exactsubstr_rewrite" -> (t68ExactSubstrRewrite _),
     "t69_residual_dup_audit" -> (t69ResidualDupAudit _),
     "t70_sequence_packing" -> (t70SequencePacking _),
+    "t70b_doc_boundary_packing" -> (t70bDocBoundaryPacking _),
     "t71_exactsubstr_converge" -> (t71ExactSubstrConverge _),
     "t71b_exactsubstr_converge_l50" -> (t71bExactSubstrConvergeL50 _),
     "t72_incremental_suffix_probe" -> (t72IncrementalSuffixProbe _),
@@ -4646,6 +5037,7 @@ object TextOps {
     "t41_minhash_index_dedup" -> (t41MinhashIndexDedup _),
     "t40_perplexity_buckets" -> (t40PerplexityBuckets _),
     "t38_contamination_score" -> (t38ContaminationScore _),
+    "t75_embed_decontaminate" -> (t75EmbedDecontaminate _),
     "t39_vocab_coverage" -> (t39VocabCoverage _),
     "t37_vocab_growth" -> (t37VocabGrowth _),
     "t36_corpus_diff" -> (t36CorpusDiff _),
@@ -4654,6 +5046,8 @@ object TextOps {
     "t62b_bpe_train_driver" -> (t62bBpeTrainDriver _),
     "t63_bpe_encode" -> (t63BpeEncode _),
     "t64_bpe_encode_native" -> (t64BpeEncodeNative _),
+    "t74_bpe_token_shards" -> (t74BpeTokenShards _),
+    "t74b_bpe_temperature_mixture" -> (t74bBpeTemperatureMixture _),
     "t48_bpe_apply_merge" -> (t48BpeApplyMerge _),
     "t35_source_overlap" -> (t35SourceOverlap _),
     "t32_source_caps" -> (t32SourceCaps _),
@@ -4763,12 +5157,13 @@ object TextOps {
     sb.toString
   }
 
-  /** t63's oracle: the shared trainer CTEs supply top1..topN; the encode
-    * is the same wrap + N chained replaces at doc grain. */
-  private def t63OracleSql: String = {
-    val iters = 3
+  /** The trainer CTEs + per-doc wrap + N chained replaces — the shared
+    * encode chain (ends at CTE `d<iters>`) consumed by t63/t64's oracle
+    * and, per round-13 ask #1, chained into t9's sharder CTEs by the
+    * t74 family's oracles. */
+  private def bpeEncodeCtes(iters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"WITH ${bpeTrainCtes(iters)},")
+    sb.append(s"${bpeTrainCtes(iters)},")
     sb.append(
       """
          dwords AS (
@@ -4791,14 +5186,77 @@ object TextOps {
          )"""
       )
     }
-    sb.append(
-      s"""
+    sb.toString
+  }
+
+  /** t63's oracle: the shared trainer CTEs supply top1..topN; the encode
+    * is the same wrap + N chained replaces at doc grain. */
+  private def t63OracleSql: String = {
+    val iters = 3
+    s"""WITH ${bpeEncodeCtes(iters)}
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(nch) AS BIGINT) AS n_chars,
            CAST(sum(length(seq) - length(replace(seq, chr(1), ''))) AS BIGINT) AS n_symbols
          FROM d$iters GROUP BY doc_id ORDER BY doc_id"""
-    )
-    sb.toString
+  }
+
+  /** t74's oracle — the ask's exact composition: t63/t64's replace-chain
+    * encode CTEs feeding t9's naive global-window cumsum, at BPE grain.
+    * `enc` is AS MATERIALIZED on principle (the t44b DuckDB lesson:
+    * multiply-referenced CTE chains inline and go exponential; here the
+    * window + select reference it through one more CTE). */
+  private def t74OracleSql: String = {
+    val iters = 3
+    s"""WITH ${bpeEncodeCtes(iters)}, enc AS MATERIALIZED (
+           SELECT doc_id,
+             CAST(sum(length(seq) - length(replace(seq, chr(1), ''))) AS BIGINT)
+               AS n_bpe_tokens
+           FROM d$iters GROUP BY doc_id
+         ), c AS (
+           SELECT doc_id, n_bpe_tokens,
+             CAST(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_bpe_tokens
+           FROM enc
+         )
+         SELECT doc_id, n_bpe_tokens, cum_bpe_tokens,
+           (cum_bpe_tokens - n_bpe_tokens) // 10000 AS shard
+         FROM c ORDER BY doc_id"""
+  }
+
+  /** t74b's oracle — the encode CTEs rolled up to a per-language BPE
+    * inventory, then t49's plan SQL verbatim. */
+  private def t74bOracleSql: String = {
+    val iters = 3
+    s"""WITH ${bpeEncodeCtes(iters)}, enc AS MATERIALIZED (
+           SELECT doc_id,
+             CAST(sum(length(seq) - length(replace(seq, chr(1), ''))) AS BIGINT)
+               AS n_bpe_tokens
+           FROM d$iters GROUP BY doc_id
+         ), inv AS (
+           SELECT dd.lang, CAST(sum(e.n_bpe_tokens) AS BIGINT) AS tokens
+           FROM enc e JOIN documents dd USING (doc_id)
+           GROUP BY dd.lang
+         ), sq AS (
+           SELECT lang, tokens,
+             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt
+           FROM inv WHERE tokens > 0
+         ), anchor AS (
+           SELECT tokens AS t_m, isqrt AS s_m FROM sq
+           ORDER BY tokens, lang LIMIT 1
+         ), planned AS (
+           SELECT lang, tokens, isqrt,
+             least(tokens, (isqrt * t_m) // s_m) AS take_tokens,
+             round(least(1.0, CAST(isqrt * t_m AS DOUBLE) / (tokens * s_m)),
+                   6) AS acceptance
+           FROM sq, anchor
+         ), total AS (
+           SELECT CAST(sum(take_tokens) AS BIGINT) AS take_total FROM planned
+         )
+         SELECT lang, tokens, isqrt, CAST(take_tokens AS BIGINT) AS take_tokens,
+           acceptance,
+           round(CAST(take_tokens AS DOUBLE) / take_total, 6) AS target_share
+         FROM planned, total ORDER BY lang"""
   }
 
   /** Shared CTE prefix for t65/t66: tokenized docs, every full-length
@@ -5219,12 +5677,46 @@ object TextOps {
              THEN CAST((cum - 1) // 512 > (cum - n_tokens) // 512 AS INTEGER)
            END AS crosses
          FROM cums ORDER BY doc_id""",
+    // t70's naive-cumsum oracle shape twice (example grain + token
+    // grain), joined — the Spark side is the two-phase plan for both
+    "t70b_doc_boundary_packing" ->
+      """WITH words AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> length(x) > 0) AS w
+           FROM documents
+         ), counts AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM words
+         ), e AS (
+           SELECT doc_id, n_tokens,
+             CAST((n_tokens + 511) // 512 AS BIGINT) AS n_examples
+           FROM counts
+         ), cums AS (
+           SELECT doc_id, n_tokens, n_examples,
+             CAST(sum(n_examples) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ex,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM e
+         )
+         SELECT doc_id, n_tokens, n_examples,
+           CASE WHEN n_tokens > 0 THEN cum_ex - n_examples END AS example_first,
+           CASE WHEN n_tokens > 0 THEN cum_ex - 1 END AS example_last,
+           CAST(n_examples * 512 - n_tokens AS BIGINT) AS pad_waste,
+           CASE WHEN n_tokens > 0
+             THEN CAST((cum_tok - 1) // 512 > (cum_tok - n_tokens) // 512 AS INTEGER)
+           END AS crosses_t70
+         FROM cums ORDER BY doc_id""",
     "t62_bpe_train" -> t62OracleSql,
     // t62b shares t62's generated oracle verbatim (the t64 certified-
     // sibling pattern): the driver-side trainer's contract IS t62's
     // ledger — same picks, same tie-breaks, same symbol accounting
     "t62b_bpe_train_driver" -> t62OracleSql,
     "t63_bpe_encode" -> t63OracleSql,
+    // the round-13 ask's composition oracles: encode chain -> sharder /
+    // mixture CTEs (generated from the same iters constant as t63's)
+    "t74_bpe_token_shards" -> t74OracleSql,
+    "t74b_bpe_temperature_mixture" -> t74bOracleSql,
     // t64 shares t63's oracle verbatim: the native expression's contract
     // IS the replace chain, so the certified-sibling pattern (m7b/m7c
     // against m7) applies — same truth, different physical path
@@ -5984,6 +6476,30 @@ object TextOps {
     // t10's shingle CTEs verbatim; the LEFT join keeps zero-hit docs and
     // count(ev.shingle) counts non-null matches only — both sides of the
     // join are per-doc DISTINCT so the join never fans out
+        // the EXACT eval-x-train criterion over the m7b gram chain (banded
+    // == exact certification, no plane literals — the m7b pattern)
+    "t75_embed_decontaminate" -> {
+      s"""WITH ${graft.multimodal.MultimodalOps.gramChainSql("", "doc_id", "text", "documents WHERE strlen(text) > 0")}, scored AS (
+           SELECT t.gid AS doc_id, e.gid AS eval_id,
+             list_sum(list_transform(range(1, 65), i -> t.e[i] * e.e[i]))
+               / (t.nrm * e.nrm) AS cos
+           FROM nrmd t JOIN nrmd e
+             ON t.gid % 10 <> 0 AND e.gid % 10 = 0
+         ), hits AS (
+           SELECT doc_id, eval_id, cos FROM scored WHERE cos > 0.8
+         ), agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+           FROM hits GROUP BY doc_id
+         ), best AS (
+           SELECT doc_id, eval_id AS top_eval_id, round(cos, 6) AS max_cos,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cos DESC, eval_id ASC) AS rn
+           FROM hits
+         )
+         SELECT a.doc_id, a.n_eval_hits, b.top_eval_id, b.max_cos
+         FROM agg a JOIN best b USING (doc_id) WHERE b.rn = 1
+         ORDER BY a.doc_id"""
+    },
     "t38_contamination_score" ->
       """WITH words AS (
            SELECT doc_id,

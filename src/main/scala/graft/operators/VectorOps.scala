@@ -1291,7 +1291,11 @@ object VectorOps {
       .digest(s"knn-v1|${embeddingsSnapshot(d)}|$nLists".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x")
       .mkString
-    TextOps.storedOrBuilt(s, s"graft_knn_graph_$key") {
+    TextOps.storedOrBuilt(
+      s,
+      s"graft_knn_graph_$key",
+      builder = "knn-graph",
+      source = embeddingsSnapshot(d)) {
       knnGraph(Tables.embeddings(s, d), nLists)
     }
   }
@@ -1450,6 +1454,187 @@ object VectorOps {
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("rnk"), col("cand").as("neighbor_id"), col("n_visited"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** The budget points of v39's graph arm — nominal visited-candidate
+    * caps. 32 is v38's own full admission set (seeds 5 + hop-1 <= 15 +
+    * hop-2 <= 12 before dedup), so the top point IS v38's serving
+    * config; 8 and 16 are the cheaper anytime cuts of the same run. */
+  private val v39Budgets = Seq(8, 16, 32)
+
+  /** v38's full run with its DISCOVERY ORDER kept: every candidate the
+    * expansion ever visits, tagged with a deterministic admission
+    * position — seeds in seed-rank order, then hop-1 neighbors in
+    * (seed rank, edge rank) order, then hop-2 in (beam rank, edge rank)
+    * order, earliest admission kept on dedup. Truncating at position B
+    * replays the SAME run under a visited-candidate budget (v23's
+    * fetch-once-replay trick applied to the graph family): the capped
+    * sets are nested in B, so — because an exact-top-5 member present
+    * in any candidate set always survives an exact rerank of it —
+    * recall is provably non-decreasing in B. Admission keys pack into
+    * one small integer (stage*100 + rank*10 + edge rank; all digits
+    * < 10 by construction) so the dedup is a plain min. */
+  private[graft] def graphAnnAdmission(embRaw: DataFrame, graph: DataFrame): DataFrame = {
+    val emb = embRaw.withColumn(
+      "nrm",
+      sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
+    )
+    val edges = graph.select(
+      col("vec_id").as("src"),
+      col("rnk").as("ernk"),
+      col("neighbor_id").as("dst")
+    )
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
+    val indexed = IvfAnn
+      .assignTo(centArr)(embRaw)
+      .select(col("cid"), col("vec_id").as("cand"))
+    val q = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cand = emb
+      .select(col("vec_id").as("cand"), col("embedding").as("ce"), col("nrm").as("cn"))
+    def scoredPairs(pairs: DataFrame): DataFrame =
+      pairs
+        .join(broadcast(q), "query_id")
+        .join(cand, "cand")
+        .filter(col("cand") =!= col("query_id"))
+        .withColumn(
+          "cos",
+          call_function("graft_dot", col("qe"), col("ce")) / (col("qn") * col("cn"))
+        )
+        .select("query_id", "cand", "cos")
+    val listPairs = IvfAnn
+      .withProbedCids(centArr, "qe")(q)
+      .select(col("query_id"), col("cid"))
+      .join(indexed, Seq("cid"))
+      .select("query_id", "cand")
+    val wSeed = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand").asc)
+    val seeds = scoredPairs(listPairs)
+      .withColumn("srnk", row_number().over(wSeed))
+      .filter(col("srnk") <= 5)
+      .select("query_id", "cand", "srnk")
+    val adm0 = seeds.select(
+      col("query_id"),
+      col("cand"),
+      (col("srnk") * 10).as("akey") // stage 0
+    )
+    val adm1 = seeds
+      .join(edges, seeds("cand") === edges("src"))
+      .select(
+        col("query_id"),
+        col("dst").as("cand"),
+        (lit(100) + col("srnk") * 10 + col("ernk")).as("akey") // stage 1
+      )
+    // v38's beam: top-4 of the scored v1 = seeds ∪ hop-1 (self excluded)
+    val v1 = adm0
+      .select("query_id", "cand")
+      .union(adm1.select("query_id", "cand"))
+      .filter(col("cand") =!= col("query_id"))
+      .distinct()
+    val b1 = scoredPairs(v1)
+      .withColumn("brnk", row_number().over(wSeed))
+      .filter(col("brnk") <= 4)
+      .select("query_id", "cand", "brnk")
+    val adm2 = b1
+      .join(edges, b1("cand") === edges("src"))
+      .select(
+        col("query_id"),
+        col("dst").as("cand"),
+        (lit(200) + col("brnk") * 10 + col("ernk")).as("akey") // stage 2
+      )
+    val wAdm = Window.partitionBy("query_id").orderBy(col("akey").asc, col("cand").asc)
+    adm0
+      .union(adm1)
+      .union(adm2)
+      .filter(col("cand") =!= col("query_id"))
+      .groupBy("query_id", "cand")
+      .agg(min("akey").as("akey"))
+      .withColumn("pos", row_number().over(wAdm))
+      .select("query_id", "cand", "pos")
+  }
+
+  /** v39 — the INDEX-FAMILY SELECTION FRONTIER: recall@5 and integer
+    * scan cost for the IVF family at nProbe ∈ {1,2,4,8} (v23's one-pass
+    * replay, verbatim) and the graph family at visited budgets
+    * {8,16,32} ([[graphAnnAdmission]]'s truncations of v38's run), on
+    * the SAME 10-query probe sample against the same exact top-5 — the
+    * one frame a pipeline owner reads to pick a serving config
+    * (round-13 verdict ask #6). Cost is exact-cosine evaluations per
+    * sample: the IVF arm's probed-list candidates; the graph arm's
+    * seed-stage list scan (it pays v6@4's scan to seed) PLUS its
+    * budget-capped visited set. Both arms' recalls are monotone in
+    * their knob by construction — nested candidate sets, exact rerank —
+    * so a non-monotone row is a bug, and the spec pins exactly that.
+    *
+    * Scale shape: the IVF arm is v23's plan (broadcast probes, one
+    * fetch at max nProbe, bounded replay explode); the graph arm runs
+    * v38's serving plan once with rank bookkeeping (same point-lookup
+    * joins on the PERSISTED kNN-graph store) and replays positions into
+    * budgets — no stage rescans the corpus, and the budget sweep
+    * multiplies only the <=32-row-per-query admission frame. */
+  private def v39IndexFrontier(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val embRaw = Tables.embeddings(s, d)
+    val ivf = v23ProbeSweep(s, d).select(
+      lit("ivf").as("family"),
+      col("n_probe").cast("long").as("knob"),
+      col("n_candidates").as("n_cost"),
+      col("n_hits"),
+      col("recall")
+    )
+    val adm = graphAnnAdmission(embRaw, knnGraphFor(s, d, IvfAnn.k))
+    val emb = embRaw.withColumn(
+      "nrm",
+      sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
+    )
+    val q = emb
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = adm
+      .join(broadcast(q), "query_id")
+      .join(
+        emb.select(col("vec_id").as("cand"), col("embedding").as("ce"), col("nrm").as("cn")),
+        "cand"
+      )
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("qe"), col("ce")) / (col("qn") * col("cn"))
+      )
+      .select("query_id", "cand", "pos", "cos")
+    val sweep = scored.withColumn(
+      "budget",
+      explode(filter(typedlit(v39Budgets), b => b >= col("pos")))
+    )
+    val nVisited = sweep.groupBy("budget").agg(count(lit(1)).as("n_visited"))
+    // the seed stage scans the 4 probed lists whatever the budget — the
+    // graph arm's floor cost, identical to the IVF arm's nProbe=4 scan
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
+    val listScan = IvfAnn
+      .withProbedCids(centArr, "qe")(q)
+      .select(col("query_id"), col("cid"))
+      .join(IvfAnn.assignTo(centArr)(embRaw).select(col("cid"), col("vec_id").as("cand")), Seq("cid"))
+      .filter(col("cand") =!= col("query_id"))
+      .agg(count(lit(1)).as("n_list_scan"))
+    val wTop = Window.partitionBy("query_id", "budget").orderBy(col("cos").desc, col("cand").asc)
+    val exact = v1AnnBruteforce(s, d)
+      .select(col("query_id"), col("neighbor_id").as("cand"), lit(1L).as("hit"))
+    val hits = sweep
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .join(broadcast(exact), Seq("query_id", "cand"), "left")
+      .groupBy("budget")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+    val graphArm = nVisited
+      .join(broadcast(hits), Seq("budget"))
+      .crossJoin(broadcast(listScan))
+      .select(
+        lit("graph").as("family"),
+        col("budget").cast("long").as("knob"),
+        (col("n_list_scan") + col("n_visited")).as("n_cost"),
+        col("n_hits"),
+        (col("n_hits") / lit(50.0)).as("recall")
+      )
+    ivf.unionByName(graphArm).orderBy("family", "knob")
   }
 
   /** v21 — the k-means FIT itself as a declared, per-vector-certified
@@ -2234,15 +2419,12 @@ object VectorOps {
   /** Content fingerprint of `d/embeddings.parquet` — the bpeLedgerCache
     * key discipline: a regenerated fixture dir yields fresh training,
     * never silently stale weights. */
-  private def embeddingsSnapshot(d: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    walk(new java.io.File(d, "embeddings.parquet"))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(s"$d|", "|", "")
-  }
+  // one snapshot implementation for every store family: default
+  // name:size:mtime keys (bit-identical to the pre-round-14 ones, so no
+  // store invalidation) with TextOps.fixtureSnapshot's documented
+  // -Dgraft.store.contentHash=true opt-in
+  private def embeddingsSnapshot(d: String): String =
+    TextOps.fixtureSnapshot(d, "embeddings.parquet")
 
   /** The v35 trainer loop: K batch-GD iterations, each ONE slim-scan
     * aggregation collecting a single (F+2)-column row; the weight vector
@@ -2360,6 +2542,7 @@ object VectorOps {
     "v18_sq_calibrated" -> (v18SqCalibrated _),
     "v17_knn_graph" -> (v17KnnGraph _),
     "v38_graph_ann" -> (v38GraphAnn _),
+    "v39_index_frontier" -> (v39IndexFrontier _),
     "v16_ann_filtered" -> (v16AnnFiltered _),
     "v15_range_search" -> (v15RangeSearch _),
     "v14_hybrid_rrf" -> (v14HybridRrf _),
@@ -2663,6 +2846,55 @@ object VectorOps {
     * visited set's exact top-5 with its count. Same rank-only +
     * integer-anchor hash discipline as v1/v17; duckDot mirrors
     * graft_dot's double accumulation so beam composition can't drift. */
+  /** v23's oracle, factored to a val so v39's combined frontier can
+    * embed the IVF arm verbatim. */
+  private val v23OracleSql: String =
+    s"""WITH seeds AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT 16
+         |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+         |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+         |${ivfAssign("cents2", "indexed")},
+         |probes AS (
+         |  SELECT qid, qe, cid, rn AS probe_rank FROM (
+         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents2 c
+         |    WHERE e.vec_id < 10
+         |  ) WHERE rn <= 8
+         |), sweep AS (
+         |  SELECT p.qid, p.qe, p.cid, s.n_probe
+         |  FROM probes p
+         |  JOIN (VALUES (1), (2), (4), (8)) s(n_probe)
+         |    ON s.n_probe >= p.probe_rank
+         |), cand AS (
+         |  SELECT sweep.qid, sweep.n_probe, i.vec_id,
+         |    ${duckDot("qe", "embedding")}
+         |      / (sqrt(${duckDot("qe", "qe")})
+         |       * sqrt(${duckDot("embedding", "embedding")})) AS cos
+         |  FROM sweep JOIN indexed i USING (cid)
+         |  WHERE i.vec_id <> sweep.qid
+         |), ncand AS (
+         |  SELECT n_probe, count(*) AS n_candidates FROM cand GROUP BY n_probe
+         |), top AS (
+         |  SELECT qid, n_probe, vec_id FROM (
+         |    SELECT qid, n_probe, vec_id,
+         |      row_number() OVER (PARTITION BY qid, n_probe
+         |                         ORDER BY cos DESC, vec_id ASC) AS rnk
+         |    FROM cand
+         |  ) WHERE rnk <= 5
+         |), hits AS (
+         |  SELECT t.n_probe, count(e.neighbor_id) AS n_hits
+         |  FROM top t LEFT JOIN ($v1Oracle) e
+         |    ON e.query_id = t.qid AND e.neighbor_id = t.vec_id
+         |  GROUP BY t.n_probe
+         |)
+         |SELECT n.n_probe, n.n_candidates, h.n_hits,
+         |  CAST(h.n_hits AS DOUBLE) / 50.0 AS recall
+         |FROM ncand n JOIN hits h USING (n_probe)
+         |ORDER BY n_probe""".stripMargin
+
   private val v38Oracle: String = {
     def cosExpr(q: String, c: String) =
       s"""${duckDot(q, c)}
@@ -2740,6 +2972,126 @@ object VectorOps {
        |    CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_visited
        |  FROM s2
        |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** v39: the v38 CTE prefix with seed/edge RANKS kept, the packed-key
+    * admission order (stage*100 + rank*10 + edge rank, earliest kept),
+    * the (VALUES) budget replay, and the lscan floor cost — UNION'd
+    * with v23's oracle relabeled as the IVF arm. Same rank-only +
+    * integer-anchor discipline as v23/v38. */
+  private val v39Oracle: String = {
+    def cosExpr(q: String, c: String) =
+      s"""${duckDot(q, c)}
+         |            / (sqrt(${duckDot(q, q)})
+         |             * sqrt(${duckDot(c, c)}))""".stripMargin
+    s"""WITH seeds AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT 16
+       |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
+       |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
+       |${ivfAssign("cents2", "indexed")},
+       |probes AS (
+       |  SELECT src_id, qe, cid FROM (
+       |    SELECT e.vec_id AS src_id, e.embedding AS qe, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents2 c
+       |  ) WHERE rn <= 4
+       |), gr AS (
+       |  SELECT p.src_id, i.vec_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY p.src_id
+       |      ORDER BY ${cosExpr("p.qe", "i.embedding")} DESC,
+       |        i.vec_id ASC) AS rnk
+       |  FROM probes p JOIN indexed i USING (cid)
+       |  WHERE i.vec_id <> p.src_id
+       |), edges0 AS (
+       |  SELECT src_id AS src, rnk AS ernk, nbr_id AS dst FROM gr WHERE rnk <= 3
+       |), qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < 10
+       |), v0 AS (
+       |  SELECT DISTINCT p.src_id AS query_id, i.vec_id AS cand
+       |  FROM probes p JOIN indexed i USING (cid)
+       |  WHERE p.src_id < 10 AND i.vec_id <> p.src_id
+       |), s0 AS (
+       |  SELECT v.query_id, v.cand, ${cosExpr("q.qe", "e2.embedding")} AS cos
+       |  FROM v0 v JOIN qs q USING (query_id)
+       |  JOIN embeddings e2 ON e2.vec_id = v.cand
+       |), sd AS (
+       |  SELECT query_id, cand, srnk FROM (
+       |    SELECT query_id, cand, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand ASC) AS srnk
+       |    FROM s0) WHERE srnk <= 5
+       |), adm0 AS (
+       |  SELECT query_id, cand, srnk * 10 AS akey FROM sd
+       |), adm1 AS (
+       |  SELECT b.query_id, g.dst AS cand, 100 + b.srnk * 10 + g.ernk AS akey
+       |  FROM sd b JOIN edges0 g ON g.src = b.cand
+       |), v1c AS (
+       |  SELECT DISTINCT query_id, cand FROM (
+       |    SELECT query_id, cand FROM adm0
+       |    UNION ALL SELECT query_id, cand FROM adm1)
+       |  WHERE cand <> query_id
+       |), s1 AS (
+       |  SELECT v.query_id, v.cand, ${cosExpr("q.qe", "e2.embedding")} AS cos
+       |  FROM v1c v JOIN qs q USING (query_id)
+       |  JOIN embeddings e2 ON e2.vec_id = v.cand
+       |), b1 AS (
+       |  SELECT query_id, cand, brnk FROM (
+       |    SELECT query_id, cand, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand ASC) AS brnk
+       |    FROM s1) WHERE brnk <= 4
+       |), adm2 AS (
+       |  SELECT b.query_id, g.dst AS cand, 200 + b.brnk * 10 + g.ernk AS akey
+       |  FROM b1 b JOIN edges0 g ON g.src = b.cand
+       |), admall AS (
+       |  SELECT query_id, cand, min(akey) AS akey FROM (
+       |    SELECT * FROM adm0 UNION ALL SELECT * FROM adm1
+       |    UNION ALL SELECT * FROM adm2)
+       |  WHERE cand <> query_id GROUP BY query_id, cand
+       |), admpos AS (
+       |  SELECT query_id, cand,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY akey ASC, cand ASC) AS pos
+       |  FROM admall
+       |), scored AS (
+       |  SELECT a.query_id, a.cand, a.pos,
+       |    ${cosExpr("q.qe", "e2.embedding")} AS cos
+       |  FROM admpos a JOIN qs q USING (query_id)
+       |  JOIN embeddings e2 ON e2.vec_id = a.cand
+       |), sweep AS (
+       |  SELECT s.query_id, s.cand, s.cos, b.budget
+       |  FROM scored s JOIN (VALUES (8), (16), (32)) b(budget)
+       |    ON b.budget >= s.pos
+       |), nvis AS (
+       |  SELECT budget, count(*) AS n_visited FROM sweep GROUP BY budget
+       |), lscan AS (
+       |  SELECT count(*) AS n_list_scan FROM v0
+       |), top AS (
+       |  SELECT query_id, budget, cand FROM (
+       |    SELECT query_id, budget, cand,
+       |      row_number() OVER (PARTITION BY query_id, budget
+       |                         ORDER BY cos DESC, cand ASC) AS rnk
+       |    FROM sweep) WHERE rnk <= 5
+       |), ghits AS (
+       |  SELECT t.budget, count(e.neighbor_id) AS n_hits
+       |  FROM top t LEFT JOIN ($v1Oracle) e
+       |    ON e.query_id = t.query_id AND e.neighbor_id = t.cand
+       |  GROUP BY t.budget
+       |), garm AS (
+       |  SELECT 'graph' AS family, CAST(n.budget AS BIGINT) AS knob,
+       |    CAST(l.n_list_scan + n.n_visited AS BIGINT) AS n_cost,
+       |    CAST(h.n_hits AS BIGINT) AS n_hits,
+       |    CAST(h.n_hits AS DOUBLE) / 50.0 AS recall
+       |  FROM nvis n JOIN ghits h ON h.budget = n.budget CROSS JOIN lscan l
+       |), iarm AS (
+       |  SELECT 'ivf' AS family, CAST(n_probe AS BIGINT) AS knob,
+       |    CAST(n_candidates AS BIGINT) AS n_cost,
+       |    CAST(n_hits AS BIGINT) AS n_hits, recall
+       |  FROM ($v23OracleSql)
+       |)
+       |SELECT * FROM iarm UNION ALL SELECT * FROM garm
+       |ORDER BY family, knob""".stripMargin
   }
 
   /** v21: the v6 fit CTEs, then the full-corpus final assignment with a
@@ -3299,6 +3651,7 @@ object VectorOps {
          FROM qn ORDER BY vec_id""",
     "v17_knn_graph" -> v17Oracle,
     "v38_graph_ann" -> v38Oracle,
+    "v39_index_frontier" -> v39Oracle,
     "v21_kmeans_fit" -> v21Oracle,
     // v21's fit CTEs + a per-cluster md5-ordered row_number cap — the
     // same growth-stable uniform order (t14) in both engines
@@ -3738,52 +4091,7 @@ object VectorOps {
     // n_probe >= its rank; the exact side is v1's construction verbatim.
     // Integer n_candidates/n_hits anchor the hash; the denominator is the
     // declared 10x5 sample as a literal in both engines.
-    "v23_probe_sweep" ->
-      s"""WITH seeds AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS centroid
-         |  FROM embeddings ORDER BY vec_id LIMIT 16
-         |), ${ivfAssign("seeds", "assign0")}, ${ivfUpdate("assign0", "cents1")},
-         |${ivfAssign("cents1", "assign1")}, ${ivfUpdate("assign1", "cents2")},
-         |${ivfAssign("cents2", "indexed")},
-         |probes AS (
-         |  SELECT qid, qe, cid, rn AS probe_rank FROM (
-         |    SELECT e.vec_id AS qid, e.embedding AS qe, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY $ivfAssignDist ASC, c.cid ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cents2 c
-         |    WHERE e.vec_id < 10
-         |  ) WHERE rn <= 8
-         |), sweep AS (
-         |  SELECT p.qid, p.qe, p.cid, s.n_probe
-         |  FROM probes p
-         |  JOIN (VALUES (1), (2), (4), (8)) s(n_probe)
-         |    ON s.n_probe >= p.probe_rank
-         |), cand AS (
-         |  SELECT sweep.qid, sweep.n_probe, i.vec_id,
-         |    ${duckDot("qe", "embedding")}
-         |      / (sqrt(${duckDot("qe", "qe")})
-         |       * sqrt(${duckDot("embedding", "embedding")})) AS cos
-         |  FROM sweep JOIN indexed i USING (cid)
-         |  WHERE i.vec_id <> sweep.qid
-         |), ncand AS (
-         |  SELECT n_probe, count(*) AS n_candidates FROM cand GROUP BY n_probe
-         |), top AS (
-         |  SELECT qid, n_probe, vec_id FROM (
-         |    SELECT qid, n_probe, vec_id,
-         |      row_number() OVER (PARTITION BY qid, n_probe
-         |                         ORDER BY cos DESC, vec_id ASC) AS rnk
-         |    FROM cand
-         |  ) WHERE rnk <= 5
-         |), hits AS (
-         |  SELECT t.n_probe, count(e.neighbor_id) AS n_hits
-         |  FROM top t LEFT JOIN ($v1Oracle) e
-         |    ON e.query_id = t.qid AND e.neighbor_id = t.vec_id
-         |  GROUP BY t.n_probe
-         |)
-         |SELECT n.n_probe, n.n_candidates, h.n_hits,
-         |  CAST(h.n_hits AS DOUBLE) / 50.0 AS recall
-         |FROM ncand n JOIN hits h USING (n_probe)
-         |ORDER BY n_probe""".stripMargin,
+    "v23_probe_sweep" -> v23OracleSql,
     // composition of the two factored oracles: recall@5 is a left join of
     // the exact result against the probed result — n_hits (a count) anchors
     // the hash, recall is a display division of it

@@ -29,7 +29,15 @@ object StreamingSuffixProbe {
 
   /** Build (or read back) the served corpus's gram index once. Cached:
     * every micro-batch joins against it, and the store read is one
-    * parquet scan that should not repeat per batch. */
+    * parquet scan that should not repeat per batch.
+    *
+    * OWNERSHIP: the caller owns the returned cache. A long-lived service
+    * that refits per ingest (the documented rebuild schedule) must
+    * [[releaseIndex]] the PREVIOUS index once its probe stream is
+    * stopped, or each refit strands one cached index for the life of
+    * the session (round-13 advice #3). The fit→swap→release sequence:
+    * stop the stream on the old index, `fitIndex` the new corpus,
+    * restart, then release the old handle. */
   def fitIndex(
       s: SparkSession,
       corpusWords: DataFrame,
@@ -37,6 +45,12 @@ object StreamingSuffixProbe {
       L: Int = 16
   ): DataFrame =
     TextOps.suffixGramIndexOn(s, corpusWords, cacheTag, L).cache()
+
+  /** Release a [[fitIndex]] handle after the stream consuming it has
+    * stopped. Blocking unpersist: the next ingest's fit follows, and a
+    * lazy release racing it would briefly double the cache footprint —
+    * exactly the accumulation this verb exists to prevent. */
+  def releaseIndex(idx: DataFrame): Unit = idx.unpersist(blocking = true)
 
   /** The per-batch plan — exactly t72's probe stage on this batch of
     * (doc_id, text) rows. */
