@@ -2260,9 +2260,15 @@ object TextOps {
     * the corpus once, bill everything downstream in its units" pass,
     * and the store is one BIGINT per document — corpus-sublinear by
     * orders of magnitude. */
-  private[graft] def bpeTokenCounts(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bpeTokenCounts(s: SparkSession, d: String): DataFrame =
+    bpeTokenCountsFor(s, d, bpeMergeStrings(s, d))
+
+  /** [[bpeTokenCounts]] under an ARBITRARY merge list (NUL-joined wire
+    * shape) — the production entry: BpeScale publishes the store at its
+    * 10k-merge vocabulary through this, so the declared N=3 query and
+    * the production config share one build/key/publish path. */
+  def bpeTokenCountsFor(s: SparkSession, d: String, merges: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val merges = bpeMergeStrings(s, d)
     val snap = documentsSnapshot(d)
     val key = md5Hex((s"bpe-tokens-v1|$snap" +: merges).mkString("|"))
     storedOrBuilt(s, s"graft_bpe_tokens_$key", builder = "bpe-tokens", source = snap) {

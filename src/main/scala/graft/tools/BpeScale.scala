@@ -155,12 +155,36 @@ object BpeScale {
       s""","chain_n":$chainN,"chain_sec":${f"$tChain%.1f"}"""
     }
 
+    // the t74 production path: publish the per-doc token-count store at
+    // THIS vocabulary (one BIGINT per doc, content+merges-keyed), then
+    // read it back from a fresh session — the build-once-budget-many
+    // contract measured at production N (SPARK_GRAFT_BPE_STORE=0 skips)
+    val storeStats =
+      if (sys.env.get("SPARK_GRAFT_BPE_STORE").contains("0")) ""
+      else {
+        val t4 = System.nanoTime()
+        val nDocs = graft.operators.TextOps
+          .bpeTokenCountsFor(spark, sfDir, loaded.toSeq)
+          .count()
+        val tStore = (System.nanoTime() - t4) / 1e9
+        val t5 = System.nanoTime()
+        graft.operators.TextOps
+          .bpeTokenCountsFor(spark.newSession(), sfDir, loaded.toSeq)
+          .agg(sum("n_bpe_tokens")).collect()
+        val tRead = (System.nanoTime() - t5) / 1e9
+        val bytes = graft.operators.TextOps
+          .warehouseStoreMeta(spark, "graft_bpe_tokens_")
+          .map(_.bytes).sum
+        s""","store_docs":$nDocs,"store_build_sec":${f"$tStore%.1f"},""" +
+          s""""store_read_sec":${f"$tRead%.1f"},"store_bytes":$bytes"""
+      }
+
     println(
       s"""{"tool":"bpe_scale","sf":"$sfDir","n_merges":${merges.length},""" +
         s""""n_trained":${trained.length},"merges_file":"$mergesFile",""" +
         s""""sample_words":${sample.length},"n_tokens":${enc.getLong(0)},""" +
         s""""n_symbols":${enc.getLong(1)},"sample_sec":${f"$tSample%.1f"},""" +
-        s""""train_sec":${f"$tTrain%.1f"},"encode_sec":${f"$tEncode%.1f"}$chainStats}""")
+        s""""train_sec":${f"$tTrain%.1f"},"encode_sec":${f"$tEncode%.1f"}$chainStats$storeStats}""")
     spark.stop()
   }
 }

@@ -402,6 +402,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t70 lost its broadcast bucket offsets:\n$p")
   }
 
+  test("t74/t70b: token-grain packing keeps the two-phase shape and serves counts from the store") {
+    val p74 = plan("t74_bpe_token_shards")
+    // the per-doc counts must be the PERSISTED store's parquet, never an
+    // in-plan re-encode — the encode-once-per-ingest contract
+    assert(p74.contains("graft_bpe_tokens_"),
+      s"t74 lost its persisted count store:\n$p74")
+    assert(!p74.contains("graft_bpe_encode"),
+      s"t74 re-encodes the corpus inside the budget query:\n$p74")
+    assert(!p74.contains("Exchange SinglePartition"),
+      s"t74 grew a single-partition funnel:\n$p74")
+    val p70b = plan("t70b_doc_boundary_packing")
+    assert(!p70b.contains("Exchange SinglePartition"),
+      s"t70b grew a single-partition funnel:\n$p70b")
+    assert(p70b.contains("BroadcastExchange"),
+      s"t70b lost its broadcast bucket offsets:\n$p70b")
+  }
+
+  test("t75's screen broadcasts the eval side — the corpus is never on a build side") {
+    // eval band rows AND eval embeddings ride broadcasts (t10's
+    // asymmetry); the training corpus must only ever stream or shuffle
+    // keyed — a corpus-side broadcast would OOM the driver at scale
+    val p = plan("t75_embed_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t75 lost its broadcast eval joins:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"t75 grew a single-partition funnel:\n$p")
+  }
+
+  test("v39's graph arm serves from the persisted kNN-graph store") {
+    val p = plan("v39_index_frontier")
+    assert(p.contains("graft_knn_graph_"),
+      s"v39 rebuilt the graph instead of reading the store:\n$p")
+  }
+
   test("v22's edge list is built once and cached across rank iterations") {
     // three power iterations re-read the kNN edges; without the cache the
     // whole IVF fit + probe + rank pipeline (the most expensive subplan
