@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextOps
@@ -61,6 +62,57 @@ class EmbedDecontaminateSpec extends AnyFunSuite {
     // a fire alarm
     assert(t75.forall(r => r.getAs[Long]("doc_id") == 11L),
       s"background docs flagged: ${t75.toSeq}")
+  }
+
+  test("t75's banded plan equals the exact eval-x-train screen on the driver fixture") {
+    // the m7b equality discipline in-engine: the declared query's banded
+    // candidate stage vs a brute-force exact arm over the same
+    // featurizer — band-geometry recall is certified by equality, not
+    // assumed (the DuckDB oracle pins the same identity at sf0.01)
+    import org.apache.spark.sql.functions.{broadcast, call_function, length, round => sround}
+    val sf = "/root/testdata/sf0.001"
+    val spark0 = spark
+    val banded = TextOps
+      .queries("t75_embed_decontaminate")(spark0, sf)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val emb = graft.multimodal.MultimodalOps.gramEmbedFrame(
+      spark0.read.parquet(s"$sf/documents.parquet").filter(length(col("text")) > 0),
+      col("doc_id"),
+      col("text")
+    )
+    val ev = emb
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"), col("nrm").as("en"))
+    val exact = emb
+      .filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("te"), col("nrm").as("tn"))
+      .crossJoin(broadcast(ev))
+      .withColumn(
+        "cos",
+        call_function("graft_dot", col("te"), col("ee")) / (col("tn") * col("en"))
+      )
+      .filter(col("cos") > 0.8)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count => scount, lit, row_number}
+    val wBest = Window.partitionBy("doc_id").orderBy(col("cos").desc, col("eval_id").asc)
+    val exactOut = exact
+      .withColumn("n_eval_hits", scount(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("n_eval_hits"),
+        col("eval_id").as("top_eval_id"),
+        sround(col("cos"), 6).as("max_cos")
+      )
+      .orderBy("doc_id")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(banded == exactOut, "banded t75 diverged from the exact screen")
+    assert(banded.nonEmpty, "fixture produced no contamination rows — equality is vacuous")
   }
 
   test("t75 eval-vs-train restriction: no train-train or eval-eval pair can surface") {
