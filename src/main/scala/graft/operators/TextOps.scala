@@ -497,6 +497,26 @@ object TextOps {
     // corpus and the shard GRAIN is the verification surface here
     shardReport(twoPhaseShards(t44CleanSet(s, d), budget = 2000L))
 
+  /** t44c — the capstone packed at BPE grain: t44's cleaned survivor
+    * set, sharded by TOKENIZER-token counts from the persisted store
+    * (2k BPE tokens per shard) instead of whitespace counts. The
+    * training-shard manifest in the unit the training run bills in —
+    * the capstone-side closure of the t74 re-denomination.
+    *
+    * Scale: t44's selection stages + one doc_id-keyed join against the
+    * count store + the two-phase sharder; zero new shuffle classes, and
+    * the corpus text is read only by t44's own stages. */
+  private def t44cCleanShardsBpe(s: SparkSession, d: String): DataFrame =
+    shardReport(
+      twoPhaseShards(
+        t44CleanSet(s, d)
+          .select("doc_id")
+          .join(bpeTokenCounts(s, d), "doc_id")
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
+        budget = 2000L
+      )
+    )
+
   /** t44's CLEAN SET — (doc_id, n_tokens) after quality gate, exact-dedup
     * canonicalization, near-dup removal, eval-slice exclusion and
     * decontamination — factored so t44b runs the IDENTICAL selection
@@ -2335,6 +2355,58 @@ object TextOps {
         .groupBy("lang")
         .agg(sum("n_bpe_tokens").as("tokens"))
     )
+
+  /** t74c — temperature-mixture EXECUTION at BPE grain: t50's
+    * deterministic acceptance sampler pointed at t74b's plan — accept
+    * doc iff u16(doc_id) · lang_bpe_tokens < take_tokens · 2¹⁶, all
+    * quantities in tokenizer tokens. Completes the plan→execute pair in
+    * the billing unit (t49→t50 was the whitespace-grain pair): the
+    * md5-prefix uniform keeps membership stable under corpus growth,
+    * and the acceptance test is pure integer arithmetic.
+    *
+    * Scale: t50's shape with the inventory read from the persisted
+    * count store — one doc_id-keyed join, one language agg, broadcast
+    * |langs|-row plan, per-row hash; corpus text never re-read. */
+  private def t74cBpeTemperatureExecute(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables
+      .documents(s, d)
+      .select("doc_id", "lang")
+      .join(bpeTokenCounts(s, d), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_bpe_tokens").as("doc_tokens"))
+      .cache()
+    val inv = docs
+      .groupBy("lang")
+      .agg(sum("doc_tokens").as("tokens"))
+      .filter(col("tokens") > 0)
+      .withColumn("isqrt", floor(sqrt(col("tokens"))).cast("long"))
+    val anchor = inv
+      .orderBy(col("tokens").asc, col("lang").asc)
+      .limit(1)
+      .select(col("tokens").as("t_m"), col("isqrt").as("s_m"))
+    val plan = inv
+      .crossJoin(broadcast(anchor))
+      .select(
+        col("lang"),
+        col("tokens"),
+        least(col("tokens"), expr("(isqrt * t_m) div s_m")).as("take_tokens")
+      )
+    docs
+      .join(broadcast(plan), "lang")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("u16", expr(hex4U16("h")).cast("long"))
+      .withColumn(
+        "accepted",
+        col("u16") * col("tokens") < col("take_tokens") * lit(65536L)
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("doc_tokens").as("doc_bpe_tokens"),
+        col("u16"),
+        col("accepted")
+      )
+      .orderBy("doc_id")
+  }
 
   /** Cross-source near-duplicate overlap matrix — for every source pair
     * (including the same-source diagonal), how many near-dup pairs (t4's
@@ -5054,6 +5126,7 @@ object TextOps {
     "t64_bpe_encode_native" -> (t64BpeEncodeNative _),
     "t74_bpe_token_shards" -> (t74BpeTokenShards _),
     "t74b_bpe_temperature_mixture" -> (t74bBpeTemperatureMixture _),
+    "t74c_bpe_temperature_execute" -> (t74cBpeTemperatureExecute _),
     "t48_bpe_apply_merge" -> (t48BpeApplyMerge _),
     "t35_source_overlap" -> (t35SourceOverlap _),
     "t32_source_caps" -> (t32SourceCaps _),
@@ -5090,6 +5163,7 @@ object TextOps {
     "t6_winnow_fingerprint" -> (t6WinnowFingerprint _),
     "t7_corpus_dedup_pipeline" -> (t7CorpusDedupPipeline _),
     "t44_clean_to_shards" -> (t44CleanToShards _),
+    "t44c_clean_shards_bpe" -> (t44cCleanShardsBpe _),
     "t44b_clean_shards_converged" -> (t44bShardsConverged _),
     "t8_normalize" -> (t8Normalize _),
     "t9_token_shards" -> (t9TokenShards _),
@@ -5113,35 +5187,38 @@ object TextOps {
   /** The t62 trainer as a CTE chain (base/words/vocab0 + per-iteration
     * syms/top/vocab/row CTEs) — shared by t62's ledger oracle and t63's
     * encode oracle so the pick sequence is generated once. */
-  private def bpeTrainCtes(iters: Int): String = {
+  /** `px` prefixes every CTE name so the chain can compose with other
+    * generated chains that share names (t44's `words`); "" keeps the
+    * historical names. */
+  private def bpeTrainCtes(iters: Int, px: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
-      """base AS (
+      raw"""${px}base AS (
            SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'),
                          x -> length(x) > 0) AS toks
            FROM documents
-         ), words AS (
-           SELECT unnest(toks) AS w FROM base
-         ), vocab0 AS (
+         ), ${px}words AS (
+           SELECT unnest(toks) AS w FROM ${px}base
+         ), ${px}vocab0 AS (
            SELECT count(*) AS n,
              array_to_string(list_transform(range(1, length(w) + 1),
                i -> chr(1) || substr(w, i, 1) || chr(2)), '') AS seq
-           FROM words GROUP BY w
+           FROM ${px}words GROUP BY w
          )"""
     )
     for (it <- 1 to iters) {
       val p = it - 1
       sb.append(
-        s""", syms$it AS (
+        s""", ${px}syms$it AS (
            SELECT n, string_split(substr(seq, 2, length(seq) - 2), chr(2) || chr(1)) AS syms
-           FROM vocab$p
-         ), top$it AS (
+           FROM ${px}vocab$p
+         ), ${px}top$it AS (
            SELECT syms[i] AS sym_l, syms[i + 1] AS sym_r, CAST(sum(n) AS BIGINT) AS weight
            FROM (SELECT n, syms, unnest(range(1, len(syms))) AS i
-                 FROM syms$it WHERE len(syms) >= 2)
+                 FROM ${px}syms$it WHERE len(syms) >= 2)
            GROUP BY 1, 2 ORDER BY weight DESC, sym_l, sym_r LIMIT 1
-         ), vocab$it AS (
+         ), ${px}vocab$it AS (
            -- coalesce to a never-matching chr(3) sentinel: on a corpus
            -- that trains fewer than N merges, top$it is empty and the
            -- scalar subquery is NULL — a raw NULL pattern would
@@ -5149,14 +5226,14 @@ object TextOps {
            -- the empty pick (seq unchanged; row$it is naturally absent
            -- on both sides since it selects FROM top$it)
            SELECT n, replace(seq,
-             chr(1) || coalesce((SELECT sym_l FROM top$it), chr(3)) || chr(2) || chr(1) || coalesce((SELECT sym_r FROM top$it), chr(3)) || chr(2),
-             chr(1) || coalesce((SELECT sym_l FROM top$it), chr(3)) || coalesce((SELECT sym_r FROM top$it), chr(3)) || chr(2)) AS seq
-           FROM vocab$p
-         ), row$it AS (
+             chr(1) || coalesce((SELECT sym_l FROM ${px}top$it), chr(3)) || chr(2) || chr(1) || coalesce((SELECT sym_r FROM ${px}top$it), chr(3)) || chr(2),
+             chr(1) || coalesce((SELECT sym_l FROM ${px}top$it), chr(3)) || coalesce((SELECT sym_r FROM ${px}top$it), chr(3)) || chr(2)) AS seq
+           FROM ${px}vocab$p
+         ), ${px}row$it AS (
            SELECT $it AS iter, sym_l, sym_r, weight,
              (SELECT CAST(sum(n * (length(seq) - length(replace(seq, chr(1), '')))) AS BIGINT)
-              FROM vocab$it) AS n_symbols_after
-           FROM top$it
+              FROM ${px}vocab$it) AS n_symbols_after
+           FROM ${px}top$it
          )"""
       )
     }
@@ -5167,28 +5244,28 @@ object TextOps {
     * encode chain (ends at CTE `d<iters>`) consumed by t63/t64's oracle
     * and, per round-13 ask #1, chained into t9's sharder CTEs by the
     * t74 family's oracles. */
-  private def bpeEncodeCtes(iters: Int): String = {
+  private def bpeEncodeCtes(iters: Int, px: String = ""): String = {
     val sb = new StringBuilder
-    sb.append(s"${bpeTrainCtes(iters)},")
+    sb.append(s"${bpeTrainCtes(iters, px)},")
     sb.append(
-      """
-         dwords AS (
-           SELECT doc_id, unnest(toks) AS w FROM base
-         ), d0 AS (
+      s"""
+         ${px}dwords AS (
+           SELECT doc_id, unnest(toks) AS w FROM ${px}base
+         ), ${px}d0 AS (
            SELECT doc_id, length(w) AS nch,
              array_to_string(list_transform(range(1, length(w) + 1),
                i -> chr(1) || substr(w, i, 1) || chr(2)), '') AS seq
-           FROM dwords
+           FROM ${px}dwords
          )"""
     )
     for (it <- 1 to iters) {
       val p = it - 1
       sb.append(
-        s""", d$it AS (
+        s""", ${px}d$it AS (
            SELECT doc_id, nch, replace(seq,
-             chr(1) || coalesce((SELECT sym_l FROM top$it), chr(3)) || chr(2) || chr(1) || coalesce((SELECT sym_r FROM top$it), chr(3)) || chr(2),
-             chr(1) || coalesce((SELECT sym_l FROM top$it), chr(3)) || coalesce((SELECT sym_r FROM top$it), chr(3)) || chr(2)) AS seq
-           FROM d$p
+             chr(1) || coalesce((SELECT sym_l FROM ${px}top$it), chr(3)) || chr(2) || chr(1) || coalesce((SELECT sym_r FROM ${px}top$it), chr(3)) || chr(2),
+             chr(1) || coalesce((SELECT sym_l FROM ${px}top$it), chr(3)) || coalesce((SELECT sym_r FROM ${px}top$it), chr(3)) || chr(2)) AS seq
+           FROM ${px}d$p
          )"""
       )
     }
@@ -5263,6 +5340,40 @@ object TextOps {
            acceptance,
            round(CAST(take_tokens AS DOUBLE) / take_total, 6) AS target_share
          FROM planned, total ORDER BY lang"""
+  }
+
+  /** t74c's oracle — the encode CTEs into t50's acceptance SQL. */
+  private def t74cOracleSql: String = {
+    val iters = 3
+    s"""WITH ${bpeEncodeCtes(iters)}, enc AS MATERIALIZED (
+           SELECT doc_id,
+             CAST(sum(length(seq) - length(replace(seq, chr(1), ''))) AS BIGINT)
+               AS doc_tokens
+           FROM d$iters GROUP BY doc_id
+         ), docs2 AS (
+           SELECT e.doc_id, dd.lang, e.doc_tokens
+           FROM enc e JOIN documents dd USING (doc_id)
+         ), inv AS (
+           SELECT lang, CAST(sum(doc_tokens) AS BIGINT) AS tokens
+           FROM docs2 GROUP BY lang
+         ), sq AS (
+           SELECT lang, tokens,
+             CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS isqrt
+           FROM inv WHERE tokens > 0
+         ), anchor AS (
+           SELECT tokens AS t_m, isqrt AS s_m FROM sq
+           ORDER BY tokens, lang LIMIT 1
+         ), plan AS (
+           SELECT lang, tokens,
+             least(tokens, (isqrt * t_m) // s_m) AS take_tokens
+           FROM sq, anchor
+         )
+         SELECT doc_id, d.lang, doc_tokens AS doc_bpe_tokens,
+           CAST(${hex4U16("md5(CAST(doc_id AS VARCHAR))")} AS BIGINT) AS u16,
+           ${hex4U16("md5(CAST(doc_id AS VARCHAR))")} * tokens
+             < take_tokens * 65536 AS accepted
+         FROM docs2 d JOIN plan USING (lang)
+         ORDER BY doc_id"""
   }
 
   /** Shared CTE prefix for t65/t66: tokenized docs, every full-length
@@ -5723,6 +5834,7 @@ object TextOps {
     // mixture CTEs (generated from the same iters constant as t63's)
     "t74_bpe_token_shards" -> t74OracleSql,
     "t74b_bpe_temperature_mixture" -> t74bOracleSql,
+    "t74c_bpe_temperature_execute" -> t74cOracleSql,
     // t64 shares t63's oracle verbatim: the native expression's contract
     // IS the replace chain, so the certified-sibling pattern (m7b/m7c
     // against m7) applies — same truth, different physical path
@@ -7542,6 +7654,29 @@ object TextOps {
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
          FROM packed GROUP BY 1 ORDER BY shard""",
+    // t44's clean CTEs joined to the b_-prefixed encode chain (prefixes
+    // keep the two generated chains' CTE names disjoint — both declare
+    // `words`), then the naive cumsum sharder at BPE grain
+    "t44c_clean_shards_bpe" ->
+      s"""WITH $t44CleanCtes,
+         |${bpeEncodeCtes(3, "b_")}, enc AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(sum(length(seq) - length(replace(seq, chr(1), ''))) AS BIGINT)
+         |      AS n_bpe
+         |  FROM b_d3 GROUP BY doc_id
+         |), packed3 AS (
+         |  SELECT c.doc_id, e.n_bpe AS n_tokens,
+         |    CAST(sum(e.n_bpe) OVER (ORDER BY c.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM clean c JOIN enc e USING (doc_id)
+         |)
+         |SELECT (cum - n_tokens) // 2000 AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc
+         |FROM packed3 GROUP BY 1 ORDER BY shard""".stripMargin,
     // t44's clean set, then the UNROLLED fixed point (t71's generated
     // chain over the clean subcorpus), then the same packing formula on
     // the FINAL corpus's token counts

@@ -80,6 +80,50 @@ class TokenGrainSpec extends AnyFunSuite {
     assert(anchor.getAs[Double]("acceptance") == 1.0)
   }
 
+  test("t74c executes exactly t74b's plan: anchor lang all-accepted, inventories tie") {
+    val rows = TextOps.queries("t74c_bpe_temperature_execute")(spark, sf).collect()
+    val plan = TextOps
+      .queries("t74b_bpe_temperature_mixture")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("tokens"), r.getAs[Double]("acceptance")))
+      .toMap
+    assert(rows.nonEmpty)
+    // per-language executed inventory == the plan's inventory
+    val execInv = rows
+      .groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_bpe_tokens")).sum)
+    execInv.foreach { case (lang, tot) =>
+      assert(tot == plan(lang)._1, s"$lang executed inventory drifted")
+    }
+    // the acceptance-1.0 anchor language accepts EVERY document
+    // (u16 < 65536 always; take == tokens there)
+    val anchorLang = plan.minBy { case (l, (t, _)) => (t, l) }._1
+    rows.filter(_.getAs[String]("lang") == anchorLang).foreach { r =>
+      assert(r.getAs[Boolean]("accepted"), s"anchor-lang doc rejected: $r")
+    }
+    rows.foreach { r =>
+      val u = r.getAs[Long]("u16")
+      assert(u >= 0L && u < 65536L)
+    }
+    // at least one rejection somewhere, or the sampler proved nothing
+    assert(rows.exists(!_.getAs[Boolean]("accepted")))
+  }
+
+  test("t44c's shard ledger ties to the clean set's BPE token total") {
+    val shards = TextOps.queries("t44c_clean_shards_bpe")(spark, sf).collect()
+    val indep = TextOps
+      .t44CleanSet(spark, sf)
+      .select("doc_id")
+      .join(TextOps.bpeTokenCounts(spark, sf), "doc_id")
+      .agg(sum("n_bpe_tokens"))
+      .head()
+      .getLong(0)
+    assert(shards.map(_.getAs[Long]("shard_tokens")).sum == indep,
+      "BPE tokens lost or invented between the clean set and the shard report")
+    assert(shards.length > 1, "fixture too small to exercise shard boundaries")
+  }
+
   test("t70b: boundary-respecting examples, surfaced waste, and t70's exposure side by side") {
     val B = 512L
     val rows = TextOps.queries("t70b_doc_boundary_packing")(spark, sf).collect()
