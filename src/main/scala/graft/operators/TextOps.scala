@@ -2598,27 +2598,41 @@ object TextOps {
       VectorOps.bandGeometry(emb.count(), tau = 0.85, targetCandPerVec = 256, maxMiss = 1e-6)
     val ev = emb.filter(col("vec_id") % 10 === 0)
     val tr = emb.filter(col("vec_id") % 10 =!= 0)
-    val evB = M
-      .bandRows(ev, nBands, bandBits)
-      .select(col("vec_id").as("eval_id"), col("band"), col("bh"))
-    // RAW collision stream (m7b's trade: verify is one codegen dot per
-    // row; the pre-verify distinct would shuffle the candidate stream),
-    // survivors deduped after the τ filter where the frame is tiny
+    embedScreenVerdicts(
+      tr,
+      M.bandRows(ev, nBands, bandBits)
+        .select(col("vec_id").as("eval_id"), col("band"), col("bh")),
+      ev.select(col("vec_id").as("eval_id"), col("embedding").as("ee"), col("nrm").as("en")),
+      nBands,
+      bandBits
+    )
+  }
+
+  /** t75's screen over ANY (vec_id, embedding, nrm) training-side frame
+    * against a fitted eval index (band rows + embeddings, both broadcast
+    * — benchmark-sized by contract) — factored so the batch query and
+    * [[graft.streaming.StreamingEmbedDecontaminate]] run the VERBATIM
+    * plan (the StreamingDecontaminate discipline: the verdict depends on
+    * the doc and the frozen eval set alone). RAW collision stream into
+    * the verify (m7b's trade), survivors deduped after the τ filter. */
+  private[graft] def embedScreenVerdicts(
+      trainVecs: DataFrame,
+      evBands: DataFrame,
+      evVecs: DataFrame,
+      nBands: Int,
+      bandBits: Int
+  ): DataFrame = {
+    val M = graft.multimodal.MultimodalOps
     val cand = M
-      .bandRows(tr, nBands, bandBits)
-      .join(broadcast(evB), Seq("band", "bh"))
+      .bandRows(trainVecs, nBands, bandBits)
+      .join(broadcast(evBands), Seq("band", "bh"))
       .select(col("vec_id").as("doc_id"), col("eval_id"))
     val scored = cand
       .join(
-        tr.select(col("vec_id").as("doc_id"), col("embedding").as("te"), col("nrm").as("tn")),
+        trainVecs.select(col("vec_id").as("doc_id"), col("embedding").as("te"), col("nrm").as("tn")),
         "doc_id"
       )
-      .join(
-        broadcast(
-          ev.select(col("vec_id").as("eval_id"), col("embedding").as("ee"), col("nrm").as("en"))
-        ),
-        "eval_id"
-      )
+      .join(broadcast(evVecs), "eval_id")
       .withColumn(
         "cos",
         call_function("graft_dot", col("te"), col("ee")) / (col("tn") * col("en"))
@@ -2639,6 +2653,7 @@ object TextOps {
       )
       .orderBy("doc_id")
   }
+
 
   /** Candidate vocabulary sizes for t39's coverage curve. Tiny here
     * because the synthetic corpus has a tiny type inventory; production
