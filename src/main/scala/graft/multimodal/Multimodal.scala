@@ -512,7 +512,15 @@ object MultimodalOps {
     * linear, never the binding resource — and the featurized embeddings
     * are cache()d once across all groups anyway). */
   def semanticDedupBandedShardedQuery(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupBandedSharded(spark, dir, shards = 4)
+    // shards <= 0 = SCALE-ADAPTIVE (round-14 optimization): the group
+    // count is derived from the signature volume the sharding exists to
+    // bound, not pinned at the constant 4 that was tuned for the sf30
+    // failure. A fixed 4 made a driver-fixture-sized corpus pay 4
+    // sequential write+read jobs to bound megabytes of spill (guide §2:
+    // partitioning constants tuned for one scale are wrong at every
+    // other); the adaptive solve keeps 1 group until the per-group
+    // signature volume actually threatens scratch, then grows with it.
+    semanticDedupBandedSharded(spark, dir, shards = 0)
 
   private[graft] def semanticDedupBandedSharded(
       spark: SparkSession,
@@ -531,9 +539,26 @@ object MultimodalOps {
         targetCandPerVec = 256,
         maxMiss = 1e-6
       )
+    // adaptive group count: groups sized so ONE group's signature rows
+    // (vectors × its band slice — the driver of per-group exchange
+    // bytes, same quantity the gc gate reads) stay under a scratch
+    // budget. Default 224M rows ≈ the sf30 one-shot's measured ~72 GB
+    // spill split 4 ways — the geometry this query shipped with — so
+    // the adaptive solve reproduces shards≈4 exactly where the constant
+    // came from, and solves to 1 where the volume is megabytes.
+    // Tunable per deployment via spark.graft.m7e.groupSigRows.
+    val nGroups =
+      if (shards > 0) shards
+      else {
+        val budget = spark.conf
+          .getOption("spark.graft.m7e.groupSigRows")
+          .map(_.toLong)
+          .getOrElse(224000000L)
+        math.max(1L, math.min(nBands.toLong, (nVecs * nBands + budget - 1) / budget)).toInt
+      }
     val out = scratch.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-m7e").toString)
-    val perShard = (nBands + shards - 1) / shards
+    val perShard = (nBands + nGroups - 1) / nGroups
     var s = 0
     while (s * perShard < nBands) {
       val lo = s * perShard

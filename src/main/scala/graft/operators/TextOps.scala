@@ -219,7 +219,13 @@ object TextOps {
   private def jaccardPairsOn(
       docs: DataFrame,
       label: Option[String],
-      pruneSameLabel: Boolean = true
+      pruneSameLabel: Boolean = true,
+      // a caller that ALSO consumes the shingle frame (t44's
+      // decontamination sides) passes its own cached graft_shingles
+      // output — same `keep` columns — so the whole composition pays ONE
+      // Generate pass over the corpus instead of one per consumer
+      // (guide §1.2: the tokenize+hash scan is the corpus-linear cost)
+      shinglesOpt: Option[DataFrame] = None
   ): DataFrame = {
     // Shingles carry a 64-bit fingerprint for the join/agg key — shuffling
     // longs, not strings; collision odds are ~n^2/2^65 (negligible even at
@@ -230,9 +236,11 @@ object TextOps {
     // four consumers.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val keep = Seq("doc_id") ++ label
-    val shSized = docs
-      .selectExpr(keep :+ "graft_shingles(text) AS (shingle, sz, rn)": _*)
-      .cache()
+    val shSized = shinglesOpt.getOrElse(
+      docs
+        .selectExpr(keep :+ "graft_shingles(text) AS (shingle, sz, rn)": _*)
+        .cache()
+    )
     val sh = shSized.select("doc_id", "shingle")
     val sizes = shSized
       .filter(col("rn") === 1)
@@ -455,8 +463,19 @@ object TextOps {
     * Emits the surviving document ids; every stage is one of the declared
     * operators chained, and the whole composition is oracle-checked.
     */
-  private def t7CorpusDedupPipeline(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private def t7CorpusDedupPipeline(s: SparkSession, d: String): DataFrame =
+    t7SurvivorsOn(Tables.documents(s, d), jaccardPairs(s, d))
+      .select("doc_id")
+      .orderBy("doc_id")
+
+  /** t7's selection (quality gate → exact-dedup canonicalization →
+    * near-dup removal) over an arbitrary documents frame and a
+    * precomputed near-dup pair frame, carrying each survivor's token
+    * count — factored (round-14 optimization) so t44's composition reads
+    * `n_tokens` off the gate's own tokenize instead of re-scanning and
+    * re-tokenizing the corpus a second time for the same expression. */
+  private def t7SurvivorsOn(docsRaw: DataFrame, pairs: DataFrame): DataFrame = {
+    val docs = docsRaw
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn(
         "n_stopwords",
@@ -470,13 +489,11 @@ object TextOps {
         min("doc_id").over(Window.partitionBy(md5(col("text"))))
       )
       .filter(col("doc_id") === col("canonical_id"))
-      .select("doc_id")
-    val nearDupLosers = jaccardPairs(s, d)
+      .select("doc_id", "n_tokens")
+    val nearDupLosers = pairs
       .select(col("doc_b").as("doc_id"))
       .distinct()
-    canon
-      .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
+    canon.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
   /** t44 — the pipeline CAPSTONE: t7's cleaned survivors (quality gate →
@@ -522,9 +539,23 @@ object TextOps {
     * decontamination — factored so t44b runs the IDENTICAL selection
     * before composing the ExactSubstr fixed point on top. */
   private[graft] def t44CleanSet(s: SparkSession, d: String): DataFrame = {
-    val survivors = t7CorpusDedupPipeline(s, d)
+    val docs = Tables.documents(s, d)
+    // ONE shingle Generate for the whole capstone (round-14 optimization):
+    // previously the near-dup stage built (and cached) its own shingle
+    // frame while the decontamination's eval and train sides EACH re-ran
+    // the uncached Generate — three tokenize+hash passes over the corpus
+    // for one definition. The cached frame feeds all of them; and the
+    // survivor token counts ride the quality gate's own tokenize instead
+    // of a fourth corpus scan.
+    val sh = shingleRows(docs).cache()
+    // eager: one consumer is a BroadcastExchange builder (the eval side),
+    // and a broadcast build thread racing the regular stage readers to
+    // materialize a lazy cache measured pathological on v39 (+7 s there);
+    // materializing once up front costs the Generate it was always going
+    // to pay and hands every reader warm blocks
+    sh.count()
+    val survivors = t7SurvivorsOn(docs, jaccardPairsOn(docs, None, shinglesOpt = Some(sh)))
       .filter(col("doc_id") % 10 =!= 0)
-    val sh = shingleRows(Tables.documents(s, d))
     val ev = sh
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), col("shingle"), col("sz").as("sz_e"))
@@ -536,11 +567,8 @@ object TextOps {
       .filter(col("inter") / (col("sz_t") + col("sz_e") - col("inter")) > 0.8)
       .select("doc_id")
       .distinct()
-    val nTok = Tables.documents(s, d)
-      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
     survivors
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .join(nTok, "doc_id")
       .select("doc_id", "n_tokens")
   }
 

@@ -100,10 +100,15 @@ object VectorOps {
     * contract); per-point top-5 is a (qid, n_probe)-partitioned window
     * over probe-bounded groups. Integer n_candidates/n_hits anchor the
     * cross-engine hash; recall is a display division. */
-  private def v23ProbeSweep(s: SparkSession, d: String): DataFrame = {
+  private def v23ProbeSweep(
+      s: SparkSession,
+      d: String,
+      centArrOpt: Option[Array[(Int, Seq[Float])]] = None,
+      exactOpt: Option[DataFrame] = None
+  ): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
+    val centArr = centArrOpt.getOrElse(IvfAnn.collectCents(IvfAnn.centroids(emb)))
     val indexed = IvfAnn.assignTo(centArr)(emb)
     val queries = emb
       .filter(col("vec_id") < 10)
@@ -146,7 +151,8 @@ object VectorOps {
       .groupBy("n_probe")
       .agg(count(lit(1)).as("n_candidates"))
     val w = Window.partitionBy("qid", "n_probe").orderBy(col("cos").desc, col("vec_id").asc)
-    val exact = v1AnnBruteforce(s, d)
+    val exact = exactOpt
+      .getOrElse(v1AnnBruteforce(s, d))
       .select(
         col("query_id").as("qid"),
         col("neighbor_id").as("vec_id"),
@@ -1474,7 +1480,11 @@ object VectorOps {
     * recall is provably non-decreasing in B. Admission keys pack into
     * one small integer (stage*100 + rank*10 + edge rank; all digits
     * < 10 by construction) so the dedup is a plain min. */
-  private[graft] def graphAnnAdmission(embRaw: DataFrame, graph: DataFrame): DataFrame = {
+  private[graft] def graphAnnAdmission(
+      embRaw: DataFrame,
+      graph: DataFrame,
+      centArrOpt: Option[Array[(Int, Seq[Float])]] = None
+  ): DataFrame = {
     val emb = embRaw.withColumn(
       "nrm",
       sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
@@ -1484,7 +1494,7 @@ object VectorOps {
       col("rnk").as("ernk"),
       col("neighbor_id").as("dst")
     )
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
+    val centArr = centArrOpt.getOrElse(IvfAnn.collectCents(IvfAnn.centroids(embRaw)))
     val indexed = IvfAnn
       .assignTo(centArr)(embRaw)
       .select(col("cid"), col("vec_id").as("cand"))
@@ -1575,14 +1585,22 @@ object VectorOps {
   private def v39IndexFrontier(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val embRaw = Tables.embeddings(s, d)
-    val ivf = v23ProbeSweep(s, d).select(
+    val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
+    // exact0 is REFERENCED twice (v23's recall join + the graph arm's) and
+    // deliberately NOT cache()d: a lazily-cached frame whose two consumers
+    // are both BroadcastExchange builders measured +7 s here — the build
+    // threads race to materialize the InMemoryRelation — and even an
+    // eagerly pre-materialized cache measured ~+1 s vs letting the two
+    // 50-row subtrees execute independently in parallel inside the job.
+    val exact0 = v1AnnBruteforce(s, d)
+    val ivf = v23ProbeSweep(s, d, Some(centArr), Some(exact0)).select(
       lit("ivf").as("family"),
       col("n_probe").cast("long").as("knob"),
       col("n_candidates").as("n_cost"),
       col("n_hits"),
       col("recall")
     )
-    val adm = graphAnnAdmission(embRaw, knnGraphFor(s, d, IvfAnn.k))
+    val adm = graphAnnAdmission(embRaw, knnGraphFor(s, d, IvfAnn.k), Some(centArr))
     val emb = embRaw.withColumn(
       "nrm",
       sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
@@ -1608,7 +1626,6 @@ object VectorOps {
     val nVisited = sweep.groupBy("budget").agg(count(lit(1)).as("n_visited"))
     // the seed stage scans the 4 probed lists whatever the budget — the
     // graph arm's floor cost, identical to the IVF arm's nProbe=4 scan
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
     val listScan = IvfAnn
       .withProbedCids(centArr, "qe")(q)
       .select(col("query_id"), col("cid"))
@@ -1616,7 +1633,7 @@ object VectorOps {
       .filter(col("cand") =!= col("query_id"))
       .agg(count(lit(1)).as("n_list_scan"))
     val wTop = Window.partitionBy("query_id", "budget").orderBy(col("cos").desc, col("cand").asc)
-    val exact = v1AnnBruteforce(s, d)
+    val exact = exact0
       .select(col("query_id"), col("neighbor_id").as("cand"), lit(1L).as("hit"))
     val hits = sweep
       .withColumn("rnk", row_number().over(wTop))
@@ -2528,7 +2545,7 @@ object VectorOps {
     "v26_hamming_rerank" -> (v26HammingRerank _),
     "v24_hamming_ann" -> (v24HammingAnn _),
     "v25_matryoshka_recall" -> (v25MatryoshkaRecall _),
-    "v23_probe_sweep" -> (v23ProbeSweep _),
+    "v23_probe_sweep" -> ((s: SparkSession, d: String) => v23ProbeSweep(s, d)),
     "v21_kmeans_fit" -> (v21KmeansFit _),
     "v28_cluster_sample" -> (v28ClusterSample _),
     "v29_ndcg_eval" -> (v29NdcgEval _),
