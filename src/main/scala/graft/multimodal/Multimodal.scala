@@ -541,20 +541,30 @@ object MultimodalOps {
       )
     // adaptive group count: groups sized so ONE group's signature rows
     // (vectors × its band slice — the driver of per-group exchange
-    // bytes, same quantity the gc gate reads) stay under a scratch
-    // budget. Default 224M rows ≈ the sf30 one-shot's measured ~72 GB
-    // spill split 4 ways — the geometry this query shipped with — so
-    // the adaptive solve reproduces shards≈4 exactly where the constant
-    // came from, and solves to 1 where the volume is megabytes.
-    // Tunable per deployment via spark.graft.m7e.groupSigRows.
+    // bytes, same quantity the gc gate reads) sit at the MEASURED
+    // wall-clock optimum. Two opposing costs (round-14 sweep, this box):
+    // per-group FIXED cost ≈ the full plane-dot pass every group re-runs
+    // (~10 s at sf1) pushes groups down; the one-shot's exchange
+    // degradation pushes them up — at sf1's ~24M signature rows the
+    // sweep read 1 group 105–120 s, 2 groups 35 s, 4 groups 61 s,
+    // 8 groups 97 s, so the default budget is ~12M rows/group (also
+    // ≈ the gc gate's provenance volume). The 16-group cap bounds the
+    // repeated plane-dot scans at corpus scale: sf30's ~1.3e9 rows cap
+    // at 16 × ~81M rows/group ≈ half the per-group volume round 11
+    // measured disk-safe at 8 shards (SCALING.md), instead of solving
+    // to ~108 groups of redundant featurize-side work. sf0.1 (~1.5M
+    // rows) still solves to 1 group — measured 11.5 → 5.3 s vs the old
+    // constant 4. Tunable per deployment via
+    // spark.graft.m7e.groupSigRows.
     val nGroups =
       if (shards > 0) shards
       else {
         val budget = spark.conf
           .getOption("spark.graft.m7e.groupSigRows")
           .map(_.toLong)
-          .getOrElse(224000000L)
-        math.max(1L, math.min(nBands.toLong, (nVecs * nBands + budget - 1) / budget)).toInt
+          .getOrElse(12000000L)
+        val byVolume = (nVecs * nBands + budget - 1) / budget
+        math.max(1L, Seq(16L, nBands.toLong, byVolume).min).toInt
       }
     val out = scratch.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-m7e").toString)
