@@ -38,10 +38,10 @@ object UserActivityFull {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val uaCountries: Seq[String] =
+  private[graft] val uaCountries: Seq[String] =
     "Worldwide" +: (0 until 10).map(i => s"Country NATION_$i")
 
-  private def synthClients(s: SparkSession, d: String): DataFrame = {
+  private[graft] def synthClients(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
@@ -75,13 +75,13 @@ object UserActivityFull {
       )
   }
 
-  private def synthCountryNames(s: SparkSession, d: String): DataFrame =
+  private[graft] def synthCountryNames(s: SparkSession, d: String): DataFrame =
     Tables.nation(s, d).select(
       col("n_name").as("code"),
       concat(lit("Country "), col("n_name")).as("name")
     )
 
-  private def synthBuildhub(s: SparkSession, d: String): DataFrame =
+  private[graft] def synthBuildhub(s: SparkSession, d: String): DataFrame =
     Tables.nation(s, d).select(
       struct(
         struct(

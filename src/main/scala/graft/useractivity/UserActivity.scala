@@ -294,14 +294,38 @@ object UserActivity {
     // `sample` feeds seven consumers — deliberately NOT cached: everything
     // below it is scan + broadcast join + filter (no shuffle), and each
     // consumer prunes to a narrow column subset, so seven pruned columnar
-    // scans beat one full-width row materialization (measured: caching
-    // smp+addons made the sf0.1 pipeline 17% SLOWER, 3.26 s → 3.81 s).
-    // At warehouse scale the same logic holds as long as the input is
-    // columnar; a recompute-hostile source would flip the call.
+    // scans beat one full-width row materialization (measured twice:
+    // caching smp+addons made the sf0.1 pipeline 17% SLOWER in round 11,
+    // 3.26 s → 3.81 s; an eager-count re-test this round read min 2.76 s
+    // uncached vs 2.98 s cached — the arms recompute in PARALLEL, so the
+    // wall-clock win never materializes while the cache adds a serial
+    // materialization job). At warehouse scale the same logic holds as
+    // long as the input is columnar; a recompute-hostile source would
+    // flip the call.
     val smp = sample(clientsLastSeen, countryNames, cfg)
     val addons = sampleAddons(smp)
     // one fused pass for the three same-grain weekly CTEs (see weeklyStats)
-    val mw = weeklyStats(smp)
+    // — computed ONCE and pinned as a LOCAL relation: mw feeds three
+    // consumers (the assembly spine plus the wau denominator broadcast
+    // into top_addons and top_locales), and as a lazy subtree each
+    // consumer re-ran the whole two-countDistinct Expand aggregation over
+    // its own re-scan of `sample` (the spine's copy escaped even
+    // ReuseExchange — it is a shuffle, not a broadcast, consumer). The
+    // result is (weeks × country allowlist) rows — bounded by
+    // CONSTRUCTION (cfg's date window caps the weeks, cfg.countries the
+    // names) no matter how big the fact table is, so collecting it is the
+    // same bounded driver transfer class as IvfAnn's k-centroid collect,
+    // and the local relation makes every downstream join build a
+    // zero-job broadcast instead of re-planning the aggregate. Measured
+    // (interleaved same-session A/B, sf0.1): min 2.33 s vs 2.89 s for the
+    // eager-cache form — the cache's InMemoryScan feeds three stages that
+    // the local relation removes from the job DAG entirely.
+    val mwAgg = weeklyStats(smp)
+    val mw = {
+      import scala.jdk.CollectionConverters._
+      val spark = clientsLastSeen.sparkSession
+      spark.createDataFrame(mwAgg.collect().toSeq.asJava, mwAgg.schema)
+    }
     // The assembly keys on (week, country) — a keyspace bounded by
     // construction (weeks × the country allowlist) no matter how big the
     // fact table is, so every metric CTE output is broadcast explicitly
