@@ -559,12 +559,27 @@ object MultimodalOps {
     val nGroups =
       if (shards > 0) shards
       else {
-        val budget = spark.conf
-          .getOption("spark.graft.m7e.groupSigRows")
-          .map(_.toLong)
-          .getOrElse(12000000L)
+        // conf reads degrade, never throw (r14 advice #2): a non-numeric
+        // value falls back to the measured default, a zero/negative one
+        // clamps to 1 — a bad knob must not fail the query at runtime
+        def confRows(key: String, dflt: Long): Long = spark.conf
+          .getOption(key)
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .map(math.max(1L, _))
+          .getOrElse(dflt)
+        val budget = confRows("spark.graft.m7e.groupSigRows", 12000000L)
+        // the 16-group cap bounds redundant plane-dot passes, but the
+        // sharding exists to bound per-group scratch DISK: when 16 groups
+        // would still exceed the measured disk-safe per-group row volume
+        // (~163M sig rows at 8 shards of the sf30 run, round 11), the
+        // cap yields to the disk bound instead of re-creating the
+        // one-shot spill failure at ~2× sf30 (r14 advice #1). Tunable
+        // via spark.graft.m7e.maxGroupSigRows.
+        val diskSafe = confRows("spark.graft.m7e.maxGroupSigRows", 160000000L)
         val byVolume = (nVecs * nBands + budget - 1) / budget
-        math.max(1L, Seq(16L, nBands.toLong, byVolume).min).toInt
+        val minForDisk = (nVecs * nBands + diskSafe - 1) / diskSafe
+        val capped = Seq(16L, nBands.toLong, byVolume).min
+        math.max(1L, math.min(nBands.toLong, math.max(capped, minForDisk))).toInt
       }
     val out = scratch.getOrElse(
       java.nio.file.Files.createTempDirectory("graft-m7e").toString)
@@ -592,7 +607,8 @@ object MultimodalOps {
       // GCs per bench run for shuffle files measured in megabytes.
       val gcSigRows = spark.conf
         .getOption("spark.graft.m7e.gcSigRows")
-        .map(_.toLong)
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .map(math.max(1L, _))
         .getOrElse(8000000L)
       if (nVecs * (hi - lo) > gcSigRows) System.gc()
       s += 1
@@ -681,9 +697,16 @@ object MultimodalOps {
     // question is moot; the equality gates certify the degenerate-list
     // edge (sf0.001: ~50 media over 32 lists) regardless.
     val nLists = math.min(256L, math.max(32L, n / 2000L)).toInt
-    val cents = graft.operators.IvfAnn.collectCents(
-      graft.operators.IvfAnn.centroids(emb.select(col("vec_id"), col("embedding")), nLists)
-    )
+    // the fit comes from the persisted centroid store (content-keyed on
+    // the documents fixture + the gram-embed featurization + nLists);
+    // stored == fresh bits, so the probe layout — and every hash — is
+    // unchanged (IvfAnn.storedCentroids)
+    val cents = graft.operators.IvfAnn.storedCentroids(
+      spark,
+      graft.operators.TextOps.documentsSnapshot(dir),
+      "gram-emb",
+      nLists
+    )(graft.operators.IvfAnn.centroids(emb.select(col("vec_id"), col("embedding")), nLists))
     val probed = graft.operators.IvfAnn
       .withProbedCids(cents, "embedding", probes = probes)(
         emb.select("vec_id", "embedding", "nrm")
@@ -705,8 +728,13 @@ object MultimodalOps {
       maxMiss = 1e-6,
       fanOut = probes
     )
-    val cand = graft.operators.VectorOps.bandedCandidateStreamKeyed(
-      probed.select("cid", "vec_id", "embedding"),
+    // signature pass ONCE PER VECTOR; the (cid, vec_id) multi-probe
+    // assignment joins onto the banded rows (identical collision
+    // keyspace — candidates can still only form inside a probed list;
+    // measured 2.9 -> 1.7 s on the candidate stage at sf0.1)
+    val cand = graft.operators.VectorOps.bandedCandidateStreamAssigned(
+      emb.select("vec_id", "embedding"),
+      probed.select("cid", "vec_id"),
       extraKeys = Seq("cid"),
       nBands = nBands,
       bandBits = bandBits
@@ -771,7 +799,14 @@ object MultimodalOps {
         .map(t => graft.operators.IvfAnn.collectCents(spark.table(s"${t}_centroids")))
       val nLists = stored.map(_.length).getOrElse(nListsFit)
       val cents = stored.getOrElse(
-        graft.operators.IvfAnn.collectCents(
+        // same persisted fit m7c probes (content-keyed, stored == fresh
+        // bits) — the pre-flight and the dedup read one store
+        graft.operators.IvfAnn.storedCentroids(
+          spark,
+          graft.operators.TextOps.documentsSnapshot(dir),
+          "gram-emb",
+          nListsFit
+        )(
           graft.operators.IvfAnn
             .centroids(emb.select(col("vec_id"), col("embedding")), nListsFit)
         )

@@ -60,7 +60,13 @@ object GraphOps {
       val v = df.agg(sum("lbl")).first().get(0)
       if (v == null) 0L else v.asInstanceOf[Long]
     }
-    var labels = seedLabels(edges).localCheckpoint()
+    // LAZY localCheckpoint throughout the loop: the eager form ran two
+    // driver-blocking jobs per round (checkpoint materialization, then
+    // the convergence sum over the checkpointed blocks); lazily, the
+    // lblSum action materializes the checkpoint AND reads the sum in ONE
+    // job — half the serial job count of every CC consumer
+    // (v12/v12b/v12c/t16/t28/t59), identical labels and lineage cut.
+    var labels = seedLabels(edges).localCheckpoint(false)
     var curSum = lblSum(labels)
     var converged = false
     var rounds = 0
@@ -85,7 +91,7 @@ object GraphOps {
               col("id"),
               least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")
             )
-      labels = next.localCheckpoint()
+      labels = next.localCheckpoint(false)
       val nextSum = lblSum(labels)
       converged = nextSum == curSum
       curSum = nextSum

@@ -135,6 +135,56 @@ object IvfAnn {
     cents
   }
 
+  /** PERSISTED centroid store — the IVF fit as a content-keyed warehouse
+    * artifact (the minhash-signature / kNN-graph store discipline applied
+    * to the one provably serial stage of every IVF consumer: each Lloyd
+    * fit is 2 driver-blocking action cascades per execution, and
+    * v6/v10/v23/v38/v39/m7c/m7d each re-ran the IDENTICAL deterministic
+    * fit per run — r14 verdict ask #2). The store holds exactly
+    * `centroids(emb, nLists)` — nLists rows of (cid, float32 centroid);
+    * floats round-trip parquet bit-exactly and the fit is deterministic
+    * (id-seeded, no RNG), so stored == fresh bits (IvfCentStoreSpec pins
+    * elementwise equality) and every consumer's declared output hash is
+    * unchanged — the driver's CORRECTNESS rows certify exactly that.
+    * Key = content fingerprint of the source fixture + featurization tag
+    * + nLists (a regenerated corpus MISSES rather than serving a stale
+    * fit); publish is the atomic temp+rename of [[TextOps.storedOrBuilt]].
+    * v21_kmeans_fit deliberately keeps the FRESH fit: it is the declared
+    * training-stage certificate (its output hash-checks every assignment
+    * against the unrolled-Lloyd oracle each round), so the cold fit path
+    * stays an oracle-checked declared query — the store can never drift
+    * from the fit unobserved. */
+  private[graft] def storedCentroids(
+      s: SparkSession,
+      snapshot: String,
+      tag: String,
+      nLists: Int
+  )(fit: => DataFrame): Array[(Int, Seq[Float])] =
+    collectCents(
+      TextOps.storedOrBuilt(
+        s,
+        "graft_ivf_cents_" +
+          TextOps.md5Hex(s"ivf-cents-v1|$tag|$nLists|$snapshot").take(16),
+        builder = "ivf-centroids",
+        source = snapshot
+      )(fit)
+    )
+
+  /** [[storedCentroids]] for the embeddings fixture — the store every
+    * Tables.embeddings-fitting consumer shares (one fit per (corpus
+    * content, nLists), however many queries probe it). */
+  private[graft] def storedEmbCents(
+      s: SparkSession,
+      d: String,
+      nLists: Int = k
+  ): Array[(Int, Seq[Float])] =
+    storedCentroids(
+      s,
+      TextOps.fixtureSnapshot(d, "embeddings.parquet"),
+      "emb",
+      nLists
+    )(centroids(Tables.embeddings(s, d), nLists))
+
   /** Declared query: IVF top-5 neighbors for queries vec_id < 10, probing
     * the nProbe nearest lists. The build is hash-free and deterministic, so
     * unlike the LSH family this IS oracle-checked (unrolled-Lloyd DuckDB
@@ -143,7 +193,7 @@ object IvfAnn {
   def query(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val centArr = collectCents(centroids(emb))
+    val centArr = storedEmbCents(s, d)
     val indexed = assignTo(centArr)(emb) // (vec_id, embedding, cid)
 
     val queries = emb.filter(col("vec_id") < 10)
@@ -195,7 +245,7 @@ object IvfAnn {
   def queryQuantized(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val centArr = collectCents(centroids(emb))
+    val centArr = storedEmbCents(s, d)
     // index at rest: inverted lists with int8 codes + their norm
     val indexed = assignTo(centArr)(emb)
       .withColumn(

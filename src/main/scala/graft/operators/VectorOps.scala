@@ -108,7 +108,7 @@ object VectorOps {
   ): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val centArr = centArrOpt.getOrElse(IvfAnn.collectCents(IvfAnn.centroids(emb)))
+    val centArr = centArrOpt.getOrElse(IvfAnn.storedEmbCents(s, d))
     val indexed = IvfAnn.assignTo(centArr)(emb)
     val queries = emb
       .filter(col("vec_id") < 10)
@@ -829,6 +829,43 @@ object VectorOps {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
   }
 
+  /** [[bandedCandidateStreamKeyed]] for a MULTI-PROBED population: the
+    * signature pass runs ONCE PER VECTOR over `vecs` (one row per
+    * vec_id) and the bounded-fan-out key assignment (e.g. m7c's
+    * (cid, vec_id) at probes rows per vector) is joined onto the banded
+    * rows — same (key, band, bh) collision keyspace, identical candidate
+    * stream, 1/fan-out of the `graft_band_hashes` work. The caller's
+    * previous shape banded the EXPLODED frame, so every plane-dot pass
+    * ran fan-out times per vector (measured at sf0.1/59×8: candidate
+    * stage 2.9 → 1.7 s). The assignment join is left to the planner: at
+    * bench scale the (key, vec_id) side is tiny and broadcasts; at
+    * warehouse scale it degrades to a narrow-row shuffle join, which is
+    * still the right trade — banded rows are a few ints wide while the
+    * signature compute is nBands·bandBits·dims multiplies per vector. */
+  def bandedCandidateStreamAssigned(
+      vecs: DataFrame,
+      assignments: DataFrame,
+      extraKeys: Seq[String],
+      nBands: Int,
+      bandBits: Int
+  ): DataFrame = {
+    val joinKeys = extraKeys :+ "band" :+ "bh"
+    val banded = vecs
+      .select(
+        col("vec_id"),
+        posexplode(
+          call_function("graft_band_hashes", col("embedding"), lit(nBands), lit(bandBits))
+        ).as(Seq("band", "bh"))
+      )
+      .join(assignments, "vec_id")
+      .repartition(joinKeys.map(col): _*)
+    banded
+      .as("x")
+      .join(banded.as("y"), joinKeys)
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+  }
+
   /** [[bandedCandidateStream]] with extra JOIN KEYS ahead of (band, bh) —
     * the IVF-pruned form's primitive: keyed by a cluster id, collisions
     * can only form INSIDE a list (m7c passes Seq("cid")). One definition
@@ -1302,7 +1339,10 @@ object VectorOps {
       s"graft_knn_graph_$key",
       builder = "knn-graph",
       source = embeddingsSnapshot(d)) {
-      knnGraph(Tables.embeddings(s, d), nLists)
+      // the graph build reads the SAME persisted fit its probe-side
+      // consumers use — one Lloyd fit per (corpus content, nLists)
+      // however the stores warm up
+      knnGraph(Tables.embeddings(s, d), nLists, Some(IvfAnn.storedEmbCents(s, d, nLists)))
     }
   }
 
@@ -1334,8 +1374,12 @@ object VectorOps {
     * geometry grows the pair space quadratically in n (measured 5.6× on a
     * 10× corpus) while nLists ∝ n holds per-node work constant. Default 16
     * keeps the oracle's unrolled-Lloyd geometry. */
-  private[graft] def knnGraph(emb: DataFrame, nLists: Int = IvfAnn.k): DataFrame = {
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb, nLists))
+  private[graft] def knnGraph(
+      emb: DataFrame,
+      nLists: Int = IvfAnn.k,
+      centArrOpt: Option[Array[(Int, Seq[Float])]] = None
+  ): DataFrame = {
+    val centArr = centArrOpt.getOrElse(IvfAnn.collectCents(IvfAnn.centroids(emb, nLists)))
     val indexed = IvfAnn
       .assignTo(centArr)(emb)
       .select(
@@ -1389,23 +1433,33 @@ object VectorOps {
     * seeds and both hops over the v17 graph CTEs. */
   private def v38GraphAnn(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    // the graph comes from the PERSISTED store — the "pre-built stored
-    // artifact" the Scaladoc's scale story describes, made literal
-    graphAnnOn(Tables.embeddings(s, d), knnGraphFor(s, d, IvfAnn.k))
+    // the graph AND the coarse fit come from their PERSISTED stores — the
+    // "pre-built stored artifact" the Scaladoc's scale story describes,
+    // made literal (spec callers pass their own frames and keep the
+    // fresh-fit default)
+    graphAnnOn(
+      Tables.embeddings(s, d),
+      knnGraphFor(s, d, IvfAnn.k),
+      Some(IvfAnn.storedEmbCents(s, d))
+    )
   }
 
   /** The v38 pipeline over any (vec_id, embedding) frame and its kNN
     * graph (v17 rows: vec_id, rnk, neighbor_id) — shared with the
     * clustered-corpus recall pin (LshRecallSpec), which needs the REAL
     * plan on a fixture whose cluster geometry it controls. */
-  private[graft] def graphAnnOn(embRaw: DataFrame, graph: DataFrame): DataFrame = {
+  private[graft] def graphAnnOn(
+      embRaw: DataFrame,
+      graph: DataFrame,
+      centArrOpt: Option[Array[(Int, Seq[Float])]] = None
+  ): DataFrame = {
     val emb = embRaw.withColumn(
       "nrm",
       sqrt(call_function("graft_dot", col("embedding"), col("embedding")))
     )
     val edges = graph
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
+    val centArr = centArrOpt.getOrElse(IvfAnn.collectCents(IvfAnn.centroids(embRaw)))
     val indexed = IvfAnn
       .assignTo(centArr)(embRaw)
       .select(col("cid"), col("vec_id").as("cand"))
@@ -1585,7 +1639,7 @@ object VectorOps {
   private def v39IndexFrontier(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val embRaw = Tables.embeddings(s, d)
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(embRaw))
+    val centArr = IvfAnn.storedEmbCents(s, d)
     // exact0 is REFERENCED twice (v23's recall join + the graph arm's) and
     // deliberately NOT cache()d: a lazily-cached frame whose two consumers
     // are both BroadcastExchange builders measured +7 s here — the build
@@ -1671,6 +1725,11 @@ object VectorOps {
   private def v21KmeansFit(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
+    // deliberately the FRESH fit, not the centroid store: v21 is the
+    // training-stage certificate (every assignment hash-checked against
+    // the unrolled-Lloyd oracle), so the cold fit path stays a declared,
+    // oracle-verified query every round — the store can never drift from
+    // the fit unobserved (see IvfAnn.storedCentroids)
     val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
     val wc = Window.partitionBy("cid")
     IvfAnn
@@ -1698,7 +1757,7 @@ object VectorOps {
   private def v28ClusterSample(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val centArr = IvfAnn.collectCents(IvfAnn.centroids(emb))
+    val centArr = IvfAnn.storedEmbCents(s, d)
     val w = Window.partitionBy("cid").orderBy("h", "vec_id")
     IvfAnn
       .assignTo(centArr)(emb)

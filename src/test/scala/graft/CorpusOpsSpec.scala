@@ -569,6 +569,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"ledger neither converged nor exhausted the budget: $ledger")
   }
 
+  test("converge memo keys the FULL tag sequence: divergent-tail tag functions never alias") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    // r13 finding #2 / r14 verdict #5: the first close keyed only tags
+    // 0-1, so two callers sharing those but diverging from pass 2 on
+    // would alias to one cached fixed point. The key now enumerates
+    // every tag the run could touch; a same-prefix/different-tail tag
+    // function must MISS (fresh frame), an identical one must HIT
+    // (same frame reference — that is what the memo is for).
+    val words0 = graft.sources.Tables.documents(spark, sf)
+      .select(fcol("doc_id"), graft.functions.F.wsTokens(fcol("text")).as("w"))
+    val base = TextOps.documentsSnapshot(sf) + "|aliasspec"
+    val tagA = (k: Int) => if (k <= 1) s"$base|p$k" else s"$base|A$k"
+    val tagB = (k: Int) => if (k <= 1) s"$base|p$k" else s"$base|B$k"
+    val (ledA, dfA) = TextOps.exactSubstrConvergeOn(spark, words0, tagA, 16, 3)
+    val (ledA2, dfA2) = TextOps.exactSubstrConvergeOn(spark, words0, tagA, 16, 3)
+    assert(dfA2 eq dfA, "identical tag sequence should hit the memo")
+    assert(ledA2 == ledA)
+    val (_, dfB) = TextOps.exactSubstrConvergeOn(spark, words0, tagB, 16, 3)
+    assert(!(dfB eq dfA),
+      "tag functions sharing only tags 0-1 aliased to one cached fixed point")
+  }
+
   test("t62b tie-breaks in code-point order, matching Spark/DuckDB on surrogate pairs") {
     import spark.implicits._
     // the adversarial collation case: a supplementary-plane symbol

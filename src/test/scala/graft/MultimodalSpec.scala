@@ -199,6 +199,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("assigned-banding primitive equals the exploded-frame keyed form (r15 m7c shape)") {
+    // m7c now bands each vector ONCE and joins the (cid, vec_id)
+    // multi-probe assignment onto the banded rows; the candidate SET
+    // must equal the previous shape's (banding the exploded probed
+    // frame) at any probe fan-out — same (cid, band, bh) keyspace.
+    import graft.multimodal.MultimodalOps
+    import graft.operators.{IvfAnn, VectorOps}
+    graft.functions.GraftFunctions.register(spark)
+    val emb = MultimodalOps.gramEmbeddings(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    val cents = IvfAnn.collectCents(
+      IvfAnn.centroids(emb.select(col("vec_id"), col("embedding")), 8)
+    )
+    val probed = IvfAnn.withProbedCids(cents, "embedding", probes = 3)(
+      emb.select("vec_id", "embedding", "nrm")
+    )
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keyed = pairs(
+      VectorOps.bandedCandidateStreamKeyed(
+        probed.select("cid", "vec_id", "embedding"),
+        extraKeys = Seq("cid"), nBands = 12, bandBits = 6
+      )
+    )
+    val assigned = pairs(
+      VectorOps.bandedCandidateStreamAssigned(
+        emb.select("vec_id", "embedding"),
+        probed.select("cid", "vec_id"),
+        extraKeys = Seq("cid"), nBands = 12, bandBits = 6
+      )
+    )
+    assert(keyed.nonEmpty, "vacuous gate — no banded collisions at this geometry")
+    assert(assigned == keyed,
+      s"assigned != keyed: missed=${keyed -- assigned} extra=${assigned -- keyed}")
+  }
+
   test("m7e band-sharded dedup equals one-shot m7b at both driver SFs, at uneven shard counts") {
     // Exactness-by-construction still deserves a gate: the union over
     // band GROUPS must reproduce the one-shot pair set including pairs
