@@ -92,11 +92,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // These bounds catch the real failure modes: a metric CTE losing its
     // broadcast (join count drops, exchange count rises) or a new
     // corpus-grain shuffle sneaking into the assembly.
+    // r15 re-pin: weeklyStats is computed once and collected into a
+    // local relation (its two duplicate Expand-aggregate subtrees left
+    // the plan entirely), so the broadcast-join floor drops 25 -> 22
+    // and the exchange ceiling tightens. The failure modes guarded are
+    // unchanged: a metric CTE losing its broadcast drops bhj below the
+    // floor; a corpus-grain shuffle sneaking in raises exchanges.
     val ua = plan("ua_full_pipeline")
     val exchanges = ua.linesIterator.count(_.contains("Exchange hashpartitioning"))
     val bhj = ua.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(exchanges <= 22, s"ua_full assembly grew extra shuffles ($exchanges)")
-    assert(bhj >= 25, s"ua_full assembly lost broadcast joins ($bhj)")
+    assert(exchanges <= 18, s"ua_full assembly grew extra shuffles ($exchanges)")
+    assert(bhj >= 22, s"ua_full assembly lost broadcast joins ($bhj)")
   }
 
   test("rank-then-filter queries keep Spark 4's WindowGroupLimit pushdown engaged") {
@@ -615,13 +621,30 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("the fused weekly-stats pass aggregates mau/wau/intensity/npr in one shuffle") {
-    // one HashAggregate pair over ONE Exchange for the fused groupBy —
-    // visible as exactly one exchange keyed on (week_start, country_name)
-    // feeding an aggregate with all four measures
-    val p = plan("ua_full_pipeline")
+    // one HashAggregate pair over ONE Exchange for the fused groupBy.
+    // r15: build() collects this pass into the assembly's local relation,
+    // so the ASSEMBLY's returned plan no longer contains it — the fused
+    // pass's own plan is asserted directly (it is exactly what build()
+    // executes once at construction).
+    val cfg = graft.useractivity.UserActivity.Config(
+      countries = graft.operators.UserActivityFull.uaCountries)
+    val smp = graft.useractivity.UserActivity.sample(
+      graft.operators.UserActivityFull.synthClients(spark, sf),
+      graft.operators.UserActivityFull.synthCountryNames(spark, sf),
+      cfg)
+    val p = graft.useractivity.UserActivity
+      .weeklyStats(smp).queryExecution.executedPlan.toString
     val fusedAggs = p.linesIterator
       .filter(l => l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
       .count(l => l.contains("mau") && l.contains("intensity") && l.contains("new_profile_rate"))
     assert(fusedAggs >= 1, s"fused weekly aggregate missing:\n$p")
+    // and the assembly must consume it as a local relation, not recompute
+    // it: no countDistinct-bearing aggregate may remain in the full plan
+    val ua = plan("ua_full_pipeline")
+    val residualFused = ua.linesIterator
+      .filter(l => l.contains("HashAggregate") || l.contains("ObjectHashAggregate"))
+      .count(l => l.contains("mau") && l.contains("intensity") && l.contains("new_profile_rate"))
+    assert(residualFused == 0,
+      s"assembly recomputes the weekly-stats pass it should have collected:\n$ua")
   }
 }
